@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_analytics_spark.queries import REGISTRY  # noqa: E402
+from dbt_analytics_spark.session import get_spark  # noqa: E402
+
+#: Queries timed for the headline metric (a representative mix: scan-agg,
+#: joins, windows, spine, text/dedup/similarity pipeline ops).
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_join_agg",
+    "j3_top1_per_group",
+    "w3_pct_of_total",
+    "g1_date_spine",
+    "u1_union_dedup",
+    "ev1_sessionize",
+    "j5_explode_split",
+    "dd1_exact_dedup",
+    "dd3_minhash_lsh",
+    "sim1_cosine_topk",
+    "txt2_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # queries, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        builder, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = builder(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""PostgreSQL-compatibility column helpers.
+
+The reference workload is PostgreSQL-dialect SQL (SURVEY.md §2a); these
+helpers express the PG constructs the models rely on as native Spark Column
+expressions (JVM-side, codegen-friendly — no Python UDFs).
+
+Each helper cites the reference construct it reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ilike(col: Column | str, pattern: str) -> Column:
+    """PG ``ILIKE`` — case-insensitive LIKE.
+
+    Reference usage: ~570 occurrences, e.g. models/card_merchants_model.sql:7-617,
+    models/card_transactions_model.sql:9-13.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.ilike(pattern)
+
+
+def regexp_matches_ci(col: Column | str, pattern: Column | str) -> Column:
+    """PG ``~*`` — case-insensitive POSIX regex match.
+
+    Reference usage: models/classified_card_transactions.sql:85-87,139-144
+    (``desc ~* r.pattern_regex`` against seeds/merchant_regex.csv patterns).
+    Java regex accepts this corpus's constructs (``\\s \\d \\b .? .* ^ $``);
+    the ``(?i)`` prefix supplies PG's case-insensitivity.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(pattern) if isinstance(pattern, str) else pattern
+    return c.rlike(F.concat(F.lit("(?i)"), p))
+
+
+def norm_whitespace(col: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim.
+
+    Reference: models/classified_card_transactions.sql:39-46
+    (``regexp_replace(d, '\\s+', ' ', 'g')`` — Spark's regexp_replace is
+    global by default, matching PG's ``g`` flag).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def strip_prefix_ci(col: Column | str, prefix_pattern: str) -> Column:
+    """Strip a ``^``-anchored prefix, case-insensitively.
+
+    Reference: models/classified_card_transactions.sql:60-66 (aggregator
+    prefix strip with the ``i`` flag). Because the pattern is ^-anchored, a
+    global replace is equivalent to PG's single-occurrence form.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "(?i)" + prefix_pattern, "")
+
+
+def date_trunc_pg(grain: str, col: Column | str) -> Column:
+    """PG ``date_trunc(grain, x)`` returning a DATE (the workload always
+    consumes the truncated value at date precision).
+
+    Reference: models/spend_daily.sql:2, models/metrics_monthly.sql:14.
+    Spark's and PG's ``week`` are both ISO Monday-start
+    (verified in tests/test_functions.py over year boundaries).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc(grain, c).cast("date")
+
+
+def extract_pg(field: str, col: Column | str) -> Column:
+    """PG ``extract(field from x)::int``.
+
+    Reference: models/metrics_monthly.sql:7 (month), metrics_weekly.sql:7
+    (week — ISO week number; Spark ``weekofyear`` matches PG).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    fns = {
+        "year": F.year,
+        "quarter": F.quarter,
+        "month": F.month,
+        "week": F.weekofyear,
+        "day": F.dayofmonth,
+        "dow": F.dayofweek,
+    }
+    return fns[field](c).cast("int")
+
+
+def month_end(col: Column | str) -> Column:
+    """PG ``d + interval '1 month - 1 day'`` on a month-start date.
+
+    Reference: models/metrics_monthly.sql:6. Expressed as ``last_day`` which
+    Catalyst folds to a single JVM intrinsic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.last_day(c)

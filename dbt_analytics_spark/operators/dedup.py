@@ -1,0 +1,270 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extension set (BASELINE.json north star). All four
+are expressed with built-in Spark SQL functions — higher-order array
+functions and hash primitives — so the hot path stays JVM-side with no
+Python UDFs.
+
+Scale design (100 TB):
+- Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle keyed by
+  an (effectively) unique hash: perfectly balanced, no skew.
+- MinHash+LSH: per-row signature computation is embarrassingly parallel; the
+  only shuffle is the band-bucket self-join, whose key cardinality (band ×
+  band-hash) grows with data size, keeping partitions bounded. Candidate
+  verification touches only bucket-mates, never all pairs.
+- SimHash: signature is a 63-bit int; near-dup candidates come from banding
+  the signature (4×16-bit bands), then Hamming-verify via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import exact_fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Group identical (normalized) documents: fingerprint → group size +
+    canonical keeper (min id)."""
+    return (
+        df.select(F.col(id_col), exact_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep one row per identical document (the min-id row)."""
+    from .top1 import top1_per_group
+
+    with_fp = df.withColumn("__fp", exact_fingerprint(text_col))
+    return top1_per_group(with_fp, ["__fp"], [F.asc(id_col)]).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# Word-set (n-gram) Jaccard via inverted-index self-join
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with word-set Jaccard ≥ threshold, via an inverted-index
+    join (docs only meet on shared words — never a full cross join).
+
+    ``block_col`` restricts candidates to the same block (e.g. language),
+    the classic blocking trick to bound bucket sizes at scale.
+    """
+    blocks = [block_col] if block_col else []
+    words = df.select(
+        F.col(id_col).alias("doc"), *blocks, F.explode(F.array_distinct(tokens(text_col))).alias("w")
+    )
+    sizes = words.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+
+    left = words.alias("a")
+    right = words.alias("r")
+    join_cond = [F.col("a.w") == F.col("r.w")] + [
+        F.col(f"a.{b}") == F.col(f"r.{b}") for b in blocks
+    ]
+    inter = (
+        left.join(right, join_cond)
+        .filter(F.col("a.doc") < F.col("r.doc"))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("set_size", "size1"), "doc1")
+        .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("set_size", "size2"), "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size1") + F.col("size2") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc1", "doc2", "n_common", "size1", "size2", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingle array (contiguous token windows, joined by spaces)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+
+    xxhash64 is a Spark built-in (deterministic across runs/executors) — the
+    seeded variants play the role of independent hash functions.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(col, lambda sh, s=seed: F.xxhash64(sh, F.lit(s))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact shingle
+    Jaccard.
+
+    Pipeline: shingle → signature → band hashes → explode bands → bucket
+    self-join (candidates) → exact verify. Only the bucket join shuffles,
+    keyed by (band, band_hash).
+    """
+    rows_per_band = num_hashes // bands
+    sig_df = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(text_col, shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = sig_df.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc", "sh", F.col("bd.band").alias("band"), F.col("bd.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("r")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("r.band")) & (F.col("a.bucket") == F.col("r.bucket")))
+        .filter(F.col("a.doc") < F.col("r.doc"))
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("r.doc").alias("doc2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("r.sh").alias("sh2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    verified = candidates.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        / F.size(F.array_union("sh1", "sh2")).cast("double"),
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("doc1", "doc2", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column | str, bits: int = 63) -> Column:
+    """SimHash signature (63-bit, sign-safe): per token, xxhash64 supplies
+    the bit pattern; each bit position accumulates +1/-1 votes weighted by
+    token multiplicity; the signature sets bits with positive vote sums.
+
+    Pure higher-order-function implementation: aggregate over the token
+    array builds the vote vector without exploding rows.
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(i: int) -> Column:
+        # Sum over tokens of ±1 for bit i of the token hash (bit positions
+        # are Python ints: shiftright requires a literal shift amount).
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 63-bit signature into 4 chunks
+    (pigeonhole: ≤3-bit distance guarantees a shared chunk; wider distances
+    are found probabilistically), bucket-join, verify Hamming distance.
+    """
+    sigs = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("sig"))
+    chunks = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("r")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("r.chunk")) & (F.col("a.key") == F.col("r.key")))
+        .filter(F.col("a.doc") < F.col("r.doc"))
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("r.doc").alias("doc2"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen) — language ID, quality
+scoring, token counting, and document fingerprinting run at full scan speed
+with no Python in the hot path. Extension set beyond the reference surface
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny built-in stopword/marker lists for the language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "los", "de", "que", "y", "en"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "un", "est"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization over a normalized string."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.regexp_replace(c, r"\s+", " ")), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def _in_markers(markers: tuple[str, ...]):
+    """Single-arg lambda factory (pyspark higher-order functions infer lambda
+    arity from the signature, so default-arg closures are not usable)."""
+    return lambda t: t.isin(*markers)
+
+
+def marker_hits(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of marker words in the token stream."""
+    toks = tokens(col)
+    return F.size(F.filter(toks, _in_markers(markers)))
+
+
+def stopword_ratio(col: Column | str, markers: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach standard quality-scoring columns: token counts, type-token
+    ratio, stopword ratio, mean token length, and a boolean keep flag.
+
+    The thresholds mirror common pretraining-corpus filters (Gopher-style
+    length / repetition rules), kept simple and fully declarative.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text_col))
+    ttr = F.when(n_tok > 0, n_uniq.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    stop_r = stopword_ratio(F.col(text_col))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    keep = (n_tok >= 10) & (ttr >= 0.1) & (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        ttr.alias("type_token_ratio"),
+        stop_r.alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        keep.alias("keep_quality"),
+    )
+
+
+def langid_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic n-gram/marker language ID: score each candidate language by
+    marker-token density; argmax wins (ties broken by language code order);
+    all-zero scores → 'und'.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    scores = {
+        lang: F.size(F.filter(toks, _in_markers(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # argmax via chained comparisons over a fixed language order (deterministic).
+    langs = sorted(scores)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    density = F.when(n > 0, best_score.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        best_lang.alias("pred_lang"),
+        best_score.cast("int").alias("marker_hits"),
+        density.alias("marker_density"),
+    )
+
+
+def fingerprint(col: Column | str, sort_tokens: bool = True) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set (catches shuffled/duplicated content that exact hashing misses).
+    """
+    toks = tokens(col)
+    basis = F.array_sort(F.array_distinct(toks)) if sort_tokens else toks
+    return F.md5(F.concat_ws(" ", basis))
+
+
+def exact_fingerprint(col: Column | str) -> Column:
+    """Exact-content fingerprint: md5 of the whitespace-normalized,
+    lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

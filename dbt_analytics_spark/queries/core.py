@@ -1,0 +1,781 @@
+"""Core relational operator queries (SURVEY.md §2a inventory) over the
+driver testdata star schema, each with a DuckDB oracle.
+
+Cross-engine exactness rules used throughout (so order-insensitive value
+hashes match bit-for-bit):
+
+- Money aggregates go through ``DECIMAL(18,2)`` casts *before* summing —
+  decimal addition is exact and associative, so Spark's and DuckDB's
+  different summation orders produce identical results; the final cast to
+  DOUBLE is deterministic. Never sum raw doubles.
+- Products keep bounded decimal precision (18,2)×(8,2) → no intermediate
+  rounding in either engine.
+- Averages are computed as exact-decimal-sum / count (double division of
+  identical operands), never the engines' own double AVG.
+- No raw timestamps in outputs (dates / ints / strings only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import date_trunc_pg
+from ..operators import explode_csv_cell, top1_per_group
+from ..sources import load_testdata
+
+
+def _money(c):
+    return c.cast("decimal(18,2)")
+
+
+def _rate(c):
+    """Exact small-scale rate (discount/tax, 2-decimal valued)."""
+    return c.cast("decimal(8,2)")
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3/M1 — hash aggregate, aggregate functions, arithmetic
+# (reference: models/spend_monthly.sql:12-27, metrics_monthly.sql:15-21)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup: groupBy agg with sums/avgs/conditional math.
+
+    Scale: pure map-side-combinable aggregation on a low-cardinality key —
+    one shuffle of tiny partial aggregates; AQE coalesces post-shuffle.
+    """
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    disc_price = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * _rate(F.lit(1) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1/P4 — projection, aliasing, casts
+# (reference: models/card_transactions_model.sql:1-18; metrics_monthly.sql:5-7)
+# ---------------------------------------------------------------------------
+
+def p1_projection_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").cast("int").alias("cust_key"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+        F.upper(F.col("o_orderstatus")).alias("status"),
+    )
+
+
+P1_SQL = """
+SELECT o_orderkey AS order_key,
+       CAST(o_custkey AS INTEGER) AS cust_key,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       UPPER(o_orderstatus) AS status
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2/T1 — filter with ILIKE / IN / boolean combos
+# (reference: models/classified_card_transactions.sql:14-28; T1 ilike corpus
+#  models/card_merchants_model.sql:7-617)
+# ---------------------------------------------------------------------------
+
+def p2_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_testdata(spark, sf_dir)["part"]
+    return (
+        p.filter(
+            F.col("p_type").ilike("%BRASS%")
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") != 0)
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    )
+
+
+P2_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part
+WHERE p_type ILIKE '%BRASS%'
+  AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+  AND p_size != 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3 — nested CASE classification (reference: the 500+-arm classifier,
+# models/card_merchants_model.sql:2-617; sign-branching
+# classified_card_transactions.sql:320-355)
+# ---------------------------------------------------------------------------
+
+def p3_case_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    bucket = (
+        F.when(F.col("event_type") == "purchase", F.lit("revenue"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("engagement"))
+        .when((F.col("event_type") == "error") & (F.col("value") > 100), F.lit("critical_error"))
+        .when(F.col("event_type") == "error", F.lit("minor_error"))
+        .otherwise(F.lit("other"))
+    )
+    sign = F.when(F.col("value") < 50, F.lit("low")).when(F.col("value") < 150, F.lit("mid")).otherwise(F.lit("high"))
+    return (
+        ev.select(bucket.alias("bucket"), sign.alias("value_band"))
+        .groupBy("bucket", "value_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+P3_SQL = """
+SELECT CASE WHEN event_type = 'purchase' THEN 'revenue'
+            WHEN event_type IN ('click','view') THEN 'engagement'
+            WHEN event_type = 'error' AND value > 100 THEN 'critical_error'
+            WHEN event_type = 'error' THEN 'minor_error'
+            ELSE 'other' END AS bucket,
+       CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_band,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5 — COALESCE / NULL handling
+# (reference: classified_card_transactions.sql:252-261 resolver precedence)
+# ---------------------------------------------------------------------------
+
+def p5_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    resolved = F.coalesce(
+        F.when(F.col("event_type") == "purchase", k),
+        F.when(F.col("value") > 150, F.lit(-1)),
+        F.lit(0),
+    )
+    return (
+        ev.select(F.col("event_type"), resolved.alias("resolved_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("resolved_k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+P5_SQL = """
+SELECT event_type,
+       CAST(SUM(COALESCE(CASE WHEN event_type = 'purchase' THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END,
+                    CASE WHEN value > 150 THEN -1 END,
+                    0)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — equi inner join (+ multi-hop) with aggregation
+# (reference: models/metrics_monthly.sql:57-59)
+# Scale: region/nation are broadcast (no shuffle of the fact side for those
+# hops); the orders⋈customer shuffle keys on the high-cardinality custkey.
+# ---------------------------------------------------------------------------
+
+def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2 — left outer join with null-filling
+# (reference: models/metrics_monthly.sql:120-130 spine joins;
+#  classified_card_transactions.sql:200-201 enrichment joins)
+# ---------------------------------------------------------------------------
+
+def j2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_money(F.col("o_totalprice"))).cast("double").alias("spend"),
+    )
+    return (
+        t["customer"]
+        .join(per_cust, t["customer"].c_custkey == per_cust.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+J2_SQL = """
+SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+       COALESCE(o.cnt, 0) AS n_orders,
+       COALESCE(o.spend, 0.0) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3/SO2 — LATERAL ... ORDER BY ... LIMIT 1 rewrite (top-1 per left row)
+# (reference: classified_card_transactions.sql:126-147,157-184 — the
+#  regex/name best-match laterals; rewritten as candidates + ranking window)
+# ---------------------------------------------------------------------------
+
+def j3_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    best = top1_per_group(
+        o,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+    )
+    return best.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("best_order_key"),
+        _money(F.col("o_totalprice")).cast("double").alias("best_total_price"),
+    )
+
+
+J3_SQL = """
+SELECT o_custkey AS cust_key, o_orderkey AS best_order_key,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS best_total_price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5/T5 — lateral UNNEST flatten (split + explode)
+# (reference: models/exercise_log_flattened.sql:6-7)
+# ---------------------------------------------------------------------------
+
+def j5_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    words = explode_csv_cell(docs.select("doc_id", "lang", "text"), "text", "word", sep=" ")
+    return (
+        words.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+J5_SQL = """
+SELECT lang, TRIM(w.word) AS word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM documents, UNNEST(string_split(text, ' ')) AS w(word)
+WHERE TRIM(w.word) != ''
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4 — count(distinct expr) (reference: models/workouts_monthly.sql:3)
+# ---------------------------------------------------------------------------
+
+def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+A4_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — conditional aggregation (FILTER / CASE-in-agg)
+# (reference: models/metrics_monthly.sql:16-21,54-55)
+# ---------------------------------------------------------------------------
+
+def a3_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+            F.sum(F.when(F.col("l_discount") > 0.05, _money(F.col("l_extendedprice")))).cast("double").alias("discounted_rev"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+A3_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+       COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS discounted_rev,
+       COUNT(*) AS n_total
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1 — ranking window dedup (keep latest row per key)
+# (reference: classified_card_transactions.sql:211-217 map_one)
+# ---------------------------------------------------------------------------
+
+def w1_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    latest = top1_per_group(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("event_type").alias("latest_event_type"),
+    )
+
+
+W1_SQL = """
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_event_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2 — analytic window: first-occurrence New/Repeat flag
+# (reference: models/metrics_monthly.sql:45-47 first_value dish flag)
+# ---------------------------------------------------------------------------
+
+def w2_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey")
+    flagged = o.withColumn(
+        "order_flag",
+        F.when(F.col("o_orderdate") == F.min("o_orderdate").over(w), F.lit("New")).otherwise(F.lit("Repeat")),
+    )
+    return (
+        flagged.groupBy(date_trunc_pg("month", "o_orderdate").alias("order_month"), "order_flag")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+W2_SQL = """
+WITH flagged AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         CASE WHEN o_orderdate = MIN(o_orderdate) OVER (PARTITION BY o_custkey)
+              THEN 'New' ELSE 'Repeat' END AS order_flag
+  FROM orders
+)
+SELECT order_month, order_flag, COUNT(*) AS n_orders
+FROM flagged GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — empty-frame window: percent-of-total alongside GROUP BY
+# (reference: models/card_merchants_model.sql:622-623 sum(sum(x)) over ())
+# ---------------------------------------------------------------------------
+
+def w3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    per_nation = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_money(F.col("o_totalprice"))).alias("spend_dec"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "nation_name",
+        F.col("spend_dec").cast("double").alias("nation_spend"),
+        (F.col("spend_dec").cast("double") / F.sum("spend_dec").over(w).cast("double")).alias("pct_of_total"),
+    )
+
+
+W3_SQL = """
+WITH per_nation AS (
+  SELECT n_name AS nation_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN orders ON o_custkey = c_custkey
+  GROUP BY n_name
+)
+SELECT nation_name, CAST(spend_dec AS DOUBLE) AS nation_spend,
+       CAST(spend_dec AS DOUBLE) / CAST(SUM(spend_dec) OVER () AS DOUBLE) AS pct_of_total
+FROM per_nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1 — UNION (distinct) across branches
+# (reference: classified_card_transactions.sql:267,320 — the dedup trap)
+# ---------------------------------------------------------------------------
+
+def u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    branch_a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_custkey", F.col("o_orderpriority").alias("priority")
+    )
+    branch_b = o.filter(F.col("o_totalprice") > 100000).select(
+        "o_custkey", F.col("o_orderpriority").alias("priority")
+    )
+    # PG `union` is UNION DISTINCT — duplicates across AND within branches collapse.
+    return branch_a.union(branch_b).dropDuplicates()
+
+
+U1_SQL = """
+SELECT o_custkey, o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey, o_orderpriority AS priority FROM orders WHERE o_totalprice > 100000
+"""
+
+
+# ---------------------------------------------------------------------------
+# U2 — UNION ALL inline dimension (reference: models/card_names_model.sql:1-6)
+# ---------------------------------------------------------------------------
+
+def u2_union_all_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    rows = [
+        ("1-URGENT", "expedite"),
+        ("2-HIGH", "expedite"),
+        ("3-MEDIUM", "normal"),
+        ("4-NOT SPECIFIED", "normal"),
+        ("5-LOW", "defer"),
+    ]
+    dim = spark.createDataFrame(rows, ["priority", "sla_class"])
+    return (
+        o.join(F.broadcast(dim), o.o_orderpriority == dim.priority)
+        .groupBy("sla_class")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+U2_SQL = """
+WITH dim AS (
+  SELECT '1-URGENT' AS priority, 'expedite' AS sla_class
+  UNION ALL SELECT '2-HIGH', 'expedite'
+  UNION ALL SELECT '3-MEDIUM', 'normal'
+  UNION ALL SELECT '4-NOT SPECIFIED', 'normal'
+  UNION ALL SELECT '5-LOW', 'defer'
+)
+SELECT sla_class, COUNT(*) AS n_orders
+FROM orders JOIN dim ON o_orderpriority = dim.priority
+GROUP BY sla_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# G1/D3/J2 — date spine (dense calendar × sparse facts), interval arithmetic
+# (reference: models/metrics_monthly.sql:3-10,118-131 generate_series spine)
+# Bounds derive from the data (not wall clock) so runs are deterministic —
+# the workload engine's injectable-clock equivalent (SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+def g1_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month_start")
+    )
+    monthly = o.groupBy(date_trunc_pg("month", "o_orderdate").alias("month_start")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_money(F.col("o_totalprice"))).cast("double").alias("spend"),
+    )
+    return (
+        spine.join(monthly, "month_start", "left")
+        .select(
+            "month_start",
+            F.last_day("month_start").alias("month_end"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+G1_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start FROM b
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT spine.month_start,
+       CAST(spine.month_start + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE) AS month_end,
+       COALESCE(monthly.cnt, 0) AS n_orders,
+       COALESCE(monthly.spend, 0.0) AS total_spend
+FROM spine LEFT JOIN monthly USING (month_start)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1/D2 — date_trunc grains + extract
+# (reference: models/spend_daily.sql:2, metrics_weekly.sql:7 — PG week is
+#  ISO-Monday; Spark's date_trunc('week') and weekofyear match)
+# ---------------------------------------------------------------------------
+
+def d1_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    return (
+        o.groupBy(
+            date_trunc_pg("week", "o_orderdate").alias("week_start"),
+            F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+D1_SQL = """
+SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS iso_week,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# T2 — case-insensitive regex match (PG `~*`)
+# (reference: classified_card_transactions.sql:85-87,139-144)
+# ---------------------------------------------------------------------------
+
+def t2_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    pat = r"(?i)^the\s+\w+"
+    return (
+        docs.select(
+            "doc_id",
+            F.col("text").rlike(pat).alias("starts_with_the"),
+            F.col("text").rlike(r"(?i)(spark|vector)\s+(join|window)").alias("has_spark_join"),
+        )
+        .groupBy("starts_with_the", "has_spark_join")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+T2_SQL = """
+SELECT regexp_matches(text, '(?i)^the\\s+\\w+') AS starts_with_the,
+       regexp_matches(text, '(?i)(spark|vector)\\s+(join|window)') AS has_spark_join,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# T3/T4 — regexp_replace normalization pipeline + string scalars
+# (reference: classified_card_transactions.sql:38-108 normalization chain)
+# ---------------------------------------------------------------------------
+
+def t3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    stripped = F.regexp_replace(norm, r"(?i)^(the|a)\s+", "")
+    return docs.select(
+        "doc_id",
+        F.substring(stripped, 1, 30).alias("norm_prefix"),
+        F.length(stripped).alias("norm_len"),
+        F.locate("spark", stripped).alias("spark_pos"),
+    )
+
+
+T3_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), '(?i)^(the|a)\\s+', '') AS s
+  FROM documents
+)
+SELECT doc_id, SUBSTRING(s, 1, 30) AS norm_prefix, LENGTH(s) AS norm_len,
+       POSITION('spark' IN s) AS spark_pos
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# SO1 — multi-key ORDER BY + LIMIT (top-N)
+# (reference: classified_card_transactions.sql:363-364 final sorts; LIMIT is
+#  deterministic here because the sort key is total: tiebreak on o_orderkey)
+# Scale note: Spark executes orderBy+limit as TakeOrderedAndProject — no
+# global sort materialization.
+# ---------------------------------------------------------------------------
+
+def so1_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            _money(F.col("o_totalprice")).cast("double").alias("total_price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+SO1_SQL = """
+SELECT o_orderkey AS order_key,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       o_orderpriority AS priority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# EV1 — gap-based sessionization (lag window + running flag sum)
+# (extension beyond reference surface; SURVEY.md §2b "not present" list —
+#  implemented because an events/stream table is first-class here)
+# ---------------------------------------------------------------------------
+
+def ev1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap test (timestamp minus timestamp → interval),
+    # matching the oracle's `ts - LAG(ts) > INTERVAL 30 MINUTE`.
+    prev = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "is_new_session",
+        F.when(
+            prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_new_session").alias("n_sessions"),
+        )
+    )
+
+
+EV1_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(is_new_session) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# EV2 — semi-structured JSON extraction from a string column
+# (extension; Spark get_json_object stays JVM-side)
+# ---------------------------------------------------------------------------
+
+def ev2_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") % 2 == 0, 1)).alias("n_even"),
+        )
+    )
+
+
+EV2_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0 THEN 1 END) AS n_even
+FROM events GROUP BY event_type
+"""
+
+
+REGISTRY = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "p1_projection_cast": (p1_projection_cast, P1_SQL),
+    "p2_filter_ilike": (p2_filter_ilike, P2_SQL),
+    "p3_case_classify": (p3_case_classify, P3_SQL),
+    "p5_coalesce": (p5_coalesce, P5_SQL),
+    "j1_join_agg": (j1_join_agg, J1_SQL),
+    "j2_left_join": (j2_left_join, J2_SQL),
+    "j3_top1_per_group": (j3_top1_per_group, J3_SQL),
+    "j5_explode_split": (j5_explode_split, J5_SQL),
+    "a3_conditional_agg": (a3_conditional_agg, A3_SQL),
+    "a4_count_distinct": (a4_count_distinct, A4_SQL),
+    "w1_dedup_rank": (w1_dedup_rank, W1_SQL),
+    "w2_first_value": (w2_first_value, W2_SQL),
+    "w3_pct_of_total": (w3_pct_of_total, W3_SQL),
+    "u1_union_dedup": (u1_union_dedup, U1_SQL),
+    "u2_union_all_dim": (u2_union_all_dim, U2_SQL),
+    "g1_date_spine": (g1_date_spine, G1_SQL),
+    "d1_date_trunc": (d1_date_trunc, D1_SQL),
+    "t2_regex_match": (t2_regex_match, T2_SQL),
+    "t3_normalize": (t3_normalize, T3_SQL),
+    "so1_order_limit": (so1_order_limit, SO1_SQL),
+    "ev1_sessionize": (ev1_sessionize, EV1_SQL),
+    "ev2_json_extract": (ev2_json_extract, EV2_SQL),
+}

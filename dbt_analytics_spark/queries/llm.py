@@ -1,0 +1,296 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis /
+multimodal) over the `documents` and `embeddings` testdata tables.
+
+Oracle notes: everything except MinHash/SimHash/LSH/mapInPandas is
+SQL-expressible in DuckDB with bit-identical arithmetic (integer-derived
+double divisions; sequential-fold dot products on both sides). The hash-
+sketch operators depend on Spark's xxhash64 and Arrow plumbing, so they get
+rows-only checks (deterministic row sets, no oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity
+from ..operators.text import (
+    STOPWORDS,
+    exact_fingerprint,
+    fingerprint,
+    langid_columns,
+    quality_columns,
+    tokens,
+)
+from ..sources import load_testdata
+
+#: SQL fragment: whitespace-normalized text (matches operators.text.tokens).
+_NORM = "TRIM(regexp_replace(text, '\\s+', ' ', 'g'))"
+_SPLIT = f"string_split({_NORM}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# DD1 — exact dedup (hash groupBy on normalized-content fingerprint)
+# ---------------------------------------------------------------------------
+
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+DD1_SQL = f"""
+SELECT md5(LOWER({_NORM})) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# DD2 — word-set Jaccard near-dup pairs via inverted-index join
+# (sampled to doc_id % 20 = 0 for the oracle; the full-scale path is the
+#  MinHash-LSH operator below)
+# ---------------------------------------------------------------------------
+
+def dd2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"].filter(F.col("doc_id") % 20 == 0)
+    return dedup.jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.8
+    ).select(
+        "doc1",
+        "doc2",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("size1").cast("long").alias("size1"),
+        F.col("size2").cast("long").alias("size2"),
+        "jaccard",
+    )
+
+
+DD2_SQL = f"""
+WITH sample AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0
+), words AS (
+  SELECT DISTINCT doc_id, lang, w.word AS w
+  FROM sample, UNNEST({_SPLIT}) AS w(word)
+  WHERE w.word != ''
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM words GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc1, r.doc_id AS doc2, COUNT(*) AS n_common
+  FROM words a JOIN words r ON a.w = r.w AND a.lang = r.lang AND a.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, CAST(n_common AS BIGINT) AS n_common,
+       CAST(s1.set_size AS BIGINT) AS size1, CAST(s2.set_size AS BIGINT) AS size2,
+       CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# DD3 — MinHash + LSH near-dup (rows-only: depends on Spark xxhash64)
+# ---------------------------------------------------------------------------
+
+def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# DD4 — SimHash near-dup (rows-only: depends on Spark xxhash64)
+# ---------------------------------------------------------------------------
+
+def dd4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# SIM1 — brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+SIM1_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM c WHERE vec_id < 20
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_inner_product(q.v, c.v)
+           / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine_sim
+  FROM q JOIN c ON c.vec_id != q.vec_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# SIM2 — LSH-bucketed approximate top-k (rows-only; recall measured in tests
+# against SIM1)
+# ---------------------------------------------------------------------------
+
+def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_bucket_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+# ---------------------------------------------------------------------------
+# TXT1 — token statistics per language
+# ---------------------------------------------------------------------------
+
+def txt1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("n_uniq").alias("sum_uniq_tokens"),
+    )
+
+
+TXT1_SQL = f"""
+WITH per_doc AS (
+  SELECT lang, len({_SPLIT}) AS n_tok, len(list_distinct({_SPLIT})) AS n_uniq
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_uniq) AS BIGINT) AS sum_uniq_tokens
+FROM per_doc GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# TXT2 — per-document quality scoring
+# ---------------------------------------------------------------------------
+
+def txt2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "text")
+    return quality_columns(docs, "text").drop("text")
+
+
+_STOP_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
+
+TXT2_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SPLIT} AS toks, LENGTH({_NORM}) AS n_chars FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens,
+         len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS n_stop, n_chars
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_uniq_tokens AS INTEGER) AS n_uniq_tokens,
+       CASE WHEN n_tokens > 0 THEN CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS type_token_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+       (n_tokens >= 10
+        AND (CASE WHEN n_tokens > 0 THEN CAST(n_uniq_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) >= 0.1
+        AND (CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) >= 2.0
+        AND (CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) <= 12.0
+       ) AS keep_quality
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# TXT3 — heuristic language ID (marker-word density argmax)
+# ---------------------------------------------------------------------------
+
+def txt3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    return langid_columns(docs, "text").drop("text")
+
+
+def _langid_sql() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        in_list = ",".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols.append(f"len(list_filter(toks, x -> x IN ({in_list}))) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    greatest = f"GREATEST({', '.join('s_' + l for l in langs)})"
+    pred_arms = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SPLIT} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, len(toks) AS n_tok, {', '.join(score_cols)} FROM t
+), b AS (
+  SELECT *, {greatest} AS best FROM s
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und' {pred_arms} END AS pred_lang,
+       CAST(best AS INTEGER) AS marker_hits,
+       CASE WHEN n_tok > 0 THEN CAST(best AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS marker_density
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# TXT4 — document fingerprinting (exact + order-insensitive)
+# ---------------------------------------------------------------------------
+
+def txt4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        exact_fingerprint("text").alias("exact_fp"),
+        fingerprint("text").alias("sorted_token_fp"),
+    )
+
+
+TXT4_SQL = f"""
+SELECT doc_id,
+       md5(LOWER({_NORM})) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct({_SPLIT})), ' ')) AS sorted_token_fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# MM1 — multimodal binary-column plumbing (rows-only: mapInPandas stub)
+# ---------------------------------------------------------------------------
+
+def mm1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    binary = multimodal.with_binary_payload(docs, "text")
+    return multimodal.extract_features(binary)
+
+
+REGISTRY = {
+    "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
+    "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
+    "dd3_minhash_lsh": (dd3_minhash_lsh, None),
+    "dd4_simhash_pairs": (dd4_simhash_pairs, None),
+    "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
+    "sim2_lsh_topk": (sim2_lsh_topk, None),
+    "txt1_token_stats": (txt1_token_stats, TXT1_SQL),
+    "txt2_quality": (txt2_quality, TXT2_SQL),
+    "txt3_langid": (txt3_langid, _langid_sql()),
+    "txt4_fingerprint": (txt4_fingerprint, TXT4_SQL),
+    "mm1_features": (mm1_features, None),
+}

@@ -1,0 +1,2 @@
+from .readers import TABLES, load_testdata, register_testdata  # noqa: F401
+from .seeds import read_seed_csv  # noqa: F401

@@ -1,0 +1,63 @@
+"""Source readers: parquet star-schema tables → DataFrames / temp views.
+
+Mirrors the reference's raw-input layer, where models read pre-existing
+warehouse tables by name (reference: models/classified_card_transactions.sql:13
+reads ``public.card_transactions``; SURVEY.md §1 "Raw inputs"). Here raw
+inputs are parquet directories registered in the Spark catalog.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The driver-provided benchmark tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every parquet table under ``sf_dir`` as a DataFrame.
+
+    Scans stay lazy — Catalyst prunes columns and pushes filters down to the
+    parquet reader, so loading "everything" here costs nothing until an
+    action touches a subset.
+    """
+    # The events table carries TIMESTAMP(NANOS) — illegal for Spark's parquet
+    # reader. Read nanos as raw longs, then floor-convert to microsecond
+    # timestamps (identical to DuckDB's ns→µs truncation, so the correctness
+    # oracle sees the same instants).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for field in df.schema.fields:
+                if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+            out[name] = df
+    return out
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view (``spark.table(name)``)."""
+    dfs = load_testdata(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
