@@ -1,0 +1,7 @@
+from .registry import Project, ModelContext  # noqa: F401
+from .testing import (  # noqa: F401
+    accepted_values,
+    not_null,
+    relationships,
+    unique,
+)

@@ -1,0 +1,406 @@
+"""Model registry + DAG engine: dbt's pipeline machinery re-imagined
+natively on Spark.
+
+The reference's engine (dbt-core) parses Jinja SQL files, extracts ref()
+edges with a Rust static parser, topo-sorts a networkx graph, and ships SQL
+strings to PostgreSQL (reference: SP/dbt/parser/manifest.py:334,
+SP/dbt/compilation.py:187,659; SP/dbt/graph/queue.py:19-119 — SURVEY.md §3).
+
+Here, models are Python functions returning DataFrames. "Compilation" is
+building the lazy DataFrame graph (Catalyst is the compiler); ref() edges
+are recorded while building; materialization runs Spark write actions in
+DAG-parallel waves. Ephemeral models are just unpersisted DataFrame
+composition — dbt's CTE-splicing machinery (compilation.py:493-587)
+dissolves entirely.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Node:
+    name: str
+    kind: str  # model | seed | source | snapshot
+    fn: Callable[["ModelContext"], DataFrame] | None = None
+    materialized: str = "table"  # table | view | ephemeral | incremental
+    tags: tuple[str, ...] = ()
+    path: str = ""
+    unique_key: str | None = None
+    incremental_strategy: str = "merge"  # append | merge | delete+insert
+    pre_hooks: tuple[Callable, ...] = ()
+    post_hooks: tuple[Callable, ...] = ()
+    depends_on: set[str] = field(default_factory=set)
+    description: str = ""
+
+
+class UpstreamCompileError(RuntimeError):
+    """Raised when ref() resolves a node that failed to compile."""
+
+    def __init__(self, name: str, message: str):
+        super().__init__(f"upstream {name!r} failed to compile: {message}")
+        self.node = name
+
+
+@dataclass
+class RunResult:
+    node: str
+    status: str  # success | error | skipped
+    execution_time: float
+    message: str = ""
+    rows: int | None = None
+
+
+class ModelContext:
+    """The runtime context a model function receives — the engine-native
+    equivalent of dbt's Jinja context (ref/source/config/run date).
+
+    ``ref()`` both resolves the upstream relation AND records the DAG edge
+    (reference behavior: SP/dbt/context/providers.py:573-640 +
+    manifest.py:1141 process_refs)."""
+
+    def __init__(self, project: "Project", node: Node, resolve: Callable[[str], DataFrame]):
+        self._project = project
+        self._node = node
+        self._resolve = resolve
+        self.spark: SparkSession = project.spark
+        #: Injectable logical "today" (SURVEY.md §5 determinism: PG
+        #: current_date must be pinned for reproducible date spines).
+        self.run_date: dt.date = project.run_date
+
+    def ref(self, name: str) -> DataFrame:
+        if name == self._node.name:
+            raise ValueError(f"model {name!r} cannot ref() itself")
+        if name not in self._project.nodes:
+            raise KeyError(f"ref({name!r}): unknown node (did you register it?)")
+        self._node.depends_on.add(name)
+        return self._resolve(name)
+
+    def source(self, name: str) -> DataFrame:
+        return self.ref(name)
+
+    def is_incremental(self) -> bool:
+        """dbt's is_incremental() flag (reference:
+        SP/.../incremental/is_incremental.sql): true when the target exists
+        and this run is not a full refresh."""
+        return (
+            self._node.materialized == "incremental"
+            and not self._project.full_refresh
+            and self._project.relation_exists(self._node.name)
+        )
+
+    def existing(self) -> DataFrame | None:
+        """Current materialized target (for incremental models)."""
+        if self._project.relation_exists(self._node.name):
+            return self._project.read_relation(self._node.name)
+        return None
+
+
+class Project:
+    """A pipeline project: registry + compiler + scheduler + materializer.
+
+    Replaces dbt's ManifestLoader/Compiler/GraphRunnableTask triple
+    (SURVEY.md §3 traces 1-3) with ~300 lines on top of Spark.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str = "project",
+        database: str | None = None,
+        run_date: dt.date | None = None,
+        threads: int = 8,
+        full_refresh: bool = False,
+    ):
+        self.spark = spark
+        self.name = name
+        self.database = database
+        self.run_date = run_date or dt.date.today()
+        self.threads = threads
+        self.full_refresh = full_refresh
+        self.nodes: dict[str, Node] = {}
+        self._built: dict[str, DataFrame] = {}
+        self._compile_errors: dict[str, str] = {}
+        self.results: list[RunResult] = []
+        self.tests: list[tuple[str, str, Callable[[DataFrame], DataFrame], dict]] = []
+
+    # ------------------------------------------------------------------
+    # Registration (the dbt parse phase, minus Jinja)
+    # ------------------------------------------------------------------
+
+    def model(
+        self,
+        name: str | None = None,
+        materialized: str = "table",
+        tags: tuple[str, ...] = (),
+        unique_key: str | None = None,
+        incremental_strategy: str = "merge",
+        pre_hooks: tuple[Callable, ...] = (),
+        post_hooks: tuple[Callable, ...] = (),
+    ):
+        """Decorator registering a model function ``fn(ctx) -> DataFrame``."""
+
+        def wrap(fn: Callable[[ModelContext], DataFrame]):
+            node_name = name or fn.__name__
+            self.nodes[node_name] = Node(
+                name=node_name,
+                kind="model",
+                fn=fn,
+                materialized=materialized,
+                tags=tuple(tags),
+                unique_key=unique_key,
+                incremental_strategy=incremental_strategy,
+                pre_hooks=pre_hooks,
+                post_hooks=post_hooks,
+                description=(fn.__doc__ or "").strip(),
+            )
+            return fn
+
+        return wrap
+
+    def seed(self, name: str, df_or_path: DataFrame | str, tags: tuple[str, ...] = ()):
+        """Register a seed (CSV path or prebuilt DataFrame).
+
+        Reference: the seed materialization (SP/.../seeds/seed.sql,
+        helpers.sql:6-130) — agate-typed CSV → table. Here: inferSchema CSV
+        read (sources/seeds.py) → saveAsTable at run time."""
+        if isinstance(df_or_path, str):
+            from ..sources.seeds import read_seed_csv
+
+            path = df_or_path
+
+            def fn(ctx: ModelContext, _path=path) -> DataFrame:
+                return read_seed_csv(ctx.spark, _path)
+
+        else:
+            df = df_or_path
+
+            def fn(ctx: ModelContext, _df=df) -> DataFrame:
+                return _df
+
+        self.nodes[name] = Node(
+            name=name, kind="seed", fn=fn, materialized="table", tags=tuple(tags)
+        )
+
+    def source_table(self, name: str, df: DataFrame, tags: tuple[str, ...] = ()):
+        """Register a pre-existing raw input (the reference's hardcoded
+        ``public.<name>`` tables — SURVEY.md §1 'Raw inputs')."""
+        self.nodes[name] = Node(
+            name=name, kind="source", fn=lambda ctx, _df=df: _df, materialized="ephemeral", tags=tuple(tags)
+        )
+
+    def test(self, model: str, test_name: str, violations_fn, **config):
+        """Attach a generic data test: fn(df) -> violations DataFrame.
+
+        Reference: generic tests compile to violation-row SELECTs; pass iff
+        0 rows (SP/.../generic_test_sql/*.sql, SP/dbt/task/test.py:142-325).
+        Config: warn_if/error_if thresholds (default error when != 0)."""
+        self.tests.append((model, test_name, violations_fn, config))
+
+    # ------------------------------------------------------------------
+    # Compile: build the lazy DataFrame DAG, recording edges
+    # ------------------------------------------------------------------
+
+    def compile_node(self, name: str) -> DataFrame:
+        """Build (and memoize) a node's lazy DataFrame, recursively
+        resolving refs. No Spark jobs run here — this is the Catalyst-side
+        'compilation'."""
+        if name in self._built:
+            return self._built[name]
+        if name in self._compile_errors:
+            raise UpstreamCompileError(name, self._compile_errors[name])
+        node = self.nodes[name]
+        ctx = ModelContext(self, node, self.compile_node)
+        df = node.fn(ctx)
+        self._built[name] = df
+        return df
+
+    def compile(self) -> dict[str, DataFrame]:
+        """Compile every node, recording per-node failures instead of
+        aborting (dbt reports compile errors per node and skips
+        descendants — SP/dbt/task/runnable.py:225+)."""
+        for name in self.nodes:
+            try:
+                self.compile_node(name)
+            except UpstreamCompileError:
+                pass  # attributed when scheduling
+            except Exception as exc:  # noqa: BLE001
+                self._compile_errors[name] = str(exc)
+        return dict(self._built)
+
+    # ------------------------------------------------------------------
+    # Graph utilities
+    # ------------------------------------------------------------------
+
+    def _toposort_levels(self, selected: set[str]) -> list[list[str]]:
+        """Group nodes into depth levels (every ancestor in an earlier
+        level) — the engine-native analogue of dbt's depth-scored GraphQueue
+        (reference: SP/dbt/graph/queue.py:69-119 _grouped_topological_sort).
+        Each level's writes run concurrently in the thread pool."""
+        depth: dict[str, int] = {}
+
+        def d(n: str) -> int:
+            if n not in depth:
+                deps = self.nodes[n].depends_on & selected
+                depth[n] = 0 if not deps else 1 + max(d(p) for p in deps)
+            return depth[n]
+
+        levels: dict[int, list[str]] = {}
+        for n in sorted(selected):
+            levels.setdefault(d(n), []).append(n)
+        return [levels[k] for k in sorted(levels)]
+
+    # ------------------------------------------------------------------
+    # Relations (the "warehouse": Spark catalog over parquet)
+    # ------------------------------------------------------------------
+
+    def qualified(self, name: str) -> str:
+        return f"{self.database}.{name}" if self.database else name
+
+    def relation_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self.qualified(name))
+
+    def read_relation(self, name: str) -> DataFrame:
+        return self.spark.table(self.qualified(name))
+
+    # ------------------------------------------------------------------
+    # Run: materialize in DAG-parallel waves
+    # ------------------------------------------------------------------
+
+    def run(self, select: str | None = None) -> list[RunResult]:
+        """dbt run: compile everything, then materialize selected
+        non-ephemeral nodes level-by-level; failures skip descendants
+        (reference fail-fast semantics: SP/dbt/task/runnable.py:225+)."""
+        from .materialize import materialize
+        from .selection import select_nodes
+
+        self.compile()
+        selected = select_nodes(self, select)
+        failed: set[str] = set()
+        self.results = []
+
+        if self.database:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.database}")
+
+        for name, msg in self._compile_errors.items():
+            if name in selected:
+                failed.add(name)
+                self.results.append(RunResult(name, "error", 0.0, f"compile error: {msg}"))
+
+        for level in self._toposort_levels(selected - set(self._compile_errors)):
+            to_run = []
+            for name in level:
+                node = self.nodes[name]
+                if (node.depends_on & failed) or not self._deps_compiled(node):
+                    failed.add(name)
+                    self.results.append(RunResult(name, "skipped", 0.0, "upstream failure"))
+                    continue
+                if node.materialized == "ephemeral" or node.kind == "source":
+                    continue
+                to_run.append(node)
+            if not to_run:
+                continue
+            # Spark job submission is thread-safe per session; independent
+            # writes at the same depth run concurrently (dbt's thread pool,
+            # SP/dbt/task/runnable.py:409-413, mapped onto Spark's scheduler).
+            with ThreadPoolExecutor(max_workers=self.threads) as pool:
+                for node, result in zip(to_run, pool.map(lambda n: self._run_node(n), to_run)):
+                    self.results.append(result)
+                    if result.status == "error":
+                        failed.add(node.name)
+        return self.results
+
+    def _run_node(self, node: Node) -> RunResult:
+        from .materialize import materialize
+
+        t0 = time.perf_counter()
+        try:
+            for hook in node.pre_hooks:
+                hook(self, node)
+            # Rebuild against *materialized* upstreams so each model reads
+            # its parents' tables (dbt semantics), not a recomputed lineage.
+            ctx = ModelContext(self, node, self._resolve_materialized)
+            df = node.fn(ctx)
+            rows = materialize(self, node, df)
+            for hook in node.post_hooks:
+                hook(self, node)
+            return RunResult(node.name, "success", time.perf_counter() - t0, rows=rows)
+        except Exception as exc:  # noqa: BLE001 — node errors become results
+            return RunResult(node.name, "error", time.perf_counter() - t0, message=str(exc))
+
+    def _deps_compiled(self, node: Node) -> bool:
+        """A node whose fn never completed compile has unknown deps; treat a
+        node as runnable only if it compiled (present in _built)."""
+        return node.name in self._built
+
+    def _resolve_materialized(self, name: str) -> DataFrame:
+        node = self.nodes[name]
+        if node.materialized in ("table", "view", "incremental") and self.relation_exists(name):
+            return self.read_relation(name)
+        # Ephemeral (or not-yet-materialized) upstream: lazy composition.
+        ctx = ModelContext(self, node, self._resolve_materialized)
+        return node.fn(ctx)
+
+    # ------------------------------------------------------------------
+    # dbt test / show / artifacts
+    # ------------------------------------------------------------------
+
+    def run_tests(self) -> list[RunResult]:
+        """Execute attached generic tests (violations==0 ⇒ pass), honoring
+        warn_if/error_if thresholds (reference: SP/dbt/task/test.py:296-325)."""
+        out = []
+        for model, test_name, violations_fn, config in self.tests:
+            t0 = time.perf_counter()
+            label = f"{test_name}__{model}"
+            try:
+                df = (
+                    self.read_relation(model)
+                    if self.relation_exists(model)
+                    else self.compile_node(model)
+                )
+                failures = violations_fn(df).count()
+                error_if = config.get("error_if", lambda n: n != 0)
+                warn_if = config.get("warn_if", lambda n: False)
+                if error_if(failures):
+                    status, msg = "error", f"{failures} violations"
+                elif warn_if(failures):
+                    status, msg = "warn", f"{failures} violations"
+                else:
+                    status, msg = "success", ""
+                out.append(RunResult(label, status, time.perf_counter() - t0, msg, rows=failures))
+            except Exception as exc:  # noqa: BLE001
+                out.append(RunResult(label, "error", time.perf_counter() - t0, str(exc)))
+        return out
+
+    def show(self, name: str, n: int = 5) -> None:
+        """dbt show: preview a node (reference: SP/dbt/task/show.py:29-39)."""
+        self.compile_node(name).limit(n).show(truncate=False)
+
+    def write_run_results(self, path: str) -> None:
+        """Emit a run_results.json-shaped artifact
+        (reference: target/run_results.json)."""
+        payload = {
+            "metadata": {"project": self.name, "run_date": str(self.run_date)},
+            "elapsed_time": sum(r.execution_time for r in self.results),
+            "results": [
+                {
+                    "unique_id": r.node,
+                    "status": r.status,
+                    "execution_time": r.execution_time,
+                    "message": r.message,
+                    "rows_affected": r.rows,
+                }
+                for r in self.results
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)

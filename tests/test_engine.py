@@ -1,0 +1,226 @@
+"""Engine-layer tests: registry/DAG/materializations/tests/selection/
+snapshot/incremental — the SURVEY.md §2b capability surface.
+
+Modeled on dbt's own adapter test pattern (run project → check relations:
+SP/dbt/tests/util.py run_dbt / check_relations_equal)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_analytics_spark.plans import Project, accepted_values, not_null, relationships, unique
+from dbt_analytics_spark.plans.selection import select_nodes
+from dbt_analytics_spark.plans.snapshot import snapshot, unit_test
+from dbt_analytics_spark.sources import load_testdata
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture
+def project(spark):
+    p = Project(spark, name="t", run_date=dt.date(2025, 8, 31), threads=4)
+    data = load_testdata(spark, SF_DIR)
+    p.source_table("orders_raw", data["orders"])
+    p.source_table("customer_raw", data["customer"])
+
+    @p.model(materialized="ephemeral")
+    def orders_clean(ctx):
+        return ctx.source("orders_raw").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "o_orderstatus",
+        )
+
+    @p.model(materialized="table", tags=("spend",))
+    def cust_spend(ctx):
+        return (
+            ctx.ref("orders_clean")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("total_price").alias("spend"),
+            )
+        )
+
+    @p.model(materialized="view")
+    def big_spenders(ctx):
+        return ctx.ref("cust_spend").filter(F.col("spend") > 100000)
+
+    @p.model(materialized="table", tags=("spend",))
+    def spend_with_names(ctx):
+        return ctx.ref("big_spenders").join(
+            ctx.source("customer_raw"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).select("o_custkey", "c_name", "n_orders", "spend")
+
+    return p
+
+
+def test_run_builds_dag_in_order(project, spark):
+    results = project.run()
+    assert {r.node for r in results} == {"cust_spend", "big_spenders", "spend_with_names"}
+    assert all(r.status == "success" for r in results), [(r.node, r.message) for r in results]
+    # Edges recorded by ref() during compile:
+    assert project.nodes["cust_spend"].depends_on == {"orders_clean"}
+    assert project.nodes["spend_with_names"].depends_on == {"big_spenders", "customer_raw"}
+    # Materialized table matches an independently-computed answer.
+    expected = (
+        load_testdata(spark, SF_DIR)["orders"].groupBy("o_custkey").count().count()
+    )
+    assert spark.table("cust_spend").count() == expected
+
+
+def test_generic_data_tests(project, spark):
+    project.run()
+    project.test("cust_spend", "unique", unique("o_custkey"))
+    project.test("cust_spend", "not_null", not_null("spend"))
+    project.test(
+        "spend_with_names",
+        "relationships",
+        relationships("o_custkey", lambda: spark.table("cust_spend"), "o_custkey"),
+    )
+    # A deliberately failing test: n_orders not all = 1.
+    project.test("cust_spend", "accepted_values_fail", accepted_values("n_orders", [1]))
+    # warn_if threshold: failures > 1e9 never warns → success.
+    project.test(
+        "cust_spend",
+        "thresholded",
+        accepted_values("n_orders", [1]),
+        error_if=lambda n: False,
+        warn_if=lambda n: n > 10**9,
+    )
+    results = {r.node: r.status for r in project.run_tests()}
+    assert results["unique__cust_spend"] == "success"
+    assert results["not_null__cust_spend"] == "success"
+    assert results["relationships__spend_with_names"] == "success"
+    assert results["accepted_values_fail__cust_spend"] == "error"
+    assert results["thresholded__cust_spend"] == "success"
+
+
+def test_selection_dsl(project):
+    project.compile()
+    assert select_nodes(project, "cust_spend") == {"cust_spend"}
+    assert select_nodes(project, "tag:spend") == {"cust_spend", "spend_with_names"}
+    assert "orders_clean" in select_nodes(project, "+cust_spend")
+    assert select_nodes(project, "big_spenders+") >= {"big_spenders", "spend_with_names"}
+    assert "cust_spend" not in select_nodes(project, "tag:spend !cust_spend")
+    assert select_nodes(project, "cust_*") == {"cust_spend"}
+
+
+def test_failure_skips_descendants(spark):
+    p = Project(spark, name="f")
+
+    @p.model()
+    def broken(ctx):
+        return ctx.spark.sql("select * from nonexistent_table_xyz")
+
+    @p.model()
+    def downstream(ctx):
+        return ctx.ref("broken").limit(1)
+
+    results = {r.node: r.status for r in p.run()}
+    assert results["broken"] == "error"
+    assert results["downstream"] == "skipped"
+
+
+def test_incremental_merge(spark):
+    p = Project(spark, name="inc")
+    rows_v1 = [(1, "a", 10.0), (2, "b", 20.0)]
+    rows_v2 = [(2, "b2", 25.0), (3, "c", 30.0)]
+    state = {"rows": rows_v1}
+
+    @p.model(materialized="incremental", unique_key="id", incremental_strategy="merge")
+    def inc_table(ctx):
+        return ctx.spark.createDataFrame(state["rows"], ["id", "name", "val"])
+
+    p.run(select="inc_table")
+    assert spark.table("inc_table").count() == 2
+
+    state["rows"] = rows_v2
+    p2 = Project(spark, name="inc")
+    p2.nodes = p.nodes
+    p2.run(select="inc_table")
+    got = {r["id"]: (r["name"], r["val"]) for r in spark.table("inc_table").collect()}
+    # id=2 updated (new wins), id=1 kept, id=3 inserted.
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+
+
+def test_incremental_append(spark):
+    p = Project(spark, name="inc2")
+    state = {"rows": [(1, "x")]}
+
+    @p.model(materialized="incremental", incremental_strategy="append", name="append_t")
+    def append_t(ctx):
+        return ctx.spark.createDataFrame(state["rows"], ["id", "v"])
+
+    p.run(select="append_t")
+    state["rows"] = [(2, "y")]
+    p.run(select="append_t")
+    assert spark.table("append_t").count() == 2
+
+
+def test_snapshot_scd2_timestamp(spark):
+    p = Project(spark, name="snap")
+    v1 = spark.createDataFrame(
+        [(1, "alice", "2024-01-01 00:00:00"), (2, "bob", "2024-01-01 00:00:00")],
+        ["id", "name", "updated_at"],
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    snapshot(p, "people_snap", v1, unique_key="id", strategy="timestamp", updated_at="updated_at")
+    t1 = spark.table("people_snap")
+    assert t1.count() == 2
+    assert t1.filter(F.col("dbt_valid_to").isNull()).count() == 2
+
+    v2 = spark.createDataFrame(
+        [(1, "alice2", "2024-02-01 00:00:00"), (2, "bob", "2024-01-01 00:00:00"), (3, "carol", "2024-02-01 00:00:00")],
+        ["id", "name", "updated_at"],
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    snapshot(p, "people_snap", v2, unique_key="id", strategy="timestamp", updated_at="updated_at")
+    t2 = spark.table("people_snap")
+    # id=1: closed old row + new current; id=2 unchanged; id=3 new → 4 rows.
+    assert t2.count() == 4
+    current = {r["id"]: r["name"] for r in t2.filter(F.col("dbt_valid_to").isNull()).collect()}
+    assert current == {1: "alice2", 2: "bob", 3: "carol"}
+    closed = t2.filter(F.col("dbt_valid_to").isNotNull()).collect()
+    assert len(closed) == 1 and closed[0]["name"] == "alice"
+
+
+def test_snapshot_check_strategy_and_deletes(spark):
+    p = Project(spark, name="snap2")
+    v1 = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "val"])
+    snapshot(p, "check_snap", v1, unique_key="id", strategy="check", at=dt.datetime(2024, 1, 1))
+    v2 = spark.createDataFrame([(1, "x2")], ["id", "val"])  # id=2 hard-deleted
+    snapshot(
+        p, "check_snap", v2, unique_key="id", strategy="check",
+        at=dt.datetime(2024, 2, 1), hard_deletes="invalidate",
+    )
+    t = spark.table("check_snap")
+    current = {r["id"]: r["val"] for r in t.filter(F.col("dbt_valid_to").isNull()).collect()}
+    assert current == {1: "x2"}
+    assert t.filter((F.col("id") == 2) & F.col("dbt_valid_to").isNotNull()).count() == 1
+
+
+def test_unit_test_helper(spark):
+    actual = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    expected_ok = spark.createDataFrame([(2, "b"), (1, "a")], ["id", "v"])
+    passed, _, _ = unit_test(actual, expected_ok)
+    assert passed
+    expected_bad = spark.createDataFrame([(1, "a"), (2, "DIFFERENT")], ["id", "v"])
+    passed, missing, unexpected = unit_test(actual, expected_bad)
+    assert not passed
+    assert missing.count() == 1 and unexpected.count() == 1
+
+
+def test_run_results_artifact(project, tmp_path):
+    project.run()
+    out = tmp_path / "run_results.json"
+    project.write_run_results(str(out))
+    import json
+
+    payload = json.loads(out.read_text())
+    assert payload["metadata"]["project"] == "t"
+    assert {r["unique_id"] for r in payload["results"]} >= {"cust_spend"}
