@@ -36,6 +36,52 @@ def regexp_matches_ci(col: Column | str, pattern: Column | str) -> Column:
     return c.rlike(F.concat(F.lit("(?i)"), p))
 
 
+#: PG-only regex escapes → Java equivalents. PG's ARE dialect has word
+#: boundary escapes Java/RE2 lack: ``\y`` (boundary), ``\Y`` (non-boundary),
+#: ``\m`` (word start), ``\M`` (word end). The workload's merchant_regex
+#: seed uses ``\y`` in 428/795 patterns (seeds/merchant_regex.csv).
+_PG_ESCAPES = [
+    (r"\y", r"\b"),
+    (r"\Y", r"\B"),
+    (r"\m", r"\b(?=\w)"),
+    (r"\M", r"\b(?<=\w)"),
+]
+
+
+def pg_regex_to_java(pattern: str) -> str:
+    """Translate a PostgreSQL regex to the Java dialect (for ``rlike``).
+
+    Reference usage site: ``desc ~* r.pattern_regex``
+    (models/classified_card_transactions.sql:139-144)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        if pattern[i] == "\\" and i + 1 < len(pattern):
+            tok = pattern[i : i + 2]
+            for pg, java in _PG_ESCAPES:
+                if tok == pg:
+                    out.append(java)
+                    break
+            else:
+                out.append(tok)
+            i += 2
+        else:
+            out.append(pattern[i])
+            i += 1
+    return "".join(out)
+
+
+def pg_regex_to_java_col(col: Column | str) -> Column:
+    """Column-level PG→Java regex translation (for data-driven pattern
+    tables, e.g. the merchant_regex seed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # \y ↔ \b swap; \Y ↔ \B. A literal backslash-escaped backslash before
+    # y/Y does not occur in this corpus (audited in tests/test_functions.py).
+    c = F.regexp_replace(c, r"\\y", r"\\b")
+    c = F.regexp_replace(c, r"\\Y", r"\\B")
+    return c
+
+
 def norm_whitespace(col: Column | str) -> Column:
     """Collapse runs of whitespace to single spaces and trim.
 

@@ -1,0 +1,90 @@
+"""PG-compatibility semantics: the traps SURVEY.md §5 lists — ISO week
+boundaries, regex dialect audit, nulls-last ordering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_analytics_spark.functions.pg import (
+    date_trunc_pg,
+    extract_pg,
+    month_end,
+    pg_regex_to_java,
+)
+
+
+def test_week_truncation_matches_postgres_iso(spark):
+    """PG date_trunc('week') is ISO Monday-start; check year boundaries
+    (reference D1: models/metrics_weekly.sql)."""
+    dates = [
+        dt.date(2024, 1, 1),   # Monday
+        dt.date(2023, 1, 1),   # Sunday → week of 2022-12-26
+        dt.date(2022, 1, 1),   # Saturday → week of 2021-12-27
+        dt.date(2024, 12, 31),
+        dt.date(2025, 6, 15),
+    ]
+    df = spark.createDataFrame([(d,) for d in dates], ["d"])
+    got = {
+        r["d"]: (r["wk"], r["iso"])
+        for r in df.select(
+            "d",
+            date_trunc_pg("week", "d").alias("wk"),
+            extract_pg("week", "d").alias("iso"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for d in dates:
+        wk, iso = con.execute(
+            f"SELECT CAST(date_trunc('week', DATE '{d}') AS DATE), CAST(EXTRACT(week FROM DATE '{d}') AS INT)"
+        ).fetchone()
+        assert got[d] == (wk, iso), d
+        assert got[d][0].isoweekday() == 1
+
+
+def test_month_end(spark):
+    df = spark.createDataFrame(
+        [(dt.date(2024, 2, 1),), (dt.date(2023, 2, 1),), (dt.date(2024, 12, 1),)], ["d"]
+    )
+    got = [r["e"] for r in df.select(month_end("d").alias("e")).collect()]
+    assert got == [dt.date(2024, 2, 29), dt.date(2023, 2, 28), dt.date(2024, 12, 31)]
+
+
+def test_pg_regex_translation():
+    assert pg_regex_to_java(r"^NATERA\y") == r"^NATERA\b"
+    assert pg_regex_to_java(r"\yWHOLEFDS\y") == r"\bWHOLEFDS\b"
+    assert pg_regex_to_java(r"^MAF\s+\d{4}\y") == r"^MAF\s+\d{4}\b"
+    assert pg_regex_to_java(r"A\\yB") == r"A\\yB"[:2] + r"\yB"  # escaped backslash untouched
+
+
+def test_all_seed_patterns_compile_in_java(spark):
+    """Every merchant_regex pattern must compile and behave under rlike
+    after translation (the T2 dialect audit SURVEY.md asks for)."""
+    import csv
+    import os
+
+    from dbt_analytics_spark.workload.models import SEEDS_DIR
+
+    with open(os.path.join(SEEDS_DIR, "merchant_regex.csv")) as f:
+        patterns = [pg_regex_to_java(r["pattern_regex"]) for r in csv.DictReader(f)]
+    df = spark.createDataFrame([(p,) for p in patterns], ["p"])
+    # rlike with each pattern against a probe string: throws on bad syntax.
+    n = df.select(
+        F.rlike(F.lit("PROBE STRING 123"), F.concat(F.lit("(?i)"), F.col("p"))).alias("m")
+    ).filter(F.col("m").isNotNull()).count()
+    assert n == len(patterns)
+
+
+def test_nulls_last_ordering(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "v int")
+    got = [r["v"] for r in df.orderBy(F.desc_nulls_last("v")).collect()]
+    assert got == [3, 1, None]
+
+
+def test_ilike_matches_pg_semantics(spark):
+    df = spark.createDataFrame([("Whole Foods Market",), ("WHOLEFDS 123",)], ["s"])
+    assert df.filter(F.col("s").ilike("%whole%")).count() == 2
+    assert df.filter(F.col("s").ilike("whole!_%")).count() == 0  # no escape char by default
