@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import exact_fingerprint, tokens
+from .util import fan_out
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +70,7 @@ def jaccard_pairs(
     the classic blocking trick to bound bucket sizes at scale.
     """
     blocks = [block_col] if block_col else []
+    df = fan_out(df)
     words = df.select(
         F.col(id_col).alias("doc"), *blocks, F.explode(F.array_distinct(tokens(text_col))).alias("w")
     )
@@ -116,16 +118,28 @@ def shingles(col: Column | str, k: int = 3) -> Column:
 
 
 def minhash_signature(col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for seed s, min over shingles of xxhash64(shingle, s).
+    """MinHash signature: for seed s, min over shingles of
+    xxhash64(base_hash(shingle), s).
 
-    xxhash64 is a Spark built-in (deterministic across runs/executors) — the
-    seeded variants play the role of independent hash functions.
+    Each shingle string is hashed exactly ONCE (the expensive variable-width
+    hash); the ``num_hashes`` independent hash functions then re-hash the
+    resulting fixed-width long, which is ~an order of magnitude cheaper per
+    slot than re-hashing the string. xxhash64 is a Spark built-in and
+    deterministic across runs/executors.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(col, lambda sh, s=seed: F.xxhash64(sh, F.lit(s))))
-            for seed in range(num_hashes)
-        ]
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF).cast("long"), num_hashes)
+    # Single fold over the shingle array: each shingle string is hashed once
+    # (variable-width hash), then each of the num_hashes slots takes
+    # min(acc, xxhash64(base, seed)) — a cheap fixed-width mix — via zip_with.
+    return F.aggregate(
+        F.transform(col, lambda sh: F.xxhash64(sh)),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            seeds,
+            lambda a, s: F.least(a, F.xxhash64(h, s)),
+        ),
     )
 
 
@@ -146,52 +160,56 @@ def minhash_lsh_pairs(
     keyed by (band, band_hash).
     """
     rows_per_band = num_hashes // bands
-    sig_df = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("doc"),
         shingles(text_col, shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    # Signature from the pre-hashed shingle array: the string hash happens
+    # once per shingle; the 32 slots re-hash fixed-width longs.
+    sig_df = shingled.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
+    # The LSH shuffle carries ONLY (doc, band, bucket) — never the shingle
+    # arrays. At 100 TB the banded relation is 8 skinny rows per document;
+    # shingle payloads rejoin only for the (few) candidate pairs.
     banded = sig_df.select(
         "doc",
-        "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bd"),
-    ).select("doc", "sh", F.col("bd.band").alias("band"), F.col("bd.bucket").alias("bucket"))
+    ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bucket").alias("bucket"))
 
     a, b = banded.alias("a"), banded.alias("r")
     candidates = (
         a.join(b, (F.col("a.band") == F.col("r.band")) & (F.col("a.bucket") == F.col("r.bucket")))
         .filter(F.col("a.doc") < F.col("r.doc"))
-        .select(
-            F.col("a.doc").alias("doc1"),
-            F.col("r.doc").alias("doc2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("r.sh").alias("sh2"),
-        )
+        .select(F.col("a.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
-    verified = candidates.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh1", "sh2")).cast("double")
-        / F.size(F.array_union("sh1", "sh2")).cast("double"),
-    ).filter(F.col("jaccard") >= threshold)
+    verified = (
+        candidates.join(
+            shingled.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1")), "doc1"
+        )
+        .join(shingled.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double")
+            / F.size(F.array_union("sh1", "sh2")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     return verified.select("doc1", "doc2", "jaccard")
 
 
@@ -199,35 +217,50 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def simhash_votes(col: Column | str, bits: int = 63) -> Column:
+    """Per-bit SimHash vote vector: ONE fold over the token hashes maintains
+    all ``bits`` counters — each step zips the accumulator with the bit
+    positions and adds ±1 per slot. (The naive per-bit formulation re-scans
+    the token array ``bits`` times — 63 interpreted passes instead of one.)
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            positions,
+            lambda a, i: a
+            + F.when(F.bit_get(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        ),
+    )
+
+
+def simhash_from_votes(votes: Column, bits: int = 63) -> Column:
+    """Collapse a vote vector to the 63-bit signature (set bit i iff votes[i]
+    is positive). MUST be applied to a *materialized* votes column — the fold
+    is a codegen-fallback expression, and referencing it ``bits`` times in
+    one projection would re-evaluate it per bit."""
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
 def simhash(col: Column | str, bits: int = 63) -> Column:
     """SimHash signature (63-bit, sign-safe): per token, xxhash64 supplies
     the bit pattern; each bit position accumulates +1/-1 votes weighted by
     token multiplicity; the signature sets bits with positive vote sums.
 
-    Pure higher-order-function implementation: aggregate over the token
-    array builds the vote vector without exploding rows.
+    Single-expression convenience form; prefer the two-step
+    ``simhash_votes`` → ``simhash_from_votes`` in pipelines (see
+    ``simhash_from_votes`` for why).
     """
-    toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(i: int) -> Column:
-        # Sum over tokens of ±1 for bit i of the token hash (bit positions
-        # are Python ints: shiftright requires a literal shift amount).
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .cast("long"),
-        )
-
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    return simhash_from_votes(simhash_votes(col, bits), bits)
 
 
 def simhash_pairs(
@@ -240,7 +273,11 @@ def simhash_pairs(
     (pigeonhole: ≤3-bit distance guarantees a shared chunk; wider distances
     are found probabilistically), bucket-join, verify Hamming distance.
     """
-    sigs = df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("sig"))
+    sigs = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc"), simhash_votes(text_col).alias("__votes"))
+        .select("doc", simhash_from_votes(F.col("__votes")).alias("sig"))
+    )
     chunks = sigs.select(
         "doc",
         "sig",

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 
 def as_double_array(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -46,7 +48,7 @@ def cosine_topk(
     The query side is broadcast; ranking windows partition by query id, so
     the shuffle key is the query id (high-cardinality, unskewed).
     """
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     q = queries.select(
@@ -109,7 +111,7 @@ def lsh_bucket_topk(
             out = out + b
         return out
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     ).withColumn("bucket", bucket_of(F.col("cvec")))
     q = queries.select(
