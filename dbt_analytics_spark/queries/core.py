@@ -601,6 +601,36 @@ FROM orders GROUP BY 1, 2, 3, 4
 
 
 # ---------------------------------------------------------------------------
+# D3/D4 — interval arithmetic (`+ interval '1 month - 1 day'`, `+ 6 days`,
+# add_months) and month-boundary helpers
+# (reference: metrics_monthly.sql:5-7, metrics_weekly.sql:6)
+# ---------------------------------------------------------------------------
+
+def d3_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        # PG's `date_trunc('month', d) + interval '1 month - 1 day'`
+        F.expr(
+            "date_trunc('month', o_orderdate) + interval 1 month - interval 1 day"
+        ).cast("date").alias("month_end"),
+        F.date_add("o_orderdate", 6).alias("week_end"),
+        F.add_months("o_orderdate", 3).alias("plus_3mo"),
+        F.last_day("o_orderdate").alias("eom"),
+    )
+
+
+D3_SQL = """
+SELECT o_orderkey AS order_key,
+       CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE) AS month_end,
+       CAST(o_orderdate + INTERVAL 6 DAY AS DATE) AS week_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       last_day(o_orderdate) AS eom
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # T2 — case-insensitive regex match (PG `~*`)
 # (reference: classified_card_transactions.sql:85-87,139-144)
 # ---------------------------------------------------------------------------
@@ -653,6 +683,37 @@ WITH n AS (
 SELECT doc_id, SUBSTRING(s, 1, 30) AS norm_prefix, LENGTH(s) AS norm_len,
        POSITION('spark' IN s) AS spark_pos
 FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# T4 — string scalar functions: left/right/length/position/replace/trim
+# (reference: classified_card_transactions.sql:38-46,171,174-177,265,273)
+# ---------------------------------------------------------------------------
+
+def t4_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_testdata(spark, sf_dir)["part"]
+    return p.select(
+        F.col("p_partkey").alias("part_key"),
+        F.substring("p_name", 1, 5).alias("left5"),
+        # PG `right(s, length(s)-6)` (empty when the name is shorter)
+        F.expr("right(p_name, greatest(length(p_name) - 6, 0))").alias("right_tail"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.locate("green", F.col("p_name")).cast("int").alias("green_pos"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.trim(F.upper(F.col("p_name"))).alias("upper_name"),
+    )
+
+
+T4_SQL = """
+SELECT p_partkey AS part_key,
+       left(p_name, 5) AS left5,
+       right(p_name, greatest(length(p_name) - 6, 0)) AS right_tail,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       CAST(POSITION('green' IN p_name) AS INTEGER) AS green_pos,
+       replace(p_name, ' ', '_') AS snake_name,
+       TRIM(UPPER(p_name)) AS upper_name
+FROM part
 """
 
 
@@ -773,7 +834,9 @@ REGISTRY = {
     "u2_union_all_dim": (u2_union_all_dim, U2_SQL),
     "g1_date_spine": (g1_date_spine, G1_SQL),
     "d1_date_trunc": (d1_date_trunc, D1_SQL),
+    "d3_interval_arith": (d3_interval_arith, D3_SQL),
     "t2_regex_match": (t2_regex_match, T2_SQL),
+    "t4_string_fns": (t4_string_fns, T4_SQL),
     "t3_normalize": (t3_normalize, T3_SQL),
     "so1_order_limit": (so1_order_limit, SO1_SQL),
     "ev1_sessionize": (ev1_sessionize, EV1_SQL),

@@ -110,6 +110,43 @@ def dd4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DD5 — embedding-cosine near-dup: nearest neighbor per sampled vector +
+# duplicate-threshold flag (exact baseline; sim2's LSH buckets are the
+# 100 TB path for the same semantics)
+# ---------------------------------------------------------------------------
+
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    sample = emb.filter(F.col("vec_id") % 5 == 0)
+    nn = similarity.cosine_topk(emb, sample, "vec_id", "embedding", k=1)
+    return nn.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("corpus_id").alias("nearest_id"),
+        "cosine_sim",
+        (F.col("cosine_sim") >= 0.5).alias("is_near_dup"),
+    )
+
+
+DD5_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM c WHERE vec_id % 5 = 0
+), scored AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS nearest_id,
+         list_inner_product(q.v, c.v)
+           / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine_sim
+  FROM q JOIN c ON c.vec_id != q.vec_id
+)
+SELECT vec_id, nearest_id, cosine_sim, cosine_sim >= 0.5 AS is_near_dup
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine_sim DESC, nearest_id ASC) AS rnk
+  FROM scored
+) WHERE rnk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # SIM1 — brute-force cosine top-k (exact ANN baseline)
 # ---------------------------------------------------------------------------
 
@@ -286,6 +323,7 @@ REGISTRY = {
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
     "dd3_minhash_lsh": (dd3_minhash_lsh, None),
     "dd4_simhash_pairs": (dd4_simhash_pairs, None),
+    "dd5_embedding_neardup": (dd5_embedding_neardup, DD5_SQL),
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
     "sim2_lsh_topk": (sim2_lsh_topk, None),
     "txt1_token_stats": (txt1_token_stats, TXT1_SQL),
