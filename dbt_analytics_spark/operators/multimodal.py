@@ -87,3 +87,95 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+#: Output schema of the (stubbed) resize stage: payload out + new dims.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake for decode → resize → re-encode.
+
+    A real deployment decodes with PIL/opencv and re-encodes; unavailable
+    here. The fake tiles/truncates the byte stream to width*height bytes so
+    output size is exactly what a (1-byte-per-pixel) resize would produce.
+    """
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    binary_df: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize binary image payloads via mapInPandas (decode step STUBBED —
+    see _fake_resize; Arrow batching, schema, and one-to-one row mapping are
+    production-shaped)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: _fake_resize(b, width, height)
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+#: Output schema of the (stubbed) video frame sampler: 1→N rows.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_offset_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame, n_frames: int = 4, frame_interval_ms: int = 1000
+) -> DataFrame:
+    """Sample N frames per video payload — the one-to-many mapInPandas shape
+    (each input row yields ``n_frames`` output rows).
+
+    The bytes→frame decode is a deterministic STUB (slices the payload into
+    n_frames chunks standing in for decoded frames); a real deployment
+    would seek/decode with ffmpeg here.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chunk = max(len(payload) // n_frames, 1) if payload else 1
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * frame_interval_ms)
+                    frames.append(bytes(payload[i * chunk : (i + 1) * chunk]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_offset_ms": pd.Series(offs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -1,3 +1,4 @@
+from .freshness import FreshnessResult, check_freshness  # noqa: F401
 from .registry import Project, ModelContext  # noqa: F401
 from .testing import (  # noqa: F401
     accepted_values,

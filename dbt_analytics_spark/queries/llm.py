@@ -318,6 +318,21 @@ def mm1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(binary)
 
 
+# ---------------------------------------------------------------------------
+# MM2 — video-style frame sampling (1→N mapInPandas) + per-frame rollup
+# (rows-only: mapInPandas stub)
+# ---------------------------------------------------------------------------
+
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    binary = multimodal.with_binary_payload(docs, "text")
+    frames = multimodal.sample_frames(binary, n_frames=4)
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("total_bytes"),
+    )
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -331,4 +346,5 @@ REGISTRY = {
     "txt3_langid": (txt3_langid, _langid_sql()),
     "txt4_fingerprint": (txt4_fingerprint, TXT4_SQL),
     "mm1_features": (mm1_features, None),
+    "mm2_frame_sample": (mm2_frame_sample, None),
 }
