@@ -187,6 +187,19 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SIM3 — IVF-bucketed approximate top-k (rows-only; recall measured in tests
+# against SIM1)
+# ---------------------------------------------------------------------------
+
+def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # TXT1 — token statistics per language
 # ---------------------------------------------------------------------------
 
@@ -341,6 +354,7 @@ REGISTRY = {
     "dd5_embedding_neardup": (dd5_embedding_neardup, DD5_SQL),
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
     "sim2_lsh_topk": (sim2_lsh_topk, None),
+    "sim3_ivf_topk": (sim3_ivf_topk, None),
     "txt1_token_stats": (txt1_token_stats, TXT1_SQL),
     "txt2_quality": (txt2_quality, TXT2_SQL),
     "txt3_langid": (txt3_langid, _langid_sql()),
