@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import date_trunc_pg
-from ..operators import explode_csv_cell, top1_per_group
+from ..operators import explode_csv_cell, lateral_top1_join, top1_per_group
 from ..sources import load_testdata
 
 
@@ -297,6 +297,65 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders
 ) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 (regex form) — LEFT JOIN LATERAL … ORDER BY priority/pattern-length
+# LIMIT 1, the reference's hardest operator: a regex theta-join picking the
+# best-matching pattern per row
+# (reference: classified_card_transactions.sql:126-147 — `desc ~* r.pattern_regex`
+#  ordered by priority desc, length(pattern_regex) desc, limit 1)
+# ---------------------------------------------------------------------------
+
+#: (pattern, priority, tag) — Java- and PCRE-compatible patterns only
+#: (the same dialect audit applied to the reference's 795 seed patterns).
+_REGEX_DIM = [
+    (r"(?i)\bdata\b", 3, "data"),
+    (r"(?i)\b(spark|query)\b", 2, "engine"),
+    (r"(?i)model", 2, "model"),
+    (r"(?i)\bthe\b", 1, "stopword"),
+]
+
+
+def j3b_regex_lateral_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "text")
+    dim = spark.createDataFrame(_REGEX_DIM, "pattern string, priority int, tag string")
+    best = lateral_top1_join(
+        docs,
+        dim,
+        match=F.regexp_like(F.col("text"), F.col("pattern")),
+        order_by=[F.desc("priority"), F.desc(F.length("pattern")), F.asc("tag")],
+        left_key=["doc_id"],
+        how="left",
+    )
+    return best.select(
+        "doc_id",
+        F.coalesce(F.col("tag"), F.lit("none")).alias("best_tag"),
+        F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("best_priority"),
+    )
+
+
+# DuckDB standard string literals keep backslashes verbatim — no escaping.
+_REGEX_DIM_SQL = ", ".join(
+    f"('{p}', {prio}, '{tag}')" for p, prio, tag in _REGEX_DIM
+)
+
+J3B_SQL = f"""
+WITH pat(pattern, priority, tag) AS (
+  VALUES {_REGEX_DIM_SQL}
+), cand AS (
+  SELECT d.doc_id, p.tag, p.priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY p.priority DESC, length(p.pattern) DESC, p.tag ASC
+         ) AS rn
+  FROM documents d JOIN pat p ON regexp_matches(d.text, p.pattern)
+)
+SELECT d.doc_id,
+       COALESCE(c.tag, 'none') AS best_tag,
+       CAST(COALESCE(c.priority, 0) AS INTEGER) AS best_priority
+FROM documents d LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (doc_id)
 """
 
 
@@ -824,6 +883,7 @@ REGISTRY = {
     "j1_join_agg": (j1_join_agg, J1_SQL),
     "j2_left_join": (j2_left_join, J2_SQL),
     "j3_top1_per_group": (j3_top1_per_group, J3_SQL),
+    "j3b_regex_lateral_top1": (j3b_regex_lateral_top1, J3B_SQL),
     "j5_explode_split": (j5_explode_split, J5_SQL),
     "a3_conditional_agg": (a3_conditional_agg, A3_SQL),
     "a4_count_distinct": (a4_count_distinct, A4_SQL),

@@ -29,6 +29,13 @@ TABLES = (
 )
 
 
+#: Per-session table cache: parquet footer/schema reads are driver-side
+#: metadata I/O (~50-100 ms per table) that would otherwise repeat for
+#: every query invocation. DataFrames are lazy plans — caching them caches
+#: no data, only the resolved schema.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every parquet table under ``sf_dir`` as a DataFrame.
 
@@ -36,6 +43,10 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     parquet reader, so loading "everything" here costs nothing until an
     action touches a subset.
     """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     # The events table carries TIMESTAMP(NANOS) — illegal for Spark's parquet
     # reader. Read nanos as raw longs, then floor-convert to microsecond
     # timestamps (identical to DuckDB's ns→µs truncation, so the correctness
@@ -52,6 +63,7 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
             out[name] = df
+    _CACHE[key] = dict(out)
     return out
 
 
