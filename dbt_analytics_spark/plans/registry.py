@@ -404,3 +404,42 @@ class Project:
         }
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
+
+    def write_manifest(self, path: str) -> None:
+        """Emit a manifest.json-shaped artifact: every node with kind,
+        materialization, tags, dependency edges, and (when compiled) the
+        Catalyst-resolved output schema
+        (reference: target/manifest.json — 31 nodes with depends_on/config;
+        schemas there are warehouse-inferred, here analyzer-inferred)."""
+        nodes = {}
+        for name, node in self.nodes.items():
+            entry = {
+                "unique_id": f"{node.kind}.{self.name}.{name}",
+                "resource_type": node.kind,
+                "materialized": node.materialized,
+                "tags": list(node.tags),
+                "depends_on": sorted(node.depends_on),
+                "description": node.description,
+            }
+            if name in self._built:
+                entry["columns"] = {
+                    f.name: f.dataType.simpleString()
+                    for f in self._built[name].schema.fields
+                }
+            nodes[entry["unique_id"]] = entry
+        payload = {
+            "metadata": {"project": self.name, "run_date": str(self.run_date)},
+            "nodes": nodes,
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+
+    def clone(self, name: str, new_name: str) -> None:
+        """Clone a materialized relation under a new name (dbt `clone`;
+        reference: SP/.../models/clone/clone.sql — zero-copy where supported,
+        else create-table-as-select; Spark has no zero-copy, so CTAS)."""
+        if not self.relation_exists(name):
+            raise ValueError(f"cannot clone {name!r}: not materialized")
+        self.read_relation(name).write.mode("overwrite").saveAsTable(
+            self.qualified(new_name)
+        )

@@ -224,3 +224,27 @@ def test_run_results_artifact(project, tmp_path):
     payload = json.loads(out.read_text())
     assert payload["metadata"]["project"] == "t"
     assert {r["unique_id"] for r in payload["results"]} >= {"cust_spend"}
+
+
+def test_manifest_artifact_and_clone(project, tmp_path):
+    project.run()
+    out = tmp_path / "manifest.json"
+    project.write_manifest(str(out))
+    import json
+
+    payload = json.loads(out.read_text())
+    nodes = payload["nodes"]
+    cs = nodes["model.t.cust_spend"]
+    assert cs["materialized"] == "table"
+    assert cs["depends_on"] == ["orders_clean"]
+    assert "spend" in cs["columns"]
+    assert nodes["model.t.spend_with_names"]["depends_on"] == [
+        "big_spenders",
+        "customer_raw",
+    ]
+
+    project.clone("cust_spend", "cust_spend_clone")
+    cloned = project.spark.table(project.qualified("cust_spend_clone"))
+    original = project.read_relation("cust_spend")
+    assert cloned.exceptAll(original).count() == 0
+    assert original.exceptAll(cloned).count() == 0
