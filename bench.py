@@ -23,6 +23,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "j1_join_agg",
     "j3_top1_per_group",
+    "j3b_regex_lateral_top1",
     "w3_pct_of_total",
     "g1_date_spine",
     "u1_union_dedup",
@@ -31,6 +32,7 @@ HEADLINE = [
     "dd1_exact_dedup",
     "dd3_minhash_lsh",
     "sim1_cosine_topk",
+    "sim3_ivf_topk",
     "txt2_quality",
 ]
 

@@ -660,6 +660,165 @@ FROM orders GROUP BY 1, 2, 3, 4
 
 
 # ---------------------------------------------------------------------------
+# Q3-shape — 3-way join (customer ⋈ orders ⋈ lineitem) + filtered agg +
+# top-N: the classic shipping-priority plan. Scale: customer broadcast
+# (dim), orders⋈lineitem co-shuffled on orderkey, TakeOrdered for the limit.
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    cutoff = "1995-03-15"
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit(cutoff).cast("date"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit(cutoff).cast("date"))
+    revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            "revenue",
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey AS order_key,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       o_orderdate AS order_date, o_orderpriority AS order_priority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-shape — 6-way join through region→nation→customer/supplier with a
+# co-nationality theta condition. Scale: the dim chain
+# (region⋈nation⋈supplier) broadcasts; the fact side shuffles once on
+# orderkey.
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 (grain family) — the workload's spend_{daily..yearly} pattern: one
+# rollup per time grain, stacked with a grain label
+# (reference: models/spend_monthly.sql:16-27 × 5 grain variants)
+# ---------------------------------------------------------------------------
+
+def a1_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    parts = []
+    for grain in ("month", "quarter", "year"):
+        parts.append(
+            o.groupBy(
+                F.lit(grain).alias("grain"),
+                date_trunc_pg(grain, "o_orderdate").alias("period_start"),
+            ).agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_price"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+A1_SQL = """
+SELECT 'month' AS grain, CAST(date_trunc('month', o_orderdate) AS DATE) AS period_start,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'quarter', CAST(date_trunc('quarter', o_orderdate) AS DATE),
+       COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'year', CAST(date_trunc('year', o_orderdate) AS DATE),
+       COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders GROUP BY 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4 — running-total and lag windows (frame-bounded analytic functions)
+# ---------------------------------------------------------------------------
+
+def w4_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"].filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = (
+        F.sum(_money(F.col("o_totalprice")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    return o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        running.alias("running_spend"),
+        gap.cast("int").alias("days_since_prev"),
+    )
+
+
+W4_SQL = """
+SELECT o_custkey AS cust_key, o_orderkey AS order_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(date_diff('day',
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         o_orderdate) AS INTEGER) AS days_since_prev
+FROM orders WHERE o_custkey % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # D3/D4 — interval arithmetic (`+ interval '1 month - 1 day'`, `+ 6 days`,
 # add_months) and month-boundary helpers
 # (reference: metrics_monthly.sql:5-7, metrics_weekly.sql:6)
@@ -876,6 +1035,8 @@ FROM events GROUP BY event_type
 
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "p1_projection_cast": (p1_projection_cast, P1_SQL),
     "p2_filter_ilike": (p2_filter_ilike, P2_SQL),
     "p3_case_classify": (p3_case_classify, P3_SQL),
@@ -885,7 +1046,9 @@ REGISTRY = {
     "j3_top1_per_group": (j3_top1_per_group, J3_SQL),
     "j3b_regex_lateral_top1": (j3b_regex_lateral_top1, J3B_SQL),
     "j5_explode_split": (j5_explode_split, J5_SQL),
+    "a1_multi_grain_rollup": (a1_multi_grain_rollup, A1_SQL),
     "a3_conditional_agg": (a3_conditional_agg, A3_SQL),
+    "w4_running_total": (w4_running_total, W4_SQL),
     "a4_count_distinct": (a4_count_distinct, A4_SQL),
     "w1_dedup_rank": (w1_dedup_rank, W1_SQL),
     "w2_first_value": (w2_first_value, W2_SQL),
