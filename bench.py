@@ -41,9 +41,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # queries, not session startup.
+    # Warm the JVM + parquet footers + Python-UDF worker pool once so
+    # per-query times measure the queries, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _warm_fn(s):
+        return s
+
+    # Real annotation objects (module uses `from __future__ import annotations`).
+    _warm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _warm = F.pandas_udf("long")(_warm_fn)
+
+    spark.range(0, 10_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm("id")
+    ).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -12,6 +12,7 @@ hyperplane signatures bucket vectors so each bucket join is tiny.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +37,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _with_norm2(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Materialize ``dot(v, v)`` as a column in a separate projection step.
+
+    Folds are CodegenFallback (interpreted), so the self-dot must be computed
+    ONCE per row before any join fans the row out into pairs — per-pair
+    cosine then costs a single fold instead of three, with float-identical
+    results (the norm value is bit-equal wherever it's computed).
+    """
+    return df.withColumn(out, dot(F.col(vec), F.col(vec)))
+
+
+def _pair_cosine() -> Column:
+    return dot(F.col("qvec"), F.col("cvec")) / (
+        F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2"))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,17 +66,25 @@ def cosine_topk(
     The query side is broadcast; ranking windows partition by query id, so
     the shuffle key is the query id (high-cardinality, unskewed).
     """
-    c = fan_out(corpus).select(
-        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+    c = _with_norm2(
+        fan_out(corpus).select(
+            F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+        ),
+        "cvec",
+        "c_n2",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    q = _with_norm2(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+        ),
+        "qvec",
+        "q_n2",
     )
     pairs = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "corpus_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        _pair_cosine().alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (
@@ -77,68 +103,103 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    their nearest of ``n_cells`` centroid cells; each query searches only its
+    """IVF (inverted-file) approximate top-k: corpus vectors belong to their
+    nearest of ``n_cells`` centroid cells; each query searches only its
     ``n_probe`` closest cells.
 
-    Index build = one pass over the corpus against broadcast centroids (a
-    driver-side list of n_cells vectors — bounded, not data-sized).
+    Spark shape: ONE ``mapInPandas`` pass over the corpus does centroid
+    assignment, probe-cell masking, scoring, and per-batch top-k as numpy
+    matmuls (centroids + the small-by-contract query set ride along in the
+    task closure — nothing data-sized shuffles). Each batch emits at most
+    k rows per query, so the only shuffle is the tiny global top-k merge.
+    Per-batch top-k then global top-k is exact over the probed candidate
+    set. At 100 TB the corpus scan parallelizes per split and the merge
+    stays ~|queries|·k·n_splits rows.
+
     Centroids are a deterministic hash-ordered sample of the corpus (a
     k-means iteration could refine them; sampling keeps the operator
-    RNG-free and reproducible). The probe join key is the cell id, so each
-    join partition is ~|corpus|/n_cells — the 100 TB scale path alongside
-    the hyperplane-LSH variant.
+    RNG-free and reproducible).
     """
-    c = fan_out(corpus).select(
-        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
-    )
-    # Deterministic centroid sample: first n_cells vectors in xxhash64 order.
+    import numpy as np
+
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    # Deterministic centroid sample: first n_cells vectors in xxhash64
+    # order. Hash order is partition-independent, so this tiny collect is
+    # reproducible and pays no shuffle.
     cent_rows = (
-        c.orderBy(F.xxhash64(F.col("corpus_id")))
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+        )
+        .orderBy(F.xxhash64(F.col("corpus_id")))
         .limit(n_cells)
         .select("cvec")
         .collect()
     )
-    centroids = [list(r["cvec"]) for r in cent_rows]
+    C = np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    m = C.shape[0]
 
-    def cell_scores(vec: Column) -> Column:
-        """array<struct<sim,cell>> of cosine vs every centroid."""
-        return F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(v) for v in cent])).alias("sim"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cent in enumerate(centroids)
-            ]
-        )
-
-    # array_max on struct orders by first field (sim) — nearest centroid.
-    assigned = c.withColumn("scores", cell_scores(F.col("cvec"))).select(
-        "corpus_id", "cvec", F.array_max("scores").getField("cell").alias("cell")
-    )
-
-    q = queries.select(
+    # Query set: collected to the driver (it is broadcast-sized by contract)
+    # and shipped in the task closure as a dense matrix.
+    q_rows = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
-    ).withColumn("scores", cell_scores(F.col("qvec")))
-    # n_probe closest cells per query, exploded to (query, cell) probe rows.
-    probes = q.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.slice(F.reverse(F.array_sort("scores")), 1, n_probe).getField("cell")
-        ).alias("cell"),
+    ).collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    Q = np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def nearest_cells(Xn: "np.ndarray", n: int) -> "np.ndarray":
+        """(rows, n) nearest cell ids; ties prefer the higher cell id."""
+        sims = Xn @ Cn.T
+        pos = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, :n]
+        return m - 1 - pos
+
+    # (n_queries, n_cells) bool: does query j probe cell c?
+    probe_mask = np.zeros((len(q_ids), m), dtype=bool)
+    if len(q_ids):
+        rows = np.repeat(np.arange(len(q_ids)), n_probe)
+        probe_mask[rows, nearest_cells(Qn, n_probe).ravel()] = True
+
+    out_schema = (
+        f"query_id {id_type}, corpus_id {id_type}, cosine_sim double"
     )
 
-    pairs = assigned.join(F.broadcast(probes), on="cell").filter(
-        F.col("corpus_id") != F.col("query_id")
+    def search(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["corpus_id"].to_numpy()
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            cells = nearest_cells(Mn, 1)[:, 0]
+            sims_all = Mn @ Qn.T  # (batch, n_queries)
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = probe_mask[j][cells]
+                mask &= ids != qid
+                (idx,) = np.nonzero(mask)
+                if not idx.size:
+                    continue
+                s = sims_all[idx, j]
+                # top-k by (sim desc, corpus_id asc); lexsort: last key primary.
+                order = np.lexsort((ids[idx], -s))[:k]
+                take = idx[order]
+                out_q.extend([qid] * len(take))
+                out_c.extend(ids[take].tolist())
+                out_s.extend(sims_all[take, j].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "corpus_id": out_c, "cosine_sim": out_s}
+            )
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
-    scored = pairs.select(
-        "query_id", "corpus_id", cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim")
-    )
+    candidates = c.mapInPandas(search, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )
@@ -203,13 +264,24 @@ def lsh_bucket_topk(
         return F.array(*entries)
 
     c = (
-        fan_out(corpus)
-        .select(F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec"))
-        .select("corpus_id", "cvec", F.explode(buckets_of(F.col("cvec"))).alias("tb"))
+        _with_norm2(
+            fan_out(corpus).select(
+                F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+            ),
+            "cvec",
+            "c_n2",
+        )
+        .select("corpus_id", "cvec", "c_n2", F.explode(buckets_of(F.col("cvec"))).alias("tb"))
     )
     q = (
-        queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
-        .select("query_id", "qvec", F.explode(buckets_of(F.col("qvec"))).alias("tb"))
+        _with_norm2(
+            queries.select(
+                F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+            ),
+            "qvec",
+            "q_n2",
+        )
+        .select("query_id", "qvec", "q_n2", F.explode(buckets_of(F.col("qvec"))).alias("tb"))
     )
 
     pairs = (
@@ -219,7 +291,7 @@ def lsh_bucket_topk(
         .dropDuplicates(["query_id", "corpus_id"])
     )
     scored = pairs.select(
-        "query_id", "corpus_id", cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim")
+        "query_id", "corpus_id", _pair_cosine().alias("cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (
