@@ -129,7 +129,9 @@ def extract_pg(field: str, col: Column | str) -> Column:
         "month": F.month,
         "week": F.weekofyear,
         "day": F.dayofmonth,
-        "dow": F.dayofweek,
+        # PG dow is 0-6 with Sunday=0; Spark dayofweek is 1-7 with Sunday=1.
+        "dow": lambda x: F.dayofweek(x) - 1,
+        "doy": F.dayofyear,
     }
     return fns[field](c).cast("int")
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import date_trunc_pg
+from ..functions import date_trunc_pg, extract_pg
 from ..operators import explode_csv_cell, lateral_top1_join, top1_per_group
 from ..sources import load_testdata
 
@@ -819,6 +819,71 @@ FROM orders WHERE o_custkey % 10 = 0
 
 
 # ---------------------------------------------------------------------------
+# D2 — extract() fields with PG semantics: ISO week, dow Sunday=0, doy
+# (reference: models/metrics_monthly.sql:7, metrics_weekly.sql:7)
+# ---------------------------------------------------------------------------
+
+def d2_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        extract_pg("month", "o_orderdate").alias("order_month"),
+        extract_pg("week", "o_orderdate").alias("iso_week"),
+        extract_pg("quarter", "o_orderdate").alias("order_quarter"),
+        extract_pg("year", "o_orderdate").alias("order_year"),
+        extract_pg("dow", "o_orderdate").alias("dow_sun0"),
+        extract_pg("doy", "o_orderdate").alias("doy"),
+    )
+
+
+D2_SQL = """
+SELECT o_orderkey AS order_key,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+       CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS iso_week,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) AS dow_sun0,
+       CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS doy
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4 — CROSS JOIN LATERAL computing correlated scalar expansions.
+# The reference derives per-merchant name variants inline
+# (models/classified_card_transactions.sql:160-171); Spark's mapping is
+# plain column expressions — no join operator exists in the plan at all.
+# The oracle keeps the LATERAL form to prove the rewrite is equivalent.
+# ---------------------------------------------------------------------------
+
+def j4_lateral_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_testdata(spark, sf_dir)["part"]
+    lname = F.lower(F.col("p_name"))
+    first_tok = F.element_at(F.split(lname, " "), 1)
+    return p.select(
+        F.col("p_partkey").alias("part_key"),
+        lname.alias("lname"),
+        first_tok.alias("first_token"),
+        F.length(lname).cast("int").alias("name_len"),
+        (F.length(lname) - F.length(F.replace(lname, F.lit(" "), F.lit("")))).cast(
+            "int"
+        ).alias("n_spaces"),
+    ).filter(F.length(first_tok) >= 4)
+
+
+J4_SQL = """
+SELECT p_partkey AS part_key, l.lname, l.first_token, l.name_len, l.n_spaces
+FROM part, LATERAL (
+  SELECT lower(p_name) AS lname,
+         split_part(lower(p_name), ' ', 1) AS first_token,
+         CAST(length(lower(p_name)) AS INTEGER) AS name_len,
+         CAST(length(lower(p_name)) - length(replace(lower(p_name), ' ', '')) AS INTEGER) AS n_spaces
+) l
+WHERE length(l.first_token) >= 4
+"""
+
+
+# ---------------------------------------------------------------------------
 # D3/D4 — interval arithmetic (`+ interval '1 month - 1 day'`, `+ 6 days`,
 # add_months) and month-boundary helpers
 # (reference: metrics_monthly.sql:5-7, metrics_weekly.sql:6)
@@ -1045,6 +1110,7 @@ REGISTRY = {
     "j2_left_join": (j2_left_join, J2_SQL),
     "j3_top1_per_group": (j3_top1_per_group, J3_SQL),
     "j3b_regex_lateral_top1": (j3b_regex_lateral_top1, J3B_SQL),
+    "j4_lateral_expr": (j4_lateral_expr, J4_SQL),
     "j5_explode_split": (j5_explode_split, J5_SQL),
     "a1_multi_grain_rollup": (a1_multi_grain_rollup, A1_SQL),
     "a3_conditional_agg": (a3_conditional_agg, A3_SQL),
@@ -1057,6 +1123,7 @@ REGISTRY = {
     "u2_union_all_dim": (u2_union_all_dim, U2_SQL),
     "g1_date_spine": (g1_date_spine, G1_SQL),
     "d1_date_trunc": (d1_date_trunc, D1_SQL),
+    "d2_extract": (d2_extract, D2_SQL),
     "d3_interval_arith": (d3_interval_arith, D3_SQL),
     "t2_regex_match": (t2_regex_match, T2_SQL),
     "t4_string_fns": (t4_string_fns, T4_SQL),
