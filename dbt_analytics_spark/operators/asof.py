@@ -1,0 +1,85 @@
+"""As-of (temporal) join: match each left row to the nearest right row at or
+before (backward) / at or after (forward) its timestamp, per key.
+
+The reference has no as-of operator (SURVEY.md §2 "not present"); this is a
+first-class extension for event/feature pipelines. Spark has no ASOF JOIN
+builtin, so it is composed from existing operators — the idiomatic rewrite:
+
+    union(tagged left, tagged right) → window last(right_struct) → filter left
+
+Scale design (100 TB): exactly ONE shuffle, on the by-keys — identical cost
+to the groupBy any aggregation of the same data would pay. No range
+explosion, no per-left-row candidate set (a naive theta join is
+O(left × right-per-key)). Window state is a single struct (the running
+latest right row), so memory is O(1) per partition stream. Skewed keys are
+split by AQE like any other window/shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_RSTRUCT = "__asof_right"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by: Sequence[str] = (),
+    value_cols: Sequence[str] = (),
+    direction: str = "backward",
+    how: str = "left",
+) -> DataFrame:
+    """Join each left row to the nearest right row in time, per ``by`` key.
+
+    - ``backward``: latest right row with ``r.time <= l.time`` (inclusive).
+    - ``forward``: earliest right row with ``r.time >= l.time`` (inclusive).
+    - ``how``: ``left`` keeps unmatched left rows (null value_cols);
+      ``inner`` drops them.
+
+    ``value_cols`` are the right-side columns to carry over; they must not
+    collide with left column names. All carried columns come from the SAME
+    matched right row (they propagate as one struct, so per-column nulls in
+    the right data can't mix rows). If ``right`` can contain duplicate
+    ``(by, time)`` rows, pre-aggregate it for a deterministic winner.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: bad direction {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: bad how {how!r}")
+    by = list(by)
+    value_cols = list(value_cols)
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: value_cols collide with left columns: {sorted(clash)}")
+
+    l_tagged = left.withColumn(_SIDE, F.lit(1))
+    r_tagged = (
+        right.select(*by, time_col, *value_cols)
+        .withColumn(_RSTRUCT, F.struct(*[F.col(c) for c in value_cols]))
+        .drop(*value_cols)
+        .withColumn(_SIDE, F.lit(0))
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    t: Column = F.col(time_col).asc() if direction == "backward" else F.col(time_col).desc()
+    # Right rows (side 0) sort before left rows at equal timestamps, making
+    # the match inclusive at the boundary in both directions.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(t, F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(_RSTRUCT, F.last(_RSTRUCT, ignorenulls=True).over(w))
+
+    out = matched.filter(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.filter(F.col(_RSTRUCT).isNotNull())
+    for c in value_cols:
+        out = out.withColumn(c, F.col(_RSTRUCT)[c])
+    return out.drop(_SIDE, _RSTRUCT)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import date_trunc_pg, extract_pg
 from ..operators import explode_csv_cell, lateral_top1_join, top1_per_group
+from ..operators.asof import asof_join
 from ..sources import load_testdata
 
 
@@ -1098,6 +1099,61 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# EV3 — as-of join (extension): each click joins the latest prior purchase
+# of the same user. Spark composition: union + running-last window (one
+# shuffle on user_id) — see operators/asof.py. DuckDB's native ASOF JOIN is
+# the oracle.
+# ---------------------------------------------------------------------------
+
+def ev3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(
+            F.max_by("value", "event_id").alias("purchase_value"),
+            F.max("event_id").alias("purchase_event_id"),
+        )
+        .withColumn("purchase_ts_us", F.unix_micros("p_ts"))
+        .drop("p_ts")
+        .withColumn("ts", F.timestamp_micros(F.col("purchase_ts_us")))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        time_col="ts",
+        by=["user_id"],
+        value_cols=["purchase_value", "purchase_event_id", "purchase_ts_us"],
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("purchase_event_id").cast("bigint").alias("purchase_id"),
+        "purchase_value",
+        (F.unix_micros("ts") - F.col("purchase_ts_us")).cast("bigint").alias("gap_us"),
+    )
+
+
+EV3_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts,
+         arg_max(value, event_id) AS purchase_value,
+         max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id AS click_id, c.user_id,
+       CAST(p.purchase_event_id AS BIGINT) AS purchase_id,
+       p.purchase_value,
+       CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1131,4 +1187,5 @@ REGISTRY = {
     "so1_order_limit": (so1_order_limit, SO1_SQL),
     "ev1_sessionize": (ev1_sessionize, EV1_SQL),
     "ev2_json_extract": (ev2_json_extract, EV2_SQL),
+    "ev3_asof_join": (ev3_asof_join, EV3_SQL),
 }
