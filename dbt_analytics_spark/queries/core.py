@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import date_trunc_pg, extract_pg
 from ..operators import explode_csv_cell, lateral_top1_join, top1_per_group
 from ..operators.asof import asof_join
+from ..operators.rangejoin import interval_join
 from ..sources import load_testdata
 
 
@@ -1154,6 +1155,103 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+# ---------------------------------------------------------------------------
+# EV4 — range (interval-containment) join (extension): events banded by a
+# non-uniform value-range dim via bin bucketing — see operators/rangejoin.py.
+# Catalyst would run the raw `lo <= v < hi` join as a nested loop; the bin
+# rewrite makes it a broadcast hash join on bin id.
+# ---------------------------------------------------------------------------
+
+def ev4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"].select("event_id", "value")
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 10.0),
+            ("small", 10.0, 25.0),
+            ("mid", 25.0, 50.0),
+            ("large", 50.0, 100.0),
+            ("huge", 100.0, 200.0),
+            ("extreme", 200.0, 1000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    j = interval_join(
+        ev, bands, "value", "lo", "hi", bin_width=25.0, how="left",
+        broadcast_intervals=True,
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_money(F.col("value"))).cast("double").alias("sum_value"),
+    )
+
+
+EV4_SQL = """
+SELECT b.band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN (
+  VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0), ('mid', 25.0, 50.0),
+         ('large', 50.0, 100.0), ('huge', 100.0, 200.0), ('extreme', 200.0, 1000.0)
+) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2b — ROLLUP grouping sets (beyond-reference; Spark df.rollup vs DuckDB
+# GROUP BY ROLLUP)
+# ---------------------------------------------------------------------------
+
+def a2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_price"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+A2_SQL = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1 — exact discrete percentiles (beyond-reference; percentile_disc picks
+# an actual element, so cross-engine float equality is exact)
+# ---------------------------------------------------------------------------
+
+def f1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+F1_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1188,4 +1286,7 @@ REGISTRY = {
     "ev1_sessionize": (ev1_sessionize, EV1_SQL),
     "ev2_json_extract": (ev2_json_extract, EV2_SQL),
     "ev3_asof_join": (ev3_asof_join, EV3_SQL),
+    "ev4_range_join": (ev4_range_join, EV4_SQL),
+    "a2_rollup": (a2_rollup, A2_SQL),
+    "f1_percentiles": (f1_percentiles, F1_SQL),
 }
