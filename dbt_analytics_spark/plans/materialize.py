@@ -32,7 +32,10 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
     kind = node.materialized
     target = project.qualified(node.name)
     if kind == "table" or (kind == "incremental" and not _incremental_applies(project, node)):
-        df.write.mode("overwrite").saveAsTable(target)
+        writer = df.write.mode("overwrite")
+        if node.partition_by:
+            writer = writer.partitionBy(*node.partition_by)
+        writer.saveAsTable(target)
         return None
     if kind == "view":
         df.createOrReplaceTempView(node.name)
@@ -52,6 +55,26 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
     target = project.qualified(node.name)
     existing = project.read_relation(node.name)
     strategy = node.incremental_strategy
+
+    if strategy == "insert_overwrite":
+        # Partition-granular replacement (SP/.../incremental/strategies.sql:
+        # insert_overwrite): only partitions present in new_rows are
+        # rewritten — the 100 TB path, since cost scales with the changed
+        # partitions, not the table. Needs dynamic partition-overwrite mode
+        # and positional column order for insertInto.
+        if not node.partition_by:
+            raise ValueError(
+                f"insert_overwrite strategy requires partition_by on {node.name}"
+            )
+        spark = project.spark
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cols = spark.table(target).columns
+            new_rows.select(*cols).write.mode("overwrite").insertInto(target)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return spark.table(target).count()
 
     if strategy == "append":
         combined = existing.unionByName(new_rows)

@@ -36,7 +36,8 @@ class Node:
     tags: tuple[str, ...] = ()
     path: str = ""
     unique_key: str | None = None
-    incremental_strategy: str = "merge"  # append | merge | delete+insert
+    incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite
+    partition_by: tuple[str, ...] = ()
     pre_hooks: tuple[Callable, ...] = ()
     post_hooks: tuple[Callable, ...] = ()
     depends_on: set[str] = field(default_factory=set)
@@ -144,6 +145,7 @@ class Project:
         tags: tuple[str, ...] = (),
         unique_key: str | None = None,
         incremental_strategy: str = "merge",
+        partition_by: tuple[str, ...] = (),
         pre_hooks: tuple[Callable, ...] = (),
         post_hooks: tuple[Callable, ...] = (),
     ):
@@ -159,6 +161,7 @@ class Project:
                 tags=tuple(tags),
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
+                partition_by=tuple(partition_by),
                 pre_hooks=pre_hooks,
                 post_hooks=post_hooks,
                 description=(fn.__doc__ or "").strip(),

