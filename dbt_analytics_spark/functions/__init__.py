@@ -7,3 +7,4 @@ from .pg import (  # noqa: F401
     regexp_matches_ci,
     strip_prefix_ci,
 )
+from . import stdlib  # noqa: F401

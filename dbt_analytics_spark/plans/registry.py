@@ -437,6 +437,49 @@ class Project:
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
 
+    def write_catalog(self, path: str) -> None:
+        """Emit a catalog.json-shaped artifact: the MATERIALIZED state of
+        every relation — storage-level schema, column order, row/byte stats
+        where cheap (reference: SP/dbt/task/docs/ builds catalog.json from
+        information_schema; here the Spark catalog is the source).
+
+        Unlike the manifest (declared graph), this reflects what actually
+        exists in the warehouse after a run — the doc-site / lineage input.
+        """
+        nodes = {}
+        for name, node in self.nodes.items():
+            if not self.relation_exists(name):
+                continue
+            rel = self.read_relation(name)
+            columns = {
+                f.name: {"index": i, "type": f.dataType.simpleString(), "nullable": f.nullable}
+                for i, f in enumerate(rel.schema.fields)
+            }
+            stats: dict[str, Any] = {}
+            try:
+                detail = self.spark.sql(
+                    f"DESCRIBE DETAIL {self.qualified(name)}"
+                ).collect()
+                if detail:
+                    d = detail[0].asDict()
+                    stats = {
+                        k: d[k]
+                        for k in ("format", "location", "sizeInBytes", "numFiles")
+                        if k in d and d[k] is not None
+                    }
+            except Exception:
+                pass  # views / formats without DESCRIBE DETAIL
+            nodes[f"{node.kind}.{self.name}.{name}"] = {
+                "metadata": {"name": name, "materialized": node.materialized, **stats},
+                "columns": columns,
+            }
+        payload = {
+            "metadata": {"project": self.name, "run_date": str(self.run_date)},
+            "nodes": nodes,
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+
     def clone(self, name: str, new_name: str) -> None:
         """Clone a materialized relation under a new name (dbt `clone`;
         reference: SP/.../models/clone/clone.sql — zero-copy where supported,

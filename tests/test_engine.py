@@ -274,3 +274,16 @@ def test_incremental_insert_overwrite(spark):
     p2.run(select="part_t")
     got = {r["id"]: r["day"] for r in spark.table("part_t").collect()}
     assert got == {1: "2024-01-01", 3: "2024-01-02", 4: "2024-01-02"}
+
+
+def test_catalog_artifact(project, tmp_path):
+    project.run()
+    out = tmp_path / "catalog.json"
+    project.write_catalog(str(out))
+    import json
+
+    payload = json.loads(out.read_text())
+    cs = payload["nodes"]["model.t.cust_spend"]
+    assert cs["metadata"]["materialized"] == "table"
+    assert "spend" in cs["columns"]
+    assert cs["columns"]["spend"]["type"]  # storage-level dtype present
