@@ -353,6 +353,41 @@ class Project:
         ctx = ModelContext(self, node, self._resolve_materialized)
         return node.fn(ctx)
 
+    def run_unit_test(
+        self,
+        model: str,
+        given: dict[str, DataFrame],
+        expect: DataFrame,
+    ) -> tuple[bool, DataFrame, DataFrame]:
+        """dbt unit test (E13): render ONE model against mocked inputs and
+        diff actual vs expected both ways (reference:
+        SP/.../materializations/tests/unit.sql:1-30,
+        SP/dbt/task/test.py:205-283 — fixture CTEs + EXCEPT-style compare).
+
+        ``given`` maps upstream node names to fixture DataFrames; any ref()
+        the model makes MUST be mocked (a unit test isolates one model, so
+        touching a real relation is an error, mirroring dbt's requirement
+        that unit-test inputs be fully specified).
+
+        Returns ``(passed, missing, unexpected)`` where ``missing`` rows are
+        expected-but-absent and ``unexpected`` are produced-but-unexpected.
+        """
+        node = self.nodes[model]
+
+        def mock_resolve(name: str) -> DataFrame:
+            if name not in given:
+                raise KeyError(
+                    f"unit test for {model!r}: ref({name!r}) is not mocked; "
+                    f"provide it in `given`"
+                )
+            return given[name]
+
+        ctx = ModelContext(self, node, mock_resolve)
+        actual = node.fn(ctx)
+        from .snapshot import unit_test as _diff
+
+        return _diff(actual, expect)
+
     # ------------------------------------------------------------------
     # dbt test / show / artifacts
     # ------------------------------------------------------------------

@@ -287,3 +287,24 @@ def test_catalog_artifact(project, tmp_path):
     assert cs["metadata"]["materialized"] == "table"
     assert "spend" in cs["columns"]
     assert cs["columns"]["spend"]["type"]  # storage-level dtype present
+
+
+def test_unit_test_with_mocked_refs(spark, project):
+    # cust_spend against a 3-row fixture for its only ref; real relations
+    # never touched.
+    given = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], ["o_custkey", "total_price"]
+    )
+    expect = spark.createDataFrame(
+        [(1, 2, 15.0), (2, 1, 7.0)], ["o_custkey", "n_orders", "spend"]
+    )
+    passed, missing, unexpected = project.run_unit_test(
+        "cust_spend", given={"orders_clean": given}, expect=expect
+    )
+    assert passed, (missing.collect(), unexpected.collect())
+
+    # An unmocked ref is an error, not a silent fallback to the warehouse.
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="not mocked"):
+        project.run_unit_test("cust_spend", given={}, expect=expect)
