@@ -1,63 +1,98 @@
 """Node selection DSL: the useful core of dbt's --select grammar.
 
 Reference: SP/dbt/graph/selector_methods.py:244-586 + spec parsing in
-SP/dbt/graph/cli.py:27-166. Supported here: names, ``tag:x``, fnmatch
-wildcards, graph operators ``+name`` (ancestors), ``name+`` (descendants),
-``+name+``, ``@name`` (descendants + their ancestors), space-separated
-union, and ``--exclude`` semantics via a leading ``!``.
+SP/dbt/graph/cli.py:27-166 and SP/dbt/graph/selector_spec.py. Supported
+here: names, ``tag:x``, fnmatch wildcards, graph operators ``+name``
+(ancestors), ``name+`` (descendants), depth-limited forms ``2+name`` /
+``name+2``, ``+name+``, ``@name`` (descendants + their ancestors),
+space-separated union, comma-separated intersection (``tag:a,+m``), and
+``--exclude`` semantics via a leading ``!``.
 """
 
 from __future__ import annotations
 
 import fnmatch
+import re
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:
     from .registry import Project
 
-
-def _ancestors(project: "Project", name: str, acc: set[str]) -> None:
-    for dep in project.nodes[name].depends_on:
-        if dep not in acc:
-            acc.add(dep)
-            _ancestors(project, dep, acc)
+_GRAPH_RE = re.compile(r"^(?P<at>@)?(?:(?P<ldepth>\d+)?(?P<lplus>\+))?(?P<body>.*?)(?:(?P<rplus>\+)(?P<rdepth>\d+)?)?$")
 
 
-def _descendants(project: "Project", name: str, acc: set[str]) -> None:
-    for other, node in project.nodes.items():
-        if name in node.depends_on and other not in acc:
-            acc.add(other)
-            _descendants(project, other, acc)
+def _walk(project: "Project", start: str, depth: int | None, up: bool) -> set[str]:
+    """BFS over the DAG (up = ancestors, down = descendants) to ``depth``
+    levels (None = unbounded). BFS guarantees each node is reached at its
+    minimum distance, so a depth budget is exact on diamond graphs."""
+    acc: set[str] = set()
+    frontier = {start}
+    level = 0
+    while frontier and (depth is None or level < depth):
+        level += 1
+        nxt: set[str] = set()
+        for name in frontier:
+            if up:
+                nxt |= set(project.nodes[name].depends_on)
+            else:
+                nxt |= {
+                    other
+                    for other, node in project.nodes.items()
+                    if name in node.depends_on
+                }
+        frontier = nxt - acc
+        acc |= frontier
+    return acc
+
+
+def _ancestors(project: "Project", name: str, acc: set[str], depth: int | None) -> None:
+    acc |= _walk(project, name, depth, up=True)
+
+
+def _descendants(project: "Project", name: str, acc: set[str], depth: int | None) -> None:
+    acc |= _walk(project, name, depth, up=False)
 
 
 def _match_one(project: "Project", spec: str) -> set[str]:
-    plus_left = spec.startswith("+")
-    at_op = spec.startswith("@")
-    spec = spec.lstrip("+@")
-    plus_right = spec.endswith("+")
-    spec = spec.rstrip("+")
+    m = _GRAPH_RE.match(spec)
+    assert m is not None
+    at_op = bool(m.group("at"))
+    plus_left = bool(m.group("lplus"))
+    ldepth = int(m.group("ldepth")) if m.group("ldepth") else None
+    plus_right = bool(m.group("rplus"))
+    rdepth = int(m.group("rdepth")) if m.group("rdepth") else None
+    body = m.group("body")
 
-    if spec.startswith("tag:"):
-        base = {n for n, node in project.nodes.items() if spec[4:] in node.tags}
+    if body.startswith("tag:"):
+        base = {n for n, node in project.nodes.items() if body[4:] in node.tags}
     else:
-        base = {n for n in project.nodes if fnmatch.fnmatch(n, spec)}
+        base = {n for n in project.nodes if fnmatch.fnmatch(n, body)}
 
     out = set(base)
     for n in base:
         if plus_left or at_op:
-            _ancestors(project, n, out)
+            _ancestors(project, n, out, ldepth)
         if plus_right or at_op:
-            _descendants(project, n, out)
+            _descendants(project, n, out, rdepth)
     if at_op:
         # @model: descendants plus ALL ancestors of those descendants
         # (reference: selector_spec '@' semantics).
         desc = set(base)
         for n in base:
-            _descendants(project, n, desc)
+            _descendants(project, n, desc, None)
         for n in list(desc):
-            _ancestors(project, n, out)
+            _ancestors(project, n, out, None)
         out |= desc
     return out
+
+
+def _match_intersection(project: "Project", token: str) -> set[str]:
+    parts = [p for p in token.split(",") if p]
+    out: set[str] | None = None
+    for p in parts:
+        s = _match_one(project, p)
+        out = s if out is None else out & s
+    return out or set()
 
 
 def select_nodes(project: "Project", select: str | None) -> set[str]:
@@ -68,10 +103,10 @@ def select_nodes(project: "Project", select: str | None) -> set[str]:
     saw_include = False
     for token in select.split():
         if token.startswith("!"):
-            excluded |= _match_one(project, token[1:])
+            excluded |= _match_intersection(project, token[1:])
         else:
             saw_include = True
-            included |= _match_one(project, token)
+            included |= _match_intersection(project, token)
     # Exclude-only spec filters the full graph; a non-matching include
     # selects NOTHING (dbt behavior: empty selection warns, runs nothing).
     if not saw_include:

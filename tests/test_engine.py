@@ -110,6 +110,13 @@ def test_selection_dsl(project):
     assert select_nodes(project, "big_spenders+") >= {"big_spenders", "spend_with_names"}
     assert "cust_spend" not in select_nodes(project, "tag:spend !cust_spend")
     assert select_nodes(project, "cust_*") == {"cust_spend"}
+    # Depth-limited graph ops: 1+ reaches only direct parents.
+    one_up = select_nodes(project, "1+cust_spend")
+    assert "orders_clean" in one_up and "orders_raw" not in one_up
+    assert select_nodes(project, "+cust_spend") >= {"orders_raw", "orders_clean", "cust_spend"}
+    assert select_nodes(project, "cust_spend+1") == {"cust_spend", "big_spenders"}
+    # Comma intersection: spend-tagged AND descendants of cust_spend.
+    assert select_nodes(project, "tag:spend,cust_spend+") == {"cust_spend", "spend_with_names"}
 
 
 def test_failure_skips_descendants(spark):
