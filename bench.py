@@ -41,11 +41,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers + Python-UDF worker pool once so
-    # per-query times measure the queries, not session startup.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the session once so per-query times measure the queries, not
+    # startup: JVM + parquet footers, whole-stage-codegen JIT for the
+    # agg/window/join shapes, and the Python-UDF worker pool.
     import pandas as pd
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.count()
+    tiny = li.limit(1000)
+    tiny.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s")
+    ).count()
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    tiny.select(F.row_number().over(w).alias("rn")).count()
+    tiny.join(F.broadcast(tiny.select("l_orderkey").limit(10)), "l_orderkey").count()
 
     def _warm_fn(s):
         return s
@@ -54,9 +65,14 @@ def main() -> None:
     _warm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _warm = F.pandas_udf("long")(_warm_fn)
 
-    spark.range(0, 10_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
-        _warm("id")
-    ).count()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, 10_000, 1, cpus).select(_warm("id")).count()
+
+    def _warm_map(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(0, 10_000, 1, cpus).mapInPandas(_warm_map, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
