@@ -32,6 +32,19 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pretokenizer pattern: contraction suffixes, space-prefixed
+#: letter/digit runs, space-prefixed punctuation runs. Valid and
+#: match-identical in Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pretokenization (the merge step of a real BPE runs on these
+    pretokens; counting them is the standard fast token estimate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
 def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity
 from ..operators.text import (
+    BPE_PATTERN,
     STOPWORDS,
+    bpe_tokens,
     exact_fingerprint,
     fingerprint,
     langid_columns,
@@ -346,6 +348,39 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TXT5 — BPE-ish token statistics (GPT-2-style pretokenizer regex; the fast
+# token-count estimate for training-data budgeting)
+# ---------------------------------------------------------------------------
+
+def txt5_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    toks = bpe_tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+        F.sum("n_uniq").alias("sum_uniq_bpe"),
+    )
+
+
+TXT5_SQL = f"""
+WITH t AS (
+  SELECT lang, regexp_extract_all(text, $${BPE_PATTERN}$$) AS toks FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS sum_bpe_tokens,
+       CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens,
+       CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_uniq_bpe
+FROM t GROUP BY lang
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -359,6 +394,7 @@ REGISTRY = {
     "txt2_quality": (txt2_quality, TXT2_SQL),
     "txt3_langid": (txt3_langid, _langid_sql()),
     "txt4_fingerprint": (txt4_fingerprint, TXT4_SQL),
+    "txt5_bpe_token_stats": (txt5_bpe_token_stats, TXT5_SQL),
     "mm1_features": (mm1_features, None),
     "mm2_frame_sample": (mm2_frame_sample, None),
 }
