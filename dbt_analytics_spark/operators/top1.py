@@ -64,15 +64,13 @@ def lateral_top1_join(
     ``broadcast_right=True`` is the scale path when the right side is a
     dimension (795 regex patterns in the reference): the big side never
     shuffles for the join.
+
+    ``left_key`` must uniquely identify left rows (the lateral is per-ROW);
+    the left-outer variant is the theta join itself run as ``left`` — an
+    unmatched row survives as its single null-extended candidate and wins
+    its own window trivially, so no re-attach join (and no second shuffle)
+    is ever needed.
     """
     r = F.broadcast(right) if broadcast_right else right
-    candidates = left.join(r, on=match, how="inner")
-    best = top1_per_group(candidates, [F.col(k) for k in left_key], order_by)
-    if how == "inner":
-        return best
-    # Left-outer semantics: rows with no candidate survive with NULL right cols.
-    return left.join(
-        best.select(*[F.col(c) for c in best.columns if c not in left.columns or c in left_key]),
-        on=list(left_key),
-        how="left",
-    )
+    candidates = left.join(r, on=match, how=how)
+    return top1_per_group(candidates, [F.col(k) for k in left_key], order_by)

@@ -66,3 +66,13 @@ def test_asof_join_single_shuffle(spark):
     plan = _plan(REGISTRY["ev3_asof_join"][0](spark, SF))
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_regex_lateral_broadcasts_patterns(spark):
+    # The regex theta join has no equi component, so the correct plan is a
+    # BroadcastNestedLoopJoin with the (tiny) pattern side broadcast — the
+    # fact side must never shuffle for the join.
+    plan = _plan(REGISTRY["j3b_regex_lateral_top1"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
