@@ -1252,9 +1252,71 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4-shape — EXISTS → left-semi join: orders with at least one deeply
+# discounted lineitem (testdata lineitem has no commit/receipt dates).
+# Scale: the semi join shuffles on orderkey once; no dedup pass is ever
+# needed because semi joins can't duplicate the left side.
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("date"))
+    )
+    late = t["lineitem"].filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority AS order_priority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1993-07-01' AND o_orderdate < DATE '1993-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22-shape — NOT EXISTS → left-anti join: positive-balance customers who
+# never ordered, rolled up by nation.
+# ---------------------------------------------------------------------------
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    rich = t["customer"].filter(F.col("c_acctbal") > 0)
+    dormant = rich.join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(_money(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey AS nation_key, COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "p1_projection_cast": (p1_projection_cast, P1_SQL),
     "p2_filter_ilike": (p2_filter_ilike, P2_SQL),
