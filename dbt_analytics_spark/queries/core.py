@@ -1312,6 +1312,45 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# W5 — ntile bucketing (beyond-reference; deterministic given a total
+# order, so it cross-checks exactly)
+# ---------------------------------------------------------------------------
+
+def w5_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_testdata(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nation_key"),
+            F.ntile(4).over(w).alias("balance_quartile"),
+            _money(F.col("c_acctbal")).cast("double").alias("acctbal"),
+        )
+        .groupBy("nation_key", "balance_quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.max("acctbal").alias("max_bal"),
+            F.min("acctbal").alias("min_bal"),
+        )
+    )
+
+
+W5_SQL = """
+WITH q AS (
+  SELECT c_nationkey AS nation_key,
+         NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS balance_quartile,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+  FROM customer
+)
+SELECT nation_key, balance_quartile, COUNT(*) AS n_custs,
+       MAX(acctbal) AS max_bal, MIN(acctbal) AS min_bal
+FROM q GROUP BY nation_key, balance_quartile
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1331,6 +1370,7 @@ REGISTRY = {
     "a1_multi_grain_rollup": (a1_multi_grain_rollup, A1_SQL),
     "a3_conditional_agg": (a3_conditional_agg, A3_SQL),
     "w4_running_total": (w4_running_total, W4_SQL),
+    "w5_ntile": (w5_ntile, W5_SQL),
     "a4_count_distinct": (a4_count_distinct, A4_SQL),
     "w1_dedup_rank": (w1_dedup_rank, W1_SQL),
     "w2_first_value": (w2_first_value, W2_SQL),
