@@ -1351,6 +1351,30 @@ FROM q GROUP BY nation_key, balance_quartile
 """
 
 
+# ---------------------------------------------------------------------------
+# T5b — ordered string aggregation (E15 listagg; DuckDB string_agg ORDER BY
+# oracle compares the exact concatenated strings)
+# ---------------------------------------------------------------------------
+
+def t5_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stdlib import listagg
+
+    c = load_testdata(spark, sf_dir)["customer"].filter(F.col("c_custkey") % 50 == 0)
+    return c.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        listagg(F.col("c_name"), ",", order_by=F.col("c_custkey")).alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+T5B_SQL = """
+SELECT c_nationkey AS nation_key,
+       string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+       COUNT(*) AS n
+FROM customer WHERE c_custkey % 50 = 0
+GROUP BY c_nationkey
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1383,6 +1407,7 @@ REGISTRY = {
     "d3_interval_arith": (d3_interval_arith, D3_SQL),
     "t2_regex_match": (t2_regex_match, T2_SQL),
     "t4_string_fns": (t4_string_fns, T4_SQL),
+    "t5_listagg": (t5_listagg, T5B_SQL),
     "t3_normalize": (t3_normalize, T3_SQL),
     "so1_order_limit": (so1_order_limit, SO1_SQL),
     "ev1_sessionize": (ev1_sessionize, EV1_SQL),
