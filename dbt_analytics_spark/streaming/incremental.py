@@ -108,6 +108,38 @@ def watermarked_window_agg(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark: str = "30 minutes",
+    max_gap: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with right
+    events of the same key that happened in ``[l_ts - max_gap, l_ts]``.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so Spark can evict buffered state once the watermark passes —
+    the required shape for an unbounded stream-stream join (state is
+    O(keys × events-inside-gap), not stream length). Works identically on
+    batch frames (watermarks ignored), which is how the test oracles it.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_gap}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "inner").select(
+        l[key_col].alias("key"),
+        l[left_ts].alias("left_ts"),
+        r[right_ts].alias("right_ts"),
+    )
+
+
 #: Output schema of the stateful sessionizer.
 _SESSION_SCHEMA = StructType(
     [

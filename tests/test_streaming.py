@@ -139,3 +139,36 @@ def test_stateful_sessionizer_matches_batch_oracle(spark, events, tmp_path):
         | F.col("o_sessions").isNull()
     )
     assert bad.count() == 0
+
+
+def test_stream_stream_interval_join(spark, events, tmp_path):
+    """Streaming join (availableNow) produces the same pairs as the
+    identical plan run in batch mode."""
+    from dbt_analytics_spark.streaming import stream_stream_interval_join
+    from dbt_analytics_spark.streaming.incremental import stream_from_parquet_dir
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    expected = stream_stream_interval_join(clicks, purchases).count()
+    assert expected > 0
+
+    lsrc, rsrc, out, ckpt = (str(tmp_path / d) for d in ("l", "r", "out", "ckpt"))
+    clicks.write.parquet(lsrc)
+    purchases.write.parquet(rsrc)
+    joined = stream_stream_interval_join(
+        stream_from_parquet_dir(spark, lsrc), stream_from_parquet_dir(spark, rsrc)
+    )
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out).count()
+    assert got == expected
