@@ -381,6 +381,19 @@ FROM t GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# F2 — approximate distinct counting (HyperLogLog++; rows-only check — the
+# sketch is engine-specific — with an accuracy bound asserted in tests)
+# ---------------------------------------------------------------------------
+
+def f2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -395,6 +408,7 @@ REGISTRY = {
     "txt3_langid": (txt3_langid, _langid_sql()),
     "txt4_fingerprint": (txt4_fingerprint, TXT4_SQL),
     "txt5_bpe_token_stats": (txt5_bpe_token_stats, TXT5_SQL),
+    "f2_approx_distinct": (f2_approx_distinct, None),
     "mm1_features": (mm1_features, None),
     "mm2_frame_sample": (mm2_frame_sample, None),
 }

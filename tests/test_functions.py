@@ -88,3 +88,13 @@ def test_ilike_matches_pg_semantics(spark):
     df = spark.createDataFrame([("Whole Foods Market",), ("WHOLEFDS 123",)], ["s"])
     assert df.filter(F.col("s").ilike("%whole%")).count() == 2
     assert df.filter(F.col("s").ilike("whole!_%")).count() == 0  # no escape char by default
+
+
+def test_approx_distinct_accuracy(spark):
+    from dbt_analytics_spark.queries.llm import f2_approx_distinct
+    from .conftest import SF_DIR
+
+    for r in f2_approx_distinct(spark, SF_DIR).collect():
+        exact = r["exact_users"]
+        assert exact > 0
+        assert abs(r["approx_users"] - exact) / exact < 0.1, r
