@@ -160,9 +160,17 @@ def minhash_lsh_pairs(
     keyed by (band, band_hash).
     """
     rows_per_band = num_hashes // bands
-    shingled = fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        shingles(text_col, shingle_k).alias("sh"),
+    # Persist the shingle index: it feeds the signature path AND both sides
+    # of the exact-verify join, so without a persist the (interpreted HOF)
+    # shingling runs three times. This is the "build the index once" step —
+    # at scale it's the relation you'd materialize anyway.
+    shingled = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            shingles(text_col, shingle_k).alias("sh"),
+        )
+        .persist()
     )
     # Signature from the pre-hashed shingle array: the string hash happens
     # once per shingle; the 32 slots re-hash fixed-width longs.
