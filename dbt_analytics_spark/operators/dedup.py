@@ -73,7 +73,7 @@ def jaccard_pairs(
     df = fan_out(df)
     words = df.select(
         F.col(id_col).alias("doc"), *blocks, F.explode(F.array_distinct(tokens(text_col))).alias("w")
-    )
+    ).filter(F.col("w") != "")  # split('') yields [''] — a blank doc must not join every other blank doc
     sizes = words.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
 
     left = words.alias("a")
@@ -103,6 +103,9 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+# Most-recent persisted shingle index (see minhash_lsh_pairs lifecycle note).
+_PERSISTED_INDEXES: list[DataFrame] = []
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """k-word shingle array (contiguous token windows, joined by spaces)."""
@@ -164,6 +167,13 @@ def minhash_lsh_pairs(
     # of the exact-verify join, so without a persist the (interpreted HOF)
     # shingling runs three times. This is the "build the index once" step —
     # at scale it's the relation you'd materialize anyway.
+    #
+    # Lifecycle: each call releases the previous call's cached index (the
+    # result DataFrame stays lazy, so there is no safe unpersist point inside
+    # this function; bounding the cache to the most recent index keeps
+    # long-lived sessions — bench loops, pytest — from accumulating storage).
+    while _PERSISTED_INDEXES:
+        _PERSISTED_INDEXES.pop().unpersist()
     shingled = (
         fan_out(df)
         .select(
@@ -172,6 +182,7 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
+    _PERSISTED_INDEXES.append(shingled)
     # Signature from the pre-hashed shingle array: the string hash happens
     # once per shingle; the 32 slots re-hash fixed-width longs.
     sig_df = shingled.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))

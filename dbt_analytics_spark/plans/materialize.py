@@ -19,6 +19,7 @@ one function.
 
 from __future__ import annotations
 
+import threading
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, Window
@@ -26,6 +27,9 @@ from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
     from .registry import Node, Project
+
+# Serializes dynamic-partition-overwrite writes (see _apply_incremental).
+_PARTITION_OVERWRITE_LOCK = threading.Lock()
 
 
 def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
@@ -67,13 +71,23 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
                 f"insert_overwrite strategy requires partition_by on {node.name}"
             )
         spark = project.spark
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            cols = spark.table(target).columns
-            new_rows.select(*cols).write.mode("overwrite").insertInto(target)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        cols = spark.table(target).columns
+        # Project.run() executes nodes concurrently in a thread pool, and
+        # spark.sql.sources.partitionOverwriteMode is session-global: an
+        # unguarded set/restore can race with another insert_overwrite node
+        # (wrong restore order → mode leaks). The DataFrameWriter option
+        # 'partitionOverwriteMode' is ignored by insertInto on catalog
+        # tables (verified on Spark 4.1), so the conf flip must stay —
+        # serialize the whole set→write→restore under a module lock. Only
+        # insertInto reads this conf; saveAsTable materializations are
+        # unaffected and keep running concurrently.
+        with _PARTITION_OVERWRITE_LOCK:
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                new_rows.select(*cols).write.mode("overwrite").insertInto(target)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return spark.table(target).count()
 
     if strategy == "append":

@@ -269,10 +269,23 @@ class Project:
     def qualified(self, name: str) -> str:
         return f"{self.database}.{name}" if self.database else name
 
+    def _is_view_node(self, name: str) -> bool:
+        node = self.nodes.get(name)
+        return node is not None and node.materialized == "view"
+
     def relation_exists(self, name: str) -> bool:
+        # View materialization registers a session temp view under the BARE
+        # node name (materialize.py); temp views are not visible under the
+        # db-qualified name, so check them unqualified — otherwise a
+        # materialized view is never found by _resolve_materialized /
+        # run_tests / clone and gets silently recompiled.
+        if self._is_view_node(name) and self.spark.catalog.tableExists(name):
+            return True
         return self.spark.catalog.tableExists(self.qualified(name))
 
     def read_relation(self, name: str) -> DataFrame:
+        if self._is_view_node(name) and self.spark.catalog.tableExists(name):
+            return self.spark.table(name)
         return self.spark.table(self.qualified(name))
 
     # ------------------------------------------------------------------

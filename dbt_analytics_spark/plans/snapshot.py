@@ -27,9 +27,21 @@ if TYPE_CHECKING:
 
 META_COLS = ("dbt_scd_id", "dbt_valid_from", "dbt_valid_to", "dbt_updated_at", "dbt_is_deleted")
 
+# concat_ws silently DROPS nulls, so ('a', NULL) and (NULL, 'a') would hash
+# identically and a null-involved change would be missed. The reference
+# compares check columns null-safely (SP/.../snapshots/strategies.sql);
+# mirror that by substituting a sentinel no real cast('string') can produce.
+_NULL_TOKEN = "\x00dbt_null\x00"
+
+
+def _null_safe(col: F.Column) -> F.Column:
+    return F.coalesce(col.cast("string"), F.lit(_NULL_TOKEN))
+
 
 def _scd_id(unique_key: str, stamp_col) -> F.Column:
-    return F.md5(F.concat_ws("|", F.col(unique_key).cast("string"), stamp_col.cast("string")))
+    return F.md5(
+        F.concat_ws("|", _null_safe(F.col(unique_key)), _null_safe(stamp_col))
+    )
 
 
 def snapshot(
@@ -63,7 +75,12 @@ def snapshot(
 
     staged = source.select(
         "*",
-        _scd_id(unique_key, stamp if strategy == "timestamp" else F.concat_ws("|", *[F.col(c).cast("string") for c in cols])).alias("dbt_scd_id"),
+        _scd_id(
+            unique_key,
+            stamp
+            if strategy == "timestamp"
+            else F.concat_ws("|", *[_null_safe(F.col(c)) for c in cols]),
+        ).alias("dbt_scd_id"),
         stamp.alias("dbt_updated_at"),
         stamp.alias("dbt_valid_from"),
         F.lit(None).cast("timestamp").alias("dbt_valid_to"),

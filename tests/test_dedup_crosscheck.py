@@ -1,0 +1,143 @@
+"""Brute-force cross-checks for the sketch dedup operators (dd3/dd4).
+
+MinHash+LSH and SimHash are the two rows-only operators with no SQL oracle,
+so they get the asof-join treatment (test_random_crosscheck.py): a seeded
+corpus small enough to compare against exact O(n²) references computed in
+plain Python/numpy.
+
+What is guaranteed vs probabilistic:
+- minhash_lsh_pairs verifies candidates with EXACT shingle Jaccard, so
+  precision is 1.0 by construction — every emitted pair must appear in the
+  brute-force set with an identical Jaccard value. Recall is probabilistic
+  (a pair is seen only if some band collides: p = 1-(1-J^r)^b), so the test
+  asserts recall == 1.0 only in the high-similarity band (J ≥ 0.85, where
+  p ≈ 0.998 per pair) and a floor on the full ≥-threshold set. xxhash64 is
+  deterministic, so for this fixed corpus the outcome never flips.
+- simhash_pairs banding is 4×16-bit pigeonhole chunks on a 63-bit signature:
+  any pair within Hamming distance 3 MUST share a chunk — recall for d ≤ 3
+  is exactly 1.0, not probabilistic. Emitted distances are exact bit_count
+  values, so every emitted pair must match the brute-force distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dbt_analytics_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_from_votes,
+    simhash_pairs,
+    simhash_votes,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _corpus() -> list[tuple[int, str]]:
+    """60 random 40-token docs + 20 planted near-dups (1 token replaced)
+    + 5 mid-similarity variants (6 tokens replaced)."""
+    vocab = [f"w{i:03d}" for i in range(300)]
+    docs = [(i, " ".join(RNG.choice(vocab, 40))) for i in range(60)]
+    next_id = 1000
+    for i in range(0, 40, 2):  # 20 high-similarity near-dups
+        toks = docs[i][1].split(" ")
+        toks[int(RNG.integers(0, 40))] = f"zz{i}"
+        docs.append((next_id, " ".join(toks)))
+        next_id += 1
+    for i in range(41, 51, 2):  # 5 mid-similarity variants
+        toks = docs[i][1].split(" ")
+        for pos in RNG.choice(40, 6, replace=False):
+            toks[int(pos)] = f"yy{i}_{pos}"
+        docs.append((next_id, " ".join(toks)))
+        next_id += 1
+    return docs
+
+
+def _py_shingles(text: str, k: int = 3) -> frozenset[str]:
+    toks = text.split(" ")
+    if len(toks) >= k:
+        return frozenset(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    return frozenset([" ".join(toks)])
+
+
+def test_minhash_lsh_matches_bruteforce_jaccard(spark):
+    docs = _corpus()
+    shingle_sets = {i: _py_shingles(t) for i, t in docs}
+    ids = sorted(shingle_sets)
+    exact = {}
+    for a_pos, a in enumerate(ids):
+        for b in ids[a_pos + 1 :]:
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                exact[(a, b)] = j
+    assert len(exact) >= 20  # the planted pairs are present in the reference
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+
+    # Precision 1.0: every emitted pair is a true ≥-threshold pair, with the
+    # exact Jaccard value (the operator's verify step IS exact Jaccard).
+    for pair, j in got.items():
+        assert pair in exact, f"false positive {pair} (j={j})"
+        assert abs(j - exact[pair]) < 1e-9, (pair, j, exact[pair])
+
+    # Recall 1.0 in the high-similarity band (collision prob ≈ 0.998/pair,
+    # deterministic for this corpus under xxhash64).
+    high = {p for p, j in exact.items() if j >= 0.85}
+    assert high, "corpus must plant high-similarity pairs"
+    missed_high = high - set(got)
+    assert not missed_high, f"missed high-similarity pairs: {missed_high}"
+
+    # Floor on overall recall at the threshold (banding curve tail).
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.6, f"overall recall {recall:.2f} below floor"
+
+
+def test_simhash_matches_bruteforce_hamming(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # Brute-force reference: all-pairs Hamming over the same signatures
+    # (signature fn shared; the banding + bucket join is what's under test).
+    sigs = {
+        r["doc"]: r["sig"]
+        for r in df.select(
+            F.col("doc_id").alias("doc"), simhash_votes("text").alias("__v")
+        )
+        .select("doc", simhash_from_votes(F.col("__v")).alias("sig"))
+        .collect()
+    }
+    ids = sorted(sigs)
+    expect = {}
+    for a_pos, a in enumerate(ids):
+        for b in ids[a_pos + 1 :]:
+            d = int(sigs[a] ^ sigs[b]).bit_count()
+            if d <= 8:
+                expect[(a, b)] = d
+    assert len(expect) >= 15  # planted near-dups land within distance 8
+
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+
+    # Every emitted pair is real, with the exact distance.
+    for pair, d in got.items():
+        assert pair in expect, f"false positive {pair} (d={d})"
+        assert d == expect[pair], (pair, d, expect[pair])
+
+    # Pigeonhole guarantee: d ≤ 3 ⇒ some 16-bit chunk is identical ⇒ the
+    # pair MUST be emitted. This is exact, not probabilistic.
+    guaranteed = {p for p, d in expect.items() if d <= 3}
+    missed = guaranteed - set(got)
+    assert not missed, f"pigeonhole-guaranteed pairs missed: {missed}"
+
+    # Planted 1-token-replacement dups should mostly sit within distance 8;
+    # assert a recall floor over the full ≤8 set.
+    recall = len(set(got) & set(expect)) / len(expect)
+    assert recall >= 0.7, f"recall {recall:.2f} below floor"

@@ -315,3 +315,102 @@ def test_unit_test_with_mocked_refs(spark, project):
 
     with _pytest.raises(KeyError, match="not mocked"):
         project.run_unit_test("cust_spend", given={}, expect=expect)
+
+
+def test_snapshot_check_null_safe_hash(spark):
+    # A value moving between columns — ('a', NULL) → (NULL, 'a') — must be
+    # detected as a change. concat_ws silently drops NULLs, so a naive hash
+    # gives both versions the same scd_id; the reference compares check
+    # columns null-safely (SP/.../snapshots/strategies.sql).
+    p = Project(spark, name="snap3")
+    v1 = spark.createDataFrame([(1, "a", None)], "id int, c1 string, c2 string")
+    snapshot(p, "null_snap", v1, unique_key="id", strategy="check", at=dt.datetime(2024, 1, 1))
+    v2 = spark.createDataFrame([(1, None, "a")], "id int, c1 string, c2 string")
+    snapshot(p, "null_snap", v2, unique_key="id", strategy="check", at=dt.datetime(2024, 2, 1))
+    t = spark.table("null_snap")
+    assert t.count() == 2, "null column-swap change was not detected"
+    cur = t.filter(F.col("dbt_valid_to").isNull()).collect()
+    assert len(cur) == 1 and cur[0]["c1"] is None and cur[0]["c2"] == "a"
+
+
+def test_view_relation_registered(project, spark):
+    # View-materialized nodes must be discoverable via relation_exists /
+    # read_relation after a run (a temp view registered under the bare name
+    # was invisible to the qualified lookup → silent recompiles downstream).
+    project.run()
+    assert project.relation_exists("big_spenders")
+    df = project.read_relation("big_spenders")
+    expected = spark.table("cust_spend").filter(F.col("spend") > 100000).count()
+    assert df.count() == expected
+    project.clone("big_spenders", "big_spenders_clone")
+    assert spark.table("big_spenders_clone").count() == expected
+
+
+def test_hooks_ordering(spark):
+    # pre-hook fires BEFORE the write (relation absent), post-hook after
+    # (relation present) — reference: hooks wrap the materialization
+    # (SP/.../materializations/hooks.sql:1-35, table.sql:24-27,49).
+    p = Project(spark, name="hooks")
+    events: list[tuple[str, bool | None]] = []
+
+    def pre(project, node):
+        events.append(("pre", project.relation_exists(node.name)))
+
+    def post(project, node):
+        events.append(("post", project.relation_exists(node.name)))
+
+    @p.model(pre_hooks=(pre,), post_hooks=(post,), name="hooked_model")
+    def hooked_model(ctx):
+        events.append(("build", None))
+        return ctx.spark.createDataFrame([(1,)], ["x"])
+
+    results = p.run(select="hooked_model")
+    assert all(r.status == "success" for r in results)
+    # compile() builds once up front; the execution sequence is the suffix.
+    assert events[-3:] == [("pre", False), ("build", None), ("post", True)]
+
+
+def test_show_preview(project, capsys):
+    # dbt show: compiled select previewed with LIMIT n
+    # (reference: SP/dbt/task/show.py:29-39,127-132).
+    project.run()
+    project.show("cust_spend", n=3)
+    out = capsys.readouterr().out
+    assert "o_custkey" in out
+    data_rows = [l for l in out.splitlines() if l.startswith("|")]
+    assert len(data_rows) == 4  # header + exactly 3 previewed rows
+
+
+def test_concurrent_insert_overwrite_nodes(spark):
+    # Two insert_overwrite nodes in the same DAG wave: the session-global
+    # dynamic-overwrite conf flip is serialized under a lock, so neither
+    # write can observe the other's mode or clobber the restore.
+    p = Project(spark, name="inc4", threads=2)
+    state = {
+        "t_a": [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)],
+        "t_b": [(5, "2024-01-01", 5.0), (6, "2024-01-02", 6.0)],
+    }
+
+    for tname in ("t_a", "t_b"):
+        def make(tn):
+            def fn(ctx):
+                return ctx.spark.createDataFrame(state[tn], ["id", "day", "val"])
+            return fn
+        p.model(
+            materialized="incremental",
+            incremental_strategy="insert_overwrite",
+            partition_by=("day",),
+            name=tname,
+        )(make(tname))
+
+    p.run()
+    state["t_a"] = [(3, "2024-01-02", 3.0)]
+    state["t_b"] = [(7, "2024-01-02", 7.0)]
+    p2 = Project(spark, name="inc4", threads=2)
+    p2.nodes = p.nodes
+    results = p2.run()
+    assert all(r.status == "success" for r in results), [(r.node, r.message) for r in results]
+    got_a = {r["id"] for r in spark.table("t_a").collect()}
+    got_b = {r["id"] for r in spark.table("t_b").collect()}
+    assert got_a == {1, 3}, got_a  # day=01 kept, day=02 replaced
+    assert got_b == {5, 7}, got_b
