@@ -114,7 +114,7 @@ def p2_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_testdata(spark, sf_dir)["part"]
     return (
         p.filter(
-            F.col("p_type").ilike("%BRASS%")
+            F.col("p_type").ilike("%EcOn%")
             & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
             & (F.col("p_size") != 0)
         )
@@ -125,7 +125,7 @@ def p2_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
 P2_SQL = """
 SELECT p_partkey, p_name, p_brand, p_type, p_size
 FROM part
-WHERE p_type ILIKE '%BRASS%'
+WHERE p_type ILIKE '%EcOn%'
   AND p_brand IN ('Brand#1','Brand#2','Brand#3')
   AND p_size != 0
 """
@@ -726,8 +726,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .filter(
-            (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -741,7 +741,7 @@ FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
   AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
   AND r_name = 'ASIA'
-  AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
 GROUP BY n_name
 """
 
@@ -1262,8 +1262,8 @@ FROM events GROUP BY event_type
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     orders = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
     )
     late = t["lineitem"].filter(F.col("l_discount") > 0.05)
     return (
@@ -1276,7 +1276,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q4_SQL = """
 SELECT o_orderpriority AS order_priority, COUNT(*) AS order_count
 FROM orders
-WHERE o_orderdate >= DATE '1993-07-01' AND o_orderdate < DATE '1993-10-01'
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
   AND EXISTS (
     SELECT 1 FROM lineitem
     WHERE l_orderkey = o_orderkey AND l_discount > 0.05
@@ -1286,15 +1286,18 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
-# Q22-shape — NOT EXISTS → left-anti join: positive-balance customers who
-# never ordered, rolled up by nation.
+# Q22-shape — NOT EXISTS → left-anti join: positive-balance customers with
+# no recent orders (none on/after 2000-01-01), rolled up by nation.
 # ---------------------------------------------------------------------------
 
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     rich = t["customer"].filter(F.col("c_acctbal") > 0)
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
     dormant = rich.join(
-        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     )
     return dormant.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
         F.count(F.lit(1)).alias("n_custs"),
@@ -1307,7 +1310,9 @@ SELECT c_nationkey AS nation_key, COUNT(*) AS n_custs,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM customer
 WHERE c_acctbal > 0
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
 GROUP BY c_nationkey
 """
 
