@@ -18,11 +18,24 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import exact_fingerprint, tokens
 from .util import fan_out
+
+
+def _non_blank(df: DataFrame, text_col: str) -> DataFrame:
+    """Drop rows whose text is null/empty/whitespace-only BEFORE sketching.
+
+    Every blank doc shingles to [''] (and simhashes to signature 0), so all
+    blank docs would collide in every band — one hot bucket and
+    O(n_blank²) candidate pairs, a skew bomb at scale. Blank docs carry no
+    near-dup signal; exact_dedup_groups is the right tool for them.
+    """
+    return df.filter(F.trim(F.col(text_col)) != "")
 
 
 # ---------------------------------------------------------------------------
@@ -104,8 +117,22 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-# Most-recent persisted shingle index (see minhash_lsh_pairs lifecycle note).
+# Recently persisted shingle indexes (see minhash_lsh_pairs lifecycle note).
+# Bounded FIFO guarded by a lock: Project.run() executes nodes in a thread
+# pool, so concurrent minhash_lsh_pairs calls mutate this concurrently, and
+# an unbounded "pop the previous" policy would unpersist an index another
+# in-flight call still needs lazily.
+_INDEX_LOCK = threading.Lock()
+_INDEX_CACHE_KEEP = 4
 _PERSISTED_INDEXES: list[DataFrame] = []
+
+
+def release_shingle_indexes() -> None:
+    """Explicitly unpersist all cached shingle indexes. Call when no
+    DataFrame returned by ``minhash_lsh_pairs`` will be evaluated again."""
+    with _INDEX_LOCK:
+        while _PERSISTED_INDEXES:
+            _PERSISTED_INDEXES.pop().unpersist()
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """k-word shingle array (contiguous token windows, joined by spaces)."""
@@ -154,6 +181,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact shingle
     Jaccard.
@@ -161,28 +189,36 @@ def minhash_lsh_pairs(
     Pipeline: shingle → signature → band hashes → explode bands → bucket
     self-join (candidates) → exact verify. Only the bucket join shuffles,
     keyed by (band, band_hash).
+
+    ``n_salts`` enables hot-bucket salting for pathological corpora
+    (repeated boilerplate → one giant LSH bucket): the candidate self-join
+    key becomes (band, bucket, salt), spreading each bucket's pair
+    generation over ``n_salts`` reducers. Pair SET is identical; the cost is
+    replicating the skinny (doc, band, bucket) relation ``n_salts``× on one
+    side of the shuffle.
+
+    Lifecycle note: the shingle index is persisted (it feeds the signature
+    path and both sides of the exact verify, so an unpersisted plan runs the
+    interpreted HOF shingling three times). The result DataFrame is lazy, so
+    there is no safe in-function unpersist point; instead a lock-guarded
+    FIFO keeps the ``_INDEX_CACHE_KEEP`` most recent indexes and evicts
+    older ones, bounding storage in long-lived sessions while leaving room
+    for interleaved/concurrent calls. Call ``release_shingle_indexes()``
+    when done with all results.
     """
     rows_per_band = num_hashes // bands
-    # Persist the shingle index: it feeds the signature path AND both sides
-    # of the exact-verify join, so without a persist the (interpreted HOF)
-    # shingling runs three times. This is the "build the index once" step —
-    # at scale it's the relation you'd materialize anyway.
-    #
-    # Lifecycle: each call releases the previous call's cached index (the
-    # result DataFrame stays lazy, so there is no safe unpersist point inside
-    # this function; bounding the cache to the most recent index keeps
-    # long-lived sessions — bench loops, pytest — from accumulating storage).
-    while _PERSISTED_INDEXES:
-        _PERSISTED_INDEXES.pop().unpersist()
     shingled = (
-        fan_out(df)
+        _non_blank(fan_out(df), text_col)
         .select(
             F.col(id_col).alias("doc"),
             shingles(text_col, shingle_k).alias("sh"),
         )
         .persist()
     )
-    _PERSISTED_INDEXES.append(shingled)
+    with _INDEX_LOCK:
+        _PERSISTED_INDEXES.append(shingled)
+        while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
+            _PERSISTED_INDEXES.pop(0).unpersist()
     # Signature from the pre-hashed shingle array: the string hash happens
     # once per shingle; the 32 slots re-hash fixed-width longs.
     sig_df = shingled.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
@@ -210,9 +246,29 @@ def minhash_lsh_pairs(
         ).alias("bd"),
     ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bucket").alias("bucket"))
 
-    a, b = banded.alias("a"), banded.alias("r")
+    if n_salts:
+        # Left side: deterministic salt from the doc id (a hot bucket's rows
+        # spread over n_salts reducers). Right side: replicated to every
+        # salt, so each (d1, d2) bucket-mate pair meets exactly once — at
+        # d1's salt — preserving the unsalted pair multiset.
+        a = banded.withColumn(
+            "salt", F.pmod(F.xxhash64("doc"), F.lit(n_salts)).cast("int")
+        ).alias("a")
+        b = banded.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        ).alias("r")
+        join_cond = (
+            (F.col("a.band") == F.col("r.band"))
+            & (F.col("a.bucket") == F.col("r.bucket"))
+            & (F.col("a.salt") == F.col("r.salt"))
+        )
+    else:
+        a, b = banded.alias("a"), banded.alias("r")
+        join_cond = (F.col("a.band") == F.col("r.band")) & (
+            F.col("a.bucket") == F.col("r.bucket")
+        )
     candidates = (
-        a.join(b, (F.col("a.band") == F.col("r.band")) & (F.col("a.bucket") == F.col("r.bucket")))
+        a.join(b, join_cond)
         .filter(F.col("a.doc") < F.col("r.doc"))
         .select(F.col("a.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
@@ -293,7 +349,7 @@ def simhash_pairs(
     are found probabilistically), bucket-join, verify Hamming distance.
     """
     sigs = (
-        fan_out(df)
+        _non_blank(fan_out(df), text_col)
         .select(F.col(id_col).alias("doc"), simhash_votes(text_col).alias("__votes"))
         .select("doc", simhash_from_votes(F.col("__votes")).alias("sig"))
     )

@@ -141,3 +141,92 @@ def test_simhash_matches_bruteforce_hamming(spark):
     # assert a recall floor over the full ≤8 set.
     recall = len(set(got) & set(expect)) / len(expect)
     assert recall >= 0.7, f"recall {recall:.2f} below floor"
+
+
+def test_blank_docs_are_dropped_not_skew_bombs(spark):
+    """Blank/whitespace docs must not form a hot bucket (they'd all collide
+    in every band) — they are filtered before sketching, and real pairs are
+    unaffected."""
+    docs = _corpus()
+    blanks = [(9000 + i, t) for i, t in enumerate(["", "   ", "\t\n ", "", " "])]
+    df = spark.createDataFrame(docs + blanks, ["doc_id", "text"])
+
+    base = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(docs, ["doc_id", "text"]), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == base  # no blank-blank pairs, no lost real pairs
+
+    sh = {
+        (r["doc1"], r["doc2"])
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert not any(d1 >= 9000 or d2 >= 9000 for d1, d2 in sh)
+
+
+def test_salted_lsh_identical_pairs_on_hot_bucket(spark):
+    """A boilerplate-heavy corpus (40 near-identical docs → one giant LSH
+    bucket) must produce the IDENTICAL pair set with salting on, while the
+    candidate join spreads the hot bucket over n_salts reducers."""
+    boiler = " ".join(f"tpl{i}" for i in range(40))
+    docs = _corpus()
+    hot = []
+    for i in range(40):  # one token appended → all mutually similar
+        hot.append((5000 + i, boiler + f" uniq{i % 4}"))
+    df = spark.createDataFrame(docs + hot, ["doc_id", "text"])
+
+    plain = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    salted = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.5, n_salts=8
+        ).collect()
+    }
+    assert set(salted) == set(plain)
+    for pair, j in salted.items():
+        assert abs(j - plain[pair]) < 1e-12
+    # The hot clique really is hot: all C(40,2)-scale pairs among 5000+ ids.
+    hot_pairs = [p for p in plain if p[0] >= 5000 and p[1] >= 5000]
+    assert len(hot_pairs) > 400
+
+
+def test_concurrent_lsh_calls_keep_live_indexes(spark):
+    """Project.run() executes nodes in a thread pool: concurrent
+    minhash_lsh_pairs calls must not unpersist each other's live shingle
+    index (bounded lock-guarded FIFO), and every call must return the right
+    pairs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dbt_analytics_spark.operators import dedup
+
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    expect = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+
+    def run(_):
+        out = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5)
+        return {(r["doc1"], r["doc2"]) for r in out.collect()}
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(run, range(4)))
+    for got in results:
+        assert got == expect
+
+    with dedup._INDEX_LOCK:
+        n_cached = len(dedup._PERSISTED_INDEXES)
+    assert n_cached <= dedup._INDEX_CACHE_KEEP
+    dedup.release_shingle_indexes()
+    with dedup._INDEX_LOCK:
+        assert not dedup._PERSISTED_INDEXES
