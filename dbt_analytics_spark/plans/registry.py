@@ -273,18 +273,27 @@ class Project:
         node = self.nodes.get(name)
         return node is not None and node.materialized == "view"
 
-    def relation_exists(self, name: str) -> bool:
+    def _temp_view_exists(self, name: str) -> bool:
         # View materialization registers a session temp view under the BARE
         # node name (materialize.py); temp views are not visible under the
         # db-qualified name, so check them unqualified — otherwise a
         # materialized view is never found by _resolve_materialized /
-        # run_tests / clone and gets silently recompiled.
-        if self._is_view_node(name) and self.spark.catalog.tableExists(name):
+        # run_tests / clone and gets silently recompiled. Restrict the
+        # unqualified probe to ACTUAL temp views: a bare tableExists(name)
+        # would also match an unrelated permanent table in the session's
+        # current database and silently read the wrong relation.
+        try:
+            return self.spark.catalog.getTable(name).isTemporary
+        except Exception:
+            return False
+
+    def relation_exists(self, name: str) -> bool:
+        if self._is_view_node(name) and self._temp_view_exists(name):
             return True
         return self.spark.catalog.tableExists(self.qualified(name))
 
     def read_relation(self, name: str) -> DataFrame:
-        if self._is_view_node(name) and self.spark.catalog.tableExists(name):
+        if self._is_view_node(name) and self._temp_view_exists(name):
             return self.spark.table(name)
         return self.spark.table(self.qualified(name))
 

@@ -73,13 +73,19 @@ def snapshot(
     else:
         raise ValueError(f"unknown snapshot strategy {strategy!r}")
 
+    # Check strategy: hash a STRUCTURAL encoding of the tracked columns.
+    # A '|'-joined string is delimiter-injectable — ('a|b','c') vs
+    # ('a','b|c') would collide and the change would be missed; to_json
+    # escapes values and keys them by field name, so boundaries survive.
     staged = source.select(
         "*",
         _scd_id(
             unique_key,
             stamp
             if strategy == "timestamp"
-            else F.concat_ws("|", *[_null_safe(F.col(c)) for c in cols]),
+            else F.to_json(
+                F.struct(*[_null_safe(F.col(c)).alias(c) for c in cols])
+            ),
         ).alias("dbt_scd_id"),
         stamp.alias("dbt_updated_at"),
         stamp.alias("dbt_valid_from"),

@@ -414,3 +414,46 @@ def test_concurrent_insert_overwrite_nodes(spark):
     got_b = {r["id"] for r in spark.table("t_b").collect()}
     assert got_a == {1, 3}, got_a  # day=01 kept, day=02 replaced
     assert got_b == {5, 7}, got_b
+
+
+def test_snapshot_check_hash_not_delimiter_injectable(spark):
+    # ('a|b','c') → ('a','b|c') moves the '|' across the column boundary; a
+    # '|'-joined check hash gives both versions the same scd_id and misses
+    # the change. The structural (to_json) encoding keeps field boundaries.
+    p = Project(spark, name="snap4")
+    v1 = spark.createDataFrame([(1, "a|b", "c")], "id int, c1 string, c2 string")
+    snapshot(p, "inj_snap", v1, unique_key="id", strategy="check", at=dt.datetime(2024, 1, 1))
+    v2 = spark.createDataFrame([(1, "a", "b|c")], "id int, c1 string, c2 string")
+    snapshot(p, "inj_snap", v2, unique_key="id", strategy="check", at=dt.datetime(2024, 2, 1))
+    t = spark.table("inj_snap")
+    assert t.count() == 2, "delimiter-shift change was not detected"
+    cur = t.filter(F.col("dbt_valid_to").isNull()).collect()
+    assert len(cur) == 1 and cur[0]["c1"] == "a" and cur[0]["c2"] == "b|c"
+
+
+def test_view_check_ignores_unrelated_permanent_table(spark):
+    # An unrelated permanent table in the session's current database that
+    # happens to share a view node's bare name must NOT satisfy
+    # relation_exists for that node: the unqualified probe is restricted to
+    # actual temp views (isTemporary), so the project still materializes —
+    # and reads — its own view.
+    spark.createDataFrame([(999,)], ["decoy"]).write.mode("overwrite").saveAsTable(
+        "vfp_view"
+    )
+    try:
+        p = Project(spark, name="vfp", database="vfpdb")
+
+        @p.model(materialized="view", name="vfp_view")
+        def vfp_view(ctx):
+            return ctx.spark.createDataFrame([(1,), (2,)], ["real_col"])
+
+        p.compile()
+        assert not p.relation_exists("vfp_view"), (
+            "permanent decoy table mistaken for the project's view"
+        )
+        p.run()
+        assert p.relation_exists("vfp_view")
+        assert set(p.read_relation("vfp_view").columns) == {"real_col"}
+        assert p.read_relation("vfp_view").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vfp_view")
