@@ -17,7 +17,10 @@ dissolves entirely.
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
+import inspect
 import json
+import textwrap
 import time
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
@@ -25,6 +28,34 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _fn_fingerprint(fn: Callable) -> tuple[str, str]:
+    """(source path, content checksum) for a model function — the
+    engine-native analogue of dbt's file path + file checksum, which the
+    ``path:`` and ``state:modified`` selection methods key on (reference:
+    SP/dbt/graph/selector_methods.py:244-586 PathSelectorMethod /
+    StateSelectorMethod)."""
+    try:
+        path = inspect.getsourcefile(fn) or ""
+    except TypeError:
+        path = ""
+    try:
+        body = inspect.getsource(fn)
+        # Checksum the function BODY only: decorator lines name the project
+        # variable (@p.model vs @other.model) and enclosing indentation
+        # varies, neither of which is a semantic change to the model.
+        lines = body.splitlines()
+        start = next(
+            (i for i, l in enumerate(lines) if l.lstrip().startswith(("def ", "async def "))),
+            0,
+        )
+        body = textwrap.dedent("\n".join(lines[start:]))
+    except (OSError, TypeError):
+        # REPL/exec-defined functions: fall back to bytecode identity.
+        code = getattr(fn, "__code__", None)
+        body = repr((code.co_code, code.co_consts)) if code else repr(fn)
+    return path, hashlib.md5(body.encode()).hexdigest()
 
 
 @dataclass
@@ -35,6 +66,7 @@ class Node:
     materialized: str = "table"  # table | view | ephemeral | incremental
     tags: tuple[str, ...] = ()
     path: str = ""
+    checksum: str = ""
     unique_key: str | None = None
     incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite
     partition_by: tuple[str, ...] = ()
@@ -42,6 +74,16 @@ class Node:
     post_hooks: tuple[Callable, ...] = ()
     depends_on: set[str] = field(default_factory=set)
     description: str = ""
+
+    def config_fingerprint(self) -> dict:
+        """The config surface whose change makes a node state:modified."""
+        return {
+            "materialized": self.materialized,
+            "unique_key": self.unique_key,
+            "incremental_strategy": self.incremental_strategy,
+            "partition_by": list(self.partition_by),
+            "tags": sorted(self.tags),
+        }
 
 
 class UpstreamCompileError(RuntimeError):
@@ -133,6 +175,10 @@ class Project:
         self._compile_errors: dict[str, str] = {}
         self.results: list[RunResult] = []
         self.tests: list[tuple[str, str, Callable[[DataFrame], DataFrame], dict]] = []
+        #: Previous-state artifacts for state:/result: selection
+        #: (dbt --state DIR; reference SP/dbt/graph/cli.py:27-166).
+        self.state_nodes: dict[str, dict] | None = None
+        self.state_results: dict[str, str] | None = None
 
     # ------------------------------------------------------------------
     # Registration (the dbt parse phase, minus Jinja)
@@ -153,12 +199,15 @@ class Project:
 
         def wrap(fn: Callable[[ModelContext], DataFrame]):
             node_name = name or fn.__name__
+            path, checksum = _fn_fingerprint(fn)
             self.nodes[node_name] = Node(
                 name=node_name,
                 kind="model",
                 fn=fn,
                 materialized=materialized,
                 tags=tuple(tags),
+                path=path,
+                checksum=checksum,
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
                 partition_by=tuple(partition_by),
@@ -190,8 +239,15 @@ class Project:
             def fn(ctx: ModelContext, _df=df) -> DataFrame:
                 return _df
 
+        seed_path = df_or_path if isinstance(df_or_path, str) else ""
         self.nodes[name] = Node(
-            name=name, kind="seed", fn=fn, materialized="table", tags=tuple(tags)
+            name=name,
+            kind="seed",
+            fn=fn,
+            materialized="table",
+            tags=tuple(tags),
+            path=seed_path,
+            checksum=hashlib.md5(seed_path.encode()).hexdigest() if seed_path else "",
         )
 
     def source_table(self, name: str, df: DataFrame, tags: tuple[str, ...] = ()):
@@ -480,6 +536,9 @@ class Project:
                 "tags": list(node.tags),
                 "depends_on": sorted(node.depends_on),
                 "description": node.description,
+                "path": node.path,
+                "checksum": node.checksum,
+                "config": node.config_fingerprint(),
             }
             if name in self._built:
                 entry["columns"] = {
@@ -536,6 +595,36 @@ class Project:
         }
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
+
+    def load_state(
+        self, manifest_path: str, run_results_path: str | None = None
+    ) -> None:
+        """Load a previous run's artifacts for state-based selection — the
+        dbt --state DIR mechanism backing ``state:modified`` / ``state:new``
+        and ``result:<status>`` (reference: SP/dbt/graph/cli.py:27-166,
+        selector_methods.py StateSelectorMethod / ResultSelectorMethod).
+
+        ``manifest_path``: a manifest.json written by ``write_manifest``
+        (node checksums + config fingerprints are compared). Optional
+        ``run_results_path``: a run_results.json written by
+        ``write_run_results`` (statuses feed ``result:``; without it,
+        ``result:`` falls back to this project's in-memory last run).
+        """
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        # Key by bare node name: unique_ids embed the project name, and
+        # comparing state across a renamed project should still work.
+        self.state_nodes = {
+            uid.rsplit(".", 1)[-1]: entry
+            for uid, entry in manifest.get("nodes", {}).items()
+        }
+        if run_results_path:
+            with open(run_results_path) as f:
+                run_results = json.load(f)
+            self.state_results = {
+                r["unique_id"]: r["status"]
+                for r in run_results.get("results", [])
+            }
 
     def clone(self, name: str, new_name: str) -> None:
         """Clone a materialized relation under a new name (dbt `clone`;

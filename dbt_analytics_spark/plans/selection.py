@@ -2,11 +2,21 @@
 
 Reference: SP/dbt/graph/selector_methods.py:244-586 + spec parsing in
 SP/dbt/graph/cli.py:27-166 and SP/dbt/graph/selector_spec.py. Supported
-here: names, ``tag:x``, fnmatch wildcards, graph operators ``+name``
-(ancestors), ``name+`` (descendants), depth-limited forms ``2+name`` /
-``name+2``, ``+name+``, ``@name`` (descendants + their ancestors),
-space-separated union, comma-separated intersection (``tag:a,+m``), and
-``--exclude`` semantics via a leading ``!``.
+here: names, fnmatch wildcards, graph operators ``+name`` (ancestors),
+``name+`` (descendants), depth-limited forms ``2+name`` / ``name+2``,
+``+name+``, ``@name`` (descendants + their ancestors), space-separated
+union, comma-separated intersection (``tag:a,+m``), ``--exclude``
+semantics via a leading ``!``, and the method prefixes:
+
+- ``tag:x`` — nodes carrying the tag
+- ``path:GLOB`` — nodes whose registered source path matches the glob
+  (a bare directory selects everything under it, dbt-style)
+- ``config.KEY:VALUE`` — nodes whose config matches (materialized,
+  incremental_strategy, unique_key, partition_by, kind)
+- ``state:modified`` / ``state:new`` — vs a previous manifest loaded with
+  ``Project.load_state`` (modified ⊇ new, matching dbt)
+- ``result:STATUS`` — nodes whose last run status was STATUS, from the
+  loaded run_results or the project's in-memory last run
 """
 
 from __future__ import annotations
@@ -53,6 +63,77 @@ def _descendants(project: "Project", name: str, acc: set[str], depth: int | None
     acc |= _walk(project, name, depth, up=False)
 
 
+def _state_modified(project: "Project", new_only: bool) -> set[str]:
+    """state:new — nodes absent from the previous manifest; state:modified —
+    new nodes plus nodes whose checksum, config, or dependency edges
+    changed (dbt's modified includes new, selector_methods.py
+    StateSelectorMethod)."""
+    if project.state_nodes is None:
+        raise ValueError(
+            "state: selector requires a previous manifest — call "
+            "Project.load_state(manifest_path) first"
+        )
+    out: set[str] = set()
+    for name, node in project.nodes.items():
+        old = project.state_nodes.get(name)
+        if old is None:
+            out.add(name)
+            continue
+        if new_only:
+            continue
+        changed = (
+            old.get("checksum") != node.checksum
+            or old.get("config") != node.config_fingerprint()
+            or old.get("depends_on") != sorted(node.depends_on)
+        )
+        if changed:
+            out.add(name)
+    return out
+
+
+def _match_method(project: "Project", body: str) -> set[str]:
+    """Resolve one selector body (no graph operators) to a node set."""
+    if body.startswith("tag:"):
+        return {n for n, node in project.nodes.items() if body[4:] in node.tags}
+    if body.startswith("path:"):
+        pat = body[5:]
+        globby = pat if any(ch in pat for ch in "*?[") else f"*{pat}*"
+        return {
+            n
+            for n, node in project.nodes.items()
+            if node.path
+            and (fnmatch.fnmatch(node.path, pat) or fnmatch.fnmatch(node.path, globby))
+        }
+    if body.startswith("config."):
+        key, _, want = body[7:].partition(":")
+        out: set[str] = set()
+        for n, node in project.nodes.items():
+            if key == "kind":
+                have: object = node.kind
+            else:
+                have = getattr(node, key, None)
+            if isinstance(have, (tuple, list)):
+                if want in [str(v) for v in have]:
+                    out.add(n)
+            elif have is not None and str(have) == want:
+                out.add(n)
+        return out
+    if body.startswith("state:"):
+        mode = body[6:]
+        if mode not in ("modified", "new"):
+            raise ValueError(f"unsupported state selector {mode!r}")
+        return _state_modified(project, new_only=(mode == "new"))
+    if body.startswith("result:"):
+        want = body[7:]
+        statuses = project.state_results
+        if statuses is None:
+            statuses = {r.node: r.status for r in project.results}
+        return {
+            n for n in project.nodes if statuses.get(n) == want
+        }
+    return {n for n in project.nodes if fnmatch.fnmatch(n, body)}
+
+
 def _match_one(project: "Project", spec: str) -> set[str]:
     m = _GRAPH_RE.match(spec)
     assert m is not None
@@ -63,10 +144,7 @@ def _match_one(project: "Project", spec: str) -> set[str]:
     rdepth = int(m.group("rdepth")) if m.group("rdepth") else None
     body = m.group("body")
 
-    if body.startswith("tag:"):
-        base = {n for n, node in project.nodes.items() if body[4:] in node.tags}
-    else:
-        base = {n for n in project.nodes if fnmatch.fnmatch(n, body)}
+    base = _match_method(project, body)
 
     out = set(base)
     for n in base:

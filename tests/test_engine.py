@@ -457,3 +457,106 @@ def test_view_check_ignores_unrelated_permanent_table(spark):
         assert p.read_relation("vfp_view").count() == 2
     finally:
         spark.sql("DROP TABLE IF EXISTS vfp_view")
+
+
+def test_selection_method_path(project):
+    # Every model in the fixture is defined in this file; path: selects by
+    # the registered source path (glob or bare-substring dbt-style).
+    project.compile()
+    assert select_nodes(project, "path:*test_engine*") >= {
+        "cust_spend",
+        "big_spenders",
+        "spend_with_names",
+    }
+    assert select_nodes(project, "path:tests") >= {"cust_spend"}  # bare dir
+    assert select_nodes(project, "path:*no_such_dir*") == set()
+
+
+def test_selection_method_config(project):
+    project.compile()
+    assert select_nodes(project, "config.materialized:view") == {"big_spenders"}
+    assert select_nodes(project, "config.materialized:table") == {
+        "cust_spend",
+        "spend_with_names",
+    }
+    assert select_nodes(project, "config.kind:source") == {
+        "orders_raw",
+        "customer_raw",
+    }
+    # Graph ops compose with methods: children of view-materialized nodes.
+    assert select_nodes(project, "config.materialized:view+") == {
+        "big_spenders",
+        "spend_with_names",
+    }
+
+
+def test_selection_method_state(project, spark, tmp_path):
+    import pytest as _pytest
+
+    project.compile()
+    manifest = tmp_path / "manifest.json"
+    project.write_manifest(str(manifest))
+
+    # Second project: one model changed (different body), one added.
+    p2 = Project(spark, name="t", run_date=dt.date(2025, 8, 31))
+    data = load_testdata(spark, SF_DIR)
+    p2.source_table("orders_raw", data["orders"])
+    p2.source_table("customer_raw", data["customer"])
+
+    @p2.model(materialized="ephemeral")
+    def orders_clean(ctx):
+        return ctx.source("orders_raw").select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "o_orderstatus",
+        )
+
+    @p2.model(materialized="table", tags=("spend",))
+    def cust_spend(ctx):  # CHANGED: max added
+        return (
+            ctx.ref("orders_clean")
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("total_price").alias("spend"),
+                F.max("total_price").alias("max_order"),
+            )
+        )
+
+    @p2.model(materialized="table")
+    def brand_new(ctx):
+        return ctx.ref("cust_spend").limit(5)
+
+    with _pytest.raises(ValueError, match="load_state"):
+        select_nodes(p2, "state:modified")
+
+    p2.load_state(str(manifest))
+    p2.compile()
+    assert select_nodes(p2, "state:new") == {"brand_new"}
+    # modified ⊇ new (dbt semantics); unchanged nodes stay out.
+    assert select_nodes(p2, "state:modified") == {"cust_spend", "brand_new"}
+    # Slim-CI shape: modified and everything downstream.
+    assert select_nodes(p2, "state:modified+") == {"cust_spend", "brand_new"}
+
+
+def test_selection_method_result(project, spark, tmp_path):
+    project.run()
+
+    @project.model(materialized="table")
+    def exploding(ctx):
+        raise RuntimeError("boom at run time")
+
+    project.run()
+    # In-memory last-run statuses back result: without loaded artifacts.
+    assert "exploding" in select_nodes(project, "result:error")
+    assert select_nodes(project, "result:success") >= {"cust_spend"}
+
+    # And via run_results.json + load_state (the dbt --state retry shape).
+    rr = tmp_path / "run_results.json"
+    mf = tmp_path / "manifest.json"
+    project.write_run_results(str(rr))
+    project.write_manifest(str(mf))
+    project.load_state(str(mf), run_results_path=str(rr))
+    assert select_nodes(project, "result:error") == {"exploding"}
