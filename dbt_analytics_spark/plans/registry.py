@@ -472,7 +472,10 @@ class Project:
 
     def run_tests(self) -> list[RunResult]:
         """Execute attached generic tests (violations==0 ⇒ pass), honoring
-        warn_if/error_if thresholds (reference: SP/dbt/task/test.py:296-325)."""
+        warn_if/error_if thresholds and ``store_failures`` (reference:
+        SP/dbt/task/test.py:296-325 — with store_failures the test's
+        violation rows are materialized as an auditable relation the run
+        result points at, instead of only a count)."""
         out = []
         for model, test_name, violations_fn, config in self.tests:
             t0 = time.perf_counter()
@@ -483,7 +486,19 @@ class Project:
                     if self.relation_exists(model)
                     else self.compile_node(model)
                 )
-                failures = violations_fn(df).count()
+                violations = violations_fn(df)
+                stored_rel = None
+                if config.get("store_failures"):
+                    # Materialize violations (even when empty — the relation
+                    # is the audit trail) and count from the stored table so
+                    # the recorded number is exactly what was persisted.
+                    stored_rel = f"{label}__failures"
+                    violations.write.mode("overwrite").saveAsTable(
+                        self.qualified(stored_rel)
+                    )
+                    failures = self.spark.table(self.qualified(stored_rel)).count()
+                else:
+                    failures = violations.count()
                 error_if = config.get("error_if", lambda n: n != 0)
                 warn_if = config.get("warn_if", lambda n: False)
                 if error_if(failures):
@@ -492,6 +507,8 @@ class Project:
                     status, msg = "warn", f"{failures} violations"
                 else:
                     status, msg = "success", ""
+                if stored_rel:
+                    msg = f"{msg + '; ' if msg else ''}failures stored in {self.qualified(stored_rel)}"
                 out.append(RunResult(label, status, time.perf_counter() - t0, msg, rows=failures))
             except Exception as exc:  # noqa: BLE001
                 out.append(RunResult(label, "error", time.perf_counter() - t0, str(exc)))

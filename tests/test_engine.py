@@ -560,3 +560,40 @@ def test_selection_method_result(project, spark, tmp_path):
     project.write_manifest(str(mf))
     project.load_state(str(mf), run_results_path=str(rr))
     assert select_nodes(project, "result:error") == {"exploding"}
+
+
+def test_store_failures_persists_violation_rows(project, spark):
+    # store_failures materializes the test's violation rows as an auditable
+    # relation (reference: SP/dbt/task/test.py:296-325) — exactly the rows,
+    # and an empty relation for a passing test.
+    project.run()
+    project.test(
+        "cust_spend",
+        "accepted_values_sf",
+        accepted_values("n_orders", [1]),
+        store_failures=True,
+    )
+    project.test(
+        "cust_spend", "not_null_sf", not_null("spend"), store_failures=True
+    )
+    results = {r.node: r for r in project.run_tests()}
+
+    bad = results["accepted_values_sf__cust_spend"]
+    assert bad.status == "error"
+    assert "accepted_values_sf__cust_spend__failures" in bad.message
+    stored = spark.table("accepted_values_sf__cust_spend__failures")
+    # accepted_values violations are distinct value groups (the dbt macro's
+    # group-by shape), so that's what must be stored.
+    expected = (
+        spark.table("cust_spend")
+        .groupBy(F.col("n_orders").alias("value_field"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(~F.col("value_field").isin([1]))
+    )
+    assert stored.count() == bad.rows == expected.count() > 0
+    assert stored.exceptAll(expected).count() == 0
+    assert expected.exceptAll(stored).count() == 0
+
+    ok = results["not_null_sf__cust_spend"]
+    assert ok.status == "success"
+    assert spark.table("not_null_sf__cust_spend__failures").count() == 0
