@@ -73,3 +73,75 @@ def test_freshness_thresholds(spark):
         ev.filter(F.lit(False)), "ts", now=datetime.now(timezone.utc)
     )
     assert empty.status == "error"
+
+
+# ---------------------------------------------------------------------------
+# Real PPM decode path: features/resize/frame-sample on actual pixels
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+
+def _gradient_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_codec_roundtrip():
+    img = _gradient_image(5, 7, seed=3)
+    payload = multimodal.encode_ppm(img)
+    back = multimodal.decode_ppm(payload)
+    assert back is not None and np.array_equal(back, img)
+    # Non-PPM bytes refuse to decode (fallback trigger).
+    assert multimodal.decode_ppm(b"not an image") is None
+    assert multimodal.decode_ppm(b"P6\n3 3\n255\nshort") is None  # truncated
+
+
+def test_extract_features_real_pixels(spark):
+    imgs = {1: _gradient_image(6, 6, seed=1), 2: _gradient_image(4, 8, seed=2)}
+    df = spark.createDataFrame(
+        [(k, multimodal.encode_ppm(v)) for k, v in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["feature"] for r in multimodal.extract_features(df).collect()}
+    for k, img in imgs.items():
+        means = img.reshape(-1, 3).mean(axis=0) / 255.0
+        gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        expect = [*means, gray.std() / 255.0]
+        assert np.allclose(got[k], expect, atol=1e-6), (k, got[k], expect)
+    # Non-image payloads still flow through the fallback.
+    txt = spark.createDataFrame([(9, b"just text bytes")], "doc_id long, payload binary")
+    fb = multimodal.extract_features(txt).collect()[0]
+    assert len(fb["feature"]) == multimodal.FEATURE_DIM
+
+
+def test_resize_real_pixels_nearest_neighbor(spark):
+    img = _gradient_image(4, 4, seed=5)
+    df = spark.createDataFrame([(1, multimodal.encode_ppm(img))], "doc_id long, payload binary")
+    out = multimodal.resize_images(df, width=2, height=2).collect()[0]
+    decoded = multimodal.decode_ppm(bytes(out["payload"]))
+    assert decoded is not None and decoded.shape == (2, 2, 3)
+    # Nearest-neighbor at pixel centers: rows/cols [1, 3] of the 4x4 source.
+    expect = img[np.ix_([1, 3], [1, 3])]
+    assert np.array_equal(decoded, expect)
+    # Upscale also exact: every output pixel is a source pixel.
+    up = multimodal.resize_images(df, width=8, height=8).collect()[0]
+    up_px = multimodal.decode_ppm(bytes(up["payload"]))
+    rows = np.minimum(((np.arange(8) + 0.5) * 4 / 8).astype(int), 3)
+    assert np.array_equal(up_px, img[np.ix_(rows, rows)])
+
+
+def test_sample_frames_real_ppm_stream(spark):
+    src = [_gradient_image(2, 2, seed=i) for i in range(6)]
+    video = b"".join(multimodal.encode_ppm(f) for f in src)
+    df = spark.createDataFrame([(1, video)], "doc_id long, payload binary")
+    rows = sorted(
+        multimodal.sample_frames(df, n_frames=4, frame_interval_ms=1000).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    # linspace(0, 5, 4).round() → source frames [0, 2, 3, 5].
+    assert [r["ts_offset_ms"] for r in rows] == [0, 2000, 3000, 5000]
+    for r, src_idx in zip(rows, [0, 2, 3, 5]):
+        frame_px = multimodal.decode_ppm(bytes(r["frame"]))
+        assert frame_px is not None and np.array_equal(frame_px, src[src_idx])
