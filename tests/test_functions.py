@@ -98,3 +98,19 @@ def test_approx_distinct_accuracy(spark):
         exact = r["exact_users"]
         assert exact > 0
         assert abs(r["approx_users"] - exact) / exact < 0.1, r
+
+
+def test_approx_distinct_accuracy_driver_scale(spark):
+    # f2's HLL sketch is engine-specific, so it can never hash-match a
+    # DuckDB oracle; its correctness claim is an ERROR BOUND. Assert it at
+    # driver scale (sf0.01): |approx - exact| / exact <= 3*rsd per group
+    # (rsd=0.02 in the query; 3 sigma of the HLL++ relative error).
+    from dbt_analytics_spark.queries.llm import f2_approx_distinct
+
+    rows = f2_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 3
+    for r in rows:
+        exact = r["exact_users"]
+        assert exact > 0
+        rel_err = abs(r["approx_users"] - exact) / exact
+        assert rel_err <= 3 * 0.02, (r, rel_err)
