@@ -35,7 +35,14 @@ _PARTITION_OVERWRITE_LOCK = threading.Lock()
 def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
     kind = node.materialized
     target = project.qualified(node.name)
-    if kind == "table" or (kind == "incremental" and not _incremental_applies(project, node)):
+    # materialized_view: Spark has no native MV object, so the storage shape
+    # is a table (CTAS) — same tier as dbt-postgres, where `dbt run` REFRESHes
+    # by recomputing the stored definition. The MV-specific surface lives in
+    # Project.refresh(name) (reference: SP/.../materializations/models/
+    # materialized_view.sql — create/refresh/replace lifecycle).
+    if kind in ("table", "materialized_view") or (
+        kind == "incremental" and not _incremental_applies(project, node)
+    ):
         writer = df.write.mode("overwrite")
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)

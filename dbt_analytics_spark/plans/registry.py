@@ -613,6 +613,30 @@ class Project:
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
 
+    def refresh(self, name: str) -> RunResult:
+        """REFRESH MATERIALIZED VIEW: recompute a materialized_view node's
+        stored definition and swap the relation, WITHOUT running the DAG
+        (reference: SP/.../materializations/models/materialized_view.sql —
+        on a non-full-refresh run dbt issues a refresh against the existing
+        MV object). Raises for non-MV nodes, like dbt's adapter does."""
+        from .materialize import materialize
+
+        node = self.nodes.get(name)
+        if node is None:
+            raise KeyError(f"unknown node {name!r}")
+        if node.materialized != "materialized_view":
+            raise ValueError(
+                f"refresh() applies to materialized_view nodes; "
+                f"{name!r} is materialized={node.materialized!r}"
+            )
+        t0 = time.time()
+        df = self.compile_node(name)
+        materialize(self, node, df)
+        rows = self.read_relation(name).count()
+        result = RunResult(name, "success", time.time() - t0, "refreshed", rows=rows)
+        self.results.append(result)
+        return result
+
     def load_state(
         self, manifest_path: str, run_results_path: str | None = None
     ) -> None:

@@ -597,3 +597,59 @@ def test_store_failures_persists_violation_rows(project, spark):
     ok = results["not_null_sf__cust_spend"]
     assert ok.status == "success"
     assert spark.table("not_null_sf__cust_spend__failures").count() == 0
+
+
+def test_materialized_view_refresh(spark):
+    # materialized_view: stored as a table (Spark has no MV object), but with
+    # the dbt refresh lifecycle — Project.refresh(name) recomputes the stored
+    # definition without running the DAG, picking up new source data.
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "v"]).write.mode(
+        "overwrite"
+    ).saveAsTable("mv_src")
+    try:
+        p = Project(spark, name="mv")
+        p.source_table("src", spark.table("mv_src"))
+
+        @p.model(materialized="materialized_view")
+        def totals_mv(ctx):
+            return ctx.source("src").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+            )
+
+        results = p.run()
+        assert all(r.status == "success" for r in results)
+        assert spark.table("totals_mv").collect()[0]["n"] == 2
+
+        # New source rows: the MV is stale until refreshed.
+        spark.createDataFrame([(3, 30.0)], ["id", "v"]).write.mode(
+            "append"
+        ).saveAsTable("mv_src")
+        assert spark.table("totals_mv").collect()[0]["n"] == 2
+        res = p.refresh("totals_mv")
+        assert res.status == "success" and res.rows == 1
+        row = spark.table("totals_mv").collect()[0]
+        assert row["n"] == 3 and row["total"] == 60.0
+
+        # refresh() is MV-only, like the dbt adapter's.
+        @p.model(materialized="table")
+        def plain_table(ctx):
+            return ctx.source("src")
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="materialized_view"):
+            p.refresh("plain_table")
+
+        # The artifacts carry the MV resource type.
+        import json as _json
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("r", suffix=".json") as f:
+            p.write_manifest(f.name)
+            manifest = _json.load(open(f.name))
+        assert (
+            manifest["nodes"]["model.mv.totals_mv"]["materialized"]
+            == "materialized_view"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mv_src")
