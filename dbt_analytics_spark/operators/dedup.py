@@ -289,6 +289,51 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ngram_k: int = 13,
+) -> DataFrame:
+    """Training docs sharing at least one k-gram with the eval corpus — the
+    standard benchmark-decontamination sweep (flag, then drop, train docs
+    that leak eval content). Returns (doc_id, n_shared_grams, n_grams).
+
+    Scale design: eval benchmarks are tiny next to training corpora, so the
+    eval gram set is broadcast and the train side never shuffles — the scan
+    streams grams against a broadcast hash set. Short docs (< k tokens)
+    hash as a single whole-doc gram, so verbatim short-doc leaks are still
+    caught.
+    """
+    train_grams = train.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, ngram_k)).alias("g")
+    )
+    eval_grams = (
+        eval_set.select(F.explode(shingles(text_col, ngram_k)).alias("g")).distinct()
+    )
+    per_doc = train.select(
+        F.col(id_col).alias("doc"), F.size(shingles(text_col, ngram_k)).alias("n_grams")
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        hits.join(per_doc, "doc")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

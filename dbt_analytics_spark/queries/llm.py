@@ -394,6 +394,140 @@ def f2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DD6 — benchmark decontamination: train docs sharing a k-gram with the
+# eval split (k=5 so the synthetic corpus has hits; production uses 13)
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5
+
+
+def dd6_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    eval_set = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return dedup.decontaminate(train, eval_set, "doc_id", "text", ngram_k=_DECON_K)
+
+
+# Mirrors operators.dedup.shingles: >=k tokens → sliding k-grams
+# (DISTINCT within a doc), shorter docs → one whole-doc gram.
+_GRAMS_SQL = f"""
+  grams AS (
+    SELECT doc_id, array_to_string(list_slice(toks, r.i, r.i + {_DECON_K - 1}), ' ') AS g
+    FROM toks, UNNEST(range(1, len(toks) - {_DECON_K} + 2)) AS r(i)
+    WHERE len(toks) >= {_DECON_K}
+    UNION ALL
+    SELECT doc_id, array_to_string(toks, ' ') AS g FROM toks WHERE len(toks) < {_DECON_K}
+  ),
+  dgrams AS (SELECT DISTINCT doc_id, g FROM grams)
+"""
+
+DD6_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SPLIT} AS toks FROM documents
+),
+{_GRAMS_SQL},
+ev AS (SELECT DISTINCT g FROM dgrams WHERE doc_id % 25 = 0),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM dgrams t JOIN ev USING (g)
+  WHERE t.doc_id % 25 != 0
+  GROUP BY t.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM dgrams WHERE doc_id % 25 != 0 GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CAST(h.n_shared AS BIGINT) AS n_shared_grams,
+       CAST(s.n_grams AS BIGINT) AS n_grams
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DD7 — near-dup clustering: connected components over verified Jaccard
+# pairs → canonical keeper per cluster (the "which copy do we keep" step)
+# ---------------------------------------------------------------------------
+
+def dd7_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_testdata(spark, sf_dir)["documents"].filter(F.col("doc_id") % 20 == 0)
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", block_col="lang", threshold=0.8)
+    cc = connected_components(pairs, "doc1", "doc2")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+DD7_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({DD2_SQL}) p
+),
+sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id, (n = MIN(m)) AS is_keeper
+FROM reach GROUP BY n
+"""
+
+
+# ---------------------------------------------------------------------------
+# SMP1 — deterministic stratified sampling: per-language hash-threshold
+# sampling for token-budget curation. md5 hex strings order identically to
+# their numeric value (fixed-width lowercase hex), so "md5 prefix < hex
+# threshold" is an engine-portable uniform[0,1) draw per doc.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+_DEFAULT_RATE = 0.1
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    return f"{int(rate * 16**8):08x}"
+
+
+def smp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    threshold = F.lit(_rate_threshold_hex(_DEFAULT_RATE))
+    for lang, rate in _SAMPLE_RATES.items():
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(_rate_threshold_hex(rate))
+        ).otherwise(threshold)
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"), threshold.alias("keep_below"))
+        .filter(F.col("sample_key") < F.col("keep_below"))
+    )
+
+
+_SMP1_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN '{_rate_threshold_hex(rate)}'"
+    for lang, rate in _SAMPLE_RATES.items()
+)
+
+SMP1_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+         CASE {_SMP1_CASE} ELSE '{_rate_threshold_hex(_DEFAULT_RATE)}' END AS keep_below
+  FROM documents
+)
+SELECT doc_id, lang, sample_key, keep_below
+FROM keyed WHERE sample_key < keep_below
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -411,4 +545,7 @@ REGISTRY = {
     "f2_approx_distinct": (f2_approx_distinct, None),
     "mm1_features": (mm1_features, None),
     "mm2_frame_sample": (mm2_frame_sample, None),
+    "dd6_decontaminate": (dd6_decontaminate, DD6_SQL),
+    "dd7_cluster_dedup": (dd7_cluster_dedup, DD7_SQL),
+    "smp1_stratified_sample": (smp1_stratified_sample, SMP1_SQL),
 }

@@ -38,7 +38,8 @@ def test_oracle_sql_references_only_driver_views():
         sql = re.sub(r"(?i)extract\s*\([^)]*\)", "", sql)
         ctes = set(
             re.findall(
-                r"(?i)(?:with|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+as\s*\(", sql
+                r"(?i)(?:with(?:\s+recursive)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+as\s*\(",
+                sql,
             )
         )
         tables = set(
