@@ -46,6 +46,17 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
         writer = df.write.mode("overwrite")
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)
+        if node.bucket_by:
+            # Hive-style bucketing: co-locates join/agg keys at WRITE time,
+            # so two tables bucketed on the same key with the same bucket
+            # count join with NO shuffle on either side — the 100 TB answer
+            # for fact-to-fact joins too big to broadcast. sortBy within
+            # buckets enables sort-merge without a per-task sort.
+            if not node.n_buckets:
+                raise ValueError(f"bucket_by on {node.name} requires n_buckets")
+            writer = writer.bucketBy(node.n_buckets, *node.bucket_by).sortBy(
+                *node.bucket_by
+            )
         writer.saveAsTable(target)
         return None
     if kind == "view":

@@ -70,6 +70,8 @@ class Node:
     unique_key: str | None = None
     incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite
     partition_by: tuple[str, ...] = ()
+    bucket_by: tuple[str, ...] = ()
+    n_buckets: int = 0
     pre_hooks: tuple[Callable, ...] = ()
     post_hooks: tuple[Callable, ...] = ()
     depends_on: set[str] = field(default_factory=set)
@@ -82,6 +84,8 @@ class Node:
             "unique_key": self.unique_key,
             "incremental_strategy": self.incremental_strategy,
             "partition_by": list(self.partition_by),
+            "bucket_by": list(self.bucket_by),
+            "n_buckets": self.n_buckets,
             "tags": sorted(self.tags),
         }
 
@@ -192,6 +196,8 @@ class Project:
         unique_key: str | None = None,
         incremental_strategy: str = "merge",
         partition_by: tuple[str, ...] = (),
+        bucket_by: tuple[str, ...] = (),
+        n_buckets: int = 0,
         pre_hooks: tuple[Callable, ...] = (),
         post_hooks: tuple[Callable, ...] = (),
     ):
@@ -211,6 +217,8 @@ class Project:
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
                 partition_by=tuple(partition_by),
+                bucket_by=tuple(bucket_by),
+                n_buckets=n_buckets,
                 pre_hooks=pre_hooks,
                 post_hooks=post_hooks,
                 description=(fn.__doc__ or "").strip(),

@@ -44,6 +44,7 @@ _BEYOND_DRIVER_CAP = [
     "dd6_decontaminate",
     "dd7_cluster_dedup",
     "smp1_stratified_sample",
+    "txt6_keywords",
 ]
 
 _ALL: dict = {}

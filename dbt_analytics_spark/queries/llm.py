@@ -528,6 +528,71 @@ FROM keyed WHERE sample_key < keep_below
 """
 
 
+# ---------------------------------------------------------------------------
+# TXT6 — per-document keyword extraction: top-3 terms by rarity-weighted
+# term frequency. Score = tf / df (one correctly-rounded double division,
+# so it is bit-identical across engines — ln-based idf is not guaranteed
+# to be), ties broken by term; the classic tf-idf shape with a portable
+# scoring function.
+# ---------------------------------------------------------------------------
+
+def txt6_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(doc_freq, "term")
+        .withColumn("score", F.col("tf").cast("double") / F.col("df"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+TXT6_SQL = f"""
+WITH words AS (
+  SELECT doc_id, w.word AS term
+  FROM documents, UNNEST({_SPLIT}) AS w(word)
+  WHERE w.word != ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+),
+doc_freq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) / d.df AS score
+  FROM tf t JOIN doc_freq d USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -548,4 +613,5 @@ REGISTRY = {
     "dd6_decontaminate": (dd6_decontaminate, DD6_SQL),
     "dd7_cluster_dedup": (dd7_cluster_dedup, DD7_SQL),
     "smp1_stratified_sample": (smp1_stratified_sample, SMP1_SQL),
+    "txt6_keywords": (txt6_keywords, TXT6_SQL),
 }

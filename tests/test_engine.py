@@ -653,3 +653,51 @@ def test_materialized_view_refresh(spark):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS mv_src")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, project):
+    # bucket_by co-locates join keys at WRITE time: two tables bucketed on
+    # the same key with the same bucket count must sort-merge-join with NO
+    # Exchange on either side — the fact-to-fact join answer when neither
+    # side broadcasts. (Broadcast disabled here to expose the SMJ shape.)
+    p = Project(spark, name="buck")
+    data = load_testdata(spark, SF_DIR)
+
+    @p.model(materialized="table", bucket_by=("o_custkey",), n_buckets=4)
+    def orders_bucketed(ctx):
+        return data["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+
+    @p.model(materialized="table", bucket_by=("c_custkey",), n_buckets=4)
+    def customer_bucketed(ctx):
+        return data["customer"].select("c_custkey", "c_name", "c_acctbal")
+
+    results = p.run()
+    assert all(r.status == "success" for r in results)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_bucketed").join(
+            spark.table("customer_bucketed"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # And the join answers correctly.
+        assert joined.count() == data["orders"].join(
+            data["customer"], F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # Misconfiguration guard: bucket_by without n_buckets fails loudly.
+    p2 = Project(spark, name="buck2")
+
+    @p2.model(materialized="table", bucket_by=("id",))
+    def bad_bucketed(ctx):
+        return ctx.spark.createDataFrame([(1,)], ["id"])
+
+    res = {r.node: r for r in p2.run()}
+    assert res["bad_bucketed"].status == "error"
+    assert "n_buckets" in res["bad_bucketed"].message

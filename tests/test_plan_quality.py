@@ -76,3 +76,24 @@ def test_regex_lateral_broadcasts_patterns(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    # The eval corpus is tiny next to training data: its gram set must be
+    # broadcast so the train side never shuffles for the join.
+    plan = _plan(REGISTRY["dd6_decontaminate"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_prunes_text(spark):
+    # smp1 touches only doc_id + lang; the (large) text column must not be
+    # read from parquet.
+    plan = _plan(REGISTRY["smp1_stratified_sample"][0](spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("text" not in l for l in read), read
+
+
+def test_keywords_no_cartesian(spark):
+    plan = _plan(REGISTRY["txt6_keywords"][0](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
