@@ -45,6 +45,8 @@ _BEYOND_DRIVER_CAP = [
     "dd7_cluster_dedup",
     "smp1_stratified_sample",
     "txt6_keywords",
+    "dd8_clean_corpus",
+    "txt7_training_filter",
 ]
 
 _ALL: dict = {}

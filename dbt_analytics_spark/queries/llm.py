@@ -593,6 +593,83 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# DD8 — the end-to-end curation answer: exact-dedup the corpus, then drop
+# near-dup cluster non-keepers. What a user materializes as the
+# training-ready document set.
+# ---------------------------------------------------------------------------
+
+def dd8_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load_testdata(spark, sf_dir)["documents"].filter(F.col("doc_id") % 20 == 0)
+    exact_kept = dedup.drop_exact_dups(docs, "doc_id", "text")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", block_col="lang", threshold=0.8)
+    non_keepers = (
+        connected_components(pairs, "doc1", "doc2")
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return exact_kept.join(non_keepers, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+DD8_SQL = f"""
+WITH RECURSIVE sample AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 20 = 0
+),
+fp AS (
+  SELECT doc_id, lang, md5(LOWER({_NORM})) AS fingerprint FROM sample
+),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+),
+pairs AS (
+  SELECT doc1, doc2 FROM ({DD2_SQL}) p
+),
+sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+),
+non_keepers AS (
+  SELECT n AS doc_id FROM reach GROUP BY n HAVING n != MIN(m)
+)
+SELECT f.doc_id, f.lang
+FROM fp f
+JOIN exact_keep k USING (doc_id)
+WHERE f.doc_id NOT IN (SELECT doc_id FROM non_keepers)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TXT7 — training-readiness filter: quality gates AND language-ID agreement
+# (the composed keep/drop decision a curation pipeline materializes).
+# ---------------------------------------------------------------------------
+
+def txt7_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "lang", "text")
+    q = quality_columns(docs, "text")
+    ql = langid_columns(q, "text")
+    return (
+        ql.filter(F.col("keep_quality") & (F.col("pred_lang") == F.col("lang")))
+        .select("doc_id", "lang", "n_tokens", "type_token_ratio", "marker_density")
+    )
+
+
+def _txt7_sql() -> str:
+    return f"""
+WITH q AS ({TXT2_SQL}),
+l AS ({_langid_sql()})
+SELECT q.doc_id, l.lang, q.n_tokens, q.type_token_ratio, l.marker_density
+FROM q JOIN l USING (doc_id)
+WHERE q.keep_quality AND l.pred_lang = l.lang
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -614,4 +691,6 @@ REGISTRY = {
     "dd7_cluster_dedup": (dd7_cluster_dedup, DD7_SQL),
     "smp1_stratified_sample": (smp1_stratified_sample, SMP1_SQL),
     "txt6_keywords": (txt6_keywords, TXT6_SQL),
+    "dd8_clean_corpus": (dd8_clean_corpus, DD8_SQL),
+    "txt7_training_filter": (txt7_training_filter, _txt7_sql()),
 }
