@@ -94,6 +94,103 @@ def cosine_topk(
     )
 
 
+def _sample_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> "np.ndarray":
+    """Deterministic centroid sample: first n_cells vectors in xxhash64
+    order. Hash order is partition-independent, so this tiny collect is
+    reproducible and pays no shuffle."""
+    import numpy as np
+
+    cent_rows = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+        )
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_cells)
+        .select("cvec")
+        .collect()
+    )
+    return np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple["np.ndarray", list[float]]:
+    """Distributed Lloyd's k-means over an embedding column. Returns
+    (centroids, per-iteration inertia history).
+
+    Scale shape: the MODEL (n_cells × dim doubles) lives on the driver and
+    rides to executors in the task closure; the DATA never shuffles. Each
+    iteration is one mapInPandas pass emitting per-batch partial sums
+    (cell, count, sum-vector, sse) — O(n_cells) rows per batch — which the
+    driver reduces into new centroids. That is the canonical scalable
+    k-means: pass count = iterations, shuffle bytes ≈ 0, driver memory =
+    model size. Init is the deterministic hash-ordered sample (RNG-free,
+    reproducible); empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    C = _sample_centroids(corpus, id_col, vec_col, n_cells)
+    data = fan_out(corpus).select(as_double_array(vec_col).alias("cvec"))
+    dim = C.shape[1]
+    history: list[float] = []
+
+    for _ in range(max_iter):
+        C_closure = C.copy()
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+                )
+                d2 = (
+                    (M * M).sum(axis=1, keepdims=True)
+                    - 2.0 * (M @ C_closure.T)
+                    + (C_closure * C_closure).sum(axis=1)
+                )
+                cells = d2.argmin(axis=1)
+                sse = d2[np.arange(len(M)), cells].sum()
+                counts = np.bincount(cells, minlength=len(C_closure))
+                sums = np.zeros_like(C_closure)
+                np.add.at(sums, cells, M)
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(len(C_closure), dtype="int32"),
+                        "n": counts.astype("int64"),
+                        "vsum": list(sums),
+                        "sse": [float(sse)] + [0.0] * (len(C_closure) - 1),
+                    }
+                )
+
+        rows = data.mapInPandas(
+            partials, "cell int, n long, vsum array<double>, sse double"
+        ).collect()
+        counts = np.zeros(len(C), dtype=np.int64)
+        sums = np.zeros((len(C), dim), dtype=np.float64)
+        inertia = 0.0
+        for r in rows:
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["vsum"])
+            inertia += r["sse"]
+        history.append(float(inertia))
+        new_C = np.where(
+            (counts > 0)[:, None], sums / np.maximum(counts, 1)[:, None], C
+        )
+        shift = float(np.abs(new_C - C).max())
+        C = new_C
+        if shift <= tol:
+            break
+    return C, history
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -102,6 +199,7 @@ def ivf_topk(
     k: int = 1,
     n_cells: int = 16,
     n_probe: int = 4,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors belong to their
     nearest of ``n_cells`` centroid cells; each query searches only its
@@ -116,28 +214,22 @@ def ivf_topk(
     set. At 100 TB the corpus scan parallelizes per split and the merge
     stays ~|queries|·k·n_splits rows.
 
-    Centroids are a deterministic hash-ordered sample of the corpus (a
-    k-means iteration could refine them; sampling keeps the operator
-    RNG-free and reproducible).
+    Centroids default to a deterministic hash-ordered sample of the corpus
+    (RNG-free, reproducible); ``kmeans_iters > 0`` refines them with that
+    many distributed Lloyd iterations (see ``kmeans_fit``) before the
+    search pass — better-balanced cells at the cost of one corpus pass per
+    iteration.
     """
     import numpy as np
 
-    spark = corpus.sparkSession
     id_type = corpus.schema[id_col].dataType.simpleString()
 
-    # Deterministic centroid sample: first n_cells vectors in xxhash64
-    # order. Hash order is partition-independent, so this tiny collect is
-    # reproducible and pays no shuffle.
-    cent_rows = (
-        corpus.select(
-            F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+    if kmeans_iters > 0:
+        C, _ = kmeans_fit(
+            corpus, id_col, vec_col, n_cells=n_cells, max_iter=kmeans_iters
         )
-        .orderBy(F.xxhash64(F.col("corpus_id")))
-        .limit(n_cells)
-        .select("cvec")
-        .collect()
-    )
-    C = np.asarray([list(r["cvec"]) for r in cent_rows], dtype=np.float64)
+    else:
+        C = _sample_centroids(corpus, id_col, vec_col, n_cells)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     m = C.shape[0]
 

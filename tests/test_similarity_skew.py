@@ -70,3 +70,77 @@ def test_salted_join_matches_plain_join(spark):
     salted_l = salted_join(li, s_half, ["l_suppkey"], "left", n_salts=4)
     assert salted_l.count() == plain_l.count()
     assert salted_l.exceptAll(plain_l).count() == 0
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    # Distributed Lloyd's must agree with a plain-numpy reference given the
+    # same deterministic init, on well-separated clusters (no assignment
+    # ties). Partial sums reduce in a different order than numpy's, so
+    # compare with a tight tolerance rather than bit equality.
+    import numpy as np
+
+    from dbt_analytics_spark.operators.similarity import (
+        _sample_centroids,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0, 0.0, 0.0, 10.0], [10.0, 0.0, 0.0, 0.0],
+                        [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]])
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.3, size=(40, 4)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+
+    C0 = _sample_centroids(df, "vec_id", "embedding", 4)
+    got_C, history = kmeans_fit(df, "vec_id", "embedding", n_cells=4, max_iter=5)
+
+    # numpy reference with the identical init and update rule
+    C = C0.copy()
+    for _ in range(5):
+        d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        newC = np.stack(
+            [pts[cells == j].mean(axis=0) if (cells == j).any() else C[j] for j in range(4)]
+        )
+        if np.abs(newC - C).max() <= 1e-6:
+            C = newC
+            break
+        C = newC
+
+    assert np.allclose(got_C, C, atol=1e-9), (got_C, C)
+    # Inertia must be non-increasing across iterations.
+    assert all(b <= a + 1e-6 for a, b in zip(history, history[1:])), history
+    # Converged centroids sit on the planted cluster means.
+    planted = {tuple(np.round(c)) for c in centers}
+    assert {tuple(np.round(c)) for c in got_C} == planted
+
+
+def test_ivf_with_kmeans_centroids_recall(spark):
+    # Trained centroids must keep the IVF contract: deterministic output,
+    # exact values for emitted pairs, recall >= the probe floor.
+    from dbt_analytics_spark.operators.similarity import cosine_topk, ivf_topk
+    from dbt_analytics_spark.sources import load_testdata
+
+    from .conftest import SF_DIR
+
+    emb = load_testdata(spark, SF_DIR)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx_rows = ivf_topk(
+        emb, queries, k=3, n_cells=8, n_probe=4, kmeans_iters=3
+    ).collect()
+    approx = {(r["query_id"], r["corpus_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # near-random embeddings; probes cover half the cells
+    again = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4, kmeans_iters=3).collect()
+    }
+    assert approx == again
