@@ -73,10 +73,77 @@ def _incremental_applies(project: "Project", node: "Node") -> bool:
     return not project.full_refresh and project.relation_exists(node.name)
 
 
+def _align_schema_drift(
+    node: "Node",
+    existing: DataFrame,
+    new_rows: DataFrame,
+    policy: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply dbt's on_schema_change policy when an incremental model's new
+    batch has a different column set than the target (reference:
+    SP/.../incremental/on_schema_change.sql process_schema_changes):
+
+    - ignore (default): keep the TARGET schema — new columns are not
+      written; target columns missing from the batch fill with NULL.
+    - fail: raise with the added/removed column lists.
+    - append_new_columns: add the batch's new columns (existing rows NULL);
+      columns the batch dropped stay, NULL-filled for new rows.
+    - sync_all_columns: target follows the batch — new columns added,
+      removed columns dropped.
+
+    Common columns keep the TARGET's type (batch values cast to it).
+    """
+    old_fields = {f.name: f for f in existing.schema.fields}
+    new_fields = {f.name: f for f in new_rows.schema.fields}
+    if list(old_fields) == list(new_fields):
+        return existing, new_rows
+    policy = policy or node.on_schema_change
+    added = [f for f in new_rows.schema.fields if f.name not in old_fields]
+    removed = [f for f in existing.schema.fields if f.name not in new_fields]
+    if policy == "fail":
+        raise ValueError(
+            f"schema changed on incremental model {node.name!r} "
+            f"(on_schema_change='fail'): added="
+            f"{[f.name for f in added]} removed={[f.name for f in removed]}"
+        )
+    if policy == "ignore":
+        final = list(existing.schema.fields)
+    elif policy == "append_new_columns":
+        final = list(existing.schema.fields) + added
+    elif policy == "sync_all_columns":
+        final = [f for f in existing.schema.fields if f.name in new_fields] + added
+    else:
+        raise ValueError(f"unknown on_schema_change {policy!r}")
+
+    def conform(df: DataFrame, have: dict) -> DataFrame:
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in final
+            ]
+        )
+
+    return conform(existing, old_fields), conform(new_rows, new_fields)
+
+
 def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) -> int:
     target = project.qualified(node.name)
     existing = project.read_relation(node.name)
     strategy = node.incremental_strategy
+
+    if strategy != "insert_overwrite":
+        existing, new_rows = _align_schema_drift(node, existing, new_rows)
+    elif set(existing.columns) != set(new_rows.columns):
+        if node.on_schema_change == "fail":
+            _align_schema_drift(node, existing, new_rows)  # raises
+        # insertInto is positional against the STORED table schema, which a
+        # partition-granular overwrite cannot alter — conform the batch back
+        # to the target (ignore semantics) whatever the policy says.
+        existing, new_rows = _align_schema_drift(
+            node, existing, new_rows, policy="ignore"
+        )
 
     if strategy == "insert_overwrite":
         # Partition-granular replacement (SP/.../incremental/strategies.sql:

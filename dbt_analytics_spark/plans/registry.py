@@ -69,6 +69,7 @@ class Node:
     checksum: str = ""
     unique_key: str | None = None
     incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite
+    on_schema_change: str = "ignore"  # ignore | fail | append_new_columns | sync_all_columns
     partition_by: tuple[str, ...] = ()
     bucket_by: tuple[str, ...] = ()
     n_buckets: int = 0
@@ -83,6 +84,7 @@ class Node:
             "materialized": self.materialized,
             "unique_key": self.unique_key,
             "incremental_strategy": self.incremental_strategy,
+            "on_schema_change": self.on_schema_change,
             "partition_by": list(self.partition_by),
             "bucket_by": list(self.bucket_by),
             "n_buckets": self.n_buckets,
@@ -195,6 +197,7 @@ class Project:
         tags: tuple[str, ...] = (),
         unique_key: str | None = None,
         incremental_strategy: str = "merge",
+        on_schema_change: str = "ignore",
         partition_by: tuple[str, ...] = (),
         bucket_by: tuple[str, ...] = (),
         n_buckets: int = 0,
@@ -216,6 +219,7 @@ class Project:
                 checksum=checksum,
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
+                on_schema_change=on_schema_change,
                 partition_by=tuple(partition_by),
                 bucket_by=tuple(bucket_by),
                 n_buckets=n_buckets,
@@ -620,6 +624,17 @@ class Project:
         }
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
+
+    def retry(self) -> list[RunResult]:
+        """dbt retry: re-run only the nodes that errored or were skipped in
+        the previous run (reference: SP/dbt/task/retry.py — replays the
+        run_results failures). No-op when the last run was clean."""
+        failed = sorted(
+            {r.node for r in self.results if r.status in ("error", "skipped")}
+        )
+        if not failed:
+            return []
+        return self.run(select=" ".join(failed))
 
     def refresh(self, name: str) -> RunResult:
         """REFRESH MATERIALIZED VIEW: recompute a materialized_view node's

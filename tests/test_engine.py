@@ -701,3 +701,102 @@ def test_bucketed_tables_join_without_shuffle(spark, project):
     res = {r.node: r for r in p2.run()}
     assert res["bad_bucketed"].status == "error"
     assert "n_buckets" in res["bad_bucketed"].message
+
+
+def _rerun_incremental(spark, name, v1_rows, v1_schema, v2_rows, v2_schema, **cfg):
+    state = {"rows": v1_rows, "schema": v1_schema}
+    p = Project(spark, name=f"osc_{name}")
+
+    @p.model(materialized="incremental", name=name, **cfg)
+    def inc(ctx):
+        return ctx.spark.createDataFrame(state["rows"], state["schema"])
+
+    p.run(select=name)
+    state["rows"], state["schema"] = v2_rows, v2_schema
+    p2 = Project(spark, name=f"osc_{name}")
+    p2.nodes = p.nodes
+    return p2.run(select=name)
+
+
+def test_on_schema_change_policies(spark):
+    v1 = ([(1, "a")], "id int, v string")
+    v2 = ([(2, "b", 9.5)], "id int, v string, score double")
+
+    # ignore (default): target schema kept, new column dropped.
+    _rerun_incremental(spark, "osc_ignore", *v1, *v2,
+                       incremental_strategy="append")
+    t = spark.table("osc_ignore")
+    assert set(t.columns) == {"id", "v"} and t.count() == 2
+
+    # append_new_columns: new column added, old rows NULL-filled.
+    _rerun_incremental(spark, "osc_append", *v1, *v2,
+                       incremental_strategy="append",
+                       on_schema_change="append_new_columns")
+    rows = {r["id"]: r for r in spark.table("osc_append").collect()}
+    assert set(spark.table("osc_append").columns) == {"id", "v", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+    # sync_all_columns: dropped source columns leave the target too.
+    v2_drop = ([(2, 9.5)], "id int, score double")
+    _rerun_incremental(spark, "osc_sync", *v1, *v2_drop,
+                       incremental_strategy="append",
+                       on_schema_change="sync_all_columns")
+    t = spark.table("osc_sync")
+    assert set(t.columns) == {"id", "score"}
+    assert {r["id"]: r["score"] for r in t.collect()} == {1: None, 2: 9.5}
+
+    # fail: loud error naming the drift.
+    results = _rerun_incremental(spark, "osc_fail", *v1, *v2,
+                                 incremental_strategy="append",
+                                 on_schema_change="fail")
+    res = {r.node: r for r in results}
+    assert res["osc_fail"].status == "error"
+    assert "score" in res["osc_fail"].message
+
+    # merge strategy aligns too (key collision across schemas).
+    v2_merge = ([(1, "a2", 1.5)], "id int, v string, score double")
+    _rerun_incremental(spark, "osc_merge", *v1, *v2_merge,
+                       incremental_strategy="merge", unique_key="id",
+                       on_schema_change="append_new_columns")
+    rows = {r["id"]: r for r in spark.table("osc_merge").collect()}
+    assert rows[1]["v"] == "a2" and rows[1]["score"] == 1.5
+
+
+def test_retry_reruns_only_failures(spark):
+    p = Project(spark, name="retry")
+    calls = []
+    state = {"broken": True}
+
+    @p.model()
+    def healthy(ctx):
+        calls.append("healthy")
+        return ctx.spark.createDataFrame([(1,)], ["x"])
+
+    @p.model()
+    def flaky(ctx):
+        calls.append("flaky")
+        if state["broken"]:
+            raise RuntimeError("transient failure")
+        return ctx.spark.createDataFrame([(2,)], ["y"])
+
+    @p.model()
+    def downstream(ctx):
+        calls.append("downstream")
+        return ctx.ref("flaky").limit(1)
+
+    results = {r.node: r.status for r in p.run()}
+    assert results == {"healthy": "success", "flaky": "error", "downstream": "skipped"}
+
+    state["broken"] = False
+    # A fresh project (dbt retry is a new invocation) replays only the
+    # failures. Dropping healthy's table first proves retry does not
+    # re-MATERIALIZE clean nodes (compile still builds every lazy plan).
+    spark.sql("DROP TABLE IF EXISTS healthy")
+    p2 = Project(spark, name="retry")
+    p2.nodes = p.nodes
+    p2.results = p.results
+    retried = {r.node: r.status for r in p2.retry()}
+    assert retried == {"flaky": "success", "downstream": "success"}
+    assert not spark.catalog.tableExists("healthy")  # not re-materialized
+
+    assert p2.retry() == []  # clean run → no-op
