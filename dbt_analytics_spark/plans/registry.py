@@ -70,6 +70,10 @@ class Node:
     unique_key: str | None = None
     incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite
     on_schema_change: str = "ignore"  # ignore | fail | append_new_columns | sync_all_columns
+    event_time: str | None = None  # microbatch: event-time column
+    batch_size: str = "day"  # microbatch: hour | day | month | year
+    begin: str | None = None  # microbatch: first batch start (ISO date/ts)
+    lookback: int = 1  # microbatch: trailing batches re-processed per run
     partition_by: tuple[str, ...] = ()
     bucket_by: tuple[str, ...] = ()
     n_buckets: int = 0
@@ -185,6 +189,8 @@ class Project:
         #: (dbt --state DIR; reference SP/dbt/graph/cli.py:27-166).
         self.state_nodes: dict[str, dict] | None = None
         self.state_results: dict[str, str] | None = None
+        #: Per-batch outcomes of microbatch models (latest run).
+        self.batch_results: list[RunResult] = []
 
     # ------------------------------------------------------------------
     # Registration (the dbt parse phase, minus Jinja)
@@ -198,6 +204,10 @@ class Project:
         unique_key: str | None = None,
         incremental_strategy: str = "merge",
         on_schema_change: str = "ignore",
+        event_time: str | None = None,
+        batch_size: str = "day",
+        begin: str | None = None,
+        lookback: int = 1,
         partition_by: tuple[str, ...] = (),
         bucket_by: tuple[str, ...] = (),
         n_buckets: int = 0,
@@ -220,6 +230,10 @@ class Project:
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
                 on_schema_change=on_schema_change,
+                event_time=event_time,
+                batch_size=batch_size,
+                begin=begin,
+                lookback=lookback,
                 partition_by=tuple(partition_by),
                 bucket_by=tuple(bucket_by),
                 n_buckets=n_buckets,

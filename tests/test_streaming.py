@@ -172,3 +172,122 @@ def test_stream_stream_interval_join(spark, events, tmp_path):
     )
     got = spark.read.parquet(out).count()
     assert got == expected
+
+
+def test_microbatch_strategy_batch_granular(spark):
+    # dbt microbatch as batch-granular partition overwrites: first run
+    # processes every batch from `begin`; re-runs replace only the trailing
+    # `lookback` window plus newer batches, idempotently.
+    import datetime as dt
+
+    from dbt_analytics_spark.plans import Project
+
+    def rows(day, n, val):
+        return [
+            (f"e{day}_{i}", dt.datetime(2024, 1, day, 8 + i), float(val))
+            for i in range(n)
+        ]
+
+    state = {"rows": rows(1, 2, 1.0) + rows(2, 3, 1.0) + rows(3, 1, 1.0)}
+    p = Project(spark, name="mb")
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        begin="2024-01-01",
+        lookback=1,
+        name="mb_events",
+    )
+    def mb_events(ctx):
+        return ctx.spark.createDataFrame(state["rows"], "id string, ts timestamp, v double")
+
+    res = {r.node: r for r in p.run(select="mb_events")}
+    assert res["mb_events"].status == "success"
+    assert spark.table("mb_events").count() == 6
+    batch_status = {r.node: r.status for r in p.batch_results}
+    assert batch_status == {
+        "mb_events[batch=2024-01-01]": "success",
+        "mb_events[batch=2024-01-02]": "success",
+        "mb_events[batch=2024-01-03]": "success",
+    }
+
+    # Second run: day-3 restated (2 rows now), day-4 new, and a LATE day-1
+    # row that lookback=1 must NOT pick up.
+    state["rows"] = (
+        rows(1, 5, 9.0) + rows(3, 2, 2.0) + rows(4, 2, 2.0)
+    )
+    p2 = Project(spark, name="mb")
+    p2.nodes = p.nodes
+    res2 = {r.node: r for r in p2.run(select="mb_events")}
+    assert res2["mb_events"].status == "success"
+    got = {
+        r["d"]: (r["n"], r["sv"])
+        for r in spark.table("mb_events")
+        .groupBy(F.col("__batch").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got[dt.date(2024, 1, 1)] == (2, 2.0)   # untouched (late data ignored)
+    assert got[dt.date(2024, 1, 2)] == (3, 3.0)   # untouched
+    assert got[dt.date(2024, 1, 3)] == (2, 4.0)   # replaced, not duplicated
+    assert got[dt.date(2024, 1, 4)] == (2, 4.0)   # new batch appended
+    assert {r.node for r in p2.batch_results} == {
+        "mb_events[batch=2024-01-03]",
+        "mb_events[batch=2024-01-04]",
+    }
+
+    # `begin` bound: pre-begin rows never materialize.
+    state["rows"] = rows(3, 2, 2.0) + [
+        ("old", dt.datetime(2023, 12, 25, 1), 5.0)
+    ]
+    p3 = Project(spark, name="mb")
+    p3.nodes = p.nodes
+    p3.run(select="mb_events")
+    assert spark.table("mb_events").filter("ts < '2024-01-01'").count() == 0
+
+
+def test_microbatch_failed_batch_isolated(spark):
+    # A poisoned batch errors without blocking later batches (the dbt
+    # retry-unit contract).
+    import datetime as dt
+
+    from pyspark.sql.types import DoubleType
+
+    from dbt_analytics_spark.plans import Project
+
+    @F.udf(DoubleType())
+    def poison(v):
+        if v == 666.0:
+            raise ValueError("poisoned batch")
+        return v
+
+    p = Project(spark, name="mbfail")
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="day",
+        begin="2024-01-01",
+        name="mbfail_events",
+    )
+    def mbfail_events(ctx):
+        df = ctx.spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 1, 1, 1), 1.0),
+                ("b", dt.datetime(2024, 1, 2, 1), 666.0),
+                ("c", dt.datetime(2024, 1, 3, 1), 3.0),
+            ],
+            "id string, ts timestamp, v double",
+        )
+        return df.withColumn("v", poison(F.col("v")))
+
+    p.run(select="mbfail_events")
+    status = {r.node: r.status for r in p.batch_results}
+    assert status["mbfail_events[batch=2024-01-01]"] == "success"
+    assert status["mbfail_events[batch=2024-01-02]"] == "error"
+    assert status["mbfail_events[batch=2024-01-03]"] == "success"
+    vals = {r["id"] for r in spark.table("mbfail_events").collect()}
+    assert vals == {"a", "c"}
