@@ -283,6 +283,32 @@ class Project:
             name=name, kind="source", fn=lambda ctx, _df=df: _df, materialized="ephemeral", tags=tuple(tags)
         )
 
+    def exposure(
+        self,
+        name: str,
+        depends_on: tuple[str, ...] = (),
+        owner: str = "",
+        url: str = "",
+        description: str = "",
+    ):
+        """Register an exposure: a named downstream use of models (a
+        dashboard, an ML job, an app) that participates in lineage but is
+        never materialized (reference: dbt exposures —
+        SP/dbt/contracts/graph/nodes.py Exposure; selected via graph ops
+        like ``+exposure_name`` to build everything it needs)."""
+        unknown = [d for d in depends_on if d not in self.nodes]
+        if unknown:
+            raise KeyError(f"exposure {name!r} depends on unknown nodes {unknown}")
+        self.nodes[name] = Node(
+            name=name,
+            kind="exposure",
+            fn=None,
+            materialized="none",
+            depends_on=set(depends_on),
+            description=description or f"{owner} {url}".strip(),
+            path=url,
+        )
+
     def test(self, model: str, test_name: str, violations_fn, **config):
         """Attach a generic data test: fn(df) -> violations DataFrame.
 
@@ -304,6 +330,8 @@ class Project:
         if name in self._compile_errors:
             raise UpstreamCompileError(name, self._compile_errors[name])
         node = self.nodes[name]
+        if node.fn is None:  # exposures carry lineage only — nothing to build
+            raise ValueError(f"{node.kind} node {name!r} has no query to compile")
         ctx = ModelContext(self, node, self.compile_node)
         df = node.fn(ctx)
         self._built[name] = df
@@ -314,6 +342,8 @@ class Project:
         aborting (dbt reports compile errors per node and skips
         descendants — SP/dbt/task/runnable.py:225+)."""
         for name in self.nodes:
+            if self.nodes[name].fn is None:
+                continue  # exposures: lineage-only
             try:
                 self.compile_node(name)
             except UpstreamCompileError:
@@ -407,11 +437,14 @@ class Project:
             to_run = []
             for name in level:
                 node = self.nodes[name]
+                if node.kind in ("source", "exposure"):
+                    continue  # lineage-only: never compiled to a frame, never materialized
                 if (node.depends_on & failed) or not self._deps_compiled(node):
+                    # Ephemerals propagate upstream failure to their readers.
                     failed.add(name)
                     self.results.append(RunResult(name, "skipped", 0.0, "upstream failure"))
                     continue
-                if node.materialized == "ephemeral" or node.kind == "source":
+                if node.materialized == "ephemeral":
                     continue
                 to_run.append(node)
             if not to_run:

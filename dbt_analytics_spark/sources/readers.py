@@ -73,3 +73,33 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Read newline-delimited JSON (the lingua franca of web-scraped
+    training corpora) as a DataFrame.
+
+    At 100 TB ALWAYS pass an explicit ``schema``: without one Spark runs a
+    full inference pass over every file before the real read — doubling
+    scan cost — and a stray malformed record can silently widen a column to
+    string. With a schema, corrupt lines land in ``_corrupt_record``
+    (PERMISSIVE mode) instead of failing the job, so ingest keeps the
+    bad-row audit trail a curation pipeline needs.
+    """
+    reader = spark.read
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        # Reserve the corrupt-record slot so PERMISSIVE mode can capture
+        # undecodable lines alongside the typed columns.
+        if "_corrupt_record" not in [f.name for f in schema.fields]:
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema)
+    return reader.option("multiLine", multiline).option(
+        "mode", "PERMISSIVE"
+    ).json(path)

@@ -800,3 +800,54 @@ def test_retry_reruns_only_failures(spark):
     assert not spark.catalog.tableExists("healthy")  # not re-materialized
 
     assert p2.retry() == []  # clean run → no-op
+
+
+def test_exposures_lineage_only(project, spark, tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    project.exposure(
+        "spend_dashboard",
+        depends_on=("spend_with_names", "cust_spend"),
+        owner="finance",
+        url="https://bi.example/spend",
+    )
+    with _pytest.raises(KeyError, match="unknown nodes"):
+        project.exposure("bad", depends_on=("nope",))
+
+    results = project.run()
+    # Never materialized, never a run result.
+    assert "spend_dashboard" not in {r.node for r in results}
+    assert not spark.catalog.tableExists("spend_dashboard")
+
+    # Graph selection builds everything the exposure needs.
+    needed = select_nodes(project, "+spend_dashboard")
+    assert needed >= {"spend_dashboard", "spend_with_names", "cust_spend", "orders_clean"}
+
+    # Manifest carries the exposure with its lineage.
+    out = tmp_path / "manifest.json"
+    project.write_manifest(str(out))
+    manifest = _json.load(open(out))
+    entry = manifest["nodes"]["exposure.t.spend_dashboard"]
+    assert entry["resource_type"] == "exposure"
+    assert set(entry["depends_on"]) == {"spend_with_names", "cust_spend"}
+
+
+def test_read_jsonl_with_schema_and_corrupt_records(spark, tmp_path):
+    from dbt_analytics_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "this line is not json\n"
+        '{"doc_id": 3, "text": null, "lang": "de"}\n'
+    )
+    df = read_jsonl(spark, str(p), schema="doc_id long, text string, lang string")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = {r["doc_id"]: r["lang"] for r in rows if r["_corrupt_record"] is None}
+    assert good == {1: "en", 2: "fr", 3: "de"}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
