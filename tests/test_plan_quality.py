@@ -97,3 +97,14 @@ def test_stratified_sample_prunes_text(spark):
 def test_keywords_no_cartesian(spark):
     plan = _plan(REGISTRY["txt6_keywords"][0](spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q4_order_priority", "q22_dormant_customers"])
+def test_semi_anti_joins_broadcast(spark, name):
+    # EXISTS/NOT EXISTS shapes: the filtered probe side must broadcast (at
+    # test scale) and the join must stay hash-based — a cartesian or
+    # nested-loop anti join would be quadratic at 100 TB.
+    plan = _plan(REGISTRY[name][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

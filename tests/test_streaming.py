@@ -291,3 +291,40 @@ def test_microbatch_failed_batch_isolated(spark):
     assert status["mbfail_events[batch=2024-01-03]"] == "success"
     vals = {r["id"] for r in spark.table("mbfail_events").collect()}
     assert vals == {"a", "c"}
+
+
+def test_microbatch_hour_granularity(spark):
+    # batch_size='hour' keeps __batch as a timestamp; each hour is its own
+    # retry/replace unit.
+    import datetime as dt
+
+    from dbt_analytics_spark.plans import Project
+
+    p = Project(spark, name="mbh")
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="microbatch",
+        event_time="ts",
+        batch_size="hour",
+        begin="2024-01-01",
+        name="mbh_events",
+    )
+    def mbh_events(ctx):
+        return ctx.spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 1, 1, 9, 5), 1.0),
+                ("b", dt.datetime(2024, 1, 1, 9, 55), 1.0),
+                ("c", dt.datetime(2024, 1, 1, 11, 0), 1.0),
+            ],
+            "id string, ts timestamp, v double",
+        )
+
+    res = {r.node: r.status for r in p.run(select="mbh_events")}
+    assert res["mbh_events"] == "success"
+    labels = sorted(r.node for r in p.batch_results)
+    assert labels == [
+        "mbh_events[batch=2024-01-01 09:00:00]",
+        "mbh_events[batch=2024-01-01 11:00:00]",
+    ]
+    assert spark.table("mbh_events").count() == 3
