@@ -45,36 +45,7 @@ def _pdf_dates(pdf: pd.DataFrame, cols: tuple[str, ...] = ("date",)) -> pd.DataF
     return pdf
 
 
-def test_classified_card_transactions_full_duckdb_diff(spark, sources):
-    regex_full = read_seed_csv(
-        spark,
-        os.path.join(SEEDS_DIR, "merchant_regex.csv"),
-        column_types={"priority": T.IntegerType(), "pattern_regex": T.StringType()},
-    )
-    regex_filtered = regex_full.filter(~F.col("pattern_regex").contains("(?!"))
-
-    p = build_project(spark, sources, run_date=RUN_DATE)
-    p.seed("merchant_regex", regex_filtered)  # re-register pre-compile
-    spark_pdf = p.compile_node("classified_card_transactions").toPandas()
-
-    # --- DuckDB inputs: identical frames on both sides ---
-    ct = _pdf_dates(sources["card_transactions"].toPandas())
-    ct["amount"] = ct["amount"].astype(float)
-    regex_pdf = regex_filtered.toPandas()
-    regex_pdf["pattern_java"] = regex_pdf["pattern_regex"].map(pg_regex_to_java)
-    merchants_pdf = p.compile_node("merchants").toPandas()
-    accounts_pdf = p.compile_node("accounts_leaf").toPandas()
-    mam_pdf = p.compile_node("merchant_account_map").toPandas()
-
-    con = duckdb.connect()
-    con.register("ct", ct)
-    con.register("merchant_regex", regex_pdf)
-    con.register("merchants", merchants_pdf)
-    con.register("accounts_leaf", accounts_pdf)
-    con.register("merchant_account_map", mam_pdf)
-
-    oracle_pdf = con.execute(
-        r"""
+_CCT_SQL = r"""
 WITH base AS (           -- Sale filter, wide clean_type (:14-28)
   SELECT * FROM ct
   WHERE (CASE WHEN type IS NOT NULL THEN type
@@ -259,7 +230,64 @@ SELECT * FROM venmo_branch
 UNION
 SELECT * FROM bank_branch
 """
-    ).fetchdf()
 
+
+@pytest.fixture(scope="module")
+def cct_setup(spark, sources):
+    """Shared cross-engine rig: the Spark project compiled against a
+    lookahead-free regex seed + a DuckDB connection with identical frames."""
+    regex_full = read_seed_csv(
+        spark,
+        os.path.join(SEEDS_DIR, "merchant_regex.csv"),
+        column_types={"priority": T.IntegerType(), "pattern_regex": T.StringType()},
+    )
+    regex_filtered = regex_full.filter(~F.col("pattern_regex").contains("(?!"))
+
+    p = build_project(spark, sources, run_date=RUN_DATE)
+    p.seed("merchant_regex", regex_filtered)  # re-register pre-compile
+
+    ct = _pdf_dates(sources["card_transactions"].toPandas())
+    ct["amount"] = ct["amount"].astype(float)
+    regex_pdf = regex_filtered.toPandas()
+    regex_pdf["pattern_java"] = regex_pdf["pattern_regex"].map(pg_regex_to_java)
+
+    con = duckdb.connect()
+    con.register("ct", ct)
+    con.register("merchant_regex", regex_pdf)
+    con.register("merchants", p.compile_node("merchants").toPandas())
+    con.register("accounts_leaf", p.compile_node("accounts_leaf").toPandas())
+    con.register("merchant_account_map", p.compile_node("merchant_account_map").toPandas())
+    # Materialize the boss-model oracle once: the regex lateral dominates
+    # runtime and every dependent diff reuses the same rows.
+    con.execute(f"CREATE TEMP TABLE cct AS {_CCT_SQL}")
+    yield p, con
+    con.close()
+
+
+def test_classified_card_transactions_full_duckdb_diff(cct_setup):
+    p, con = cct_setup
+    spark_pdf = p.compile_node("classified_card_transactions").toPandas()
+    oracle_pdf = con.execute("SELECT * FROM cct").fetchdf()
     assert len(spark_pdf) > 400, "fixture should produce a substantial output"
     assert_frames_match(spark_pdf, oracle_pdf, "classified_card_transactions")
+
+
+def test_spend_rollups_full_duckdb_diff(cct_setup):
+    # The rollup family consumes the boss model; diff two grains end-to-end
+    # so the aggregate layer is cross-engine-verified too. Sums re-cast to
+    # DECIMAL(12,2) so both engines aggregate exactly (float sums are
+    # order-dependent).
+    p, con = cct_setup
+    dims = ("merchant_name, category, subcategory, billing_model, "
+            "spend_nature, discretion, gl_code, account_name, account_id")
+    for grain in ("month", "year"):
+        name = {"month": "spend_monthly", "year": "spend_yearly"}[grain]
+        spark_pdf = p.compile_node(name).toPandas()
+        oracle_pdf = con.execute(f"""
+SELECT CAST(date_trunc('{grain}', date) AS DATE) AS date_period, {dims},
+       SUM(CAST(amount AS DECIMAL(12,2))) AS total_spend
+FROM cct
+GROUP BY ALL
+""").fetchdf()
+        assert len(spark_pdf) > 100
+        assert_frames_match(spark_pdf, oracle_pdf, name)
