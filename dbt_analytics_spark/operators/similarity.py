@@ -297,6 +297,251 @@ def ivf_topk(
     )
 
 
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    max_iter: int = 5,
+    tol: float = 1e-6,
+) -> "np.ndarray":
+    """Train product-quantization codebooks: split each (L2-normalized)
+    vector into ``n_subspaces`` contiguous subvectors and run k-means with
+    ``n_codes`` centroids independently in every subspace. Returns an array
+    of shape (n_subspaces, n_codes, dim // n_subspaces).
+
+    Scale shape: ALL subspaces train in the same corpus pass — one
+    ``mapInPandas`` per Lloyd iteration emits (subspace, code, count,
+    sum-vector) partials (n_subspaces × n_codes skinny rows per batch) and
+    the driver reduces them into new codebooks, exactly like
+    ``kmeans_fit``. The model is tiny (m·k·d/m doubles = k·d — same size as
+    ONE vector row per code) and rides in the task closure; the data never
+    shuffles. Init is the deterministic hash-ordered sample, so training is
+    RNG-free and reproducible; empty codes keep their previous centroid.
+    """
+    import numpy as np
+
+    S0 = _sample_centroids(corpus, id_col, vec_col, n_codes)
+    dim = S0.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    S0n = S0 / np.maximum(np.linalg.norm(S0, axis=1, keepdims=True), 1e-300)
+    B = np.stack(
+        [S0n[:, s * sub : (s + 1) * sub] for s in range(n_subspaces)]
+    )  # (m, n_codes, sub)
+
+    data = fan_out(corpus).select(as_double_array(vec_col).alias("cvec"))
+
+    for _ in range(max_iter):
+        B_closure = B.copy()
+
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+                )
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-300
+                )
+                for s in range(n_subspaces):
+                    X = Mn[:, s * sub : (s + 1) * sub]
+                    Bs = B_closure[s]
+                    d2 = (
+                        (X * X).sum(axis=1, keepdims=True)
+                        - 2.0 * (X @ Bs.T)
+                        + (Bs * Bs).sum(axis=1)
+                    )
+                    codes = d2.argmin(axis=1)
+                    counts = np.bincount(codes, minlength=n_codes)
+                    sums = np.zeros_like(Bs)
+                    np.add.at(sums, codes, X)
+                    yield pd.DataFrame(
+                        {
+                            "sub": np.full(n_codes, s, dtype="int32"),
+                            "code": np.arange(n_codes, dtype="int32"),
+                            "n": counts.astype("int64"),
+                            "vsum": list(sums),
+                        }
+                    )
+
+        rows = data.mapInPandas(
+            partials, "sub int, code int, n long, vsum array<double>"
+        ).collect()
+        counts = np.zeros((n_subspaces, n_codes), dtype=np.int64)
+        sums = np.zeros_like(B)
+        for r in rows:
+            counts[r["sub"], r["code"]] += r["n"]
+            sums[r["sub"], r["code"]] += np.asarray(r["vsum"])
+        new_B = np.where(
+            (counts > 0)[:, :, None],
+            sums / np.maximum(counts, 1)[:, :, None],
+            B,
+        )
+        shift = float(np.abs(new_B - B).max())
+        B = new_B
+        if shift <= tol:
+            break
+    return B
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to its per-subspace nearest-code ids:
+    (corpus_id, codes array<smallint>). THIS is the 100 TB artifact — a
+    64-dim float32 vector (256 B) becomes 8 codes (8 B with k≤256), a 32×
+    compression, so a corpus whose raw embeddings span terabytes scans as
+    a few-GB code table. One ``mapInPandas`` pass; codebooks ride in the
+    closure; nothing shuffles."""
+    import numpy as np
+
+    m, n_codes, sub = codebooks.shape
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            codes = np.empty((len(M), m), dtype=np.int16)
+            for s in range(m):
+                X = Mn[:, s * sub : (s + 1) * sub]
+                Bs = codebooks[s]
+                d2 = (
+                    (X * X).sum(axis=1, keepdims=True)
+                    - 2.0 * (X @ Bs.T)
+                    + (Bs * Bs).sum(axis=1)
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"corpus_id": pdf["corpus_id"], "codes": list(codes)}
+            )
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+    )
+    return c.mapInPandas(encode, f"corpus_id {id_type}, codes array<smallint>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Product-quantization approximate top-k with asymmetric distance
+    computation (ADC) and exact re-rank.
+
+    Per query, a lookup table of subvector·codeword dot products (m ×
+    n_codes doubles) is precomputed on the driver; the approximate
+    similarity of a corpus vector is then the sum of m table lookups on its
+    PQ codes — no float vector math in the scan's inner loop. The top
+    ``k·refine`` candidates per batch are re-ranked with their EXACT cosine
+    (the raw vectors are in hand inside the batch), so quantization error
+    only affects which candidates are considered, never the reported
+    similarity values.
+
+    Spark shape mirrors ``ivf_topk``: ONE ``mapInPandas`` corpus pass
+    (encode → ADC via fancy indexing → per-batch candidate top-k·refine →
+    exact re-rank → top-k), emitting ≤ k rows per query per batch; the only
+    shuffle is the tiny global top-k merge window. At 100 TB you'd persist
+    ``pq_encode``'s code table once and scan IT instead of the raw vectors
+    (re-ranking against a gathered candidate subset); here corpus and codes
+    are consumed in the same pass to keep the operator one-shot.
+    """
+    import numpy as np
+
+    B = pq_fit(
+        corpus,
+        id_col,
+        vec_col,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        max_iter=kmeans_iters,
+    )
+    m, _, sub = B.shape
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    ).collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    Q = np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    # LUT[s]: (n_codes, n_queries) — codeword · query-subvector dot products.
+    LUT = np.stack(
+        [B[s] @ Qn[:, s * sub : (s + 1) * sub].T for s in range(m)]
+    )
+
+    n_cand = max(k * refine, k)
+
+    def search(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["corpus_id"].to_numpy()
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            codes = np.empty((len(M), m), dtype=np.int64)
+            for s in range(m):
+                X = Mn[:, s * sub : (s + 1) * sub]
+                Bs = B[s]
+                d2 = (
+                    (X * X).sum(axis=1, keepdims=True)
+                    - 2.0 * (X @ Bs.T)
+                    + (Bs * Bs).sum(axis=1)
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            # ADC: approx sims for every (row, query) via m table lookups.
+            approx = np.zeros((len(M), len(q_ids)))
+            for s in range(m):
+                approx += LUT[s][codes[:, s]]
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                (idx,) = np.nonzero(mask)
+                if not idx.size:
+                    continue
+                a = approx[idx, j]
+                order = np.lexsort((ids[idx], -a))[:n_cand]
+                cand = idx[order]
+                exact = Mn[cand] @ Qn[j]
+                keep = np.lexsort((ids[cand], -exact))[:k]
+                take = cand[keep]
+                out_q.extend([qid] * len(take))
+                out_c.extend(ids[take].tolist())
+                out_s.extend((Mn[take] @ Qn[j]).tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "corpus_id": out_c, "cosine_sim": out_s}
+            )
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+    )
+    candidates = c.mapInPandas(
+        search, f"query_id {id_type}, corpus_id {id_type}, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a counter-based
     generator (no RNG state; reproducible across runs and engines)."""

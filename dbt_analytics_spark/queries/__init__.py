@@ -47,6 +47,7 @@ _BEYOND_DRIVER_CAP = [
     "txt6_keywords",
     "dd8_clean_corpus",
     "txt7_training_filter",
+    "sim4_pq_topk",
 ]
 
 _ALL: dict = {}

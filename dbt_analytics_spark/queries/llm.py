@@ -202,6 +202,21 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SIM4 — product-quantization ADC top-k with exact re-rank (rows-only;
+# recall measured in tests against SIM1). The 100 TB memory-bound path:
+# pq_encode compresses 256 B float vectors to 8 one-byte codes.
+# ---------------------------------------------------------------------------
+
+def sim4_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.pq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=3, n_subspaces=8, n_codes=16, kmeans_iters=3, refine=8,
+    )
+
+
+# ---------------------------------------------------------------------------
 # TXT1 — token statistics per language
 # ---------------------------------------------------------------------------
 
@@ -693,4 +708,5 @@ REGISTRY = {
     "txt6_keywords": (txt6_keywords, TXT6_SQL),
     "dd8_clean_corpus": (dd8_clean_corpus, DD8_SQL),
     "txt7_training_filter": (txt7_training_filter, _txt7_sql()),
+    "sim4_pq_topk": (sim4_pq_topk, None),
 }

@@ -144,3 +144,75 @@ def test_ivf_with_kmeans_centroids_recall(spark):
         for r in ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4, kmeans_iters=3).collect()
     }
     assert approx == again
+
+
+def test_pq_quantization_error_bounded(spark):
+    # PQ on clustered data must be near-lossless: vectors sit close to a
+    # codeword in every subspace, so the ADC approximation
+    # sum_s LUT[s][code_s] = dot(q, reconstruction(x)) stays within the
+    # cluster noise of the true dot product — THAT is the property that
+    # makes code-table scans a faithful stand-in for raw-vector scans.
+    import numpy as np
+
+    from dbt_analytics_spark.operators.similarity import pq_encode, pq_fit
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1.0, size=(16, 64))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.05, size=(30, 64)) for c in centers]
+    )
+    ptsn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+
+    B = pq_fit(df, n_subspaces=8, n_codes=16, max_iter=5)
+    assert B.shape == (8, 16, 8)
+    enc = {r["corpus_id"]: list(r["codes"]) for r in pq_encode(df, B).collect()}
+    assert set(enc) == set(range(len(pts)))
+    codes = np.asarray([enc[i] for i in range(len(pts))])
+    assert codes.shape == (len(pts), 8)
+    assert codes.min() >= 0 and codes.max() < 16
+
+    # Reconstruct from codes and compare dot products against the exact ones
+    # for a probe query.
+    recon = np.concatenate(
+        [B[s][codes[:, s]] for s in range(8)], axis=1
+    )
+    q = ptsn[0]
+    err = np.abs(recon @ q - ptsn @ q)
+    assert err.mean() < 0.05, err.mean()
+    assert err.max() < 0.25, err.max()
+
+    # Encoding is deterministic.
+    enc2 = {r["corpus_id"]: list(r["codes"]) for r in pq_encode(df, B).collect()}
+    assert enc == enc2
+
+
+def test_pq_topk_recall_and_exact_sims(spark):
+    # sim4 contract: reported cosine_sim values are EXACT (re-rank uses the
+    # raw vectors), recall vs the brute-force baseline clears the floor, and
+    # the operator is deterministic end-to-end.
+    import numpy as np
+
+    from dbt_analytics_spark.queries.llm import sim1_cosine_topk, sim4_pq_topk
+    from dbt_analytics_spark.sources import load_testdata
+
+    exact = _topk_sets(sim1_cosine_topk(spark, SF_DIR))
+    rows = sim4_pq_topk(spark, SF_DIR).collect()
+    approx = {}
+    for r in rows:
+        approx.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    assert _recall(approx, exact) >= 0.5
+    assert set(approx) == set(exact)  # every query answered with k rows
+
+    emb = load_testdata(spark, SF_DIR)["embeddings"].collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+    for r in rows:
+        a, b = V[r["query_id"]], V[r["corpus_id"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine_sim"] - want) < 1e-9, (r, want)
+
+    again = sim4_pq_topk(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
