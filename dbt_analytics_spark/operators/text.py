@@ -126,6 +126,83 @@ def langid_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII patterns, ordered most-specific → least-specific so earlier
+#: redactions can't be re-matched by later (broader) patterns. Every
+#: pattern is valid AND match-identical in Java regex (Spark) and RE2
+#: (DuckDB oracle): no lookaround, no backreferences, ASCII \b only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}([- ]\d{4}){3}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (non-overlapping, counted on the RAW text
+    before any redaction — the audit signal a curation pipeline logs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chained JVM-side ``regexp_replace`` redaction of emails, credit-card
+    numbers, SSNs, phone numbers, and IPv4 addresses. Pure Column
+    expression — runs at scan speed inside whole-stage codegen; at 100 TB
+    this is a map-only pass with zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping context-window chunks of
+    ``chunk_size`` tokens advancing by ``stride`` (the standard prep for
+    fixed-context training): every token lands in at least one chunk, and
+    consecutive chunks overlap by ``chunk_size - stride`` tokens.
+
+    Emits (id, chunk_idx, n_chunk_tokens, chunk_text). All JVM-side —
+    tokenize, ``sequence``/``explode`` for chunk indices, ``slice`` +
+    ``array_join`` for the windows; a map-side one-to-many flatMap with no
+    shuffle, so it scales linearly with corpus bytes.
+    """
+    if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - chunk_size).cast("double") / F.lit(float(stride))).cast("long")
+        + 1
+    )
+    chunked = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    window = F.slice(
+        F.col("__toks"), F.col("chunk_idx").cast("int") * stride + 1, chunk_size
+    )
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(window).cast("int").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
 def fingerprint(col: Column | str, sort_tokens: bool = True) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (catches shuffled/duplicated content that exact hashing misses).

@@ -48,6 +48,8 @@ _BEYOND_DRIVER_CAP = [
     "dd8_clean_corpus",
     "txt7_training_filter",
     "sim4_pq_topk",
+    "txt8_pii_redact",
+    "txt9_chunk",
 ]
 
 _ALL: dict = {}

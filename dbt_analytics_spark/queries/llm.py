@@ -685,6 +685,97 @@ WHERE q.keep_quality AND l.pred_lang = l.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# TXT8 — PII redaction. The testdata corpus is synthetic word-salad with no
+# PII, so the query PLANTS deterministic doc_id-derived PII spans (email,
+# credit card, SSN, phone, IPv4) and then redacts them — the hash-match
+# therefore proves the redaction actually fired on every kind, not that it
+# no-op'd. Counts are audited from the raw text before redaction.
+# ---------------------------------------------------------------------------
+
+def txt8_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    d = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), d, F.lit("@example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad(d, 4, "0"),
+        F.lit(" call 415-555-"), F.lpad(d, 4, "0"),
+        F.lit(" card 4111 1111 1111 "), F.lpad(d, 4, "0"),
+    )
+    withpii = docs.select("doc_id", planted.alias("pii_text"))
+    counts = pii_counts("pii_text")
+    return withpii.select(
+        "doc_id",
+        redact_pii("pii_text").alias("redacted"),
+        counts["email"].alias("n_emails"),
+        counts["cc"].alias("n_ccs"),
+        counts["ssn"].alias("n_ssns"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+    )
+
+
+def _txt8_sql() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    redacted = "pii_text"
+    for name, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.'
+              || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' ssn 123-45-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              || ' call 415-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              || ' card 4111 1111 1111 ' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+           AS pii_text
+  FROM documents
+)
+SELECT doc_id, {redacted} AS redacted,
+       CAST(len(regexp_extract_all(pii_text, '{pats["email"]}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{pats["cc"]}')) AS BIGINT) AS n_ccs,
+       CAST(len(regexp_extract_all(pii_text, '{pats["ssn"]}')) AS BIGINT) AS n_ssns,
+       CAST(len(regexp_extract_all(pii_text, '{pats["phone"]}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(pii_text, '{pats["ip"]}')) AS BIGINT) AS n_ips
+FROM planted
+"""
+
+
+# ---------------------------------------------------------------------------
+# TXT9 — context-window chunking: overlapping 32-token windows with stride
+# 24 (the fixed-context training prep). Map-side one-to-many, no shuffle.
+# ---------------------------------------------------------------------------
+
+def txt9_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return chunk_documents(docs, "doc_id", "text", chunk_size=32, stride=24)
+
+
+TXT9_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM s, UNNEST(range(0, n_chunks)) AS g(i)
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -709,4 +800,6 @@ REGISTRY = {
     "dd8_clean_corpus": (dd8_clean_corpus, DD8_SQL),
     "txt7_training_filter": (txt7_training_filter, _txt7_sql()),
     "sim4_pq_topk": (sim4_pq_topk, None),
+    "txt8_pii_redact": (txt8_pii_redact, _txt8_sql()),
+    "txt9_chunk": (txt9_chunk, TXT9_SQL),
 }
