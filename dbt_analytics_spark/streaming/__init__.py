@@ -1,4 +1,5 @@
 from .incremental import (  # noqa: F401
+    dedup_stream,
     microbatch_append,
     stream_stream_interval_join,
     sessionized_counts_stateful,

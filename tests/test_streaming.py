@@ -328,3 +328,34 @@ def test_microbatch_hour_granularity(spark):
         "mbh_events[batch=2024-01-01 11:00:00]",
     ]
     assert spark.table("mbh_events").count() == 3
+
+
+def test_dedup_stream_drops_redeliveries(spark, events, tmp_path):
+    """At-least-once repair: a source containing every event twice (two
+    parquet deliveries) must come out exactly-once, keyed on event_id."""
+    from dbt_analytics_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+    sample = events.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    sample.write.mode("append").parquet(src)
+    sample.write.mode("append").parquet(src)  # full re-delivery
+    assert spark.read.parquet(src).count() == 2 * sample.count()
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    # Watermark far wider than the testdata's time span: nothing is "late",
+    # so every duplicate is inside the dedup horizon and must be dropped.
+    deduped = dedup_stream(stream, ["event_id"], "ts", watermark="3650 days")
+    q = (
+        deduped.writeStream.queryName("dedup_test")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select event_id from dedup_test")
+    assert got.count() == sample.count()
+    assert got.distinct().count() == sample.count()
