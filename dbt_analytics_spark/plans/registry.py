@@ -81,6 +81,12 @@ class Node:
     post_hooks: tuple[Callable, ...] = ()
     depends_on: set[str] = field(default_factory=set)
     description: str = ""
+    #: Enforced model contract: {column: spark type simpleString}, with an
+    #: optional " not null" suffix per column (reference: dbt contracts —
+    #: SP/dbt/include/global_project/macros/relations/column/
+    #: columns_spec_ddl.sql assert_columns_equivalent + nodes.py:638-658
+    #: build_contract_checksum).
+    contract: dict[str, str] | None = None
 
     def config_fingerprint(self) -> dict:
         """The config surface whose change makes a node state:modified."""
@@ -93,7 +99,65 @@ class Node:
             "bucket_by": list(self.bucket_by),
             "n_buckets": self.n_buckets,
             "tags": sorted(self.tags),
+            # dbt: a contract change is a state:modified change
+            # (nodes.py:372 same_contract feeds same_config).
+            "contract": dict(self.contract) if self.contract else None,
         }
+
+
+class ContractError(RuntimeError):
+    """Raised when a model's compiled schema violates its enforced contract
+    (reference: dbt raise_contract_error — a formatted expected-vs-actual
+    diff, SP/.../columns_spec_ddl.sql assert_columns_equivalent)."""
+
+
+def enforce_contract(node: "Node", df: DataFrame) -> DataFrame:
+    """Validate ``df`` against ``node.contract`` BEFORE materialization.
+
+    dbt semantics (assert_columns_equivalent): columns are matched by NAME,
+    the column sets must be equal (no missing, no extras), and each matched
+    column's data type must equal the declared type. A declared
+    ``" not null"`` suffix additionally requires zero null values — the
+    engine-side stand-in for the NOT NULL DDL constraint a warehouse would
+    enforce (one aggregate pass over only the constrained columns; opt-in,
+    so uncontracted models pay nothing).
+    """
+    if not node.contract:
+        return df
+    declared: dict[str, tuple[str, bool]] = {}
+    for col, spec in node.contract.items():
+        s = " ".join(spec.lower().split())
+        not_null = s.endswith(" not null")
+        declared[col] = (s[: -len(" not null")].strip() if not_null else s, not_null)
+
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems: list[str] = []
+    for col in sorted(set(declared) - set(actual)):
+        problems.append(f"missing column {col!r} (declared {declared[col][0]})")
+    for col in sorted(set(actual) - set(declared)):
+        problems.append(f"unexpected column {col!r} ({actual[col]}) not in contract")
+    for col, (want, _) in declared.items():
+        if col in actual and actual[col] != want:
+            problems.append(f"column {col!r}: declared {want}, got {actual[col]}")
+    if problems:
+        raise ContractError(
+            f"model {node.name!r} violates its enforced contract:\n  "
+            + "\n  ".join(problems)
+        )
+
+    constrained = [c for c, (_, nn) in declared.items() if nn]
+    if constrained:
+        from pyspark.sql import functions as F
+
+        counts = df.agg(
+            *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in constrained]
+        ).collect()[0]
+        nulls = {c: counts[c] for c in constrained if counts[c]}
+        if nulls:
+            raise ContractError(
+                f"model {node.name!r} violates not-null constraints: {nulls}"
+            )
+    return df
 
 
 class UpstreamCompileError(RuntimeError):
@@ -213,6 +277,7 @@ class Project:
         n_buckets: int = 0,
         pre_hooks: tuple[Callable, ...] = (),
         post_hooks: tuple[Callable, ...] = (),
+        contract: dict[str, str] | None = None,
     ):
         """Decorator registering a model function ``fn(ctx) -> DataFrame``."""
 
@@ -240,6 +305,7 @@ class Project:
                 pre_hooks=pre_hooks,
                 post_hooks=post_hooks,
                 description=(fn.__doc__ or "").strip(),
+                contract=dict(contract) if contract else None,
             )
             return fn
 
@@ -470,6 +536,9 @@ class Project:
             # its parents' tables (dbt semantics), not a recomputed lineage.
             ctx = ModelContext(self, node, self._resolve_materialized)
             df = node.fn(ctx)
+            # Contract gate runs BEFORE any write: a violating model never
+            # replaces the previous relation (dbt: compile-time failure).
+            enforce_contract(node, df)
             rows = materialize(self, node, df)
             for hook in node.post_hooks:
                 hook(self, node)

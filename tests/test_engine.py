@@ -851,3 +851,62 @@ def test_read_jsonl_with_schema_and_corrupt_records(spark, tmp_path):
     assert good == {1: "en", 2: "fr", 3: "de"}
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_model_contract_enforced(spark):
+    """E21 contracts: a conforming model builds; type drift, missing and
+    extra columns, and not-null violations each fail BEFORE the write, and
+    a contract change is state:modified."""
+    import datetime as dt
+
+    from dbt_analytics_spark.plans.registry import ContractError, enforce_contract
+
+    p = Project(spark, name="ct", run_date=dt.date(2025, 8, 31))
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None)], "id long, name string, amount double"
+    )
+    p.source_table("raw", src)
+
+    @p.model(
+        contract={"id": "bigint not null", "name": "string", "amount": "double"}
+    )
+    def contracted(ctx):
+        return ctx.source("raw")
+
+    results = {r.node: r for r in p.run()}
+    assert results["contracted"].status == "success"
+    assert spark.table("contracted").count() == 2
+
+    node = p.nodes["contracted"]
+    # Matching frame passes straight through.
+    enforce_contract(node, src)
+    # Type drift.
+    with pytest.raises(ContractError, match="declared bigint, got int"):
+        enforce_contract(node, src.withColumn("id", F.col("id").cast("int")))
+    # Missing column.
+    with pytest.raises(ContractError, match="missing column 'amount'"):
+        enforce_contract(node, src.drop("amount"))
+    # Extra column not in the contract.
+    with pytest.raises(ContractError, match="unexpected column 'extra'"):
+        enforce_contract(node, src.withColumn("extra", F.lit(1)))
+    # Not-null constraint on actual data.
+    with pytest.raises(ContractError, match="not-null"):
+        enforce_contract(
+            node, src.select(F.when(F.col("id") == 1, None).otherwise(F.col("id")).alias("id"), "name", "amount")
+        )
+
+    # A failing contract surfaces as a node error and does NOT clobber the
+    # previously materialized relation.
+    @p.model(name="contracted", contract={"id": "bigint"})
+    def contracted_v2(ctx):
+        return ctx.source("raw")
+
+    res2 = {r.node: r for r in p.run()}
+    assert res2["contracted"].status == "error"
+    assert "unexpected column" in res2["contracted"].message
+    assert spark.table("contracted").count() == 2  # old relation intact
+
+    # Contract participates in the state:modified fingerprint.
+    fp1 = p.nodes["contracted"].config_fingerprint()
+    p.nodes["contracted"].contract = {"id": "bigint", "name": "string"}
+    assert p.nodes["contracted"].config_fingerprint() != fp1
