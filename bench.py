@@ -78,7 +78,7 @@ def main() -> None:
     # one-time whole-stage-codegen JIT and is hostage to host-load spikes
     # (observed 3-8x swings on a loaded host); the min is the steady-state
     # number a warmed cluster would show. N=1 restores single-shot timing.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         builder, _ = REGISTRY[name]
