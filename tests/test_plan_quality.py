@@ -108,3 +108,13 @@ def test_semi_anti_joins_broadcast(spark, name):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["txt8_pii_redact", "txt9_chunk"])
+def test_text_pipeline_ops_shuffle_free(spark, name):
+    """Redaction and chunking are map-side passes: at 100 TB they must scan
+    and emit with ZERO exchanges (chunking's one-to-many is a generate, not
+    a shuffle)."""
+    plan = _plan(REGISTRY[name][0](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "CartesianProduct" not in plan
