@@ -87,6 +87,13 @@ class Node:
     #: columns_spec_ddl.sql assert_columns_equivalent + nodes.py:638-658
     #: build_contract_checksum).
     contract: dict[str, str] | None = None
+    #: Model versioning + governance (reference: dbt model versions/groups —
+    #: SP/dbt/contracts/graph/manifest.py:1330 resolve_ref with
+    #: target_model_version, :1489 is_invalid_private_ref).
+    base_name: str | None = None  # unversioned name for versioned models
+    version: int | None = None
+    group: str | None = None
+    access: str = "protected"  # public | protected | private
 
     def config_fingerprint(self) -> dict:
         """The config surface whose change makes a node state:modified."""
@@ -102,7 +109,15 @@ class Node:
             # dbt: a contract change is a state:modified change
             # (nodes.py:372 same_contract feeds same_config).
             "contract": dict(self.contract) if self.contract else None,
+            "group": self.group,
+            "access": self.access,
         }
+
+
+class ReferenceError_(RuntimeError):
+    """Raised for governance-invalid refs: a private model referenced from
+    outside its group, or a ref to an unknown model version (reference:
+    dbt DbtReferenceError — SP/dbt/contracts/graph/manifest.py:1489)."""
 
 
 class ContractError(RuntimeError):
@@ -194,11 +209,23 @@ class ModelContext:
         #: current_date must be pinned for reproducible date spines).
         self.run_date: dt.date = project.run_date
 
-    def ref(self, name: str) -> DataFrame:
+    def ref(self, name: str, v: int | None = None) -> DataFrame:
+        """Resolve an upstream relation, optionally pinned to a model
+        version: ``ref('m')`` → latest version, ``ref('m', v=1)`` → that
+        version (reference: SP/dbt/contracts/graph/manifest.py:1330
+        resolve_ref). Private models are only visible to refs from the
+        same group (:1489 is_invalid_private_ref)."""
+        name = self._project._resolve_version(name, v)
         if name == self._node.name:
             raise ValueError(f"model {name!r} cannot ref() itself")
         if name not in self._project.nodes:
             raise KeyError(f"ref({name!r}): unknown node (did you register it?)")
+        target = self._project.nodes[name]
+        if target.access == "private" and target.group != self._node.group:
+            raise ReferenceError_(
+                f"node {self._node.name!r} (group {self._node.group!r}) cannot "
+                f"ref private model {name!r} of group {target.group!r}"
+            )
         self._node.depends_on.add(name)
         return self._resolve(name)
 
@@ -255,6 +282,27 @@ class Project:
         self.state_results: dict[str, str] | None = None
         #: Per-batch outcomes of microbatch models (latest run).
         self.batch_results: list[RunResult] = []
+        #: Versioned-model registry: base name → {version: node name}, plus
+        #: explicit latest_version pins (dbt model versions).
+        self._versions: dict[str, dict[int, str]] = {}
+        self._latest_pin: dict[str, int] = {}
+
+    def _resolve_version(self, name: str, v: int | None = None) -> str:
+        """Map (base name, version) → node name. Unversioned names pass
+        through; an unpinned ref to a versioned model takes the
+        latest_version pin if set, else the highest registered version."""
+        if name in self._versions:
+            versions = self._versions[name]
+            want = v if v is not None else self._latest_pin.get(name, max(versions))
+            if want not in versions:
+                raise ReferenceError_(
+                    f"ref({name!r}, v={want}): unknown version "
+                    f"(have {sorted(versions)})"
+                )
+            return versions[want]
+        if v is not None:
+            raise ReferenceError_(f"ref({name!r}, v={v}): {name!r} is not versioned")
+        return name
 
     # ------------------------------------------------------------------
     # Registration (the dbt parse phase, minus Jinja)
@@ -278,11 +326,26 @@ class Project:
         pre_hooks: tuple[Callable, ...] = (),
         post_hooks: tuple[Callable, ...] = (),
         contract: dict[str, str] | None = None,
+        version: int | None = None,
+        latest_version: int | None = None,
+        group: str | None = None,
+        access: str = "protected",
     ):
-        """Decorator registering a model function ``fn(ctx) -> DataFrame``."""
+        """Decorator registering a model function ``fn(ctx) -> DataFrame``.
+
+        With ``version=N`` the node materializes as ``<name>_v<N>`` (dbt's
+        versioned-relation naming) and ``ref(name)`` resolves to the
+        highest version — or to ``latest_version`` when pinned, so a team
+        can pre-release v3 while consumers stay on v2."""
 
         def wrap(fn: Callable[[ModelContext], DataFrame]):
-            node_name = name or fn.__name__
+            base = name or fn.__name__
+            node_name = base if version is None else f"{base}_v{version}"
+            if version is not None:
+                versions = self._versions.setdefault(base, {})
+                versions[version] = node_name
+                if latest_version is not None:
+                    self._latest_pin[base] = latest_version
             path, checksum = _fn_fingerprint(fn)
             self.nodes[node_name] = Node(
                 name=node_name,
@@ -306,6 +369,10 @@ class Project:
                 post_hooks=post_hooks,
                 description=(fn.__doc__ or "").strip(),
                 contract=dict(contract) if contract else None,
+                base_name=base if version is not None else None,
+                version=version,
+                group=group,
+                access=access,
             )
             return fn
 

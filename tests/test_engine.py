@@ -910,3 +910,91 @@ def test_model_contract_enforced(spark):
     fp1 = p.nodes["contracted"].config_fingerprint()
     p.nodes["contracted"].contract = {"id": "bigint", "name": "string"}
     assert p.nodes["contracted"].config_fingerprint() != fp1
+
+
+def test_model_versions_and_access(spark):
+    """E22 versions + groups: versioned relations materialize as name_vN,
+    unpinned refs take the latest (or the latest_version pin), pinned refs
+    take their version, and private models are invisible outside their
+    group."""
+    import datetime as dt
+
+    from dbt_analytics_spark.plans.registry import ReferenceError_
+
+    p = Project(spark, name="gv", run_date=dt.date(2025, 8, 31))
+    src = spark.createDataFrame([(1, 5.0), (2, 7.0)], "id long, amount double")
+    p.source_table("raw_gv", src)
+
+    @p.model(name="metric", version=1, group="finance")
+    def metric_v1(ctx):
+        return ctx.source("raw_gv").select("id", F.col("amount").alias("value"))
+
+    @p.model(name="metric", version=2, latest_version=2, group="finance")
+    def metric_v2(ctx):
+        return ctx.source("raw_gv").select(
+            "id", (F.col("amount") * 2).alias("value")
+        )
+
+    @p.model(group="finance", access="private")
+    def finance_internal(ctx):
+        return ctx.ref("metric", v=1)
+
+    @p.model(group="finance")
+    def finance_report(ctx):
+        return ctx.ref("finance_internal")  # same group: allowed
+
+    @p.model(group="marketing")
+    def pinned_consumer(ctx):
+        return ctx.ref("metric", v=1)
+
+    @p.model(group="marketing")
+    def latest_consumer(ctx):
+        return ctx.ref("metric")
+
+    results = {r.node: r for r in p.run()}
+    assert results["metric_v1"].status == "success"
+    assert results["metric_v2"].status == "success"
+    assert results["finance_report"].status == "success"
+    assert spark.table("metric_v1").agg(F.sum("value")).collect()[0][0] == 12.0
+    assert spark.table("metric_v2").agg(F.sum("value")).collect()[0][0] == 24.0
+    assert spark.table("pinned_consumer").agg(F.sum("value")).collect()[0][0] == 12.0
+    assert spark.table("latest_consumer").agg(F.sum("value")).collect()[0][0] == 24.0
+    assert p.nodes["latest_consumer"].depends_on == {"metric_v2"}
+
+    # Cross-group ref of a private model fails that node only.
+    @p.model(group="marketing")
+    def snooper(ctx):
+        return ctx.ref("finance_internal")
+
+    res2 = {r.node: r for r in p.run()}
+    assert res2["snooper"].status == "error"
+    assert "private" in res2["snooper"].message
+
+    # Unknown version / version-pin on an unversioned model are ref errors.
+    ctx_errors = []
+
+    @p.model(group="marketing")
+    def bad_version(ctx):
+        try:
+            ctx.ref("metric", v=9)
+        except ReferenceError_ as e:
+            ctx_errors.append(str(e))
+        return ctx.ref("metric")
+
+    p.run()
+    assert any("unknown version" in m for m in ctx_errors)
+
+    # latest_version pin can hold consumers BELOW the max version.
+    p2 = Project(spark, name="gv2", run_date=dt.date(2025, 8, 31))
+    p2.source_table("raw_gv", src)
+
+    @p2.model(name="m2", version=1, latest_version=1)
+    def m2_v1(ctx):
+        return ctx.source("raw_gv").select("id")
+
+    @p2.model(name="m2", version=2)  # pre-release
+    def m2_v2(ctx):
+        return ctx.source("raw_gv").select("id", "amount")
+
+    assert p2._resolve_version("m2") == "m2_v1"
+    assert p2._resolve_version("m2", 2) == "m2_v2"
