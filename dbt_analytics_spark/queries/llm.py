@@ -345,7 +345,21 @@ FROM documents
 def mm1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir)["documents"]
     binary = multimodal.with_binary_payload(docs, "text")
-    return multimodal.extract_features(binary)
+    feats = multimodal.extract_features(binary)
+    # Driver-facing projection: expand the array<float> feature column into
+    # scalar columns — the driver canonicalizes results through pandas
+    # sort_values, which cannot order list-typed cells (CORRECTNESS_r03
+    # recorded "unhashable type: 'list'" for this query).  The operator
+    # itself still returns the array; only this catalog entry flattens it.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "checksum",
+        *[
+            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
