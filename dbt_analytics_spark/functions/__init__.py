@@ -6,5 +6,6 @@ from .pg import (  # noqa: F401
     norm_whitespace,
     regexp_matches_ci,
     strip_prefix_ci,
+    ts_us,
 )
 from . import stdlib  # noqa: F401

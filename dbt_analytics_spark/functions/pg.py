@@ -144,3 +144,16 @@ def month_end(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.last_day(c)
+
+
+def ts_us(col: Column | str) -> Column:
+    """Microseconds since the epoch from any temporal column.
+
+    ``F.unix_micros`` requires TIMESTAMP and rejects TIMESTAMP_NTZ/DATE —
+    parquet written with ``isAdjustedToUTC=false`` surfaces as NTZ, which
+    broke event-time queries when the testdata generator switched formats.
+    The session timezone is pinned UTC, so casting first yields identical
+    instants for every input type. Stays a Catalyst expression (codegen'd).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

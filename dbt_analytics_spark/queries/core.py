@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import date_trunc_pg, extract_pg
+from ..functions import date_trunc_pg, extract_pg, ts_us
 from ..operators import explode_csv_cell, lateral_top1_join, top1_per_group
 from ..operators.asof import asof_join
 from ..operators.rangejoin import interval_join
@@ -1117,7 +1117,7 @@ def ev3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "event_id").alias("purchase_value"),
             F.max("event_id").alias("purchase_event_id"),
         )
-        .withColumn("purchase_ts_us", F.unix_micros("p_ts"))
+        .withColumn("purchase_ts_us", ts_us("p_ts"))
         .drop("p_ts")
         .withColumn("ts", F.timestamp_micros(F.col("purchase_ts_us")))
     )
@@ -1133,7 +1133,7 @@ def ev3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("purchase_event_id").cast("bigint").alias("purchase_id"),
         "purchase_value",
-        (F.unix_micros("ts") - F.col("purchase_ts_us")).cast("bigint").alias("gap_us"),
+        (ts_us("ts") - F.col("purchase_ts_us")).cast("bigint").alias("gap_us"),
     )
 
 

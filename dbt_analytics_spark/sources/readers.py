@@ -62,6 +62,15 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
+                elif isinstance(field.dataType, T.TimestampNTZType):
+                    # Parquet written with isAdjustedToUTC=false reads as
+                    # TIMESTAMP_NTZ, which event-time functions (unix_micros,
+                    # withWatermark) reject. The session timezone is pinned
+                    # UTC, so casting to TIMESTAMP preserves the exact
+                    # instants DuckDB reads from the same file.
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
             out[name] = df
     _CACHE[key] = dict(out)
     return out

@@ -44,6 +44,19 @@ from pyspark.sql.types import (
 )
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP.
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ, which is what Spark reads from
+    parquet written with ``isAdjustedToUTC=false``. The session timezone is
+    pinned UTC, so the cast preserves instants exactly.
+    """
+    for field in df.schema.fields:
+        if field.name == ts_col and field.dataType.typeName() == "timestamp_ntz":
+            return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_from_parquet_dir(spark: SparkSession, source_dir: str) -> DataFrame:
     """Open a parquet directory as a file-source stream (schema pinned from
     a one-off batch read — file sources require an explicit schema)."""
@@ -96,6 +109,7 @@ def watermarked_window_agg(
     watermark — useful for golden-output tests of the same plan).
     """
     agg_list = list(aggs) if aggs is not None else [F.count(F.lit(1)).alias("n_events")]
+    events = _ensure_event_time(events, ts_col)
     out = (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
@@ -126,8 +140,8 @@ def stream_stream_interval_join(
     O(keys × events-inside-gap), not stream length). Works identically on
     batch frames (watermarks ignored), which is how the test oracles it.
     """
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    l = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (l[key_col] == r[key_col])
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_gap}"))
@@ -158,9 +172,9 @@ def dedup_stream(
     makes this safe on an unbounded 100 TB/day feed (a plain
     ``dropDuplicates`` on a stream would pin every key forever).
     """
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(key_cols)
-    )
+    return _ensure_event_time(events, ts_col).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(list(key_cols))
 
 
 #: Output schema of the stateful sessionizer.
