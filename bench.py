@@ -79,20 +79,25 @@ def main() -> None:
     # (observed 3-8x swings on a loaded host); the min is the steady-state
     # number a warmed cluster would show. N=1 restores single-shot timing.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    load_before = os.getloadavg()
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         builder, _ = REGISTRY[name]
         best, n = None, 0
+        raw[name] = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = builder(spark, sf_dir)
             n = df.count()
             elapsed = time.perf_counter() - t0
+            raw[name].append(round(elapsed, 4))
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 4)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
+    load_after = os.getloadavg()
     print(
         json.dumps(
             {
@@ -103,6 +108,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
                 "agg": "min",
+                # Co-tenant load adjudication: raw per-repeat times plus
+                # 1/5/15-min loadavg before and after the run. Timings here
+                # swing 3-10x with host load (BENCH_NOTES.md); a regression
+                # claim needs loadavg < ~4 to be believable.
+                "raw_times": raw,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
             }
         )
     )

@@ -339,7 +339,11 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# MM1 — multimodal binary-column plumbing (rows-only: mapInPandas stub)
+# MM1 — multimodal binary-column plumbing (mapInPandas decode). Fully
+# DuckDB-oracled: n_bytes/checksum are byte arithmetic over encode(text),
+# and the fallback features are (slice-byte-sum % 997)/997 — emitting the
+# integer numerators (exactly recoverable from the float32: |f32 error|
+# * 997 < 0.5) makes every column hash-checkable cross-engine.
 # ---------------------------------------------------------------------------
 
 def mm1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,21 +354,55 @@ def mm1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar columns — the driver canonicalizes results through pandas
     # sort_values, which cannot order list-typed cells (CORRECTNESS_r03
     # recorded "unhashable type: 'list'" for this query).  The operator
-    # itself still returns the array; only this catalog entry flattens it.
+    # itself still returns the float array; this catalog entry recovers the
+    # exact integer basis of each fallback feature so the DuckDB oracle can
+    # reproduce it without float-bit drift.
     return feats.select(
         "doc_id",
         "n_bytes",
         "checksum",
         *[
-            F.round(F.col("feature")[i], 6).alias(f"f{i}")
+            F.round(F.col("feature")[i] * 997)
+            .cast("int")
+            .alias(f"f{i}_x997")
             for i in range(multimodal.FEATURE_DIM)
         ],
     )
 
 
+#: The oracle replays the non-PPM fallback path (the testdata payloads are
+#: UTF-8 text bytes, never valid P6 PPM): bytes via hex() 2-char slices,
+#: checksum = total byte-sum % 2^31, f{i} numerator = slice byte-sum % 997
+#: over slice [i*step, (i+1)*step) with step = max(n_bytes//4, 1) —
+#: mirroring operators/multimodal.py:_fake_decode_features.
+MM1_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS nb,
+         hex(encode(text)) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, nb,
+         greatest(nb // 4, 1) AS step,
+         [('0x' || substr(hx, 2 * p - 1, 2))::INT FOR p IN range(1, nb + 1)] AS bytes
+  FROM h
+)
+SELECT doc_id,
+       CAST(nb AS INTEGER) AS n_bytes,
+       CAST(COALESCE(list_sum(bytes), 0) % 2147483648 AS BIGINT) AS checksum,
+       CAST(COALESCE(list_sum(bytes[0 * step + 1 : 1 * step]), 0) % 997 AS INTEGER) AS f0_x997,
+       CAST(COALESCE(list_sum(bytes[1 * step + 1 : 2 * step]), 0) % 997 AS INTEGER) AS f1_x997,
+       CAST(COALESCE(list_sum(bytes[2 * step + 1 : 3 * step]), 0) % 997 AS INTEGER) AS f2_x997,
+       CAST(COALESCE(list_sum(bytes[3 * step + 1 : 4 * step]), 0) % 997 AS INTEGER) AS f3_x997
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
-# MM2 — video-style frame sampling (1→N mapInPandas) + per-frame rollup
-# (rows-only: mapInPandas stub)
+# MM2 — video-style frame sampling (1→N mapInPandas) + per-frame rollup.
+# DuckDB-oracled: the fallback demux slices the payload into n_frames
+# chunks of max(n_bytes//4, 1) bytes, so per-frame byte lengths are pure
+# integer arithmetic (operators/multimodal.py:sample_frames fallback arm).
 # ---------------------------------------------------------------------------
 
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,6 +413,21 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame")).alias("total_bytes"),
     )
+
+
+MM2_SQL = """
+WITH d AS (
+  SELECT octet_length(encode(text)) AS nb,
+         greatest(octet_length(encode(text)) // 4, 1) AS ch
+  FROM documents
+), f AS (
+  SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS frame_idx, nb, ch FROM d
+)
+SELECT frame_idx,
+       COUNT(*) AS n_frames,
+       CAST(SUM(greatest(least((frame_idx + 1) * ch, nb) - frame_idx * ch, 0)) AS BIGINT) AS total_bytes
+FROM f GROUP BY frame_idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -805,8 +858,8 @@ REGISTRY = {
     "txt4_fingerprint": (txt4_fingerprint, TXT4_SQL),
     "txt5_bpe_token_stats": (txt5_bpe_token_stats, TXT5_SQL),
     "f2_approx_distinct": (f2_approx_distinct, None),
-    "mm1_features": (mm1_features, None),
-    "mm2_frame_sample": (mm2_frame_sample, None),
+    "mm1_features": (mm1_features, MM1_SQL),
+    "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
     "dd6_decontaminate": (dd6_decontaminate, DD6_SQL),
     "dd7_cluster_dedup": (dd7_cluster_dedup, DD7_SQL),
     "smp1_stratified_sample": (smp1_stratified_sample, SMP1_SQL),
