@@ -79,6 +79,18 @@ def main() -> None:
     # (observed 3-8x swings on a loaded host); the min is the steady-state
     # number a warmed cluster would show. N=1 restores single-shot timing.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Untimed warmup pass over every headline query. The first execution of
+    # a query pays one-time costs unrelated to engine throughput — codegen
+    # JIT for its specific shapes, operator-level index/centroid caches
+    # (dd3/sim3), OS page-cache faults on its parquet footers — observed at
+    # 8-36 s for the sketch ops while their steady state is <1 s. min-of-N
+    # with N=3 does not fully absorb that (the 2nd repeat is still
+    # elevated), which is what doubled BENCH_r04 vs r03 with zero code
+    # change. Steady-state is the number a warmed cluster shows, so warm
+    # explicitly and let the timed repeats measure only that.
+    for name in HEADLINE:
+        builder, _ = REGISTRY[name]
+        builder(spark, sf_dir).count()
     load_before = os.getloadavg()
     times: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
