@@ -286,6 +286,27 @@ class Project:
         #: explicit latest_version pins (dbt model versions).
         self._versions: dict[str, dict[int, str]] = {}
         self._latest_pin: dict[str, int] = {}
+        #: Named YAML selectors (selectors.yml; plans/selectors_yaml.py).
+        self.selectors: dict[str, dict] = {}
+
+    # ------------------------------------------------------------------
+    # Named YAML selectors (reference: dbt selectors.yml,
+    # SP/dbt/graph/cli.py:parse_from_selectors_definition)
+    # ------------------------------------------------------------------
+
+    def load_selectors(self, source: str | dict) -> None:
+        """Load named selectors from a selectors.yml path, YAML text, or
+        pre-parsed dict. A ``default: true`` selector applies to ``run()``
+        when no ``select``/``selector`` argument is given."""
+        from .selectors_yaml import parse_selectors
+
+        self.selectors = parse_selectors(source)
+
+    def select_by_selector(self, name: str) -> set[str]:
+        """Evaluate the named YAML selector against the current graph."""
+        from .selectors_yaml import select_by_name
+
+        return select_by_name(self, self.selectors, name)
 
     def _resolve_version(self, name: str, v: int | None = None) -> str:
         """Map (base name, version) → node name. Unversioned names pass
@@ -546,15 +567,30 @@ class Project:
     # Run: materialize in DAG-parallel waves
     # ------------------------------------------------------------------
 
-    def run(self, select: str | None = None) -> list[RunResult]:
+    def run(
+        self, select: str | None = None, selector: str | None = None
+    ) -> list[RunResult]:
         """dbt run: compile everything, then materialize selected
         non-ephemeral nodes level-by-level; failures skip descendants
-        (reference fail-fast semantics: SP/dbt/task/runnable.py:225+)."""
+        (reference fail-fast semantics: SP/dbt/task/runnable.py:225+).
+
+        ``selector`` names a loaded YAML selector (dbt --selector; mutually
+        exclusive with ``select``). With neither given, a ``default: true``
+        selector applies if one is loaded (dbt default-selector semantics).
+        """
         from .materialize import materialize
         from .selection import select_nodes
+        from .selectors_yaml import default_selector
 
+        if select is not None and selector is not None:
+            raise ValueError("pass either select or selector, not both")
         self.compile()
-        selected = select_nodes(self, select)
+        if selector is not None:
+            selected = self.select_by_selector(selector)
+        elif select is None and (dflt := default_selector(self.selectors)):
+            selected = self.select_by_selector(dflt)
+        else:
+            selected = select_nodes(self, select)
         failed: set[str] = set()
         self.results = []
 
