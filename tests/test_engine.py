@@ -998,3 +998,26 @@ def test_model_versions_and_access(spark):
 
     assert p2._resolve_version("m2") == "m2_v1"
     assert p2._resolve_version("m2", 2) == "m2_v2"
+
+
+def test_docs_site_generation(project, tmp_path):
+    # dbt docs generate analogue: self-contained HTML lineage site from the
+    # manifest (reference SP/dbt/task/docs/).
+    from dbt_analytics_spark.plans.docs_site import write_docs_site
+
+    project.run()
+    index = write_docs_site(project, str(tmp_path / "site"))
+    html_text = open(index).read()
+    # All nodes present as clickable SVG boxes and in the embedded manifest.
+    for name in project.nodes:
+        assert f'data-name="{name}"' in html_text
+    assert "manifest" in html_text and "</svg>" in html_text
+    # Edges: one bezier per dependency edge that has a laid-out parent.
+    n_edges = sum(len(n.depends_on) for n in project.nodes.values())
+    assert html_text.count('class="edge"') == n_edges
+    # Artifacts emitted alongside.
+    assert (tmp_path / "site" / "manifest.json").exists()
+    assert (tmp_path / "site" / "catalog.json").exists()
+    # No external asset references — the page must open from bare disk.
+    assert "http://" not in html_text.replace("http://www.w3.org", "")
+    assert "https://" not in html_text
