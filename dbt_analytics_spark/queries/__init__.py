@@ -56,6 +56,11 @@ _BEYOND_DRIVER_CAP = [
     "sim4_pq_topk",
     "txt8_pii_redact",
     "txt9_chunk",
+    # Round-5 additions (all DuckDB-oracled; evidenced by the all-queries
+    # local gate + oracle-parity pytest).
+    "ev5_funnel",
+    "txt10_repetition",
+    "smp2_weighted_sample",
 ]
 
 _ALL: dict = {}

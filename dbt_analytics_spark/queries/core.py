@@ -1198,6 +1198,76 @@ GROUP BY b.band
 
 
 # ---------------------------------------------------------------------------
+# EV5 — ordered event funnel (extension): view → click → purchase, each
+# step's first occurrence constrained to be at-or-after the previous
+# step's. Three per-user min-aggregations chained by co-partitioned
+# user_id joins — at scale each stage is one shuffle on the same key, so
+# AQE reuses the partitioning; no window-sort over whole user histories.
+# ---------------------------------------------------------------------------
+
+def ev5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("view_ts").cast("bigint").alias("users_viewed"),
+            F.count("click_ts").cast("bigint").alias("users_clicked"),
+            F.count("purchase_ts").cast("bigint").alias("users_purchased"),
+            (
+                F.count("click_ts").cast("double")
+                / F.count("view_ts").cast("double")
+            ).alias("click_through"),
+            (
+                F.count("purchase_ts").cast("double")
+                / F.count("click_ts").cast("double")
+            ).alias("purchase_through"),
+        )
+    )
+
+
+EV5_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY 1
+)
+SELECT CAST(COUNT(v.view_ts) AS BIGINT) AS users_viewed,
+       CAST(COUNT(c.click_ts) AS BIGINT) AS users_clicked,
+       CAST(COUNT(p.purchase_ts) AS BIGINT) AS users_purchased,
+       CAST(COUNT(c.click_ts) AS DOUBLE) / CAST(COUNT(v.view_ts) AS DOUBLE) AS click_through,
+       CAST(COUNT(p.purchase_ts) AS DOUBLE) / CAST(COUNT(c.click_ts) AS DOUBLE) AS purchase_through
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # A2b — ROLLUP grouping sets (beyond-reference; Spark df.rollup vs DuckDB
 # GROUP BY ROLLUP)
 # ---------------------------------------------------------------------------
@@ -1419,6 +1489,7 @@ REGISTRY = {
     "ev2_json_extract": (ev2_json_extract, EV2_SQL),
     "ev3_asof_join": (ev3_asof_join, EV3_SQL),
     "ev4_range_join": (ev4_range_join, EV4_SQL),
+    "ev5_funnel": (ev5_funnel, EV5_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
 }

@@ -843,6 +843,146 @@ FROM s, UNNEST(range(0, n_chunks)) AS g(i)
 """
 
 
+# ---------------------------------------------------------------------------
+# TXT10 — repetition-based quality metrics (the Gopher/MassiveText
+# repetition rules adapted to single-line docs): duplicate-word fraction
+# and most-frequent-word-bigram share per document. High values flag the
+# boilerplate/spam documents a pretraining corpus wants filtered.
+# ---------------------------------------------------------------------------
+
+def txt10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("words")
+    ).select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        # Word bigrams via a JVM-side HOF; guarded because Spark's
+        # sequence(1, 0) DESCENDS instead of returning empty.
+        F.when(
+            F.size("words") > 1,
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> concat(words[i - 1], ' ', words[i]))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    gram_counts = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        gram_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_bigram"),
+            F.col("cnt").alias("top_bigram_n"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_words", "n_distinct")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("dup_word_frac"),
+            "top_bigram",
+            F.col("top_bigram_n").cast("bigint").alias("top_bigram_n"),
+            (
+                F.col("top_bigram_n").cast("double")
+                / (F.col("n_words") - 1).cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+_WORDS_LC = "string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')"
+
+TXT10_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_LC} AS words FROM documents
+), s AS (
+  SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_distinct,
+         [words[i] || ' ' || words[i + 1] FOR i IN range(1, len(words))] AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM s
+), cnts AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_n
+  FROM (SELECT doc_id, gram, cnt,
+               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        FROM cnts)
+  WHERE rn = 1
+)
+SELECT s.doc_id,
+       CAST(s.n_words AS INTEGER) AS n_words,
+       1.0 - CAST(s.n_distinct AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS dup_word_frac,
+       t.top_bigram,
+       CAST(t.top_bigram_n AS BIGINT) AS top_bigram_n,
+       CAST(t.top_bigram_n AS DOUBLE) / CAST(s.n_words - 1 AS DOUBLE) AS top_bigram_frac
+FROM s LEFT JOIN top t USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SMP2 — weighted mixture sampling: per-source keep rates (the data-mixture
+# reweighting step of corpus assembly), drawn with the same md5-uniform
+# trick as smp1 but compared NUMERICALLY so the per-row rate can be a
+# column. rate(source srcN) = (N % 5 + 1) / 10 — a deterministic stand-in
+# for a mixture config table.
+# ---------------------------------------------------------------------------
+
+#: floor(16^8 / 10): one tenth of the 8-hex-digit draw space.
+_TENTH = 16**8 // 10
+
+
+def smp2_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate_i = src_num % 5 + 1
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            draw.alias("draw"),
+            (rate_i.cast("double") / 10).alias("rate"),
+            (rate_i.cast("bigint") * F.lit(_TENTH)).alias("keep_below"),
+        )
+        .filter(F.col("draw") < F.col("keep_below"))
+    )
+
+
+SMP2_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS draw,
+         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 5 + 1 AS BIGINT) AS rate_i
+  FROM documents
+)
+SELECT doc_id, source, draw,
+       CAST(rate_i AS DOUBLE) / 10 AS rate,
+       rate_i * {_TENTH} AS keep_below
+FROM keyed WHERE draw < rate_i * {_TENTH}
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -869,4 +1009,6 @@ REGISTRY = {
     "sim4_pq_topk": (sim4_pq_topk, None),
     "txt8_pii_redact": (txt8_pii_redact, _txt8_sql()),
     "txt9_chunk": (txt9_chunk, TXT9_SQL),
+    "txt10_repetition": (txt10_repetition, TXT10_SQL),
+    "smp2_weighted_sample": (smp2_weighted_sample, SMP2_SQL),
 }
