@@ -118,3 +118,33 @@ def test_text_pipeline_ops_shuffle_free(spark, name):
     plan = _plan(REGISTRY[name][0](spark, SF))
     assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_exchange_free(spark):
+    # smp2 is scan → project → filter: the md5 draw and the threshold are
+    # row-local, so the plan must carry no Exchange at all and must not
+    # read the text column.
+    plan = _plan(REGISTRY["smp2_weighted_sample"][0](spark, SF))
+    assert "Exchange" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "text" not in read[0]
+
+
+def test_repetition_uses_window_group_limit(spark):
+    # txt10's per-doc top-bigram must compile to WindowGroupLimit (rank
+    # pushdown), not a full per-partition sort of all gram counts, and the
+    # per-doc metrics join must stay a hash join.
+    plan = _plan(REGISTRY["txt10_repetition"][0](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_no_cartesian_and_partial_aggs(spark):
+    # ev5 chains per-user min-aggs: every HashAggregate pair must be
+    # partial+final (map-side combine), with equi hash joins only.
+    plan = _plan(REGISTRY["ev5_funnel"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # user_id joins broadcast at this SF
+    assert plan.count("HashAggregate") >= 6  # 3 stages x partial+final
