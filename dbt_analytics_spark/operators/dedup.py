@@ -309,26 +309,31 @@ def decontaminate(
     hash as a single whole-doc gram, so verbatim short-doc leaks are still
     caught.
     """
-    train_grams = train.select(
+    # fan_out: a single-file parquet source reads as ONE partition, which
+    # would serialize the per-row shingle folds onto one core.
+    train_grams = fan_out(train).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, ngram_k)).alias("g")
     )
     eval_grams = (
-        eval_set.select(F.explode(shingles(text_col, ngram_k)).alias("g")).distinct()
+        fan_out(eval_set)
+        .select(F.explode(shingles(text_col, ngram_k)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    per_doc = train.select(
-        F.col(id_col).alias("doc"), F.size(shingles(text_col, ngram_k)).alias("n_grams")
-    )
-    hits = (
-        train_grams.join(F.broadcast(eval_grams), "g")
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-    )
+    # ONE pass: left-join every train gram against the broadcast eval set
+    # (distinct, so exactly one output row per train gram) and count both
+    # totals and hits in the same aggregation — the train shingle fold
+    # evaluates once and the per-doc totals need no second scan/join.
     return (
-        hits.join(per_doc, "doc")
+        train_grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("hit").cast("long").alias("n_shared_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_shared_grams") > 0)
         .select(
-            F.col("doc").alias("doc_id"),
-            F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
-            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("doc").alias("doc_id"), "n_shared_grams", "n_grams"
         )
     )
 
