@@ -288,6 +288,24 @@ class Project:
         self._latest_pin: dict[str, int] = {}
         #: Named YAML selectors (selectors.yml; plans/selectors_yaml.py).
         self.selectors: dict[str, dict] = {}
+        #: Deferred environment (dbt --defer): database whose relations
+        #: satisfy refs to unselected, unbuilt nodes.
+        self._defer_db: str | None = None
+        self._defer_favor_state: bool = False
+        #: Selection of the in-flight run (read by _resolve_materialized).
+        self._current_selection: set[str] = set()
+
+    def set_defer(self, database: str, favor_state: bool = False) -> None:
+        """Resolve refs to nodes OUTSIDE the current run's selection from
+        ``database`` (the other environment, e.g. prod) — dbt's
+        ``--defer --state`` workflow (slim CI: build only modified models,
+        read everything else from prod; reference SP/dbt/task/runnable.py
+        defer_to_manifest + SP/dbt/contracts/graph/manifest.py
+        merge_from_artifact). With ``favor_state`` (dbt --favor-state) the
+        deferred relation wins even when a local one exists; otherwise a
+        local relation takes precedence."""
+        self._defer_db = database
+        self._defer_favor_state = favor_state
 
     # ------------------------------------------------------------------
     # Named YAML selectors (reference: dbt selectors.yml,
@@ -591,6 +609,7 @@ class Project:
             selected = self.select_by_selector(dflt)
         else:
             selected = select_nodes(self, select)
+        self._current_selection = set(selected)
         failed: set[str] = set()
         self.results = []
 
@@ -656,7 +675,20 @@ class Project:
 
     def _resolve_materialized(self, name: str) -> DataFrame:
         node = self.nodes[name]
-        if node.materialized in ("table", "view", "incremental") and self.relation_exists(name):
+        local_ok = node.materialized in (
+            "table", "view", "incremental"
+        ) and self.relation_exists(name)
+        # Defer (dbt --defer): an upstream OUTSIDE this run's selection may
+        # be satisfied from the deferred environment's relation. Local
+        # relations win unless favor_state (dbt --favor-state).
+        if (
+            self._defer_db
+            and name not in self._current_selection
+            and (self._defer_favor_state or not local_ok)
+            and self.spark.catalog.tableExists(f"{self._defer_db}.{name}")
+        ):
+            return self.spark.table(f"{self._defer_db}.{name}")
+        if local_ok:
             return self.read_relation(name)
         # Ephemeral (or not-yet-materialized) upstream: lazy composition.
         ctx = ModelContext(self, node, self._resolve_materialized)

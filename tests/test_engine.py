@@ -1021,3 +1021,63 @@ def test_docs_site_generation(project, tmp_path):
     # No external asset references — the page must open from bare disk.
     assert "http://" not in html_text.replace("http://www.w3.org", "")
     assert "https://" not in html_text
+
+
+def _spend_project(spark, database, orders_df, customer_df):
+    p = Project(spark, name="t", run_date=dt.date(2025, 8, 31), threads=2,
+                database=database)
+    p.source_table("orders_raw", orders_df)
+    p.source_table("customer_raw", customer_df)
+
+    @p.model(materialized="table")
+    def cust_spend(ctx):
+        return (
+            ctx.source("orders_raw")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("spend"))
+        )
+
+    @p.model(materialized="table")
+    def big_spenders(ctx):
+        return ctx.ref("cust_spend").filter(F.col("spend") > 0)
+
+    return p
+
+
+def test_defer_reads_unselected_refs_from_state_env(spark):
+    # dbt --defer: build ONLY the selected model in dev; its ref to the
+    # unselected, locally-unbuilt cust_spend must resolve to prod's
+    # relation. Prod is doctored to 5 customers so reading it is provable
+    # (a local recompute would see all customers).
+    data = load_testdata(spark, SF_DIR)
+    orders, customer = data["orders"], data["customer"]
+    five = orders.select("o_custkey").distinct().limit(5)
+    prod_orders = orders.join(five, "o_custkey")
+
+    prod = _spend_project(spark, "defer_prod", prod_orders, customer)
+    prod.run(select="cust_spend")
+    n_prod = spark.table("defer_prod.cust_spend").count()
+    assert n_prod == 5
+
+    dev = _spend_project(spark, "defer_dev", orders, customer)
+    dev.set_defer("defer_prod")
+    results = dev.run(select="big_spenders")
+    assert [r.status for r in results] == ["success"]
+    # Only the selected model was built in dev...
+    assert spark.catalog.tableExists("defer_dev.big_spenders")
+    assert not spark.catalog.tableExists("defer_dev.cust_spend")
+    # ...and it read prod's 5-customer table, not a local recompute.
+    assert spark.table("defer_dev.big_spenders").count() == n_prod
+
+    # favor_state=False (default): once dev HAS a local cust_spend, the
+    # local relation wins over prod's.
+    dev.run(select="cust_spend")
+    n_dev = spark.table("defer_dev.cust_spend").count()
+    assert n_dev > n_prod
+    dev.run(select="big_spenders")
+    assert spark.table("defer_dev.big_spenders").count() == n_dev
+
+    # favor_state=True: prod wins even though dev's relation exists.
+    dev.set_defer("defer_prod", favor_state=True)
+    dev.run(select="big_spenders")
+    assert spark.table("defer_dev.big_spenders").count() == n_prod
