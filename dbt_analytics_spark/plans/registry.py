@@ -586,7 +586,10 @@ class Project:
     # ------------------------------------------------------------------
 
     def run(
-        self, select: str | None = None, selector: str | None = None
+        self,
+        select: str | None = None,
+        selector: str | None = None,
+        with_tests: bool = False,
     ) -> list[RunResult]:
         """dbt run: compile everything, then materialize selected
         non-ephemeral nodes level-by-level; failures skip descendants
@@ -595,6 +598,11 @@ class Project:
         ``selector`` names a loaded YAML selector (dbt --selector; mutually
         exclusive with ``select``). With neither given, a ``default: true``
         selector applies if one is loaded (dbt default-selector semantics).
+
+        ``with_tests`` interleaves each node's attached generic tests right
+        after its materialization (the dbt build scheduling contract): a
+        test ERROR fails the node, so descendants skip — bad data never
+        propagates downstream. Prefer calling :meth:`build`.
         """
         from .materialize import materialize
         from .selection import select_nodes
@@ -610,6 +618,12 @@ class Project:
         else:
             selected = select_nodes(self, select)
         self._current_selection = set(selected)
+        tests_by_model: dict[str, list] = {}
+        if with_tests:
+            for model, test_name, fn, config in self.tests:
+                tests_by_model.setdefault(model, []).append(
+                    (test_name, fn, config)
+                )
         failed: set[str] = set()
         self.results = []
 
@@ -645,7 +659,24 @@ class Project:
                     self.results.append(result)
                     if result.status == "error":
                         failed.add(node.name)
+                    elif node.name in tests_by_model:
+                        # dbt build: tests gate the node — an erroring test
+                        # marks it failed so descendants skip.
+                        for test_name, fn, config in tests_by_model[node.name]:
+                            tr = self._run_one_test(node.name, test_name, fn, config)
+                            self.results.append(tr)
+                            if tr.status == "error":
+                                failed.add(node.name)
         return self.results
+
+    def build(
+        self, select: str | None = None, selector: str | None = None
+    ) -> list[RunResult]:
+        """dbt build: materialize selected nodes AND run each node's
+        attached data tests immediately after it lands, in one DAG-ordered
+        pass (reference: SP/dbt/task/build.py — the model/test interleave
+        where a test failure skips the model's descendants)."""
+        return self.run(select=select, selector=selector, with_tests=True)
 
     def _run_node(self, node: Node) -> RunResult:
         from .materialize import materialize
@@ -739,43 +770,48 @@ class Project:
         SP/dbt/task/test.py:296-325 — with store_failures the test's
         violation rows are materialized as an auditable relation the run
         result points at, instead of only a count)."""
-        out = []
-        for model, test_name, violations_fn, config in self.tests:
-            t0 = time.perf_counter()
-            label = f"{test_name}__{model}"
-            try:
-                df = (
-                    self.read_relation(model)
-                    if self.relation_exists(model)
-                    else self.compile_node(model)
+        return [
+            self._run_one_test(model, test_name, violations_fn, config)
+            for model, test_name, violations_fn, config in self.tests
+        ]
+
+    def _run_one_test(
+        self, model: str, test_name: str, violations_fn, config: dict
+    ) -> RunResult:
+        t0 = time.perf_counter()
+        label = f"{test_name}__{model}"
+        try:
+            df = (
+                self.read_relation(model)
+                if self.relation_exists(model)
+                else self.compile_node(model)
+            )
+            violations = violations_fn(df)
+            stored_rel = None
+            if config.get("store_failures"):
+                # Materialize violations (even when empty — the relation
+                # is the audit trail) and count from the stored table so
+                # the recorded number is exactly what was persisted.
+                stored_rel = f"{label}__failures"
+                violations.write.mode("overwrite").saveAsTable(
+                    self.qualified(stored_rel)
                 )
-                violations = violations_fn(df)
-                stored_rel = None
-                if config.get("store_failures"):
-                    # Materialize violations (even when empty — the relation
-                    # is the audit trail) and count from the stored table so
-                    # the recorded number is exactly what was persisted.
-                    stored_rel = f"{label}__failures"
-                    violations.write.mode("overwrite").saveAsTable(
-                        self.qualified(stored_rel)
-                    )
-                    failures = self.spark.table(self.qualified(stored_rel)).count()
-                else:
-                    failures = violations.count()
-                error_if = config.get("error_if", lambda n: n != 0)
-                warn_if = config.get("warn_if", lambda n: False)
-                if error_if(failures):
-                    status, msg = "error", f"{failures} violations"
-                elif warn_if(failures):
-                    status, msg = "warn", f"{failures} violations"
-                else:
-                    status, msg = "success", ""
-                if stored_rel:
-                    msg = f"{msg + '; ' if msg else ''}failures stored in {self.qualified(stored_rel)}"
-                out.append(RunResult(label, status, time.perf_counter() - t0, msg, rows=failures))
-            except Exception as exc:  # noqa: BLE001
-                out.append(RunResult(label, "error", time.perf_counter() - t0, str(exc)))
-        return out
+                failures = self.spark.table(self.qualified(stored_rel)).count()
+            else:
+                failures = violations.count()
+            error_if = config.get("error_if", lambda n: n != 0)
+            warn_if = config.get("warn_if", lambda n: False)
+            if error_if(failures):
+                status, msg = "error", f"{failures} violations"
+            elif warn_if(failures):
+                status, msg = "warn", f"{failures} violations"
+            else:
+                status, msg = "success", ""
+            if stored_rel:
+                msg = f"{msg + '; ' if msg else ''}failures stored in {self.qualified(stored_rel)}"
+            return RunResult(label, status, time.perf_counter() - t0, msg, rows=failures)
+        except Exception as exc:  # noqa: BLE001
+            return RunResult(label, "error", time.perf_counter() - t0, str(exc))
 
     def show(self, name: str, n: int = 5) -> None:
         """dbt show: preview a node (reference: SP/dbt/task/show.py:29-39)."""

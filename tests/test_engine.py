@@ -1081,3 +1081,31 @@ def test_defer_reads_unselected_refs_from_state_env(spark):
     dev.set_defer("defer_prod", favor_state=True)
     dev.run(select="big_spenders")
     assert spark.table("defer_dev.big_spenders").count() == n_prod
+
+
+def test_build_interleaves_tests_and_gates_descendants(project, spark):
+    # dbt build: a model's failing test marks it failed, so its descendants
+    # SKIP — bad data never propagates (reference SP/dbt/task/build.py).
+    project.test("cust_spend", "always_fails", lambda df: df.limit(1))
+    results = project.build()
+    by_node = {r.node: r.status for r in results}
+    assert by_node["cust_spend"] == "success"          # materialized fine
+    assert by_node["always_fails__cust_spend"] == "error"
+    assert by_node["big_spenders"] == "skipped"        # gated by the test
+    assert by_node["spend_with_names"] == "skipped"
+    # Ordering: the test ran immediately after its model, before any
+    # descendant was scheduled.
+    order = [r.node for r in results]
+    assert order.index("always_fails__cust_spend") < order.index("big_spenders")
+
+
+def test_build_with_passing_tests_runs_everything(project):
+    project.test("cust_spend", "not_null_spend", not_null("spend"))
+    results = project.build()
+    by_node = {r.node: r.status for r in results}
+    assert by_node == {
+        "cust_spend": "success",
+        "not_null_spend__cust_spend": "success",
+        "big_spenders": "success",
+        "spend_with_names": "success",
+    }
