@@ -16,13 +16,15 @@ the last 6 (`txt3/txt4/txt5/f2/mm1/mm2` in the old order) were silently
 never driver-verified, two rounds running.
 
 Mitigation: ``REGISTRY`` is now assembled in an explicit priority order.
-The six entries pushed past position 50 (``_BEYOND_DRIVER_CAP``) are the
-ones whose driver row carries the least marginal evidence — four rows-only
-sketch ops that are brute-force cross-checked in pytest
-(tests/test_dedup_crosscheck.py, tests/test_similarity_skew.py) and two
-TPC-H join shapes whose operator IDs are evidenced by other queries — and
-ALL 56 are verified locally under driver conditions (sf0.01, DuckDB
-oracle) by tests/test_oracle_parity.py; see CORRECTNESS_LOCAL_r03.json.
+Entries pushed past position 50 (``_BEYOND_DRIVER_CAP``) are the ones
+whose driver row carries the least marginal evidence — rows-only sketch
+ops that are brute-force cross-checked in pytest
+(tests/test_dedup_crosscheck.py, tests/test_similarity_skew.py) and
+TPC-H join shapes whose operator IDs are evidenced by other queries —
+and ALL registered queries (68 as of round 5) are verified locally under
+driver conditions (sf0.01, DuckDB oracle) by tests/test_oracle_parity.py
+and the committed CORRECTNESS_LOCAL_r{N}.json artifact. The prefix
+itself is frozen by tests/test_driver_contract.py.
 """
 
 from __future__ import annotations
