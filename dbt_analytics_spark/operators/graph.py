@@ -64,6 +64,10 @@ def connected_components(
             F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                 "label"
             ),
+            # The round's starting label rides along so convergence is a
+            # filter-count over the checkpointed blocks — no extra
+            # old-vs-new join shuffle per round.
+            F.col("label").alias("prev"),
         )
         # Pointer jump: also adopt the label's own (new) label — the
         # component minimum is always a member, so the self-join always
@@ -82,19 +86,15 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("ll", F.col("label"))).alias(
                     "label"
                 ),
+                "prev",
             )
             .localCheckpoint()  # truncate lineage: next round starts from a leaf
         )
         if check_convergence:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = new_labels.filter(F.col("label") != F.col("prev")).count()
         else:
             changed = 1
-        labels = new_labels
+        labels = new_labels.drop("prev")
         if check_convergence and changed == 0:
             break
     # Checkpointed blocks are released by the ContextCleaner when the
