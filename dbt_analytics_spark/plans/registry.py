@@ -817,6 +817,39 @@ class Project:
         """dbt show: preview a node (reference: SP/dbt/task/show.py:29-39)."""
         self.compile_node(name).limit(n).show(truncate=False)
 
+    def list(
+        self, select: str | None = None, selector: str | None = None
+    ) -> list[dict]:
+        """dbt ls: enumerate selected nodes with their metadata, in
+        DAG-topological order (reference: SP/dbt/task/list.py — the
+        node-inventory command backing `dbt list`). Accepts the same
+        ``select`` string / named ``selector`` pair as :meth:`run`."""
+        from .selection import select_nodes
+        from .selectors_yaml import default_selector
+
+        if select is not None and selector is not None:
+            raise ValueError("pass either select or selector, not both")
+        if selector is not None:
+            selected = self.select_by_selector(selector)
+        elif select is None and (dflt := default_selector(self.selectors)):
+            selected = self.select_by_selector(dflt)
+        else:
+            selected = select_nodes(self, select)
+        out = []
+        for level in self._toposort_levels(selected):
+            for name in level:
+                node = self.nodes[name]
+                out.append(
+                    {
+                        "name": name,
+                        "resource_type": node.kind,
+                        "materialized": node.materialized,
+                        "tags": sorted(node.tags),
+                        "depends_on": sorted(node.depends_on),
+                    }
+                )
+        return out
+
     def write_run_results(self, path: str) -> None:
         """Emit a run_results.json-shaped artifact
         (reference: target/run_results.json)."""

@@ -1109,3 +1109,23 @@ def test_build_with_passing_tests_runs_everything(project):
         "big_spenders": "success",
         "spend_with_names": "success",
     }
+
+
+def test_list_enumerates_selected_nodes_in_dag_order(project):
+    project.compile()
+    rows = project.list(select="+spend_with_names")
+    names = [r["name"] for r in rows]
+    # Topological: every dependency precedes its dependent.
+    for r in rows:
+        for dep in r["depends_on"]:
+            if dep in names:
+                assert names.index(dep) < names.index(r["name"])
+    assert set(names) >= {"orders_clean", "cust_spend", "big_spenders", "spend_with_names"}
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["cust_spend"]["materialized"] == "table"
+    assert by_name["cust_spend"]["tags"] == ["spend"]
+    assert by_name["big_spenders"]["resource_type"] == "model"
+    # Selection narrows the listing.
+    assert [r["name"] for r in project.list(select="tag:spend")] == [
+        "cust_spend", "spend_with_names",
+    ]
