@@ -63,6 +63,8 @@ _BEYOND_DRIVER_CAP = [
     "ev5_funnel",
     "txt10_repetition",
     "smp2_weighted_sample",
+    "txt11_vocab",
+    "f3_approx_percentiles",
 ]
 
 _ALL: dict = {}

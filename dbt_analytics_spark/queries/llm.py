@@ -983,6 +983,61 @@ FROM keyed WHERE draw < rate_i * {_TENTH}
 """
 
 
+# ---------------------------------------------------------------------------
+# TXT11 — global vocabulary statistics: corpus-wide top terms by collection
+# frequency with document frequency — the heavy-hitter scan feeding
+# tokenizer/stopword decisions. One explode + one (term) shuffle with
+# map-side partial aggregation; the final top-N is a tiny TakeOrdered.
+# ---------------------------------------------------------------------------
+
+def txt11_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(100)
+    )
+
+
+TXT11_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM t WHERE term <> ''
+GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3 — approximate percentiles (GK sketch via percentile_approx) alongside
+# the exact values. Like f2, the sketch is engine-specific so the check is
+# an error bound (tests/test_functions.py), not an oracle hash.
+# ---------------------------------------------------------------------------
+
+def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    qs = [0.5, 0.9, 0.99]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, 10_000).alias("approx"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("exact"),
+    ).select(
+        "l_returnflag",
+        *[F.col("approx")[i].alias(f"approx_p{int(q*100)}") for i, q in enumerate(qs)],
+        *[F.col("exact")[i].alias(f"exact_p{int(q*100)}") for i, q in enumerate(qs)],
+    )
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -1011,4 +1066,6 @@ REGISTRY = {
     "txt9_chunk": (txt9_chunk, TXT9_SQL),
     "txt10_repetition": (txt10_repetition, TXT10_SQL),
     "smp2_weighted_sample": (smp2_weighted_sample, SMP2_SQL),
+    "txt11_vocab": (txt11_vocab, TXT11_SQL),
+    "f3_approx_percentiles": (f3_approx_percentiles, None),
 }

@@ -150,3 +150,20 @@ def test_ts_us_accepts_both_timestamp_types(spark, tmp_path):
     date_df = spark.sql("SELECT DATE'2024-01-01' AS d")
     (got_date,) = [r[0] for r in date_df.select(ts_us("d")).collect()]
     assert got_date == 1_704_067_200_000_000
+
+
+def test_approx_percentiles_accuracy(spark):
+    # f3's GK sketch is engine-specific (no oracle hash); its correctness
+    # claim is the epsilon bound. With accuracy=10000 the rank error is
+    # <= n/10000, tiny at test scale — assert approx within 2% of exact in
+    # value terms per group and quantile.
+    from dbt_analytics_spark.queries.llm import f3_approx_percentiles
+    from .conftest import SF_DIR
+
+    rows = f3_approx_percentiles(spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        for q in (50, 90, 99):
+            exact = r[f"exact_p{q}"]
+            assert exact > 0
+            assert abs(r[f"approx_p{q}"] - exact) / exact < 0.02, (r, q)
