@@ -34,6 +34,7 @@ def asof_join(
     value_cols: Sequence[str] = (),
     direction: str = "backward",
     how: str = "left",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest right row in time, per ``by`` key.
 
@@ -41,6 +42,11 @@ def asof_join(
     - ``forward``: earliest right row with ``r.time >= l.time`` (inclusive).
     - ``how``: ``left`` keeps unmatched left rows (null value_cols);
       ``inner`` drops them.
+    - ``tolerance``: maximum allowed time distance for a match (pandas
+      ``merge_asof(tolerance=...)``): a SQL interval string (``"2 hours"``)
+      for temporal time columns, or a number for numeric ones. A nearest
+      row farther than the tolerance counts as NO match. Applied as a
+      row-local post-filter, so the one-shuffle plan shape is unchanged.
 
     ``value_cols`` are the right-side columns to carry over; they must not
     collide with left column names. All carried columns come from the SAME
@@ -59,9 +65,17 @@ def asof_join(
         raise ValueError(f"asof_join: value_cols collide with left columns: {sorted(clash)}")
 
     l_tagged = left.withColumn(_SIDE, F.lit(1))
+    # The matched right row's own timestamp rides inside the struct so a
+    # tolerance bound can be evaluated after the window pass.
     r_tagged = (
         right.select(*by, time_col, *value_cols)
-        .withColumn(_RSTRUCT, F.struct(*[F.col(c) for c in value_cols]))
+        .withColumn(
+            _RSTRUCT,
+            F.struct(
+                F.col(time_col).alias("__asof_t"),
+                *[F.col(c) for c in value_cols],
+            ),
+        )
         .drop(*value_cols)
         .withColumn(_SIDE, F.lit(0))
     )
@@ -78,6 +92,20 @@ def asof_join(
     matched = u.withColumn(_RSTRUCT, F.last(_RSTRUCT, ignorenulls=True).over(w))
 
     out = matched.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        bound = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        gap = (
+            F.col(time_col) - F.col(_RSTRUCT)["__asof_t"]
+            if direction == "backward"
+            else F.col(_RSTRUCT)["__asof_t"] - F.col(time_col)
+        )
+        out = out.withColumn(
+            _RSTRUCT, F.when(gap <= bound, F.col(_RSTRUCT))
+        )
     if how == "inner":
         out = out.filter(F.col(_RSTRUCT).isNotNull())
     for c in value_cols:

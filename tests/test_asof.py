@@ -77,3 +77,56 @@ def test_value_col_clash_raises(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(_left(spark), _right(spark).withColumnRenamed("rx", "lid"),
                   by=["k"], value_cols=["lid"])
+
+
+def test_asof_tolerance_bounds_the_match(spark):
+    # pandas merge_asof(tolerance=...): a nearest row farther than the
+    # bound is NO match. Numeric time axis for exactness.
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (2, 100)], "k int, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 200, "b"), (2, 10, "c")], "k int, ts long, v string"
+    )
+    out = asof_join(
+        left, right, time_col="ts", by=["k"], value_cols=["v"],
+        direction="backward", tolerance=10,
+    )
+    got = {(r["k"], r["ts"]): r["v"] for r in out.collect()}
+    # (1,100): nearest prior is 90, gap 10 <= 10 -> match "a"
+    # (1,205): nearest prior is 200, gap 5 -> "b"
+    # (2,100): nearest prior is 10, gap 90 > 10 -> no match
+    assert got == {(1, 100): "a", (1, 205): "b", (2, 100): None}
+
+    inner = asof_join(
+        left, right, time_col="ts", by=["k"], value_cols=["v"],
+        direction="backward", tolerance=10, how="inner",
+    )
+    assert inner.count() == 2
+
+    fwd = asof_join(
+        left, right, time_col="ts", by=["k"], value_cols=["v"],
+        direction="forward", tolerance=100,
+    )
+    got_f = {(r["k"], r["ts"]): r["v"] for r in fwd.collect()}
+    # (1,100): next at 200, gap 100 <= 100 -> "b"; (1,205): none after;
+    # (2,100): none after (right has only ts=10 for k=2).
+    assert got_f == {(1, 100): "b", (1, 205): None, (2, 100): None}
+
+
+def test_asof_tolerance_interval_on_timestamps(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame([(1, t(30)), (1, t(59))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(0), 10.0), (1, t(55), 20.0)], "k int, ts timestamp, v double"
+    )
+    out = asof_join(
+        left, right, time_col="ts", by=["k"], value_cols=["v"],
+        tolerance="15 minutes",
+    )
+    got = {r["ts"].minute: r["v"] for r in out.collect()}
+    # 00:30's nearest prior is 00:00 (gap 30m > 15m) -> null;
+    # 00:59's nearest prior is 00:55 (gap 4m) -> 20.0
+    assert got == {30: None, 59: 20.0}
