@@ -292,6 +292,49 @@ def minhash_lsh_pairs(
 # Decontamination (train/eval n-gram overlap)
 # ---------------------------------------------------------------------------
 
+def gram_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = True
+) -> DataFrame:
+    """DISTINCT ``(doc, g)`` k-gram rows, linear in document length.
+
+    Equivalent to ``explode(shingles(text, k))`` but NOT written that way:
+    Generate re-evaluates a non-attribute child per OUTPUT row, and
+    ``shingles`` is an interpreted higher-order ``transform`` — the
+    explode formulation goes O(grams²) per document (measured 10× slower
+    on the same corpus). Here the words column explodes as a plain
+    attribute and ``lead()`` windows assemble each k-gram in one linear
+    pass; short docs (< k tokens) contribute their whole-doc gram, same
+    as the shingles fallback arm.
+    """
+    from pyspark.sql import Window
+
+    words_df = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("words")
+    )
+    wlead = Window.partitionBy("doc").orderBy("pos")
+    long_grams = (
+        words_df.filter(F.size("words") >= k)
+        .select("doc", F.posexplode("words").alias("pos", "w"))
+        .select(
+            "doc",
+            "w",
+            *[F.lead("w", j).over(wlead).alias(f"w{j}") for j in range(1, k)],
+        )
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            "doc",
+            F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)]).alias("g"),
+        )
+    )
+    short_grams = words_df.filter(F.size("words") < k).select(
+        "doc", F.concat_ws(" ", "words").alias("g")
+    )
+    out = long_grams.unionByName(short_grams)
+    # distinct=False skips the dedup shuffle — for consumers that fold the
+    # per-doc dedup into their own aggregation (countDistinct).
+    return out.distinct() if distinct else out
+
+
 def decontaminate(
     train: DataFrame,
     eval_set: DataFrame,
@@ -310,26 +353,31 @@ def decontaminate(
     caught.
     """
     # fan_out: a single-file parquet source reads as ONE partition, which
-    # would serialize the per-row shingle folds onto one core.
-    train_grams = fan_out(train).select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, ngram_k)).alias("g")
+    # would serialize the per-row token work onto one core. gram_rows is
+    # the linear (posexplode + lead) k-gram formulation — see its
+    # docstring for why explode(shingles(...)) is avoided.
+    train_grams = gram_rows(
+        fan_out(train), id_col, text_col, ngram_k, distinct=False
     )
     eval_grams = (
-        fan_out(eval_set)
-        .select(F.explode(shingles(text_col, ngram_k)).alias("g"))
+        gram_rows(fan_out(eval_set), id_col, text_col, ngram_k)
+        .select("g")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    # ONE pass: left-join every train gram against the broadcast eval set
-    # (distinct, so exactly one output row per train gram) and count both
-    # totals and hits in the same aggregation — the train shingle fold
-    # evaluates once and the per-doc totals need no second scan/join.
+    # ONE shuffle: left-join every train gram occurrence against the
+    # broadcast eval set, then count DISTINCT grams (total and matched) in
+    # the same per-doc aggregation — the per-doc dedup that shingles'
+    # array_distinct used to do rides the groupBy's map-side partials
+    # instead of a separate distinct shuffle.
     return (
         train_grams.join(F.broadcast(eval_grams), "g", "left")
         .groupBy("doc")
         .agg(
-            F.count("hit").cast("long").alias("n_shared_grams"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("g")))
+            .cast("long")
+            .alias("n_shared_grams"),
+            F.countDistinct("g").cast("long").alias("n_grams"),
         )
         .filter(F.col("n_shared_grams") > 0)
         .select(

@@ -854,27 +854,26 @@ def txt10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_testdata(spark, sf_dir)["documents"]
-    base = docs.select(
+    words_df = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("words")
-    ).select(
+    )
+    base = words_df.select(
         "doc_id",
         F.size("words").alias("n_words"),
         F.size(F.array_distinct("words")).alias("n_distinct"),
-        # Word bigrams via a JVM-side HOF; guarded because Spark's
-        # sequence(1, 0) DESCENDS instead of returning empty.
-        F.when(
-            F.size("words") > 1,
-            F.expr(
-                "transform(sequence(1, size(words) - 1),"
-                " i -> concat(words[i - 1], ' ', words[i]))"
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
     )
+    # Bigrams via posexplode + lead window, NOT explode(transform(...)):
+    # Generate re-evaluates a non-attribute child per OUTPUT row, so an
+    # interpreted HOF bigram array goes O(len^2) per doc (measured 13.3 s
+    # for this stage at sf0.1 vs 1.2 s for this formulation). Exploding the
+    # plain words column is a cheap attribute generate; lead() pairs each
+    # token with its successor in one linear window pass.
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
     gram_counts = (
-        base.select("doc_id", F.explode("grams").alias("gram"))
-        .groupBy("doc_id", "gram")
+        words_df.select("doc_id", F.posexplode("words").alias("pos", "w"))
+        .withColumn("nxt", F.lead("w").over(wlead))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "w", "nxt").alias("gram"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
