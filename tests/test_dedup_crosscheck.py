@@ -230,3 +230,30 @@ def test_concurrent_lsh_calls_keep_live_indexes(spark):
     dedup.release_shingle_indexes()
     with dedup._INDEX_LOCK:
         assert not dedup._PERSISTED_INDEXES
+
+
+def test_gram_rows_equals_shingle_explode(spark):
+    # gram_rows is the linear (posexplode+lead) reformulation of
+    # explode(shingles(...)); pin exact set equality against the original
+    # HOF definition so the perf rewrite can never drift semantically.
+    from pyspark.sql import functions as F
+
+    from dbt_analytics_spark.operators.dedup import gram_rows, shingles
+    from dbt_analytics_spark.sources import load_testdata
+
+    from .conftest import SF_DIR
+
+    docs = load_testdata(spark, SF_DIR)["documents"].limit(200)
+    for k in (2, 5, 13):
+        fast = {
+            (r["doc"], r["g"])
+            for r in gram_rows(docs, "doc_id", "text", k).collect()
+        }
+        ref = {
+            (r["doc"], r["g"])
+            for r in docs.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(shingles("text", k)).alias("g"),
+            ).collect()
+        }
+        assert fast == ref, f"k={k}: {len(fast)} vs {len(ref)} grams"
