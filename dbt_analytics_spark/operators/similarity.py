@@ -441,9 +441,15 @@ def pq_topk(
     n_codes: int = 16,
     kmeans_iters: int = 5,
     refine: int = 4,
+    codebooks: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k with asymmetric distance
     computation (ADC) and exact re-rank.
+
+    ``codebooks`` injects a pre-trained model (shape (m, n_codes, sub) —
+    ``pq_fit``'s output): production deployments fit once, persist, and
+    reuse across queries/runs rather than re-running Lloyd iterations per
+    call. When omitted, ``pq_fit`` trains on the corpus in-pass.
 
     Per query, a lookup table of subvector·codeword dot products (m ×
     n_codes doubles) is precomputed on the driver; the approximate
@@ -464,13 +470,17 @@ def pq_topk(
     """
     import numpy as np
 
-    B = pq_fit(
-        corpus,
-        id_col,
-        vec_col,
-        n_subspaces=n_subspaces,
-        n_codes=n_codes,
-        max_iter=kmeans_iters,
+    B = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(
+            corpus,
+            id_col,
+            vec_col,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+            max_iter=kmeans_iters,
+        )
     )
     m, _, sub = B.shape
     id_type = corpus.schema[id_col].dataType.simpleString()

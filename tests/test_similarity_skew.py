@@ -216,3 +216,21 @@ def test_pq_topk_recall_and_exact_sims(spark):
 
     again = sim4_pq_topk(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_accepts_pretrained_codebooks(spark):
+    # Production shape: fit once, persist, reuse. Injected codebooks must
+    # reproduce the in-pass-fit results exactly (same deterministic init).
+    from dbt_analytics_spark.operators.similarity import pq_fit, pq_topk
+
+    emb = load_testdata(spark, SF_DIR)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    B = pq_fit(emb, n_subspaces=8, n_codes=16, max_iter=3)
+    assert B.shape == (8, 16, 8)
+    fitted = pq_topk(
+        emb, queries, k=3, n_subspaces=8, n_codes=16, kmeans_iters=3, refine=8
+    ).collect()
+    injected = pq_topk(
+        emb, queries, k=3, refine=8, codebooks=B
+    ).collect()
+    assert sorted(map(tuple, fitted)) == sorted(map(tuple, injected))
