@@ -17,6 +17,7 @@ split by AQE like any other window/shuffle.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -24,6 +25,15 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _RSTRUCT = "__asof_right"
+
+# Interval strings are interpolated into F.expr, so validate the shape up
+# front: "<number> <unit>" pairs, e.g. "2 hours" or "1 day 30 minutes".
+# A malformed value otherwise surfaces as an opaque Catalyst parse error
+# far from the call site (and would accept arbitrary SQL fragments).
+_TOLERANCE_RE = re.compile(
+    r"(?i)\s*(?:'?\d+(?:\.\d+)?'?\s+"
+    r"(?:year|month|week|day|hour|minute|second|millisecond|microsecond)s?\s*)+"
+)
 
 
 def asof_join(
@@ -93,11 +103,15 @@ def asof_join(
 
     out = matched.filter(F.col(_SIDE) == 1)
     if tolerance is not None:
-        bound = (
-            F.expr(f"INTERVAL {tolerance}")
-            if isinstance(tolerance, str)
-            else F.lit(tolerance)
-        )
+        if isinstance(tolerance, str):
+            if not _TOLERANCE_RE.fullmatch(tolerance.strip()):
+                raise ValueError(
+                    f"asof_join: bad tolerance {tolerance!r} — expected an "
+                    "interval string like '2 hours' or '1 day 30 minutes'"
+                )
+            bound = F.expr(f"INTERVAL {tolerance}")
+        else:
+            bound = F.lit(tolerance)
         gap = (
             F.col(time_col) - F.col(_RSTRUCT)["__asof_t"]
             if direction == "backward"

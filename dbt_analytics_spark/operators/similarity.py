@@ -200,6 +200,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 0,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors belong to their
     nearest of ``n_cells`` centroid cells; each query searches only its
@@ -218,13 +219,20 @@ def ivf_topk(
     (RNG-free, reproducible); ``kmeans_iters > 0`` refines them with that
     many distributed Lloyd iterations (see ``kmeans_fit``) before the
     search pass — better-balanced cells at the cost of one corpus pass per
-    iteration.
+    iteration. ``centroids`` injects a pre-trained model instead
+    (``kmeans_fit``'s output, persisted via ``save_centroids`` /
+    ``load_centroids``): production deployments fit once and reuse across
+    runs, skipping every training pass.
     """
     import numpy as np
 
     id_type = corpus.schema[id_col].dataType.simpleString()
 
-    if kmeans_iters > 0:
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        if C.ndim != 2:
+            raise ValueError(f"ivf_topk: centroids must be 2-D, got shape {C.shape}")
+    elif kmeans_iters > 0:
         C, _ = kmeans_fit(
             corpus, id_col, vec_col, n_cells=n_cells, max_iter=kmeans_iters
         )
@@ -552,6 +560,73 @@ def pq_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Model persistence: fit-once / reuse-everywhere lifecycle for the ANN
+# models. Both artifacts are driver-sized (KBs) and written as plain
+# parquet so any engine — this package, Spark SQL, DuckDB — can read them;
+# a 1000-executor job loads the model once on the driver and ships it in
+# task closures exactly like the in-pass-fit path.
+# ---------------------------------------------------------------------------
+
+
+def save_codebooks(codebooks: "np.ndarray", path: str) -> None:
+    """Persist ``pq_fit`` output (shape (n_subspaces, n_codes, sub)) as a
+    skinny parquet table (subspace, code, centroid array<double>)."""
+    import numpy as np
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    if B.ndim != 3:
+        raise ValueError(f"save_codebooks: expected 3-D array, got shape {B.shape}")
+    m, k, _ = B.shape
+    pd.DataFrame(
+        {
+            "subspace": np.repeat(np.arange(m, dtype=np.int32), k),
+            "code": np.tile(np.arange(k, dtype=np.int32), m),
+            "centroid": [B[s, c].tolist() for s in range(m) for c in range(k)],
+        }
+    ).to_parquet(path, index=False)
+
+
+def load_codebooks(path: str) -> "np.ndarray":
+    """Inverse of ``save_codebooks``; returns the dense (m, k, sub) array
+    for ``pq_topk(codebooks=...)`` / ``pq_encode``."""
+    import numpy as np
+
+    pdf = pd.read_parquet(path).sort_values(["subspace", "code"])
+    m = int(pdf["subspace"].max()) + 1
+    k = int(pdf["code"].max()) + 1
+    if len(pdf) != m * k:
+        raise ValueError(
+            f"load_codebooks: {path} holds {len(pdf)} rows, expected {m}×{k}"
+        )
+    flat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["centroid"]])
+    return flat.reshape(m, k, flat.shape[1])
+
+
+def save_centroids(centroids: "np.ndarray", path: str) -> None:
+    """Persist ``kmeans_fit`` centroids (shape (n_cells, dim)) as parquet
+    (cell, centroid array<double>) for ``ivf_topk(centroids=...)``."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError(f"save_centroids: expected 2-D array, got shape {C.shape}")
+    pd.DataFrame(
+        {
+            "cell": np.arange(len(C), dtype=np.int32),
+            "centroid": [row.tolist() for row in C],
+        }
+    ).to_parquet(path, index=False)
+
+
+def load_centroids(path: str) -> "np.ndarray":
+    """Inverse of ``save_centroids``."""
+    import numpy as np
+
+    pdf = pd.read_parquet(path).sort_values("cell")
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["centroid"]])
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a counter-based
     generator (no RNG state; reproducible across runs and engines)."""
@@ -628,7 +703,11 @@ def lsh_bucket_topk(
                 }
             )
 
-    schema = "id long, vec array<double>, n2 double, table int, bucket int"
+    # Preserve the caller's id type (string ids, ints narrower than long)
+    # instead of forcing Arrow to coerce to long — same contract as
+    # ivf_topk/pq_topk, which derive it from the corpus schema.
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, vec array<double>, n2 double, table int, bucket int"
     c = (
         fan_out(corpus)
         .select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec"))

@@ -240,8 +240,24 @@ def evaluate_selectors(
 def select_by_name(
     project: "Project", selectors: dict[str, dict[str, Any]], name: str
 ) -> set[str]:
+    """Resolve one selector. Evaluates in file order but stops once the
+    requested name is computed, and tolerates errors in *other* selectors:
+    a broken definition only raises if the requested selector is (or
+    transitively references) the broken one — matching dbt, which resolves
+    the requested selector plus its back-references, not the whole file."""
     if name not in selectors:
         raise SelectorError(
             f"selector '{name}' not found; defined: {sorted(selectors)}"
         )
-    return evaluate_selectors(project, selectors)[name]
+    named: dict[str, set[str]] = {}
+    for sel_name, sel in selectors.items():
+        try:
+            named[sel_name] = _eval_definition(project, sel["definition"], named)
+        except SelectorError:
+            if sel_name == name:
+                raise
+            # A later `method: selector` reference to this name will raise
+            # "not defined earlier" — which is accurate: it failed.
+        if sel_name == name:
+            return named[name]
+    raise AssertionError("unreachable: name checked against selectors above")

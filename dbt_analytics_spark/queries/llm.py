@@ -190,7 +190,10 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SIM3 — IVF-bucketed approximate top-k (rows-only; recall measured in tests
-# against SIM1)
+# against SIM1). Production lifecycle: kmeans_fit once, persist via
+# similarity.save_centroids/load_centroids, then ivf_topk(centroids=...)
+# skips training entirely (round-trip equality:
+# tests/test_similarity_skew.py::test_ann_model_persistence_roundtrip).
 # ---------------------------------------------------------------------------
 
 def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +207,10 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SIM4 — product-quantization ADC top-k with exact re-rank (rows-only;
 # recall measured in tests against SIM1). The 100 TB memory-bound path:
-# pq_encode compresses 256 B float vectors to 8 one-byte codes.
+# pq_encode compresses 256 B float vectors to 8 one-byte codes. Production
+# lifecycle: pq_fit once, persist via similarity.save_codebooks/
+# load_codebooks, then pq_topk(codebooks=...) skips training (round-trip
+# equality: tests/test_similarity_skew.py::test_ann_model_persistence_roundtrip).
 # ---------------------------------------------------------------------------
 
 def sim4_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,7 +978,10 @@ SMP2_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, source,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS draw,
-         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 5 + 1 AS BIGINT) AS rate_i
+         -- TRY_CAST: a digit-less source yields NULL (Spark's cast-to-int
+         -- semantics), so the row drops out of the NULL-rejecting filter
+         -- below on BOTH engines instead of DuckDB erroring on CAST('').
+         CAST(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 5 + 1 AS BIGINT) AS rate_i
   FROM documents
 )
 SELECT doc_id, source, draw,

@@ -71,6 +71,23 @@ def test_forward_and_inner(spark):
     assert fwd[1]["rx"] == 10 and fwd[3]["rx"] == 10
 
 
+def test_bad_tolerance_string_raises_early(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 9, 1.0)], "k int, ts int, v double")
+    with pytest.raises(ValueError, match="bad tolerance"):
+        asof_join(
+            left, right, time_col="ts", by=["k"], value_cols=["v"],
+            tolerance="2 hours; DROP TABLE x",
+        )
+    with pytest.raises(ValueError, match="bad tolerance"):
+        asof_join(
+            left, right, time_col="ts", by=["k"], value_cols=["v"],
+            tolerance="soonish",
+        )
+
+
 def test_value_col_clash_raises(spark):
     import pytest
 

@@ -50,6 +50,23 @@ def test_frame_sample_one_to_many(spark, binary_docs):
         assert sizes[r["doc_id"]] - r["bytes_out"] < 4
 
 
+def test_oracle_fallback_assumption_no_ppm_payloads(spark):
+    """MM1/MM2's DuckDB oracles replay only the non-PPM fallback arm of the
+    decoder (queries/llm.py MM1_SQL/MM2_SQL); that is sound only while no
+    testdata payload is a valid P6 PPM stream. The driver regenerates
+    /root/testdata between rounds — fail loudly here if the assumption ever
+    breaks instead of letting the oracle silently diverge."""
+    docs = load_testdata(spark, SF_DIR)["documents"]
+    binary = multimodal.with_binary_payload(docs, "text")
+    n_ppm = binary.filter(
+        F.substring(F.col("payload").cast("string"), 1, 2) == "P6"
+    ).count()
+    assert n_ppm == 0, (
+        f"{n_ppm} document payloads start with 'P6' — MM1/MM2 oracle SQL "
+        "no longer matches the Spark decode path; update the oracles."
+    )
+
+
 def test_freshness_thresholds(spark):
     ev = load_testdata(spark, SF_DIR)["events"]
     max_ts = ev.agg(F.max("ts")).collect()[0][0].replace(tzinfo=timezone.utc)

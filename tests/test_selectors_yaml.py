@@ -128,3 +128,26 @@ def test_bad_definitions(project):  # noqa: F811
     with pytest.raises(SelectorError, match="not found"):
         project.load_selectors({"selectors": [{"name": "x", "definition": "y"}]})
         project.select_by_selector("nope")
+
+
+def test_broken_selector_does_not_poison_others(project):  # noqa: F811
+    """dbt resolves the requested selector plus its back-references only:
+    a malformed definition elsewhere in the file must not break selection
+    of unrelated selectors (it raises only when requested or referenced)."""
+    project.compile()
+    project.load_selectors(
+        {"selectors": [
+            # Malformed: criteria dict without a 'value'.
+            {"name": "broken", "definition": {"method": "tag"}},
+            {"name": "fine", "definition": "tag:spend"},
+            {"name": "refs_broken", "definition": {"method": "selector", "value": "broken"}},
+        ]}
+    )
+    # Unrelated selector works despite the earlier broken one.
+    assert project.select_by_selector("fine") == {"cust_spend", "spend_with_names"}
+    # Requesting the broken one raises its own error.
+    with pytest.raises(SelectorError, match="'value'"):
+        project.select_by_selector("broken")
+    # Referencing the broken one also raises (it never evaluated).
+    with pytest.raises(SelectorError, match="not defined earlier"):
+        project.select_by_selector("refs_broken")

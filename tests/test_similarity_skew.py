@@ -46,6 +46,26 @@ def test_ann_variants_recall(spark):
     assert set(sizes) == set(exact)
 
 
+def test_lsh_preserves_id_type(spark):
+    # Public-API generality: lsh_bucket_topk must carry the caller's id
+    # type through the mapInPandas schema (string ids, narrow ints) like
+    # ivf_topk/pq_topk do, not force long.
+    from dbt_analytics_spark.operators.similarity import lsh_bucket_topk
+
+    emb = load_testdata(spark, SF_DIR)["embeddings"].limit(200)
+    as_str = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    queries = as_str.limit(5)
+    out = lsh_bucket_topk(as_str, queries, k=2)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["corpus_id"] == "string"
+    rows = out.collect()
+    assert rows and all(r["query_id"].startswith("doc-") for r in rows)
+
+    as_int = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    out_i = lsh_bucket_topk(as_int, as_int.limit(5), k=2)
+    assert dict(out_i.dtypes)["corpus_id"] == "int"
+
+
 def test_ivf_deterministic(spark):
     a = sim3_ivf_topk(spark, SF_DIR).collect()
     b = sim3_ivf_topk(spark, SF_DIR).collect()
@@ -216,6 +236,46 @@ def test_pq_topk_recall_and_exact_sims(spark):
 
     again = sim4_pq_topk(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ann_model_persistence_roundtrip(spark, tmp_path):
+    # Fit-once/reuse lifecycle: fit → save → load → search must equal
+    # fit → search exactly, for both the PQ codebooks and IVF centroids.
+    import numpy as np
+
+    from dbt_analytics_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+        load_centroids,
+        load_codebooks,
+        pq_fit,
+        pq_topk,
+        save_centroids,
+        save_codebooks,
+    )
+
+    emb = load_testdata(spark, SF_DIR)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    B = pq_fit(emb, n_subspaces=8, n_codes=16, max_iter=3)
+    save_codebooks(B, str(tmp_path / "codebooks.parquet"))
+    B2 = load_codebooks(str(tmp_path / "codebooks.parquet"))
+    assert B2.shape == B.shape and np.array_equal(B, B2)
+    direct = pq_topk(emb, queries, k=3, refine=8, codebooks=B).collect()
+    loaded = pq_topk(emb, queries, k=3, refine=8, codebooks=B2).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, loaded))
+
+    C, _ = kmeans_fit(emb, n_cells=8, max_iter=3)
+    save_centroids(C, str(tmp_path / "centroids.parquet"))
+    C2 = load_centroids(str(tmp_path / "centroids.parquet"))
+    assert C2.shape == C.shape and np.array_equal(C, C2)
+    direct_ivf = ivf_topk(emb, queries, k=3, n_probe=4, centroids=C).collect()
+    loaded_ivf = ivf_topk(emb, queries, k=3, n_probe=4, centroids=C2).collect()
+    assert sorted(map(tuple, direct_ivf)) == sorted(map(tuple, loaded_ivf))
+    # And the trained-centroid path equals fitting inline with the same
+    # iteration count (same deterministic init → same model).
+    inline = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4, kmeans_iters=3).collect()
+    assert sorted(map(tuple, direct_ivf)) == sorted(map(tuple, inline))
 
 
 def test_pq_topk_accepts_pretrained_codebooks(spark):
