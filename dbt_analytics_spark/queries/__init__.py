@@ -21,7 +21,8 @@ whose driver row carries the least marginal evidence — rows-only sketch
 ops that are brute-force cross-checked in pytest
 (tests/test_dedup_crosscheck.py, tests/test_similarity_skew.py) and
 TPC-H join shapes whose operator IDs are evidenced by other queries —
-and ALL registered queries (68 as of round 5) are verified locally under
+and ALL registered queries (``len(REGISTRY)`` — counted, never hand-written
+here; round 5's "68" went stale at 70) are verified locally under
 driver conditions (sf0.01, DuckDB oracle) by tests/test_oracle_parity.py
 and the committed CORRECTNESS_LOCAL_r{N}.json artifact. The prefix
 itself is frozen by tests/test_driver_contract.py.
@@ -49,8 +50,6 @@ _BEYOND_DRIVER_CAP = [
     "q22_dormant_customers",
     "dd4_simhash_pairs",
     "sim2_lsh_topk",
-    "dd6_decontaminate",
-    "dd7_cluster_dedup",
     "smp1_stratified_sample",
     "txt6_keywords",
     "dd8_clean_corpus",
@@ -58,13 +57,28 @@ _BEYOND_DRIVER_CAP = [
     "sim4_pq_topk",
     "txt8_pii_redact",
     "txt9_chunk",
-    # Round-5 additions (all DuckDB-oracled; evidenced by the all-queries
-    # local gate + oracle-parity pytest).
-    "ev5_funnel",
-    "txt10_repetition",
-    "smp2_weighted_sample",
     "txt11_vocab",
     "f3_approx_percentiles",
+    # Round-6 rotation (VERDICT r5 item 2): dd6/dd7/txt10/smp2/ev5 — the
+    # round-5 operators with committed local hash-green but no driver row —
+    # move INTO the 50-prefix. Displaced, in exchange:
+    #   w4_running_total / w5_ntile — extra window shapes; the §2a window
+    #     IDs (W1-W3) are evidenced by w1/w2/w3 driver rows.
+    #   j3_top1_per_group — J3 and SO2 stay driver-evidenced by
+    #     j3b_regex_lateral_top1 (same operator, operators/top1.py).
+    #   t5_listagg — T5's split+unnest is driver-evidenced by
+    #     j5_explode_split.
+    #   f2_approx_distinct — rows-only by design (no oracle), so its driver
+    #     row carried the least evidence; error-bound tests remain
+    #     (tests/test_functions.py).
+    "w4_running_total",
+    "w5_ntile",
+    "j3_top1_per_group",
+    "t5_listagg",
+    "f2_approx_distinct",
+    # ev3b (round 6, forward+tolerance as-of) is local-gate verified; the
+    # backward as-of already holds a driver row (ev3).
+    "ev3b_asof_forward",
 ]
 
 _ALL: dict = {}

@@ -1156,6 +1156,69 @@ FROM clicks c ASOF LEFT JOIN purch p
 
 
 # ---------------------------------------------------------------------------
+# EV3B — as-of join, FORWARD direction with a tolerance bound: each click
+# joins the EARLIEST subsequent purchase of the same user, but only if it
+# lands within 2 days (attribution-window semantics). Exercises the
+# direction="forward" + tolerance arms of operators/asof.py under the
+# DuckDB oracle (ASOF LEFT JOIN on c.ts <= p.ts; the tolerance is a
+# row-local post-filter that nulls the match, keeping left rows — identical
+# on both engines).
+# ---------------------------------------------------------------------------
+
+def ev3b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(
+            F.max_by("value", "event_id").alias("purchase_value"),
+            F.max("event_id").alias("purchase_event_id"),
+        )
+        .withColumn("purchase_ts_us", ts_us("p_ts"))
+        .drop("p_ts")
+        .withColumn("ts", F.timestamp_micros(F.col("purchase_ts_us")))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        time_col="ts",
+        by=["user_id"],
+        value_cols=["purchase_value", "purchase_event_id", "purchase_ts_us"],
+        direction="forward",
+        tolerance="2 days",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("purchase_event_id").cast("bigint").alias("purchase_id"),
+        "purchase_value",
+        (F.col("purchase_ts_us") - ts_us("ts")).cast("bigint").alias("gap_us"),
+    )
+
+
+EV3B_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts,
+         arg_max(value, event_id) AS purchase_value,
+         max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id AS click_id, c.user_id,
+       CASE WHEN p.ts - c.ts <= INTERVAL 2 DAY
+            THEN CAST(p.purchase_event_id AS BIGINT) END AS purchase_id,
+       CASE WHEN p.ts - c.ts <= INTERVAL 2 DAY
+            THEN p.purchase_value END AS purchase_value,
+       CASE WHEN p.ts - c.ts <= INTERVAL 2 DAY
+            THEN CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) END AS gap_us
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # EV4 — range (interval-containment) join (extension): events banded by a
 # non-uniform value-range dim via bin bucketing — see operators/rangejoin.py.
 # Catalyst would run the raw `lo <= v < hi` join as a nested loop; the bin
@@ -1488,6 +1551,7 @@ REGISTRY = {
     "ev1_sessionize": (ev1_sessionize, EV1_SQL),
     "ev2_json_extract": (ev2_json_extract, EV2_SQL),
     "ev3_asof_join": (ev3_asof_join, EV3_SQL),
+    "ev3b_asof_forward": (ev3b_asof_forward, EV3B_SQL),
     "ev4_range_join": (ev4_range_join, EV4_SQL),
     "ev5_funnel": (ev5_funnel, EV5_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),

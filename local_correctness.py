@@ -79,6 +79,11 @@ def main() -> int:
         status = row["err"] or ("ok" if row["hash_match"] else "MISMATCH")
         print(f"{name:28s} {status}")
 
+    # The artifact must cover the WHOLE registry — guard against a future
+    # early-exit or filter making n_queries silently drift from the catalog.
+    assert len(results) == len(REGISTRY), (
+        f"gate covered {len(results)} queries but registry holds {len(REGISTRY)}"
+    )
     out = f"CORRECTNESS_LOCAL_r{rnd:02d}.json"
     with open(out, "w") as f:
         json.dump({"sf_dir": SF_DIR, "n_queries": len(results), "results": results}, f, indent=2)

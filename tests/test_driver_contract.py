@@ -47,33 +47,38 @@ def test_oracle_sql_references_only_driver_views():
             for t in re.findall(r"(?i)\bfrom\s+([a-z_][a-z0-9_]*)\b", sql)
             + re.findall(r"(?i)\bjoin\s+([a-z_][a-z0-9_]*)\b", sql)
         )
-        unknown = tables - DRIVER_VIEWS - ctes - {"read_parquet", "lateral", "t", "q", "m", "c", "p", "b", "l"}
+        # "lateral" is a keyword that can follow JOIN, not a table name. No
+        # alias whitelist: every other captured token must be a driver view
+        # or a CTE defined in the same statement (a whitelist of one-letter
+        # aliases could mask a real unknown-table reference).
+        unknown = tables - DRIVER_VIEWS - ctes - {"lateral"}
         assert not unknown, (name, unknown)
 
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-5 prefix so an accidental
+    # queries/__init__.py). Freeze the round-6 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit.
+    # list in the same commit (round-6 rotation: dd6/dd7/txt10/smp2/ev5 in;
+    # w4/w5/j3/t5_listagg/f2 out — see queries/__init__.py for rationale).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
         "q1_pricing_summary", "p1_projection_cast", "p2_filter_ilike",
         "p3_case_classify", "p5_coalesce", "j1_join_agg", "j2_left_join",
-        "j3_top1_per_group", "j3b_regex_lateral_top1", "j4_lateral_expr",
-        "j5_explode_split", "a1_multi_grain_rollup", "a3_conditional_agg",
-        "w4_running_total", "w5_ntile", "a4_count_distinct", "w1_dedup_rank",
-        "w2_first_value", "w3_pct_of_total", "u1_union_dedup",
-        "u2_union_all_dim", "g1_date_spine", "d1_date_trunc", "d2_extract",
-        "d3_interval_arith", "t2_regex_match", "t4_string_fns", "t5_listagg",
-        "t3_normalize", "so1_order_limit", "ev1_sessionize",
-        "ev2_json_extract", "ev3_asof_join", "ev4_range_join", "a2_rollup",
-        "f1_percentiles", "dd1_exact_dedup", "dd2_jaccard_pairs",
+        "j3b_regex_lateral_top1", "j4_lateral_expr", "j5_explode_split",
+        "a1_multi_grain_rollup", "a3_conditional_agg", "a4_count_distinct",
+        "w1_dedup_rank", "w2_first_value", "w3_pct_of_total",
+        "u1_union_dedup", "u2_union_all_dim", "g1_date_spine",
+        "d1_date_trunc", "d2_extract", "d3_interval_arith", "t2_regex_match",
+        "t4_string_fns", "t3_normalize", "so1_order_limit", "ev1_sessionize",
+        "ev2_json_extract", "ev3_asof_join", "ev4_range_join", "ev5_funnel",
+        "a2_rollup", "f1_percentiles", "dd1_exact_dedup", "dd2_jaccard_pairs",
         "dd3_minhash_lsh", "dd5_embedding_neardup", "sim1_cosine_topk",
         "sim3_ivf_topk", "txt1_token_stats", "txt2_quality", "txt3_langid",
-        "txt4_fingerprint", "txt5_bpe_token_stats", "f2_approx_distinct",
-        "mm1_features", "mm2_frame_sample",
+        "txt4_fingerprint", "txt5_bpe_token_stats", "mm1_features",
+        "mm2_frame_sample", "dd6_decontaminate", "dd7_cluster_dedup",
+        "txt10_repetition", "smp2_weighted_sample",
     ]
     assert list(q.queries())[:50] == expected_prefix
