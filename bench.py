@@ -3,6 +3,14 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+The reference publishes no benchmark (BASELINE.md), so the "within 2x of
+baseline" criterion needs a denominator: this runner also times the DuckDB
+oracle SQL for each headline query on the SAME parquet inputs (same host,
+all cores) and emits `duckdb_times` plus per-query `spark_over_duckdb`
+ratios. DuckDB is a state-of-the-art single-node OLAP engine, so ratio <= 2
+on a single node is a defensible stand-in for the criterion. Disable with
+SPARK_GRAFT_ORACLE_BENCH=0 (queries without oracle SQL record null).
 """
 
 from __future__ import annotations
@@ -110,6 +118,43 @@ def main() -> None:
 
     total = round(sum(times.values()), 4)
     load_after = os.getloadavg()
+
+    duckdb_times: dict[str, float | None] = {}
+    ratios: dict[str, float | None] = {}
+    if os.environ.get("SPARK_GRAFT_ORACLE_BENCH", "1") != "0":
+        import duckdb
+
+        from dbt_analytics_spark.sources.readers import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        for name in HEADLINE:
+            _, sql = REGISTRY[name]
+            if sql is None:
+                # Sketch ops (dd3/sim3) are rows-only by design — no SQL
+                # equivalent exists, so there is no oracle denominator.
+                duckdb_times[name] = ratios[name] = None
+                continue
+            con.execute(sql).fetchall()  # warm (page cache, plan cache)
+            best = None
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            duckdb_times[name] = round(best, 4)
+            ratios[name] = round(times[name] / best, 2) if best > 0 else None
+            print(
+                f"# duckdb {name}: {duckdb_times[name]:.3f}s "
+                f"(spark/duckdb = {ratios[name]})",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {
@@ -117,6 +162,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # Same-host, same-parquet DuckDB oracle timings (min-of-N,
+                # warmed) and spark/duckdb ratios — the denominator for the
+                # "within 2x of a state-of-the-art single-node engine"
+                # criterion. null = query has no SQL oracle.
+                "duckdb_times": duckdb_times,
+                "spark_over_duckdb": ratios,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
                 "agg": "min",
