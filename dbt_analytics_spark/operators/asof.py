@@ -11,8 +11,17 @@ Scale design (100 TB): exactly ONE shuffle, on the by-keys — identical cost
 to the groupBy any aggregation of the same data would pay. No range
 explosion, no per-left-row candidate set (a naive theta join is
 O(left × right-per-key)). Window state is a single struct (the running
-latest right row), so memory is O(1) per partition stream. Skewed keys are
-split by AQE like any other window/shuffle.
+latest right row), so memory is O(1) per partition stream.
+
+Skew: AQE splits skewed *joins*, never window partitions, so one hot key
+(a bot/whale user owning 20% of events) serializes its whole history
+through a single task — measured in ``skew_probe.py`` / BENCH_NOTES.md
+"Round-6 skew probe". ``time_bucket=...`` is the mitigation: a two-phase
+plan whose per-event windows key on ``(by, time_bucket)`` — bounded by
+bucket width regardless of per-key volume — plus a per-BUCKET seed pass
+(running edge-struct over the |buckets|-sized timeline, not the events)
+that carries the latest/earliest right row across bucket boundaries.
+Output is row-identical to the single-phase plan for any bucket width.
 """
 
 from __future__ import annotations
@@ -36,6 +45,15 @@ _TOLERANCE_RE = re.compile(
 )
 
 
+_BUCKET = "__asof_bucket"
+
+
+def _interval_micros(interval: str):
+    """Length of a SQL interval string in microseconds (JVM-side constant)."""
+    base = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return F.unix_micros(base + F.expr(f"INTERVAL {interval}")) - F.unix_micros(base)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -45,6 +63,7 @@ def asof_join(
     direction: str = "backward",
     how: str = "left",
     tolerance: str | int | float | None = None,
+    time_bucket: str | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest right row in time, per ``by`` key.
 
@@ -57,6 +76,12 @@ def asof_join(
       for temporal time columns, or a number for numeric ones. A nearest
       row farther than the tolerance counts as NO match. Applied as a
       row-local post-filter, so the one-shuffle plan shape is unchanged.
+    - ``time_bucket``: interval string (e.g. ``"1 day"``) switching to the
+      skew-proof two-phase plan (module docstring): per-event windows key
+      on ``(by, bucket)`` and a per-bucket seed pass stitches matches
+      across bucket boundaries. Identical output for any width; requires a
+      timestamp ``time_col``. Use when a ``by`` key can be hot enough that
+      one window partition would not fit a task.
 
     ``value_cols`` are the right-side columns to carry over; they must not
     collide with left column names. All carried columns come from the SAME
@@ -74,6 +99,7 @@ def asof_join(
     if clash:
         raise ValueError(f"asof_join: value_cols collide with left columns: {sorted(clash)}")
 
+    backward = direction == "backward"
     l_tagged = left.withColumn(_SIDE, F.lit(1))
     # The matched right row's own timestamp rides inside the struct so a
     # tolerance bound can be evaluated after the window pass.
@@ -89,17 +115,70 @@ def asof_join(
         .drop(*value_cols)
         .withColumn(_SIDE, F.lit(0))
     )
-    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    t: Column = F.col(time_col).asc() if direction == "backward" else F.col(time_col).desc()
-    # Right rows (side 0) sort before left rows at equal timestamps, making
-    # the match inclusive at the boundary in both directions.
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(t, F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn(_RSTRUCT, F.last(_RSTRUCT, ignorenulls=True).over(w))
+    if time_bucket is None:
+        u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+        t: Column = F.col(time_col).asc() if backward else F.col(time_col).desc()
+        # Right rows (side 0) sort before left rows at equal timestamps,
+        # making the match inclusive at the boundary in both directions.
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(t, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(_RSTRUCT, F.last(_RSTRUCT, ignorenulls=True).over(w))
+    else:
+        bucket_us = _interval_micros(time_bucket)
+        bucket = F.floor(F.unix_micros(F.col(time_col)) / bucket_us).cast("bigint")
+        l_tagged = l_tagged.withColumn(_BUCKET, bucket)
+        r_tagged = r_tagged.withColumn(_BUCKET, bucket)
+
+        # Seed pass over the (by, bucket) TIMELINE — |buckets| rows, never
+        # |events|: per right bucket its edge struct (latest row for
+        # backward / earliest for forward), full-joined against the set of
+        # left buckets so a left bucket with no in-bucket right rows still
+        # receives the carried match from across the boundary.
+        edge_of = F.max_by if backward else F.min_by
+        r_edges = r_tagged.groupBy(*by, _BUCKET).agg(
+            edge_of(F.col(_RSTRUCT), F.col(time_col)).alias("__edge")
+        )
+        l_buckets = l_tagged.select(*by, _BUCKET).distinct()
+        timeline = l_buckets.join(r_edges, [*by, _BUCKET], "full")
+        wt = Window.partitionBy(*by).orderBy(_BUCKET)
+        seed = (
+            F.last("__edge", ignorenulls=True).over(
+                wt.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            if backward
+            else F.first("__edge", ignorenulls=True).over(
+                wt.rowsBetween(1, Window.unboundedFollowing)
+            )
+        )
+        seeds = (
+            timeline.withColumn(_RSTRUCT, seed)
+            .filter(F.col(_RSTRUCT).isNotNull())
+            .select(*by, _BUCKET, _RSTRUCT)
+            .withColumn(_SIDE, F.lit(0))
+        )
+
+        # Per-event window keys on (by, bucket): bounded by bucket width.
+        # Seeds carry a NULL time_col and sort before every real row of
+        # their bucket (nulls first in the scan direction); at equal
+        # timestamps right rows (side 0) still sort before left rows.
+        u = l_tagged.unionByName(r_tagged, allowMissingColumns=True).unionByName(
+            seeds, allowMissingColumns=True
+        )
+        t = (
+            F.col(time_col).asc_nulls_first()
+            if backward
+            else F.col(time_col).desc_nulls_first()
+        )
+        w = (
+            Window.partitionBy(*by, _BUCKET)
+            .orderBy(t, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(_RSTRUCT, F.last(_RSTRUCT, ignorenulls=True).over(w))
 
     out = matched.filter(F.col(_SIDE) == 1)
     if tolerance is not None:
@@ -124,4 +203,4 @@ def asof_join(
         out = out.filter(F.col(_RSTRUCT).isNotNull())
     for c in value_cols:
         out = out.withColumn(c, F.col(_RSTRUCT)[c])
-    return out.drop(_SIDE, _RSTRUCT)
+    return out.drop(_SIDE, _RSTRUCT, _BUCKET)

@@ -79,6 +79,11 @@ _BEYOND_DRIVER_CAP = [
     # ev3b (round 6, forward+tolerance as-of) is local-gate verified; the
     # backward as-of already holds a driver row (ev3).
     "ev3b_asof_forward",
+    # ev1b (round 6): the two-phase skew-proof sessionizer under the plain
+    # single-window DuckDB oracle — hash-green proves the composite-key
+    # rewrite row-identical cross-engine. EV1's single-window shape keeps
+    # its driver row (ev1_sessionize).
+    "ev1b_sessionize_bucketed",
 ]
 
 _ALL: dict = {}

@@ -1035,6 +1035,10 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
 # EV1 — gap-based sessionization (lag window + running flag sum)
 # (extension beyond reference surface; SURVEY.md §2b "not present" list —
 #  implemented because an events/stream table is first-class here)
+# Skew: the user_id window serializes a hot user through one task (AQE
+# never splits windows). operators/sessionize.py sessionize(bucket=...)
+# is the two-phase, row-identical mitigation — measured in skew_probe.py /
+# BENCH_NOTES.md "Round-6 skew probe"; ev1b below runs it under oracle.
 # ---------------------------------------------------------------------------
 
 def ev1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,6 +1077,51 @@ FROM flagged GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# EV1B — per-SESSION stats via the two-phase (time-bucketed) sessionizer.
+# Spark runs the skew-proof composite-key plan (operators/sessionize.py,
+# windows on (user, 6h-bucket) + per-bucket stitch); the DuckDB oracle is
+# the plain single-window formulation — a hash-green row is cross-engine
+# proof that the two-phase rewrite is row-identical, per-event session ids
+# included.
+# ---------------------------------------------------------------------------
+
+def ev1b_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    s = sessionize(
+        ev, gap="30 minutes", order_cols=["event_id"], bucket="6 hours"
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_us(F.min("ts")).alias("start_us"),
+        ts_us(F.max("ts")).alias("end_us"),
+    )
+
+
+EV1B_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+FROM sess GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # EV2 — semi-structured JSON extraction from a string column
 # (extension; Spark get_json_object stays JVM-side)
 # ---------------------------------------------------------------------------
@@ -1104,7 +1153,8 @@ FROM events GROUP BY event_type
 # EV3 — as-of join (extension): each click joins the latest prior purchase
 # of the same user. Spark composition: union + running-last window (one
 # shuffle on user_id) — see operators/asof.py. DuckDB's native ASOF JOIN is
-# the oracle.
+# the oracle. For hot user_ids use asof_join(time_bucket=...) — the
+# two-phase skew-proof plan (BENCH_NOTES.md "Round-6 skew probe").
 # ---------------------------------------------------------------------------
 
 def ev3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1549,6 +1599,7 @@ REGISTRY = {
     "t3_normalize": (t3_normalize, T3_SQL),
     "so1_order_limit": (so1_order_limit, SO1_SQL),
     "ev1_sessionize": (ev1_sessionize, EV1_SQL),
+    "ev1b_sessionize_bucketed": (ev1b_sessionize_bucketed, EV1B_SQL),
     "ev2_json_extract": (ev2_json_extract, EV2_SQL),
     "ev3_asof_join": (ev3_asof_join, EV3_SQL),
     "ev3b_asof_forward": (ev3b_asof_forward, EV3B_SQL),
