@@ -54,6 +54,30 @@ def _pair_cosine() -> Column:
     )
 
 
+def _seq_dot_matrix(M: "np.ndarray", Q: "np.ndarray") -> "np.ndarray":
+    """(n, d) × (d, m) pair dots with the EXACT float semantics of the HOF
+    fold ``dot()`` (and DuckDB's ``list_inner_product``): each product
+    rounded once, then summed left-to-right over dimensions. Vectorized
+    across the (row, query) grid but looped over d, so every output bit
+    matches the fold — a BLAS matmul would not (pairwise/FMA summation).
+    ~64 fused passes per batch still beat 360k interpreted folds ~10×."""
+    import numpy as np
+
+    acc = np.zeros((M.shape[0], Q.shape[1]), dtype=np.float64)
+    for d in range(M.shape[1]):
+        acc += M[:, d, None] * Q[None, d, :]
+    return acc
+
+
+def _seq_self_dot(M: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    acc = np.zeros(M.shape[0], dtype=np.float64)
+    for d in range(M.shape[1]):
+        acc += M[:, d] * M[:, d]
+    return acc
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,32 +87,73 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding self).
 
-    The query side is broadcast; ranking windows partition by query id, so
-    the shuffle key is the query id (high-cardinality, unskewed).
+    Spark shape (same contract as ``ivf_topk``): the query set is collected
+    (broadcast-sized by contract) and rides to executors in the task
+    closure; ONE Arrow ``mapInPandas`` pass scores each corpus batch
+    against every query as numpy array math and emits at most k rows per
+    query per batch, so the only shuffle is the tiny global top-k merge
+    window keyed on query id (high-cardinality, unskewed). The corpus
+    never shuffles — at 100 TB the scan parallelizes per split and the
+    merge stays ~|queries|·k·n_splits rows.
+
+    Float semantics are BIT-IDENTICAL to the previous broadcast-join +
+    HOF-fold formulation (and to the DuckDB oracle): see
+    ``_seq_dot_matrix``. Guarded by the sim1/dd5 oracle hash checks and
+    tests/test_similarity_skew.py. Crossover vs the fold plan measured in
+    BENCH_NOTES.md ("cosine_topk scoring"): fold wins under ~50k corpus
+    rows (Python-worker round-trip dominates), Arrow wins 7.6× at
+    100k×400 and grows with |corpus|·|queries|.
     """
-    c = _with_norm2(
-        fan_out(corpus).select(
-            F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
-        ),
-        "cvec",
-        "c_n2",
+    import numpy as np
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
+    ).collect()
+    q_ids = [r["query_id"] for r in q_rows]
+    Q = (
+        np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
+        if q_ids
+        else np.zeros((0, 1))
     )
-    q = _with_norm2(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
-        ),
-        "qvec",
-        "q_n2",
+    q_norm = np.sqrt(_seq_self_dot(Q))
+    Qt = Q.T.copy()
+
+    def search(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(q_ids):
+                continue
+            ids = pdf["corpus_id"].to_numpy()
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+            # cosine = dot / (sqrt(q_n2) * sqrt(c_n2)) — same op order as
+            # _pair_cosine (mul commutes bit-exactly; sqrt/div are IEEE).
+            sims = _seq_dot_matrix(M, Qt) / (
+                q_norm[None, :] * np.sqrt(_seq_self_dot(M))[:, None]
+            )
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                (idx,) = np.nonzero(ids != qid)
+                if not idx.size:
+                    continue
+                s = sims[idx, j]
+                order = np.lexsort((ids[idx], -s))[:k]
+                take = idx[order]
+                out_q.extend([qid] * len(take))
+                out_c.extend(ids[take].tolist())
+                out_s.extend(sims[take, j].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "corpus_id": out_c, "cosine_sim": out_s}
+            )
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
-    pairs = c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        "corpus_id",
-        _pair_cosine().alias("cosine_sim"),
+    candidates = c.mapInPandas(
+        search, f"query_id {id_type}, corpus_id {id_type}, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )
