@@ -84,6 +84,9 @@ _BEYOND_DRIVER_CAP = [
     # rewrite row-identical cross-engine. EV1's single-window shape keeps
     # its driver row (ev1_sessionize).
     "ev1b_sessionize_bucketed",
+    # f4 (round 6): one-pass table profiling (plans/profiling.py), exact
+    # variant under a per-column UNION ALL DuckDB oracle.
+    "f4_profile",
 ]
 
 _ALL: dict = {}

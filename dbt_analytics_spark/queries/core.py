@@ -1436,6 +1436,37 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# F4 — one-pass table profiling (plans/profiling.py): per-column null /
+# distinct / min / max / width stats for catalog + data-quality surfaces.
+# Exact variant under oracle; approx=True (HLL++ partials) is the cluster
+# default. Deliberately integer/string-only outputs — no float drift.
+# ---------------------------------------------------------------------------
+
+def f4_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.profiling import profile_table
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return profile_table(
+        docs, columns=["doc_id", "source", "lang"], approx=False
+    )
+
+
+def _f4_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(MIN({col}) AS VARCHAR) AS min_v,
+       CAST(MAX({col}) AS VARCHAR) AS max_v,
+       CAST(SUM(length(CAST({col} AS VARCHAR))) AS BIGINT) AS sum_len
+FROM documents"""
+
+
+F4_SQL = " UNION ALL ".join(_f4_col_sql(c) for c in ["doc_id", "source", "lang"])
+
+
+# ---------------------------------------------------------------------------
 # Q4-shape — EXISTS → left-semi join: orders with at least one deeply
 # discounted lineitem (testdata lineitem has no commit/receipt dates).
 # Scale: the semi join shuffles on orderkey once; no dedup pass is ever
@@ -1607,4 +1638,5 @@ REGISTRY = {
     "ev5_funnel": (ev5_funnel, EV5_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
+    "f4_profile": (f4_profile, F4_SQL),
 }
