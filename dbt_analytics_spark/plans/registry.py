@@ -581,6 +581,21 @@ class Project:
             return self.spark.table(name)
         return self.spark.table(self.qualified(name))
 
+    def compact(self, name: str, **kwargs) -> dict:
+        """Small-file compaction of a materialized node (plans/compaction).
+
+        The maintenance pass for append/microbatch incrementals: call after
+        (or on a schedule between) runs; no-ops cheaply when the table is
+        already compact. Accepts compact_table's target_file_bytes /
+        min_files_to_compact / sort_by."""
+        if not self.relation_exists(name):
+            raise ValueError(f"compact: relation {name!r} does not exist")
+        if self._is_view_node(name):
+            raise ValueError(f"compact: {name!r} is a view")
+        from .compaction import compact_table
+
+        return compact_table(self.spark, self.qualified(name), **kwargs)
+
     # ------------------------------------------------------------------
     # Run: materialize in DAG-parallel waves
     # ------------------------------------------------------------------

@@ -93,3 +93,38 @@ def test_sort_by_clusters_files(spark):
     spans = sorted((r["lo"], r["hi"]) for r in rows)
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert lo_next >= hi_prev  # boundaries may touch, never interleave
+
+
+def test_project_compact_after_incremental_appends(spark):
+    """The intended workflow: append-strategy incremental accretes files
+    run over run; Project.compact() rewrites them without changing data."""
+    from dbt_analytics_spark.plans import Project
+
+    p = Project(spark, name="cmp")
+    state = {"lo": 0}
+
+    @p.model(
+        materialized="incremental", incremental_strategy="append", name="acc_t"
+    )
+    def acc_t(ctx):
+        return (
+            ctx.spark.range(state["lo"], state["lo"] + 2000)
+            .repartition(6)
+            .selectExpr("id", "id * 2 AS v")
+        )
+
+    for run in range(4):
+        state["lo"] = run * 2000
+        p.run(select="acc_t")
+
+    before = _sum_count(spark, "acc_t")
+    assert before[0] == 8000
+    report = p.compact("acc_t", target_file_bytes=1 << 30)
+    assert report["compacted"] is True
+    assert report["files_after"] < report["files_before"]
+    assert _sum_count(spark, "acc_t") == before
+
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        p.compact("never_built")
