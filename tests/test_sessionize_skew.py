@@ -176,3 +176,64 @@ def test_bucketed_asof_narrow_buckets_and_empty_gaps(spark):
         a = {r["lid"]: r["v"] for r in base.collect()}
         b = {r["lid"]: r["v"] for r in bucketed.collect()}
         assert a == b, direction
+
+
+# --- hypothesis property: two-phase == single-window for ANY stream ------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),            # user
+        st.integers(min_value=0, max_value=3 * 86_400),   # offset seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+_buckets = st.sampled_from(["7 minutes", "1 hour", "1 day"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(stream=_streams, bucket=_buckets)
+def test_property_two_phase_sessionize_identical(spark, stream, bucket):
+    rows = [
+        Row(user_id=u, event_id=i, ts=T0 + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(rows)
+    got = _collect_sessions(
+        sessionize(df, gap="30 minutes", order_cols=["event_id"], bucket=bucket)
+    )
+    assert got == _py_sessionize(rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 86_400)),
+        min_size=1, max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 86_400)),
+        min_size=0, max_size=30,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_property_bucketed_asof_identical(spark, left, right, direction):
+    ldf = spark.createDataFrame(
+        [Row(lid=i, k=k, ts=T0 + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)]
+    )
+    rrows = [Row(k=k, ts=T0 + dt.timedelta(seconds=s), v=float(i)) for i, (k, s) in enumerate(right)]
+    rdf = (
+        _dedupe_right(spark, rrows)
+        if rrows
+        else spark.createDataFrame([], "k bigint, ts timestamp, v double")
+    )
+    base = asof_join(ldf, rdf, by=["k"], value_cols=["v"], direction=direction)
+    bucketed = asof_join(
+        ldf, rdf, by=["k"], value_cols=["v"], direction=direction,
+        time_bucket="33 minutes",
+    )
+    a = {r["lid"]: r["v"] for r in base.collect()}
+    b = {r["lid"]: r["v"] for r in bucketed.collect()}
+    assert a == b
