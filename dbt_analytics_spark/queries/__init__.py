@@ -87,6 +87,9 @@ _BEYOND_DRIVER_CAP = [
     # f4 (round 6): one-pass table profiling (plans/profiling.py), exact
     # variant under a per-column UNION ALL DuckDB oracle.
     "f4_profile",
+    # ev5b (round 6): the generalized k-step funnel operator
+    # (operators/funnel.py) on ev5's steps, long format.
+    "ev5b_funnel_steps",
 ]
 
 _ALL: dict = {}

@@ -1381,6 +1381,48 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 
 
 # ---------------------------------------------------------------------------
+# EV5B — the generalized k-step funnel operator (operators/funnel.py) on the
+# same view→click→purchase steps, long format. Chained per-user min-aggs,
+# no user-keyed window anywhere (skew-immune; BENCH_NOTES "Round-6 skew
+# probe" measured the family flat across hot-key shares).
+# ---------------------------------------------------------------------------
+
+def ev5b_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+EV5B_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY 1
+), s AS (
+  SELECT 0 AS step_idx, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM v
+  UNION ALL
+  SELECT 1, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 2, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+)
+SELECT step_idx, step, users,
+       CASE WHEN LAG(users) OVER (ORDER BY step_idx) > 0
+            THEN CAST(users AS DOUBLE)
+                 / CAST(LAG(users) OVER (ORDER BY step_idx) AS DOUBLE)
+       END AS conversion
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # A2b — ROLLUP grouping sets (beyond-reference; Spark df.rollup vs DuckDB
 # GROUP BY ROLLUP)
 # ---------------------------------------------------------------------------
@@ -1636,6 +1678,7 @@ REGISTRY = {
     "ev3b_asof_forward": (ev3b_asof_forward, EV3B_SQL),
     "ev4_range_join": (ev4_range_join, EV4_SQL),
     "ev5_funnel": (ev5_funnel, EV5_SQL),
+    "ev5b_funnel_steps": (ev5b_funnel_steps, EV5B_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
     "f4_profile": (f4_profile, F4_SQL),
