@@ -145,7 +145,12 @@ def cosine_topk(
                 {"query_id": out_q, "corpus_id": out_c, "cosine_sim": out_s}
             )
 
-    c = fan_out(corpus).select(
+    # No fan_out here: scoring is batch-vectorized, not per-row-heavy, so
+    # the scan's natural split partitioning is right at every scale — a
+    # 100 TB corpus already has thousands of splits, while forcing a small
+    # corpus to defaultParallelism partitions pays ~32 Python-worker
+    # round-trips plus a shuffle for work one batch does in milliseconds.
+    c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     candidates = c.mapInPandas(
