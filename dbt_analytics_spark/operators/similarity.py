@@ -363,7 +363,10 @@ def ivf_topk(
                 {"query_id": out_q, "corpus_id": out_c, "cosine_sim": out_s}
             )
 
-    c = fan_out(corpus).select(
+    # Natural split partitioning (see cosine_topk): the assignment/scoring
+    # pass is batch-vectorized, so fan_out would only add a shuffle and
+    # Python-worker round-trips at small scale.
+    c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     candidates = c.mapInPandas(search, out_schema)
@@ -616,7 +619,9 @@ def pq_topk(
                 {"query_id": out_q, "corpus_id": out_c, "cosine_sim": out_s}
             )
 
-    c = fan_out(corpus).select(
+    # Natural split partitioning (see cosine_topk): ADC scoring is
+    # batch-vectorized; fan_out would only add overhead at small scale.
+    c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     candidates = c.mapInPandas(
