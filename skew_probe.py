@@ -185,6 +185,47 @@ def main() -> None:
 
     out["funnel_sec"] = timed(run_funnel)
 
+    # --- LSH hot-bucket salting (dd3's pathological-corpus dial) ----------
+    # Boilerplate-heavy corpus: one near-identical doc group lands every
+    # member in the SAME (band, bucket) for every band, so one reducer
+    # generates the whole O(hot²) pair set. n_salts spreads generation;
+    # the pair SET is identical by construction.
+    from dbt_analytics_spark.operators.dedup import minhash_lsh_pairs
+
+    n_docs = int(os.environ.get("SKEW_DOCS", "30000"))
+    hot_docs = int(os.environ.get("SKEW_HOT_DOCS", "2500"))
+    word = lambda i: F.substring(  # noqa: E731
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{i}"))), 1, 8
+    )
+    uniq = F.concat_ws(" ", *[word(i) for i in range(12)])
+    boiler = F.concat(
+        F.lit(
+            "terms of service agreement standard boilerplate clause "
+            "applies to all users without exception "
+        ),
+        F.pmod(F.col("id"), 5).cast("string"),
+    )
+    docs_path = os.path.join(
+        os.environ.get("SKEW_DIR", "/tmp/spark_graft_skew"),
+        f"docs_{n_docs}_h{hot_docs}",
+    )
+    if not os.path.exists(docs_path):
+        spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < hot_docs, boiler).otherwise(uniq).alias("text"),
+        ).write.mode("overwrite").parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+
+    def run_lsh(salts):
+        results[f"lsh_{salts}"] = minhash_lsh_pairs(
+            docs, "doc_id", "text", n_salts=salts
+        ).count()
+
+    out["lsh_unsalted_sec"] = timed(lambda: run_lsh(None))
+    out["lsh_salted16_sec"] = timed(lambda: run_lsh(16))
+    assert results["lsh_None"] == results["lsh_16"]
+    out["lsh_pairs"] = results["lsh_None"]
+
     # --- hot-key join: plain (AQE) vs salted ------------------------------
     dim = spark.range(N_USERS + 1).select(
         F.col("id").alias("user_id"),
