@@ -8,7 +8,7 @@ with no Python in the hot path. Extension set beyond the reference surface
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny built-in stopword/marker lists for the language-ID heuristic.
@@ -217,3 +217,92 @@ def exact_fingerprint(col: Column | str) -> Column:
     lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance search: top-k documents for a bag of query
+    terms. Returns (doc_id, n_hit_terms, score, rank).
+
+    Scale shape (100 TB): the query-term list is a broadcast literal, so
+    the corpus-side explode is filtered to query terms BEFORE any shuffle
+    (candidate rows ≈ |docs matching a term|, not |tokens|). Per-doc
+    length and the global avgdl are one partial-agg pass; per-term df is a
+    |terms|-row aggregate broadcast back. The final top-k is a
+    TakeOrdered, never a full sort.
+
+    Cross-engine float note: term scores involve ln(), which libm vs JVM
+    may differ on by 1 ULP, and the per-doc sum over matched terms has no
+    defined order — the returned ``score`` is therefore rounded to 6
+    decimals and ranking orders by the ROUNDED score (ties → doc id), so
+    results are stable and the DuckDB oracle (txt12) hashes exactly.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("bm25_topk: duplicate query terms")
+
+    toks = tokens(F.lower(F.col(text_col)))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("double").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    hits = per_doc.filter(F.col("term").isin(list(query_terms)))
+
+    stats = docs.select(toks.alias("__toks")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+
+    tf = hits.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
+    )
+    return (
+        agg.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ).cast("int"),
+        )
+        .select("doc_id", "n_hit_terms", "score", "rank")
+    )

@@ -90,6 +90,9 @@ _BEYOND_DRIVER_CAP = [
     # ev5b (round 6): the generalized k-step funnel operator
     # (operators/funnel.py) on ev5's steps, long format.
     "ev5b_funnel_steps",
+    # txt12 (round 6): Okapi BM25 relevance search (operators/text.py),
+    # exact oracle with rounded-score ranking.
+    "txt12_bm25_topk",
 ]
 
 _ALL: dict = {}

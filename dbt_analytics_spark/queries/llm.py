@@ -17,6 +17,7 @@ from ..operators import dedup, multimodal, similarity
 from ..operators.text import (
     BPE_PATTERN,
     STOPWORDS,
+    bm25_topk,
     bpe_tokens,
     exact_fingerprint,
     fingerprint,
@@ -1026,6 +1027,57 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# TXT12 — Okapi BM25 relevance search (operators/text.py:bm25_topk): the
+# corpus-search primitive for query-based curation. Exact oracle: both
+# engines compute the identical expression tree; scores are rounded to 6
+# decimals and ranked by the ROUNDED value (ln() may differ by 1 ULP
+# across libms and the per-doc term sum has no defined order — rounding
+# makes both immaterial).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "hash", "join"]
+
+
+def txt12_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+TXT12_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM tok
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len(toks)) AS avgdl FROM tok
+), tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM per_doc WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2, 3
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS contrib
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS score,
+         CAST(COUNT(*) AS INTEGER) AS n_hit_terms
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_hit_terms, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # F3 — approximate percentiles (GK sketch via percentile_approx) alongside
 # the exact values. Like f2, the sketch is engine-specific so the check is
 # an error bound (tests/test_functions.py), not an oracle hash.
@@ -1075,5 +1127,6 @@ REGISTRY = {
     "txt10_repetition": (txt10_repetition, TXT10_SQL),
     "smp2_weighted_sample": (smp2_weighted_sample, SMP2_SQL),
     "txt11_vocab": (txt11_vocab, TXT11_SQL),
+    "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }
