@@ -93,6 +93,10 @@ _BEYOND_DRIVER_CAP = [
     # txt12 (round 6): Okapi BM25 relevance search (operators/text.py),
     # exact oracle with rounded-score ranking.
     "txt12_bm25_topk",
+    # smp3 (round 6): sequence packing (operators/packing.py) — rows-only
+    # (procedural greedy); invariants + reference equality in
+    # tests/test_packing.py.
+    "smp3_pack_sequences",
 ]
 
 _ALL: dict = {}

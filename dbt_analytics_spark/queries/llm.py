@@ -1038,6 +1038,21 @@ GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100
 _BM25_TERMS = ["vector", "hash", "join"]
 
 
+# ---------------------------------------------------------------------------
+# SMP3 — sequence packing (operators/packing.py): greedy FFD doc→pack
+# assignment inside hash groups; rows-only (procedural loop, not
+# SQL-expressible) with invariants + pure-Python reference equality in
+# tests/test_packing.py. Returns pack-level stats sorted for stability.
+# ---------------------------------------------------------------------------
+
+def smp3_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences, pack_stats
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    packed = pack_sequences(docs, max_tokens=512, n_groups=16)
+    return pack_stats(packed, max_tokens=512).orderBy("pack_id")
+
+
 def txt12_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir)["documents"]
     return bm25_topk(docs, _BM25_TERMS, k=20)
@@ -1126,6 +1141,7 @@ REGISTRY = {
     "txt9_chunk": (txt9_chunk, TXT9_SQL),
     "txt10_repetition": (txt10_repetition, TXT10_SQL),
     "smp2_weighted_sample": (smp2_weighted_sample, SMP2_SQL),
+    "smp3_pack_sequences": (smp3_pack_sequences, None),
     "txt11_vocab": (txt11_vocab, TXT11_SQL),
     "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
