@@ -148,3 +148,49 @@ def test_funnel_no_cartesian_and_partial_aggs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # user_id joins broadcast at this SF
     assert plan.count("HashAggregate") >= 6  # 3 stages x partial+final
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark):
+    plan = _plan(REGISTRY["txt12_bm25_topk"][0](spark, SF))
+    # df/stats sides ride as broadcasts; top-k is TakeOrdered, not a sort.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_two_phase_sessionize_windows_key_on_bucket(spark):
+    # Bucketed plan: the per-event window partitions on BOTH user_id and
+    # the bucket key — a user_id-only per-event window sort would be the
+    # hot-key serialization the rewrite exists to remove. (The phase-2
+    # user-only window runs on the |buckets|-sized aggregate, not events.)
+    plan = _plan(REGISTRY["ev1b_sessionize_bucketed"][0](spark, SF))
+    sort_args = [
+        l for l in plan.splitlines() if "ASC NULLS FIRST" in l and "user_id" in l
+    ]
+    assert sort_args, "no window sorts found in plan"
+    assert any("__sess_bucket" in l for l in sort_args), (
+        "no (user, bucket)-keyed window sort:\n" + "\n".join(sort_args)
+    )
+
+
+def _count_nodes(plan: str, node: str) -> int:
+    # Formatted explain lists each node twice (tree + "(N) <node>" detail
+    # header); count detail headers only.
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.M))
+
+
+def test_profile_single_scan(spark):
+    plan = _plan(REGISTRY["f4_profile"][0](spark, SF))
+    assert _count_nodes(plan, "Scan parquet") == 1
+
+
+def test_packing_single_shuffle(spark):
+    # pack_sequences: the only Exchange is the group-by hash partitioning.
+    from dbt_analytics_spark.operators.packing import pack_sequences
+    from dbt_analytics_spark.sources import load_testdata
+
+    docs = load_testdata(spark, SF)["documents"]
+    plan = _plan(pack_sequences(docs, 512, n_groups=8))
+    assert _count_nodes(plan, "Exchange") == 1
