@@ -63,7 +63,7 @@ def asof_join(
     direction: str = "backward",
     how: str = "left",
     tolerance: str | int | float | None = None,
-    time_bucket: str | None = None,
+    time_bucket: str | int | float | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest right row in time, per ``by`` key.
 
@@ -76,12 +76,13 @@ def asof_join(
       for temporal time columns, or a number for numeric ones. A nearest
       row farther than the tolerance counts as NO match. Applied as a
       row-local post-filter, so the one-shuffle plan shape is unchanged.
-    - ``time_bucket``: interval string (e.g. ``"1 day"``) switching to the
-      skew-proof two-phase plan (module docstring): per-event windows key
-      on ``(by, bucket)`` and a per-bucket seed pass stitches matches
-      across bucket boundaries. Identical output for any width; requires a
-      timestamp ``time_col``. Use when a ``by`` key can be hot enough that
-      one window partition would not fit a task.
+    - ``time_bucket``: switches to the skew-proof two-phase plan (module
+      docstring): per-event windows key on ``(by, bucket)`` and a
+      per-bucket seed pass stitches matches across bucket boundaries.
+      Interval string (``"1 day"``) for temporal time columns, a number
+      (bucket width) for numeric ones — mirroring ``tolerance``.
+      Identical output for any width. Use when a ``by`` key can be hot
+      enough that one window partition would not fit a task.
 
     ``value_cols`` are the right-side columns to carry over; they must not
     collide with left column names. All carried columns come from the SAME
@@ -128,8 +129,35 @@ def asof_join(
         )
         matched = u.withColumn(_RSTRUCT, F.last(_RSTRUCT, ignorenulls=True).over(w))
     else:
-        bucket_us = _interval_micros(time_bucket)
-        bucket = F.floor(F.unix_micros(F.col(time_col)) / bucket_us).cast("bigint")
+        # Interval string for temporal time columns; plain number for
+        # numeric ones (mirrors the tolerance contract). Validate here so
+        # a mismatch fails with a named error, not a Catalyst cast error.
+        time_type = left.schema[time_col].dataType.simpleString()
+        temporal = time_type.startswith(("timestamp", "date"))
+        if isinstance(time_bucket, str):
+            if not temporal:
+                raise ValueError(
+                    f"asof_join: interval time_bucket {time_bucket!r} needs a "
+                    f"temporal time_col, got {time_col!r}: {time_type}"
+                )
+            if not _TOLERANCE_RE.fullmatch(time_bucket.strip()):
+                raise ValueError(
+                    f"asof_join: bad time_bucket {time_bucket!r} — expected an "
+                    "interval string like '1 day' or a number for numeric "
+                    "time columns"
+                )
+            bucket = F.floor(
+                F.unix_micros(F.col(time_col)) / _interval_micros(time_bucket)
+            ).cast("bigint")
+        else:
+            if temporal:
+                raise ValueError(
+                    f"asof_join: numeric time_bucket {time_bucket!r} needs a "
+                    f"numeric time_col, got {time_col!r}: {time_type}"
+                )
+            if time_bucket <= 0:
+                raise ValueError("asof_join: time_bucket must be positive")
+            bucket = F.floor(F.col(time_col) / F.lit(time_bucket)).cast("bigint")
         l_tagged = l_tagged.withColumn(_BUCKET, bucket)
         r_tagged = r_tagged.withColumn(_BUCKET, bucket)
 

@@ -237,3 +237,42 @@ def test_property_bucketed_asof_identical(spark, left, right, direction):
     a = {r["lid"]: r["v"] for r in base.collect()}
     b = {r["lid"]: r["v"] for r in bucketed.collect()}
     assert a == b
+
+
+def test_bucketed_asof_numeric_time_axis(spark):
+    left = spark.createDataFrame(
+        [(i, i % 3, 100 * i + 7) for i in range(60)], "lid int, k int, ts long"
+    )
+    right = spark.createDataFrame(
+        [(i % 3, 250 * i, float(i)) for i in range(20)], "k int, ts long, v double"
+    ).groupBy("k", "ts").agg(F.max("v").alias("v"))
+    for direction in ["backward", "forward"]:
+        base = asof_join(
+            left, right, time_col="ts", by=["k"], value_cols=["v"],
+            direction=direction,
+        )
+        bucketed = asof_join(
+            left, right, time_col="ts", by=["k"], value_cols=["v"],
+            direction=direction, time_bucket=700,
+        )
+        a = {r["lid"]: r["v"] for r in base.collect()}
+        b = {r["lid"]: r["v"] for r in bucketed.collect()}
+        assert a == b, direction
+
+    import pytest
+
+    with pytest.raises(ValueError, match="temporal time_col"):
+        asof_join(left, right, time_col="ts", by=["k"], value_cols=["v"],
+                  time_bucket="1 day")
+    tleft = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "lid int, k int, ts timestamp"
+    )
+    tright = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "k int, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="numeric time_col"):
+        asof_join(tleft, tright, time_col="ts", by=["k"], value_cols=["v"],
+                  time_bucket=3600)
+    with pytest.raises(ValueError, match="positive"):
+        asof_join(left, right, time_col="ts", by=["k"], value_cols=["v"],
+                  time_bucket=0)
