@@ -173,6 +173,56 @@ def minhash_signature(col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def _shingle_and_band(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: persisted shingle index + skinny banded
+    relation (doc, band, bucket). The LSH shuffle carries ONLY the banded
+    rows — never the shingle arrays; at 100 TB that is ``bands`` skinny
+    rows per document, and shingle payloads rejoin only for candidates."""
+    rows_per_band = num_hashes // bands
+    shingled = (
+        _non_blank(fan_out(df), text_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            shingles(text_col, shingle_k).alias("sh"),
+        )
+        .persist()
+    )
+    with _INDEX_LOCK:
+        _PERSISTED_INDEXES.append(shingled)
+        while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
+            _PERSISTED_INDEXES.pop(0).unpersist()
+    # Signature from the pre-hashed shingle array: the string hash happens
+    # once per shingle; the 32 slots re-hash fixed-width longs.
+    sig_df = shingled.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = sig_df.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bucket").alias("bucket"))
+    return shingled, banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,45 +256,9 @@ def minhash_lsh_pairs(
     for interleaved/concurrent calls. Call ``release_shingle_indexes()``
     when done with all results.
     """
-    rows_per_band = num_hashes // bands
-    shingled = (
-        _non_blank(fan_out(df), text_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            shingles(text_col, shingle_k).alias("sh"),
-        )
-        .persist()
+    shingled, banded = _shingle_and_band(
+        df, id_col, text_col, shingle_k, num_hashes, bands
     )
-    with _INDEX_LOCK:
-        _PERSISTED_INDEXES.append(shingled)
-        while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
-            _PERSISTED_INDEXES.pop(0).unpersist()
-    # Signature from the pre-hashed shingle array: the string hash happens
-    # once per shingle; the 32 slots re-hash fixed-width longs.
-    sig_df = shingled.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-
-    # The LSH shuffle carries ONLY (doc, band, bucket) — never the shingle
-    # arrays. At 100 TB the banded relation is 8 skinny rows per document;
-    # shingle payloads rejoin only for the (few) candidate pairs.
-    banded = sig_df.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bd"),
-    ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bucket").alias("bucket"))
 
     if n_salts:
         # Left side: deterministic salt from the doc id (a hot bucket's rows
@@ -286,6 +300,99 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("doc1", "doc2", "jaccard")
+
+
+def minhash_lsh_pairs_cross(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """Cross-set near-dup pairs: each NEW document against an EXISTING
+    corpus — the incremental-ingest dedup ("is this crawl batch already in
+    the training set?"). Returns (new_doc, corpus_doc, jaccard) for pairs
+    with shingle-Jaccard ≥ threshold.
+
+    Identical banding to ``minhash_lsh_pairs`` (same shingle_k /
+    num_hashes / bands ⇒ same buckets), but the candidate join is
+    new-bands × corpus-bands instead of a self-join — candidate volume
+    scales with the BATCH, not the corpus, and the corpus side never
+    re-pairs with itself. Docs present in both inputs (same id) are not
+    self-matched. ``n_salts`` salts by the new-side doc id, replicating
+    only the corpus-side skinny banded rows — same hot-bucket dial as the
+    self-join variant.
+
+    At 100 TB: persist the corpus's banded relation once (it is
+    ``bands`` skinny rows per doc) and reuse across batches; the shingle
+    verify rejoins only candidate payloads.
+    """
+    new_sh, new_banded = _shingle_and_band(
+        new, id_col, text_col, shingle_k, num_hashes, bands
+    )
+    cor_sh, cor_banded = _shingle_and_band(
+        corpus, id_col, text_col, shingle_k, num_hashes, bands
+    )
+
+    if n_salts:
+        a = new_banded.withColumn(
+            "salt", F.pmod(F.xxhash64("doc"), F.lit(n_salts)).cast("int")
+        ).alias("a")
+        b = cor_banded.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        ).alias("r")
+        join_cond = (
+            (F.col("a.band") == F.col("r.band"))
+            & (F.col("a.bucket") == F.col("r.bucket"))
+            & (F.col("a.salt") == F.col("r.salt"))
+        )
+    else:
+        a, b = new_banded.alias("a"), cor_banded.alias("r")
+        join_cond = (F.col("a.band") == F.col("r.band")) & (
+            F.col("a.bucket") == F.col("r.bucket")
+        )
+    candidates = (
+        a.join(b, join_cond)
+        .filter(F.col("a.doc") != F.col("r.doc"))
+        .select(F.col("a.doc").alias("new_doc"), F.col("r.doc").alias("corpus_doc"))
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    verified = (
+        candidates.join(
+            new_sh.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh1")),
+            "new_doc",
+        )
+        .join(
+            cor_sh.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh2")),
+            "corpus_doc",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double")
+            / F.size(F.array_union("sh1", "sh2")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("new_doc", "corpus_doc", "jaccard")
+
+
+def dedup_against_corpus(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Rows of ``new`` that are NOT near-duplicates of any corpus doc —
+    ``minhash_lsh_pairs_cross`` then a left-anti join on the new id."""
+    dups = minhash_lsh_pairs_cross(
+        new, corpus, id_col, text_col, **lsh_kwargs
+    ).select(F.col("new_doc").alias(id_col))
+    return new.join(dups, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -257,3 +257,66 @@ def test_gram_rows_equals_shingle_explode(spark):
             ).collect()
         }
         assert fast == ref, f"k={k}: {len(fast)} vs {len(ref)} grams"
+
+
+def test_cross_lsh_matches_self_join_restriction(spark):
+    """For disjoint id sets A, B: cross(A, B) must equal exactly the A×B
+    pairs of the self-join over A ∪ B (same banding parameters)."""
+    from dbt_analytics_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_cross,
+    )
+    from dbt_analytics_spark.sources import load_testdata
+
+    from .conftest import SF_DIR
+
+    docs = load_testdata(spark, SF_DIR)["documents"].select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+
+    both = minhash_lsh_pairs(docs, "doc_id", threshold=0.4)
+    want = {
+        (r["doc1"], r["doc2"], round(r["jaccard"], 12))
+        for r in both.collect()
+        if r["doc1"] % 2 != r["doc2"] % 2
+    }
+    # Self-join orients pairs doc1 < doc2; cross orients new→corpus.
+    want = {
+        (a, b, j) if a % 2 == 0 else (b, a, j) for a, b, j in want
+    }
+    got = {
+        (r["new_doc"], r["corpus_doc"], round(r["jaccard"], 12))
+        for r in minhash_lsh_pairs_cross(
+            new, corpus, "doc_id", threshold=0.4
+        ).collect()
+    }
+    assert got == want
+
+    kept = dedup_against_corpus(new, corpus, "doc_id", threshold=0.4)
+    matched_new = {a for a, _, _ in want}
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in new.collect()
+    } - matched_new
+
+
+def test_cross_lsh_salted_same_pairs(spark):
+    from dbt_analytics_spark.operators.dedup import minhash_lsh_pairs_cross
+    from dbt_analytics_spark.sources import load_testdata
+
+    from .conftest import SF_DIR
+
+    docs = load_testdata(spark, SF_DIR)["documents"].select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    plain = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in minhash_lsh_pairs_cross(new, corpus, "doc_id", threshold=0.4).collect()
+    }
+    salted = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in minhash_lsh_pairs_cross(
+            new, corpus, "doc_id", threshold=0.4, n_salts=8
+        ).collect()
+    }
+    assert plain == salted
