@@ -97,6 +97,9 @@ _BEYOND_DRIVER_CAP = [
     # (procedural greedy); invariants + reference equality in
     # tests/test_packing.py.
     "smp3_pack_sequences",
+    # dd9 (round 6): cross-corpus incremental near-dup — rows-only like
+    # dd3; self-join-restriction equivalence in test_dedup_crosscheck.py.
+    "dd9_cross_dedup",
 ]
 
 _ALL: dict = {}

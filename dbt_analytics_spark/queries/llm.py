@@ -107,6 +107,20 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DD4 — SimHash near-dup (rows-only: depends on Spark xxhash64)
 # ---------------------------------------------------------------------------
 
+def dd9_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup: even-id docs as the NEW batch, odd-id
+    docs as the EXISTING corpus (operators/dedup.py:
+    minhash_lsh_pairs_cross). Rows-only like dd3 (banding depends on
+    xxhash64); equivalence with the self-join restriction is pinned in
+    tests/test_dedup_crosscheck.py."""
+    docs = load_testdata(spark, sf_dir)["documents"]
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_lsh_pairs_cross(
+        new, corpus, "doc_id", "text", threshold=0.4
+    )
+
+
 def dd4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir)["documents"]
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
@@ -1117,6 +1131,7 @@ REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
     "dd3_minhash_lsh": (dd3_minhash_lsh, None),
+    "dd9_cross_dedup": (dd9_cross_dedup, None),
     "dd4_simhash_pairs": (dd4_simhash_pairs, None),
     "dd5_embedding_neardup": (dd5_embedding_neardup, DD5_SQL),
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
