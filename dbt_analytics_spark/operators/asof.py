@@ -26,32 +26,21 @@ Output is row-identical to the single-phase plan for any bucket width.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import INTERVAL_RE, interval_micros
+
 _SIDE = "__asof_side"
 _RSTRUCT = "__asof_right"
 
-# Interval strings are interpolated into F.expr, so validate the shape up
-# front: "<number> <unit>" pairs, e.g. "2 hours" or "1 day 30 minutes".
-# A malformed value otherwise surfaces as an opaque Catalyst parse error
-# far from the call site (and would accept arbitrary SQL fragments).
-_TOLERANCE_RE = re.compile(
-    r"(?i)\s*(?:'?\d+(?:\.\d+)?'?\s+"
-    r"(?:year|month|week|day|hour|minute|second|millisecond|microsecond)s?\s*)+"
-)
+# Interval validation/length helpers shared with sessionize: operators/util.py.
+_TOLERANCE_RE = INTERVAL_RE
 
 
 _BUCKET = "__asof_bucket"
-
-
-def _interval_micros(interval: str):
-    """Length of a SQL interval string in microseconds (JVM-side constant)."""
-    base = F.lit("1970-01-01 00:00:00").cast("timestamp")
-    return F.unix_micros(base + F.expr(f"INTERVAL {interval}")) - F.unix_micros(base)
 
 
 def asof_join(
@@ -147,7 +136,7 @@ def asof_join(
                     "time columns"
                 )
             bucket = F.floor(
-                F.unix_micros(F.col(time_col)) / _interval_micros(time_bucket)
+                F.unix_micros(F.col(time_col)) / interval_micros(time_bucket)
             ).cast("bigint")
         else:
             if temporal:

@@ -81,7 +81,11 @@ def pack_sequences(
         raise ValueError("pack_sequences: max_tokens must be positive")
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts as 0 tokens (the doc still packs exactly once) —
+        # a NULL would reach the pandas group as NaN and crash int().
+        F.coalesce(token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
         .cast("long")
         .alias("group_id"),

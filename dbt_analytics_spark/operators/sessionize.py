@@ -43,15 +43,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import interval_micros, validate_interval
+
 _FLAG = "__sess_flag"
 _IDX = "__sess_idx"
 _BUCKET = "__sess_bucket"
-
-
-def _interval_micros(interval: str) -> Column:
-    """Length of a SQL interval string in microseconds (JVM-side constant)."""
-    base = F.lit("1970-01-01 00:00:00").cast("timestamp")
-    return F.unix_micros(base + F.expr(f"INTERVAL {interval}")) - F.unix_micros(base)
 
 
 def _new_session_flag(prev_ts: Column, ts: Column, gap: str) -> Column:
@@ -80,6 +76,9 @@ def sessionize(
     output, skew-proof windows. Pick a bucket comfortably larger than
     ``gap``.
     """
+    validate_interval(gap, "gap", "sessionize")
+    if bucket is not None:
+        validate_interval(bucket, "bucket", "sessionize")
     order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
 
     if bucket is None:
@@ -90,7 +89,7 @@ def sessionize(
             "session_id", F.sum(_FLAG).over(run).cast("bigint")
         ).drop(_FLAG)
 
-    bucket_us = _interval_micros(bucket)
+    bucket_us = interval_micros(bucket)
     ev = df.withColumn(
         _BUCKET, F.floor(F.unix_micros(F.col(ts_col)) / bucket_us).cast("bigint")
     )

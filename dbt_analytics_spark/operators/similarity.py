@@ -37,17 +37,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def _with_norm2(df: DataFrame, vec: str, out: str) -> DataFrame:
-    """Materialize ``dot(v, v)`` as a column in a separate projection step.
-
-    Folds are CodegenFallback (interpreted), so the self-dot must be computed
-    ONCE per row before any join fans the row out into pairs — per-pair
-    cosine then costs a single fold instead of three, with float-identical
-    results (the norm value is bit-equal wherever it's computed).
-    """
-    return df.withColumn(out, dot(F.col(vec), F.col(vec)))
-
-
 def _pair_cosine() -> Column:
     return dot(F.col("qvec"), F.col("cvec")) / (
         F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2"))
@@ -107,9 +96,14 @@ def cosine_topk(
     import numpy as np
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
-    ).collect()
+    # NULL vectors are dropped on both sides (a None element would crash
+    # the numpy batch conversion; the old fold plan gave such rows NULL
+    # sims that never reached top-k anyway).
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
+        .collect()
+    )
     q_ids = [r["query_id"] for r in q_rows]
     Q = (
         np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
@@ -136,7 +130,12 @@ def cosine_topk(
                 if not idx.size:
                     continue
                 s = sims[idx, j]
-                order = np.lexsort((ids[idx], -s))[:k]
+                # NaN sims (zero-norm vectors) become SQL NULL on the
+                # Arrow transfer (pandas float-NaN ⇒ null), and the global
+                # merge's desc sorts NULL LAST — so the per-batch cut must
+                # rank NaN smallest too, or results would depend on which
+                # batch the zero-norm row landed in.
+                order = np.lexsort((ids[idx], -np.where(np.isnan(s), -np.inf, s)))[:k]
                 take = idx[order]
                 out_q.extend([qid] * len(take))
                 out_c.extend(ids[take].tolist())
@@ -150,7 +149,7 @@ def cosine_topk(
     # 100 TB corpus already has thousands of splits, while forcing a small
     # corpus to defaultParallelism partitions pays ~32 Python-worker
     # round-trips plus a shuffle for work one batch does in milliseconds.
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     candidates = c.mapInPandas(

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -18,3 +20,34 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+#: "<number> <unit>" interval strings, e.g. "2 hours" or "1 day 30 minutes".
+#: Validated BEFORE interpolation into F.expr(f"INTERVAL {...}") — an
+#: unvalidated value surfaces as an opaque Catalyst parse error far from
+#: the call site and would accept arbitrary SQL fragments.
+INTERVAL_RE = re.compile(
+    r"(?i)\s*(?:'?\d+(?:\.\d+)?'?\s+"
+    r"(?:year|month|week|day|hour|minute|second|millisecond|microsecond)s?\s*)+"
+)
+
+
+def validate_interval(value: str, param: str, fn: str) -> str:
+    """Validate an interval string; raise a named ValueError at the call
+    site instead of an opaque Catalyst parse error."""
+    if not INTERVAL_RE.fullmatch(value.strip()):
+        raise ValueError(
+            f"{fn}: bad {param} {value!r} — expected an interval string "
+            "like '2 hours' or '1 day 30 minutes'"
+        )
+    return value
+
+
+def interval_micros(interval: str):
+    """Length of a SQL interval string in microseconds (JVM-side constant,
+    evaluated against the epoch base — fixed-width micros, so calendar
+    units like 'month' mean their length starting 1970-01-01)."""
+    from pyspark.sql import functions as F
+
+    base = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return F.unix_micros(base + F.expr(f"INTERVAL {interval}")) - F.unix_micros(base)

@@ -9,8 +9,10 @@ operation Delta/Iceberg expose as OPTIMIZE / rewrite_data_files; no dbt
 analog, documented extension).
 
 Spark shape: read the table, re-balance to ``ceil(bytes / target)``
-output files, write to a staging table, atomic-swap over the target —
-the same tmp→swap dance as plans/materialize.py's incremental rewrite.
+output files, write ONCE to a staging table, then swap via two metadata
+operations (DROP old + RENAME staging) — no second data rewrite, and a
+crash between the two leaves the full compacted copy intact under the
+staging name (the error message names it).
 Partitioned tables keep their layout (repartition on the partition
 columns, so each output partition gets coherent files); an optional
 ``sort_by`` range-clusters rows so parquet min/max footer stats enable
@@ -30,15 +32,37 @@ from pyspark.sql import functions as F
 
 
 def table_file_stats(spark: SparkSession, table: str) -> tuple[int, int]:
-    """(file_count, total_bytes) of a catalog table's current data files."""
+    """(file_count, total_bytes) of a catalog table's current data files.
+
+    One ``listStatus`` RPC per PARENT DIRECTORY (not per file): a
+    10^5-file microbatch table has ~10^3 partition dirs, so the metadata
+    pass stays cheap enough to run from a scheduler before every
+    compaction check."""
     files = spark.table(table).inputFiles()
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    wanted = set(files)
+    parents = {f.rsplit("/", 1)[0] for f in files}
     total = 0
-    for f in files:
-        path = jvm.org.apache.hadoop.fs.Path(f)
-        fs = path.getFileSystem(conf)
-        total += fs.getFileStatus(path).getLen()
+    seen = 0
+    for d in sorted(parents):
+        dpath = jvm.org.apache.hadoop.fs.Path(d)
+        fs = dpath.getFileSystem(conf)
+        for status in fs.listStatus(dpath):
+            # inputFiles URIs and listStatus URIs may differ in scheme
+            # normalization; compare on the tail the table reported.
+            uri = status.getPath().toString()
+            if uri in wanted or f"file:{status.getPath().toUri().getPath()}" in wanted:
+                total += status.getLen()
+                seen += 1
+    if seen != len(files):
+        # Fall back to exact per-file stats if URI normalization missed
+        # anything (correctness beats the RPC saving).
+        total = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(conf)
+            total += fs.getFileStatus(path).getLen()
     return len(files), total
 
 
@@ -95,18 +119,30 @@ def compact_table(
     else:
         balanced = df.repartition(n_target)
 
+    # Data is written ONCE (to the staging table); the swap is two
+    # metadata operations (drop + rename), not a second rewrite. A crash
+    # between them loses no data: the full compacted copy survives under
+    # the staging name, and the error says so. Never drop staging on
+    # failure — that would delete the only intact copy.
     staging = f"{table}__compact_tmp"
     writer = balanced.write.mode("overwrite")
     if parts:
         writer = writer.partitionBy(*parts)
     writer.saveAsTable(staging)
     try:
-        swap = spark.table(staging).write.mode("overwrite")
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
         if parts:
-            swap = swap.partitionBy(*parts)
-        swap.saveAsTable(table)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+            # Hive's rename moves the table directory but keeps partition
+            # metadata pointing at the old staging paths; SYNC drops the
+            # stale entries and re-registers from the actual directories.
+            spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    except Exception as exc:
+        raise RuntimeError(
+            f"compact_table: swap failed after writing the compacted copy; "
+            f"the data is intact in {staging!r} (and {table!r} if the DROP "
+            f"had not run). Recover by renaming manually."
+        ) from exc
 
     files_after, bytes_after = table_file_stats(spark, table)
     report.update(

@@ -20,7 +20,6 @@ one task per shard; pick ``n_shards`` ≈ data bytes / desired shard size.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,27 +48,42 @@ def write_jsonl_shards(
         raise ValueError("write_jsonl_shards: df already has a 'shard' column")
 
     spark = df.sparkSession
-    if df.filter(F.col(key_col).isNull()).limit(1).count():
-        raise ValueError(f"write_jsonl_shards: NULL values in key_col {key_col!r}")
-
+    # Persist the sharded frame: the null-key probe, the per-shard counts,
+    # and the write would otherwise each re-execute the (often expensive)
+    # upstream pipeline — and a nondeterministic upstream could make the
+    # manifest counts disagree with the files actually written.
     sharded = df.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
-    )
-    shard_counts = {
-        int(r["shard"]): r["n"]
-        for r in sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    # Co-locate each shard into one task: all rows of shard K hash the
-    # same, so K lands whole in one partition (collisions only merge
-    # TASKS, never split a shard across files).
-    writer = (
-        sharded.repartition(n_shards, F.col("shard"))
-        .write.mode("overwrite")
-        .partitionBy("shard")
-    )
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.json(path)
+        "shard",
+        F.when(
+            F.col(key_col).isNotNull(),
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int"),
+        ),
+    ).persist()
+    try:
+        shard_counts = {
+            r["shard"]: r["n"]
+            for r in sharded.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if None in shard_counts:
+            raise ValueError(
+                f"write_jsonl_shards: NULL values in key_col {key_col!r}"
+            )
+        shard_counts = {int(k): v for k, v in shard_counts.items()}
+        # Co-locate each shard into one task: all rows of shard K hash the
+        # same, so K lands whole in one partition (collisions only merge
+        # TASKS, never split a shard across files).
+        writer = (
+            sharded.repartition(n_shards, F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+        )
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.json(path)
+    finally:
+        sharded.unpersist()
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -100,6 +114,14 @@ def write_jsonl_shards(
         "total_rows": int(sum(shard_counts.values())),
         "shards": {str(k): v for k, v in sorted(files.items())},
     }
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True)
+    # Write through the SAME Hadoop FileSystem as the data (a local open()
+    # would break every non-local destination — s3a://, hdfs:// — after
+    # the corpus had already been exported).
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(root, "manifest.json"), True
+    )
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=2, sort_keys=True).encode()))
+    finally:
+        out.close()
     return manifest

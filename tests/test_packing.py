@@ -107,3 +107,19 @@ def test_validation(spark):
     docs = _docs(spark, n=5)
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(docs, 0)
+
+
+def test_null_text_packs_as_zero_tokens(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text="d e"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, 10, n_groups=2).collect()}
+    assert set(rows) == {1, 2, 3}          # NULL-text doc still packs once
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["oversize"] is False

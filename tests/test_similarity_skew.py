@@ -294,3 +294,38 @@ def test_pq_topk_accepts_pretrained_codebooks(spark):
         emb, queries, k=3, refine=8, codebooks=B
     ).collect()
     assert sorted(map(tuple, fitted)) == sorted(map(tuple, injected))
+
+
+def test_cosine_topk_null_and_zero_norm_vectors(spark):
+    """NULL embeddings are dropped (never crash the Arrow batch); NaN sims
+    from zero-norm vectors rank identically regardless of partitioning
+    (batch cut and global merge agree on NaN-first)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from dbt_analytics_spark.operators.similarity import cosine_topk
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + j) % 5 + 1) for j in range(4)])
+        for i in range(20)
+    ]
+    rows.append(Row(vec_id=100, embedding=[0.0, 0.0, 0.0, 0.0]))  # zero-norm
+    rows.append(Row(vec_id=101, embedding=None))                   # NULL
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter(F.col("vec_id") < 3)
+
+    def run(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["corpus_id"])
+            for r in cosine_topk(df, queries, k=3).collect()
+        )
+
+    one = run(corpus.coalesce(1))
+    many = run(corpus.repartition(7))
+    assert one == many
+    # The zero-norm vector's sims are NaN → NULL over Arrow, which the
+    # merge sorts last: with ≥k finite candidates it never places, in
+    # either layout. The NULL-embedding row never appears at all.
+    placed = {c for _, _, c in one}
+    assert 100 not in placed and 101 not in placed
+    assert len(one) == 9  # 3 queries × k=3 finite neighbors
