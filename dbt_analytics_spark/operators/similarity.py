@@ -172,7 +172,8 @@ def _sample_centroids(
     import numpy as np
 
     cent_rows = (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
         )
         .orderBy(F.xxhash64(F.col(id_col)))
@@ -206,7 +207,9 @@ def kmeans_fit(
     import numpy as np
 
     C = _sample_centroids(corpus, id_col, vec_col, n_cells)
-    data = fan_out(corpus).select(as_double_array(vec_col).alias("cvec"))
+    data = fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
+        as_double_array(vec_col).alias("cvec")
+    )
     dim = C.shape[1]
     history: list[float] = []
 
@@ -312,9 +315,11 @@ def ivf_topk(
 
     # Query set: collected to the driver (it is broadcast-sized by contract)
     # and shipped in the task closure as a dense matrix.
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
-    ).collect()
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
+        .collect()
+    )
     q_ids = [r["query_id"] for r in q_rows]
     Q = np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -365,7 +370,7 @@ def ivf_topk(
     # Natural split partitioning (see cosine_topk): the assignment/scoring
     # pass is batch-vectorized, so fan_out would only add a shuffle and
     # Python-worker round-trips at small scale.
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     candidates = c.mapInPandas(search, out_schema)
@@ -412,7 +417,9 @@ def pq_fit(
         [S0n[:, s * sub : (s + 1) * sub] for s in range(n_subspaces)]
     )  # (m, n_codes, sub)
 
-    data = fan_out(corpus).select(as_double_array(vec_col).alias("cvec"))
+    data = fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
+        as_double_array(vec_col).alias("cvec")
+    )
 
     for _ in range(max_iter):
         B_closure = B.copy()
@@ -505,7 +512,7 @@ def pq_encode(
                 {"corpus_id": pdf["corpus_id"], "codes": list(codes)}
             )
 
-    c = fan_out(corpus).select(
+    c = fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     return c.mapInPandas(encode, f"corpus_id {id_type}, codes array<smallint>")
@@ -565,9 +572,11 @@ def pq_topk(
     m, _, sub = B.shape
     id_type = corpus.schema[id_col].dataType.simpleString()
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec")
-    ).collect()
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qvec"))
+        .collect()
+    )
     q_ids = [r["query_id"] for r in q_rows]
     Q = np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -620,7 +629,7 @@ def pq_topk(
 
     # Natural split partitioning (see cosine_topk): ADC scoring is
     # batch-vectorized; fan_out would only add overhead at small scale.
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
     )
     candidates = c.mapInPandas(
@@ -783,7 +792,7 @@ def lsh_bucket_topk(
     id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"id {id_type}, vec array<double>, n2 double, table int, bucket int"
     c = (
-        fan_out(corpus)
+        fan_out(corpus.filter(F.col(vec_col).isNotNull()))
         .select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec"))
         .mapInPandas(bucketize, schema)
         .select(
@@ -795,7 +804,8 @@ def lsh_bucket_topk(
         )
     )
     q = (
-        queries.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec"))
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec"))
         .mapInPandas(bucketize, schema)
         .select(
             F.col("id").alias("query_id"),

@@ -329,3 +329,35 @@ def test_cosine_topk_null_and_zero_norm_vectors(spark):
     placed = {c for _, _, c in one}
     assert 100 not in placed and 101 not in placed
     assert len(one) == 9  # 3 queries × k=3 finite neighbors
+
+
+def test_all_ann_paths_tolerate_null_vectors(spark):
+    """Every ANN entry point (ivf/pq/lsh, incl. training passes) must drop
+    NULL-embedding rows instead of crashing the numpy batch conversion."""
+    from pyspark.sql import Row
+
+    from dbt_analytics_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+        lsh_bucket_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 3 + j) % 7 + 1) for j in range(8)])
+        for i in range(30)
+    ]
+    rows.append(Row(vec_id=99, embedding=None))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter((F.col("vec_id") < 2) | (F.col("vec_id") == 99))
+
+    assert ivf_topk(corpus, queries, k=2, n_cells=4, n_probe=4).count() == 4
+    B = pq_fit(corpus, n_subspaces=4, n_codes=4, max_iter=1)
+    assert pq_encode(corpus, B).count() == 30  # null row dropped
+    assert pq_topk(corpus, queries, k=2, n_subspaces=4, n_codes=4,
+                   kmeans_iters=1).count() == 4
+    assert lsh_bucket_topk(corpus, queries, k=2, dim=8).count() >= 2
+    C, _ = kmeans_fit(corpus, n_cells=4, max_iter=2)
+    assert C.shape == (4, 8)
