@@ -306,3 +306,180 @@ def bm25_topk(
         )
         .select("doc_id", "n_hit_terms", "score", "rank")
     )
+
+
+def _doc_bigrams(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w, nxt, gram) — one row per word bigram, linear per doc.
+
+    posexplode + lead, NOT explode(transform(...)): Generate re-evaluates
+    a non-attribute child per OUTPUT row, so an interpreted HOF bigram
+    array is O(len^2) per doc (the txt10 trap, BENCH_NOTES.md round 5).
+    """
+    w = Window.partitionBy("__id").orderBy("pos")
+    return (
+        docs.select(
+            F.col(id_col).alias("__id"), tokens(F.lower(F.col(text_col))).alias("__toks")
+        )
+        .select("__id", F.posexplode("__toks").alias("pos", "w"))
+        .withColumn("nxt", F.lead("w").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("__id", "w", "nxt", F.concat_ws(" ", "w", "nxt").alias("gram"))
+    )
+
+
+def bigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perplexity-proxy quality scoring: fit an add-one-smoothed word-bigram
+    language model on ``train`` and score every ``score`` document by its
+    mean bigram log-probability. Returns (doc_id, n_bigrams, avg_logp);
+    docs with fewer than two tokens have no bigrams and are omitted.
+
+      P(nxt | w) = (c2(w, nxt) + 1) / (c1(w) + V)
+
+    with c2 = train bigram count, c1 = train count of w as a bigram HEAD
+    (so sum_x c2(w, x) = c1(w) exactly), V = distinct successor vocabulary.
+    Low avg_logp flags boilerplate-free but incoherent/garbage text that
+    repetition metrics (txt10) miss; a standard corpus-quality filter
+    alongside heuristic scoring.
+
+    Scale shape (100 TB): the model tables are vocabulary-bounded (c2 at
+    most V^2 rows, c1 at most V) and build in one partial-agg pass over the
+    train corpus each. Scoring joins the skinny (id, gram) stream against
+    c2/c1 on the gram/head key — a shuffle join AQE downgrades to broadcast
+    whenever the model fits (it does for any curated vocabulary) — then one
+    partial-agg groupBy on the doc id. No Python anywhere; every expression
+    is codegen.
+
+    Cross-engine float note: ln() may differ by 1 ULP across libms and the
+    per-doc mean has no defined summation order, so ``avg_logp`` is rounded
+    to 6 decimals (the txt12/BM25 convention) and the DuckDB oracle hashes
+    exactly.
+    """
+    train_grams = _doc_bigrams(train, id_col, text_col)
+    c2 = train_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train_grams.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train_grams.agg(
+        F.count_distinct(F.col("nxt")).cast("double").alias("v_size")
+    )
+    scored = (
+        _doc_bigrams(score, id_col, text_col)
+        .join(c2, "gram", "left")
+        .join(c1, "w", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.col("v_size"))
+            ),
+        )
+    )
+    return scored.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+
+
+def nb_classify(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied as pure
+    aggregations — the distributed, fully deterministic counterpart of a
+    fastText-style quality/language classifier in a curation pipeline.
+
+    Train: per-label doc priors and add-one-smoothed token likelihoods
+      P(w | l) = (c(w, l) + 1) / (tot_tokens(l) + V),  V = train vocabulary.
+    Predict: argmax_l  ln P(l) + sum_w n_w(doc) * ln P(w | l), scores
+    rounded to 6 decimals BEFORE the argmax (ties then break on label asc),
+    which makes the prediction stable across engines/libms.
+
+    Returns (id, label_col actual, predicted, score, correct).
+
+    Scale shape (100 TB): model tables are (V × |labels|)-bounded; training
+    is one partial-agg pass over the train tokens. Scoring streams the
+    skinny (id, word, cnt) tokens through a broadcast of the per-label
+    metadata and a key join against the likelihood table, then one groupBy
+    on (id) — no Python, all codegen. The |labels|-way fan-out happens on
+    the REDUCED (id, word, cnt) rows, not raw tokens.
+    """
+    tr_toks = train.select(
+        F.col(label_col).alias("__lbl"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    likelihood = tr_toks.groupBy("__lbl", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    label_meta = (
+        train.groupBy(F.col(label_col).alias("__lbl"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs_l"))
+        .crossJoin(
+            F.broadcast(
+                train.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+            )
+        )
+        .join(
+            tr_toks.groupBy("__lbl").agg(
+                F.count(F.lit(1)).cast("double").alias("tot_l")
+            ),
+            "__lbl",
+        )
+        .crossJoin(
+            F.broadcast(
+                tr_toks.agg(
+                    F.count_distinct("w").cast("double").alias("v_size")
+                )
+            )
+        )
+        .select(
+            "__lbl",
+            F.log(F.col("n_docs_l") / F.col("n_docs")).alias("ln_prior"),
+            "tot_l",
+            "v_size",
+        )
+    )
+    te_counts = (
+        test.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__actual"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .groupBy("__id", "__actual", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    contrib = (
+        te_counts.crossJoin(F.broadcast(label_meta))
+        .join(likelihood, ["__lbl", "w"], "left")
+        .withColumn(
+            "logp",
+            F.col("cnt")
+            * F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("tot_l") + F.col("v_size"))
+            ),
+        )
+    )
+    scores = contrib.groupBy("__id", "__actual", "__lbl").agg(
+        F.round(F.first("ln_prior") + F.sum("logp"), 6).alias("score")
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("score"), F.asc("__lbl"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__actual").alias(label_col),
+            F.col("__lbl").alias("predicted"),
+            "score",
+            (F.col("__lbl") == F.col("__actual")).alias("correct"),
+        )
+    )

@@ -1636,6 +1636,73 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# EV6 — weekly retention cohorts: users grouped by first-activity ISO week,
+# retention measured as the share of the cohort active in each later week.
+# The standard product-analytics rollup (no reference analog — events
+# extension family, like EV1-EV5).
+#
+# Scale shape (100 TB): two partial-agg passes over events (first-touch
+# min per user; distinct (user, week)) that shuffle on user_id and can
+# share the exchange; the cohort join is per-user (skinny), and the final
+# rollup is |cohorts × offsets| rows — tiny. cohort_size is
+# broadcast-joined. retention_rate is a single bigint/bigint IEEE division,
+# bit-identical cross-engine (no rounding needed).
+# ---------------------------------------------------------------------------
+
+def ev6_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    offsets = active.join(first, "user_id").select(
+        "cohort_week",
+        (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    )
+    cohort_size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    ret = offsets.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
+    return ret.join(F.broadcast(cohort_size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        (
+            F.col("active_users").cast("double")
+            / F.col("cohort_users").cast("double")
+        ).alias("retention_rate"),
+    )
+
+
+EV6_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+), offs AS (
+  SELECT f.cohort_week,
+         CAST((a.act_week - f.cohort_week) / 7 AS INTEGER) AS week_offset
+  FROM active a JOIN first f USING (user_id)
+), size_ AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM first GROUP BY 1
+), ret AS (
+  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS active_users
+  FROM offs GROUP BY 1, 2
+)
+SELECT r.cohort_week, r.week_offset, r.active_users, s.cohort_users,
+       CAST(r.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE) AS retention_rate
+FROM ret r JOIN size_ s USING (cohort_week)
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1679,6 +1746,7 @@ REGISTRY = {
     "ev4_range_join": (ev4_range_join, EV4_SQL),
     "ev5_funnel": (ev5_funnel, EV5_SQL),
     "ev5b_funnel_steps": (ev5b_funnel_steps, EV5B_SQL),
+    "ev6_retention_cohorts": (ev6_retention_cohorts, EV6_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
     "f4_profile": (f4_profile, F4_SQL),

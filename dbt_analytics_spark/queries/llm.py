@@ -1127,6 +1127,114 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TXT13 — bigram language-model quality scoring (operators/text.py:
+# bigram_lm_score): fit an add-one-smoothed word-bigram LM on the even
+# doc_ids, score EVERY document by mean bigram log-probability — the
+# perplexity-proxy corpus filter that catches incoherent text repetition
+# metrics (txt10) miss. Exact oracle: identical expression tree; avg_logp
+# rounded to 6 decimals (the txt12 ln()/sum-order convention).
+# ---------------------------------------------------------------------------
+
+def txt13_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_lm_score
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return bigram_lm_score(train, docs)
+
+
+TXT13_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_LC} AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([words[i] FOR i IN range(1, len(words))]) AS w,
+         unnest([words[i + 1] FOR i IN range(1, len(words))]) AS nxt,
+         unnest([words[i] || ' ' || words[i + 1] FOR i IN range(1, len(words))]) AS gram
+  FROM w
+), tr AS (
+  SELECT * FROM g WHERE doc_id % 2 = 0
+), c2 AS (
+  SELECT gram, COUNT(*) AS c2 FROM tr GROUP BY 1
+), c1 AS (
+  SELECT w, COUNT(*) AS c1 FROM tr GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT nxt) AS DOUBLE) AS v_size FROM tr
+), sc AS (
+  SELECT g.doc_id,
+         ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+            / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + v.v_size)) AS logp
+  FROM g LEFT JOIN c2 USING (gram) LEFT JOIN c1 USING (w) CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(logp), 6) AS avg_logp
+FROM sc GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TXT14 — multinomial Naive Bayes language classifier (operators/text.py:
+# nb_classify): train on even doc_ids with the `lang` labels, predict the
+# odd half — the distributed, deterministic stand-in for a fastText-style
+# curation classifier. Exact oracle: per-(doc, label) scores are rounded to
+# 6 decimals BEFORE the argmax (ties → label asc), so the prediction is
+# engine-stable.
+# ---------------------------------------------------------------------------
+
+def txt14_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import nb_classify
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return nb_classify(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+TXT14_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS_LC} AS words FROM documents
+), tr AS (
+  SELECT lang, unnest(words) AS tok FROM w WHERE doc_id % 2 = 0
+), lik AS (
+  SELECT lang, tok, COUNT(*) AS c FROM tr GROUP BY 1, 2
+), tot AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS tot_l FROM tr GROUP BY 1
+), nd AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n_docs_l
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+), ntot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents WHERE doc_id % 2 = 0
+), v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v_size FROM tr
+), meta AS (
+  SELECT nd.lang, ln(nd.n_docs_l / ntot.n_docs) AS ln_prior, tot.tot_l, v.v_size
+  FROM nd JOIN tot USING (lang) CROSS JOIN ntot CROSS JOIN v
+), te AS (
+  SELECT doc_id, actual, tok, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM (SELECT doc_id, lang AS actual, unnest(words) AS tok
+        FROM w WHERE doc_id % 2 = 1)
+  GROUP BY 1, 2, 3
+), sc AS (
+  SELECT te.doc_id, te.actual, m.lang AS lbl,
+         ROUND(MAX(m.ln_prior)
+               + SUM(te.cnt * ln(CAST(COALESCE(l.c, 0) + 1 AS DOUBLE)
+                                 / (m.tot_l + m.v_size))), 6) AS score
+  FROM te CROSS JOIN meta m
+  LEFT JOIN lik l ON l.lang = m.lang AND l.tok = te.tok
+  GROUP BY 1, 2, 3
+), top AS (
+  SELECT doc_id, actual, lbl, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lbl ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, actual AS lang, lbl AS predicted, score, lbl = actual AS correct
+FROM top WHERE rn = 1
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -1159,5 +1267,7 @@ REGISTRY = {
     "smp3_pack_sequences": (smp3_pack_sequences, None),
     "txt11_vocab": (txt11_vocab, TXT11_SQL),
     "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
+    "txt13_lm_score": (txt13_lm_score, TXT13_SQL),
+    "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }
