@@ -100,10 +100,13 @@ _BEYOND_DRIVER_CAP = [
     # dd9 (round 6): cross-corpus incremental near-dup — rows-only like
     # dd3; self-join-restriction equivalence in test_dedup_crosscheck.py.
     "dd9_cross_dedup",
-    # txt13/txt14 (round 6): bigram-LM perplexity-proxy scoring and the
-    # Naive Bayes language classifier (operators/text.py), both exact
-    # DuckDB oracles with the rounded-score convention.
-    "txt13_lm_score",
+    # txt14 (round 6): Naive Bayes language classifier (operators/
+    # text.py), exact DuckDB oracle with the rounded-score convention.
+    # txt13_lm_score (same convention) rotates INTO the 50-prefix in
+    # exchange for a2_rollup: §2a's A2 (agg functions) keeps driver
+    # evidence through q1_pricing_summary's row, while txt13 is a new
+    # round-6 operator that would otherwise never earn one.
+    "a2_rollup",
     "txt14_nb_langid",
     # ev6 (round 6): weekly retention cohorts over events, exact oracle.
     "ev6_retention_cohorts",
