@@ -831,3 +831,62 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (squared L2).
+    Returns (id, cell int, dist2 double). NULL embeddings are dropped.
+
+    Scale shape: the model rides in the task closure; ONE ``mapInPandas``
+    numpy pass over the corpus, no shuffle at all — the output keeps the
+    scan's partitioning. Ties break to the lowest cell index (numpy argmin),
+    matching ``kmeans_fit``'s assignment step exactly, so
+    sum(dist2) == the fit's final inertia.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.ndim != 2:
+        raise ValueError(f"kmeans_assign: centroids must be 2-D, got shape {C.shape}")
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    data = fan_out(corpus.filter(F.col(vec_col).isNotNull())).select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("cvec")
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+            )
+            d2 = (
+                (M * M).sum(axis=1, keepdims=True)
+                - 2.0 * (M @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            cells = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "dist2": d2[np.arange(len(M)), cells],
+                }
+            )
+
+    return data.mapInPandas(assign, f"id {id_type}, cell int, dist2 double")
+
+
+def kmeans_cluster_stats(assigned: DataFrame) -> DataFrame:
+    """Per-cluster rollup of ``kmeans_assign`` output: size and mean
+    squared distance (rounded to 6 decimals — float sum order is
+    undefined). One partial-agg groupBy over skinny rows."""
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("dist2"), 6).alias("mean_dist2"),
+    )

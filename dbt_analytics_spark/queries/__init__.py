@@ -110,6 +110,9 @@ _BEYOND_DRIVER_CAP = [
     "txt14_nb_langid",
     # ev6 (round 6): weekly retention cohorts over events, exact oracle.
     "ev6_retention_cohorts",
+    # sim5 (round 6): k-means corpus clustering — rows-only (iterative
+    # Lloyd); determinism/coverage/inertia in tests/test_kmeans_assign.py.
+    "sim5_kmeans_clusters",
 ]
 
 _ALL: dict = {}

@@ -1128,6 +1128,23 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SIM5 — distributed k-means corpus clustering (operators/similarity.py:
+# kmeans_fit + kmeans_assign): the embedding-space bucketing step behind
+# semantic dedup / topic balancing of a training corpus. Rows-only
+# (iterative Lloyd training is not SQL-expressible); determinism, full
+# coverage, and the inertia contract are pinned in tests/test_kmeans_assign.py.
+# ---------------------------------------------------------------------------
+
+def sim5_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    centroids, _ = similarity.kmeans_fit(
+        emb, "vec_id", "embedding", n_cells=8, max_iter=5
+    )
+    assigned = similarity.kmeans_assign(emb, centroids, "vec_id", "embedding")
+    return similarity.kmeans_cluster_stats(assigned)
+
+
+# ---------------------------------------------------------------------------
 # TXT13 — bigram language-model quality scoring (operators/text.py:
 # bigram_lm_score): fit an add-one-smoothed word-bigram LM on the even
 # doc_ids, score EVERY document by mean bigram log-probability — the
@@ -1268,6 +1285,7 @@ REGISTRY = {
     "txt11_vocab": (txt11_vocab, TXT11_SQL),
     "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
     "txt13_lm_score": (txt13_lm_score, TXT13_SQL),
+    "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }
