@@ -194,3 +194,51 @@ def test_packing_single_shuffle(spark):
     docs = load_testdata(spark, SF)["documents"]
     plan = _plan(pack_sequences(docs, 512, n_groups=8))
     assert _count_nodes(plan, "Exchange") == 1
+
+
+def test_nb_classify_broadcasts_model_meta(spark):
+    # txt14: the per-label metadata and the scalar aggregates must ride
+    # broadcast exchanges; the only join allowed to shuffle is the
+    # (label, word) likelihood lookup. No cartesian anywhere (the
+    # |labels|-way fan-out is a broadcast nested-loop by construction —
+    # label_meta is tiny — never a CartesianProduct).
+    plan = _plan(REGISTRY["txt14_nb_langid"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bigram_lm_broadcasts_vocab_scalar(spark):
+    # txt13: the V scalar is broadcast; model joins may shuffle (they are
+    # vocabulary-bounded), but nothing may go cartesian, and the final
+    # per-doc rollup must have a partial-agg side.
+    plan = _plan(REGISTRY["txt13_lm_score"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_avg" in plan or "partial_count" in plan
+
+
+def test_retention_cohorts_broadcasts_cohort_size(spark):
+    # ev6: cohort_size is |weeks| rows — must broadcast; the user-grain
+    # join must not degrade to nested-loop; aggregates stay partial.
+    plan = _plan(REGISTRY["ev6_retention_cohorts"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assign_no_key_shuffle(spark):
+    # sim5's assignment pass: model in the closure, data never shuffles on
+    # a key — the only Exchange allowed is fan_out's round-robin scan
+    # spread (single-file parquet reads as one partition otherwise).
+    import numpy as np
+
+    from dbt_analytics_spark.operators.similarity import kmeans_assign
+    from dbt_analytics_spark.sources import load_testdata
+
+    emb = load_testdata(spark, SF)["embeddings"]
+    C = np.zeros((4, 64))
+    plan = _plan(kmeans_assign(emb, C))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # the fan_out round-robin only
