@@ -241,4 +241,7 @@ def test_kmeans_assign_no_key_shuffle(spark):
     plan = _plan(kmeans_assign(emb, C))
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
-    assert plan.count("Exchange") <= 1  # the fan_out round-robin only
+    # formatted plans print each node twice (tree + details): one Exchange
+    # node — fan_out's round-robin — appears as exactly two mentions.
+    assert plan.count("Exchange") <= 2
+    assert plan.count("RoundRobinPartitioning") >= 1
