@@ -585,3 +585,53 @@ def simhash_pairs(
         .dropDuplicates(["doc1", "doc2"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_docs: int = 8,
+) -> DataFrame:
+    """Corpus-internal exact-substring duplication: doc pairs sharing at
+    least one verbatim k-token window, with the count of shared windows —
+    the exact-match complement of MinHash/SimHash near-dup (the
+    "duplicated training spans" sweep). Returns
+    (doc_a, doc_b, n_shared_windows), doc_a < doc_b.
+
+    ``max_gram_docs`` is the boilerplate guard: a window occurring in more
+    than that many documents (licenses, navigation chrome) is dropped
+    BEFORE pair generation, which caps per-window fan-out at
+    C(max_gram_docs, 2) pairs and makes the self-join skew-proof by
+    construction — the standard frequency-capped inverted-index shape. A
+    window in exactly [2, max_gram_docs] docs emits its pairs.
+
+    Scale shape (100 TB): windows are linear per doc (gram_rows' posexplode
+    + lead formulation); the doc-frequency pass, eligibility filter, and
+    the within-gram self-join all key on the gram string, so the exchange
+    is reused across them; the final per-pair rollup is partial-agg. The
+    payload (text) never rides any shuffle — only (doc, gram) rows do.
+    """
+    if k < 2:
+        raise ValueError(f"exact_substring_pairs: k must be >= 2, got {k}")
+    if max_gram_docs < 2:
+        raise ValueError(
+            f"exact_substring_pairs: max_gram_docs must be >= 2, got {max_gram_docs}"
+        )
+    grams = gram_rows(fan_out(docs), id_col, text_col, k)
+    eligible = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_gram_docs))
+        .select("g")
+    )
+    cand = grams.join(eligible, "g")
+    a = cand.select("g", F.col("doc").alias("doc_a"))
+    b = cand.select("g", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+    )

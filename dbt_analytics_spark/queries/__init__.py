@@ -113,6 +113,8 @@ _BEYOND_DRIVER_CAP = [
     # sim5 (round 6): k-means corpus clustering — rows-only (iterative
     # Lloyd); determinism/coverage/inertia in tests/test_kmeans_assign.py.
     "sim5_kmeans_clusters",
+    # dd10 (round 6): exact-substring duplication pairs, exact oracle.
+    "dd10_exact_substring",
 ]
 
 _ALL: dict = {}

@@ -1128,6 +1128,42 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DD10 — exact-substring duplication (operators/dedup.py:
+# exact_substring_pairs): doc pairs sharing a verbatim 8-token window,
+# frequency-capped inverted index (boilerplate windows in > 8 docs are
+# dropped before pair generation, bounding fan-out at C(8,2) per window).
+# Exact DuckDB oracle — pure integer counts, no float risk.
+# ---------------------------------------------------------------------------
+
+def dd10_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return dedup.exact_substring_pairs(docs, k=8, max_gram_docs=8)
+
+
+DD10_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SPLIT} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, r.i, r.i + 7), ' ') AS g
+  FROM toks, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+  WHERE len(toks) >= 8
+  UNION ALL
+  SELECT doc_id, array_to_string(toks, ' ') AS g FROM toks WHERE len(toks) < 8
+), dgrams AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), elig AS (
+  SELECT g FROM dgrams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 8
+), cand AS (
+  SELECT d.doc_id, d.g FROM dgrams d JOIN elig USING (g)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+FROM cand a JOIN cand b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # SIM5 — distributed k-means corpus clustering (operators/similarity.py:
 # kmeans_fit + kmeans_assign): the embedding-space bucketing step behind
 # semantic dedup / topic balancing of a training corpus. Rows-only
@@ -1286,6 +1322,7 @@ REGISTRY = {
     "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
     "txt13_lm_score": (txt13_lm_score, TXT13_SQL),
     "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
+    "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }

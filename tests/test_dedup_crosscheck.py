@@ -320,3 +320,48 @@ def test_cross_lsh_salted_same_pairs(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_exact_substring_pairs_hand_case(spark):
+    from dbt_analytics_spark.operators.dedup import exact_substring_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),       # shares the 8-window a..h with doc 2
+            (2, "a b c d e f g h x"),
+            (3, "p q r s t u v w y"),       # no shared window
+            (4, "short doc"),                # < k tokens → whole-doc gram
+            (5, "short doc"),                # identical short doc → pair (4,5)
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_windows
+        for r in exact_substring_pairs(docs, k=8, max_gram_docs=8).collect()
+    }
+    assert pairs == {(1, 2): 1, (4, 5): 1}
+
+
+def test_exact_substring_boilerplate_cap(spark):
+    from dbt_analytics_spark.operators.dedup import exact_substring_pairs
+
+    # The same window in 5 docs is dropped when max_gram_docs=4 — no pairs.
+    docs = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5 w6 w7 w8") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert exact_substring_pairs(docs, k=8, max_gram_docs=4).count() == 0
+    # With the cap at 5 the window is eligible: C(5,2) = 10 pairs.
+    assert exact_substring_pairs(docs, k=8, max_gram_docs=5).count() == 10
+
+
+def test_exact_substring_validates_args(spark):
+    import pytest
+
+    from dbt_analytics_spark.operators.dedup import exact_substring_pairs
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        exact_substring_pairs(docs, k=1)
+    with pytest.raises(ValueError, match="max_gram_docs"):
+        exact_substring_pairs(docs, max_gram_docs=1)
