@@ -51,3 +51,30 @@ def interval_micros(interval: str):
 
     base = F.lit("1970-01-01 00:00:00").cast("timestamp")
     return F.unix_micros(base + F.expr(f"INTERVAL {interval}")) - F.unix_micros(base)
+
+
+#: Fixed-width interval units in microseconds (driver-side arithmetic).
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def interval_micros_int(interval: str) -> int:
+    """Driver-side integer length of a fixed-width SQL interval string
+    ('30 minutes', '2 days', ...). Calendar units (month/year) are
+    rejected — they have no fixed micros width; the Column-returning
+    ``interval_micros`` handles those against an epoch base."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s+([a-zA-Z]+?)s?\s*", interval)
+    if not m or m.group(2).lower() not in _UNIT_US:
+        raise ValueError(
+            f"interval_micros_int: unsupported fixed-width interval {interval!r}"
+        )
+    return int(m.group(1)) * _UNIT_US[m.group(2).lower()]

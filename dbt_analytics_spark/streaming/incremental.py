@@ -250,3 +250,139 @@ def sessionized_counts_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: Output schema of the FINALIZED sessionizer: one row per closed session.
+_FINAL_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", IntegerType()),
+        StructField("n_events", LongType()),
+        StructField("start_ts", TimestampType()),
+        StructField("end_ts", TimestampType()),
+    ]
+)
+
+_FINAL_STATE_SCHEMA = StructType(
+    [
+        StructField("session_id", IntegerType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _make_finalized_session_fn(gap_us: int):
+    """Build the per-key stateful function for ``finalized_sessions``.
+
+    Emission contract: a session row is emitted EXACTLY ONCE, when it
+    closes — either because a later event of the same user exceeds the gap
+    (closed within/across batches), or because the event-time watermark
+    passes ``last_ts + gap`` with no new event (EventTimeTimeout fires).
+    Sessions still open when an availableNow run drains remain in the
+    state store — the correct contract for an unbounded stream (they are
+    not finished yet); batch jobs wanting tail sessions use the batch
+    ``operators.sessionize`` instead.
+    """
+    gap_ms = gap_us // 1_000
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            session_id, n_events, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    [
+                        key[0],
+                        session_id,
+                        n_events,
+                        pd.Timestamp(start_us * 1_000),
+                        pd.Timestamp(last_us * 1_000),
+                    ]
+                ],
+                columns=["user_id", "session_id", "n_events", "start_ts", "end_ts"],
+            )
+            return
+
+        if state.exists:
+            session_id, n_events, start_us, last_us = state.get
+        else:
+            session_id, n_events, start_us, last_us = 0, 0, None, None
+
+        out: list[list] = []
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts")
+            for ts in pdf["ts"]:
+                us = int(ts.value // 1_000)  # pandas ns → µs
+                if last_us is not None and us - last_us > gap_us:
+                    out.append(
+                        [
+                            key[0],
+                            session_id,
+                            n_events,
+                            pd.Timestamp(start_us * 1_000),
+                            pd.Timestamp(last_us * 1_000),
+                        ]
+                    )
+                    session_id += 1
+                    n_events = 0
+                    start_us = None
+                n_events += 1
+                if start_us is None:
+                    start_us = us
+                last_us = us
+        if last_us is not None:
+            state.update((session_id, n_events, start_us, last_us))
+            # Close the open session once the watermark passes last + gap.
+            # The timeout timestamp must sit beyond the current watermark.
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_us // 1_000 + gap_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_id", "n_events", "start_ts", "end_ts"],
+        )
+
+    return fn
+
+
+def finalized_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization with EXACTLY-ONCE finalized emission: each
+    (user, session) row appears once, when the session closes — by a
+    later over-gap event or by the event-time watermark passing
+    ``last_ts + gap`` (``GroupStateTimeout.EventTimeTimeout``).
+
+    The complement of ``sessionized_counts_stateful`` (which emits running
+    per-batch counts): this is the shape a downstream consumer wants for
+    "append closed sessions to a table" — no upserts, no retractions.
+
+    Scale shape: state is one fixed-width row per OPEN session (bounded by
+    concurrently-active users inside the watermark horizon, independent of
+    stream length); the watermark evicts idle keys via the timeout, so
+    state cannot grow unboundedly. Arrow-batched per-key processing, one
+    shuffle on the session key per micro-batch.
+    """
+    from ..operators.util import interval_micros_int, validate_interval
+
+    validate_interval(gap, "gap", "finalized_sessions")
+    validate_interval(watermark, "watermark", "finalized_sessions")
+    ev = _ensure_event_time(events, ts_col)
+    return (
+        ev.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_finalized_session_fn(interval_micros_int(gap)),
+            outputStructType=_FINAL_SESSION_SCHEMA,
+            stateStructType=_FINAL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

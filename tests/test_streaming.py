@@ -359,3 +359,64 @@ def test_dedup_stream_drops_redeliveries(spark, events, tmp_path):
     got = spark.sql("select event_id from dedup_test")
     assert got.count() == sample.count()
     assert got.distinct().count() == sample.count()
+
+
+def test_finalized_sessions_exactly_once(spark, tmp_path):
+    """finalized_sessions emits each closed session exactly once — by gap
+    (in-batch) or by event-time timeout (watermark passes last+gap) — and
+    keeps still-open sessions in state, unemitted."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_analytics_spark.streaming.incremental import finalized_sessions
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        path = str(tmp_path / "src" / name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    base = _time.time() - 1000
+    # batch 1: user1 two events 10 min apart; user2 one event. All open.
+    write("f1.parquet", [(1, t0), (1, t0 + 10 * m), (2, t0 + 1 * m)], base)
+    # batch 2: user1 at t0+3h closes its session 0 by gap; user3 at t0+10h
+    # drags the watermark far forward for the NEXT batch.
+    write("f2.parquet", [(1, t0 + 180 * m), (3, t0 + 600 * m)], base + 10)
+    # batch 3: a dummy event; during this batch the watermark (t0+9h30m)
+    # fires the timeouts of user1 session 1 and user2 session 0.
+    write("f3.parquet", [(4, t0 + 601 * m)], base + 20)
+
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        finalized_sessions(stream, gap="30 minutes", watermark="30 minutes")
+        .writeStream.queryName("final_sess")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts)
+        for r in spark.sql("select * from final_sess").collect()
+    }
+    assert rows == {
+        (1, 0): (2, t0.to_pydatetime(), (t0 + 10 * m).to_pydatetime()),
+        (1, 1): (1, (t0 + 180 * m).to_pydatetime(), (t0 + 180 * m).to_pydatetime()),
+        (2, 0): (1, (t0 + 1 * m).to_pydatetime(), (t0 + 1 * m).to_pydatetime()),
+    }  # users 3 and 4 are still open → correctly unemitted
