@@ -66,3 +66,85 @@ def test_nb_classify_tie_breaks_label_asc(spark):
     row = nb_classify(train, test).collect()[0]
     assert row.predicted == "aa"
     assert not row.correct
+
+
+# ---------------------------------------------------------------------------
+# Property-based crosschecks against pure-Python references
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_doc = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+def _py_bigrams(text):
+    w = text.split()
+    return [(w[i], w[i + 1]) for i in range(len(w) - 1)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_corpus)
+def test_bigram_lm_matches_python_reference(spark, docs):
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = [t for i, t in rows if i % 2 == 0]
+    c2 = Counter(g for t in train for g in _py_bigrams(t))
+    c1 = Counter(g[0] for t in train for g in _py_bigrams(t))
+    V = len({g[1] for t in train for g in _py_bigrams(t)})
+    want = {}
+    for i, t in rows:
+        grams = _py_bigrams(t)
+        if not grams:
+            continue
+        lps = [
+            math.log((c2.get(g, 0) + 1) / (c1.get(g[0], 0) + V)) for g in grams
+        ]
+        want[i] = (len(grams), round(sum(lps) / len(lps), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in bigram_lm_score(
+            df.filter("doc_id % 2 = 0"), df
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_corpus)
+def test_exact_substring_matches_python_reference(spark, docs):
+    from dbt_analytics_spark.operators.dedup import exact_substring_pairs
+
+    K, CAP = 3, 4
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def windows(text):
+        w = text.split()
+        if len(w) < K:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + K]) for i in range(len(w) - K + 1)}
+
+    inv = {}
+    for i, t in rows:
+        for g in windows(t):
+            inv.setdefault(g, set()).add(i)
+    want = Counter()
+    for g, ds in inv.items():
+        if 2 <= len(ds) <= CAP:
+            for a, b in combinations(sorted(ds), 2):
+                want[(a, b)] += 1
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_windows
+        for r in exact_substring_pairs(df, k=K, max_gram_docs=CAP).collect()
+    }
+    assert got == dict(want)
