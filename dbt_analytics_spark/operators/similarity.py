@@ -67,6 +67,24 @@ def _seq_self_dot(M: "np.ndarray") -> "np.ndarray":
     return acc
 
 
+def _nearest_cells(pdf_vec_col, C: "np.ndarray"):
+    """(cells, d2_chosen, M) — nearest centroid per row of an Arrow batch
+    column of vectors. THE single definition of the k-means assignment
+    step (expanded squared-L2 + argmin with lowest-index tie-break):
+    ``kmeans_fit``'s partials and ``kmeans_assign`` both call it, so the
+    fit/assign inertia and tie-break contracts cannot drift apart."""
+    import numpy as np
+
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf_vec_col])
+    d2 = (
+        (M * M).sum(axis=1, keepdims=True)
+        - 2.0 * (M @ C.T)
+        + (C * C).sum(axis=1)
+    )
+    cells = d2.argmin(axis=1)
+    return cells, d2[np.arange(len(M)), cells], M
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -220,16 +238,8 @@ def kmeans_fit(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                M = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
-                )
-                d2 = (
-                    (M * M).sum(axis=1, keepdims=True)
-                    - 2.0 * (M @ C_closure.T)
-                    + (C_closure * C_closure).sum(axis=1)
-                )
-                cells = d2.argmin(axis=1)
-                sse = d2[np.arange(len(M)), cells].sum()
+                cells, d2_min, M = _nearest_cells(pdf["cvec"], C_closure)
+                sse = d2_min.sum()
                 counts = np.bincount(cells, minlength=len(C_closure))
                 sums = np.zeros_like(C_closure)
                 np.add.at(sums, cells, M)
@@ -862,20 +872,12 @@ def kmeans_assign(
         for pdf in batches:
             if not len(pdf):
                 continue
-            M = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
-            )
-            d2 = (
-                (M * M).sum(axis=1, keepdims=True)
-                - 2.0 * (M @ C.T)
-                + (C * C).sum(axis=1)
-            )
-            cells = d2.argmin(axis=1)
+            cells, d2_min, _ = _nearest_cells(pdf["cvec"], C)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"].to_numpy(),
                     "cell": cells.astype("int32"),
-                    "dist2": d2[np.arange(len(M)), cells],
+                    "dist2": d2_min,
                 }
             )
 

@@ -360,6 +360,10 @@ def bigram_lm_score(
     per-doc mean has no defined summation order, so ``avg_logp`` is rounded
     to 6 decimals (the txt12/BM25 convention) and the DuckDB oracle hashes
     exactly.
+
+    Precondition: ``train`` must contain at least one bigram (a document
+    with >= 2 tokens) — an empty model has V = 0 and every smoothed
+    probability degenerates to 1/0 (scores come back infinite).
     """
     train_grams = _doc_bigrams(train, id_col, text_col)
     c2 = train_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))

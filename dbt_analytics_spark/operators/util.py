@@ -66,15 +66,26 @@ _UNIT_US = {
 
 
 def interval_micros_int(interval: str) -> int:
-    """Driver-side integer length of a fixed-width SQL interval string
-    ('30 minutes', '2 days', ...). Calendar units (month/year) are
-    rejected — they have no fixed micros width; the Column-returning
-    ``interval_micros`` handles those against an epoch base."""
-    import re
-
-    m = re.fullmatch(r"\s*(\d+)\s+([a-zA-Z]+?)s?\s*", interval)
-    if not m or m.group(2).lower() not in _UNIT_US:
+    """Driver-side integer length of a fixed-width SQL interval string —
+    the same compound/fractional grammar ``validate_interval`` accepts
+    ('30 minutes', '1.5 hours', '1 day 30 minutes'). Calendar units
+    (month/year) are rejected — they have no fixed micros width; the
+    Column-returning ``interval_micros`` handles those against an epoch
+    base."""
+    if not INTERVAL_RE.fullmatch(interval.strip()):
         raise ValueError(
-            f"interval_micros_int: unsupported fixed-width interval {interval!r}"
+            f"interval_micros_int: bad interval {interval!r} — expected a "
+            "string like '2 hours' or '1 day 30 minutes'"
         )
-    return int(m.group(1)) * _UNIT_US[m.group(2).lower()]
+    total = 0.0
+    for num, unit in re.findall(
+        r"'?(\d+(?:\.\d+)?)'?\s+([a-zA-Z]+?)s?\b", interval
+    ):
+        u = unit.lower()
+        if u not in _UNIT_US:
+            raise ValueError(
+                f"interval_micros_int: {u!r} is calendar-width, not fixed — "
+                f"cannot convert {interval!r} to micros"
+            )
+        total += float(num) * _UNIT_US[u]
+    return int(round(total))

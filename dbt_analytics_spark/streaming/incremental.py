@@ -253,10 +253,11 @@ def sessionized_counts_stateful(
 
 
 #: Output schema of the FINALIZED sessionizer: one row per closed session.
+_FINAL_SESSION_COLS = ["user_id", "n_events", "start_ts", "end_ts"]
+
 _FINAL_SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_id", IntegerType()),
         StructField("n_events", LongType()),
         StructField("start_ts", TimestampType()),
         StructField("end_ts", TimestampType()),
@@ -265,7 +266,6 @@ _FINAL_SESSION_SCHEMA = StructType(
 
 _FINAL_STATE_SCHEMA = StructType(
     [
-        StructField("session_id", IntegerType()),
         StructField("n_events", LongType()),
         StructField("start_us", LongType()),
         StructField("last_us", LongType()),
@@ -280,35 +280,47 @@ def _make_finalized_session_fn(gap_us: int):
     closes — either because a later event of the same user exceeds the gap
     (closed within/across batches), or because the event-time watermark
     passes ``last_ts + gap`` with no new event (EventTimeTimeout fires).
+    The natural key is ``(user_id, start_ts)`` — sessions of one user are
+    separated by more than the gap, so start times never collide (a
+    counter would restart after timeout evictions and collide instead).
     Sessions still open when an availableNow run drains remain in the
     state store — the correct contract for an unbounded stream (they are
     not finished yet); batch jobs wanting tail sessions use the batch
     ``operators.sessionize`` instead.
+
+    Allowed-late events (above the watermark, delivered in a later batch):
+    the batch is processed in sorted order against the open session's
+    [start, last] envelope — an event inside the envelope or within gap of
+    its start MERGES (widening start backward); only events beyond
+    ``last + gap`` close it forward. An event more than a gap OLDER than
+    the open session's start belongs to an earlier, already-closed span —
+    it is emitted immediately as its own singleton session (no retraction
+    of previously emitted rows; the standard watermark trade-off).
     """
     gap_ms = gap_us // 1_000
 
+    def session_row(key, n_events, start_us, last_us):
+        return [
+            key[0],
+            n_events,
+            pd.Timestamp(start_us * 1_000),
+            pd.Timestamp(last_us * 1_000),
+        ]
+
     def fn(key, pdf_iter, state):
         if state.hasTimedOut:
-            session_id, n_events, start_us, last_us = state.get
+            n_events, start_us, last_us = state.get
             state.remove()
             yield pd.DataFrame(
-                [
-                    [
-                        key[0],
-                        session_id,
-                        n_events,
-                        pd.Timestamp(start_us * 1_000),
-                        pd.Timestamp(last_us * 1_000),
-                    ]
-                ],
-                columns=["user_id", "session_id", "n_events", "start_ts", "end_ts"],
+                [session_row(key, n_events, start_us, last_us)],
+                columns=_FINAL_SESSION_COLS,
             )
             return
 
         if state.exists:
-            session_id, n_events, start_us, last_us = state.get
+            n_events, start_us, last_us = state.get
         else:
-            session_id, n_events, start_us, last_us = 0, 0, None, None
+            n_events, start_us, last_us = 0, None, None
 
         out: list[list] = []
         chunks = [pdf for pdf in pdf_iter]
@@ -316,33 +328,29 @@ def _make_finalized_session_fn(gap_us: int):
             pdf = pd.concat(chunks).sort_values("ts")
             for ts in pdf["ts"]:
                 us = int(ts.value // 1_000)  # pandas ns → µs
-                if last_us is not None and us - last_us > gap_us:
-                    out.append(
-                        [
-                            key[0],
-                            session_id,
-                            n_events,
-                            pd.Timestamp(start_us * 1_000),
-                            pd.Timestamp(last_us * 1_000),
-                        ]
-                    )
-                    session_id += 1
-                    n_events = 0
-                    start_us = None
-                n_events += 1
-                if start_us is None:
-                    start_us = us
-                last_us = us
+                if last_us is None:
+                    n_events, start_us, last_us = 1, us, us
+                elif us > last_us + gap_us:
+                    # Over-gap forward event: close the open session.
+                    out.append(session_row(key, n_events, start_us, last_us))
+                    n_events, start_us, last_us = 1, us, us
+                elif us < start_us - gap_us:
+                    # Late event from an older, already-closed span:
+                    # emit as a singleton, keep the open session intact.
+                    out.append(session_row(key, 1, us, us))
+                else:
+                    # In-gap (incl. allowed-late inside/near the envelope):
+                    # merge, widening the envelope in either direction.
+                    n_events += 1
+                    start_us = min(start_us, us)
+                    last_us = max(last_us, us)
         if last_us is not None:
-            state.update((session_id, n_events, start_us, last_us))
+            state.update((n_events, start_us, last_us))
             # Close the open session once the watermark passes last + gap.
             # The timeout timestamp must sit beyond the current watermark.
             wm_ms = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(last_us // 1_000 + gap_ms, wm_ms + 1))
-        yield pd.DataFrame(
-            out,
-            columns=["user_id", "session_id", "n_events", "start_ts", "end_ts"],
-        )
+        yield pd.DataFrame(out, columns=_FINAL_SESSION_COLS)
 
     return fn
 
@@ -354,10 +362,13 @@ def finalized_sessions(
     gap: str = "30 minutes",
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """Streaming sessionization with EXACTLY-ONCE finalized emission: each
-    (user, session) row appears once, when the session closes — by a
-    later over-gap event or by the event-time watermark passing
-    ``last_ts + gap`` (``GroupStateTimeout.EventTimeTimeout``).
+    """Streaming sessionization with EXACTLY-ONCE finalized emission:
+    one (user_id, n_events, start_ts, end_ts) row per session, appearing
+    once, when the session closes — by a later over-gap event or by the
+    event-time watermark passing ``last_ts + gap``
+    (``GroupStateTimeout.EventTimeTimeout``). The natural key is
+    ``(user_id, start_ts)``; sessions of a user are separated by more
+    than the gap, so start times cannot collide.
 
     The complement of ``sessionized_counts_stateful`` (which emits running
     per-batch counts): this is the shape a downstream consumer wants for

@@ -412,11 +412,77 @@ def test_finalized_sessions_exactly_once(spark, tmp_path):
     )
     q.awaitTermination()
     rows = {
-        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts)
+        (r.user_id, r.start_ts): (r.n_events, r.end_ts)
         for r in spark.sql("select * from final_sess").collect()
     }
     assert rows == {
-        (1, 0): (2, t0.to_pydatetime(), (t0 + 10 * m).to_pydatetime()),
-        (1, 1): (1, (t0 + 180 * m).to_pydatetime(), (t0 + 180 * m).to_pydatetime()),
-        (2, 0): (1, (t0 + 1 * m).to_pydatetime(), (t0 + 1 * m).to_pydatetime()),
+        (1, t0.to_pydatetime()): (2, (t0 + 10 * m).to_pydatetime()),
+        (1, (t0 + 180 * m).to_pydatetime()): (1, (t0 + 180 * m).to_pydatetime()),
+        (2, (t0 + 1 * m).to_pydatetime()): (1, (t0 + 1 * m).to_pydatetime()),
     }  # users 3 and 4 are still open → correctly unemitted
+
+
+def test_finalized_sessions_allowed_late_event_merges(spark, tmp_path):
+    """An in-horizon late event delivered in a later batch merges into the
+    open session (widening its start backward) instead of mis-splitting it
+    — and an over-gap-older late event emits as its own singleton."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_analytics_spark.streaming.incremental import finalized_sessions
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        path = str(tmp_path / "src" / name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    base = _time.time() - 1000
+    # batch 1: open session for user 1 at 10:00 (watermark 1h → generous).
+    write("f1.parquet", [(1, t0)], base)
+    # batch 2: the review scenario — late 9:50 (within gap of the open
+    # session's start → MERGE), then 10:25 (within gap of last → extend),
+    # then a stray 9:15 event (above the 9:00 watermark so it is NOT
+    # dropped, but > gap older than the session start → singleton),
+    # then 12:00 closes the whole merged session by gap.
+    write(
+        "f2.parquet",
+        [(1, t0 - 10 * m), (1, t0 + 25 * m), (1, t0 - 45 * m), (1, t0 + 120 * m)],
+        base + 10,
+    )
+
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        finalized_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.queryName("late_sess")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.user_id, r.start_ts): (r.n_events, r.end_ts)
+        for r in spark.sql("select * from late_sess").collect()
+    }
+    assert rows == {
+        # the stray 9:15 event: singleton, emitted immediately
+        (1, (t0 - 45 * m).to_pydatetime()): (1, (t0 - 45 * m).to_pydatetime()),
+        # merged session 9:50–10:25 with 3 events, closed by the 12:00 event
+        (1, (t0 - 10 * m).to_pydatetime()): (3, (t0 + 25 * m).to_pydatetime()),
+    }  # the 12:00 session itself is still open → unemitted

@@ -92,9 +92,14 @@ def _py_bigrams(text):
 @settings(max_examples=10, deadline=None)
 @given(docs=_corpus)
 def test_bigram_lm_matches_python_reference(spark, docs):
+    from hypothesis import assume
+
     rows = [(i, t) for i, t in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     train = [t for i, t in rows if i % 2 == 0]
+    # Degenerate all-singleton train halves have no bigrams → the model is
+    # undefined (documented bigram_lm_score precondition).
+    assume(any(len(t.split()) >= 2 for t in train))
     c2 = Counter(g for t in train for g in _py_bigrams(t))
     c1 = Counter(g[0] for t in train for g in _py_bigrams(t))
     V = len({g[1] for t in train for g in _py_bigrams(t)})
