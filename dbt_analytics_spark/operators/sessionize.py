@@ -152,3 +152,37 @@ def session_stats(
             (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1e6
         ).alias("duration_sec"),
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window`` grouping
+    — the Catalyst-native formulation of ``operators.sessionize`` (merging
+    session windows inside the aggregation, no lag/running-sum window
+    pass). Returns (user, session_start, session_end_ts, n_events) where
+    session_end_ts is the LAST EVENT's timestamp (the window's exclusive
+    end minus the gap), making the output gap-independent and directly
+    comparable to the lag-window formulation.
+
+    Works on batch and streaming frames alike; on streams the aggregation
+    is watermark-evicted state — the built-in counterpart of
+    ``streaming.incremental.finalized_sessions``.
+    """
+    validate_interval(gap, "gap", "session_window_stats")
+    return (
+        events.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr(f"INTERVAL {gap}")).alias("session_end_ts"),
+            "n_events",
+        )
+    )

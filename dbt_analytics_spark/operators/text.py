@@ -487,3 +487,76 @@ def nb_classify(
             (F.col("__lbl") == F.col("__actual")).alias("correct"),
         )
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    capacity: int = 256,
+) -> DataFrame:
+    """Approximate top-k terms via per-partition SpaceSaving sketches —
+    the mergeable, map-side-bounded alternative to the exact full-vocab
+    shuffle (txt11) for corpora whose vocabulary does NOT fit a shuffle.
+    Returns (term, est_count, err_bound, rank): ``est_count`` is an
+    OVERestimate of the true count by at most ``err_bound``.
+
+    Guarantee (Metwally et al.'s SpaceSaving, summed across partitions):
+    each partition's sketch of ``capacity`` counters overestimates any
+    term it tracks by at most its minimum counter, and misses only terms
+    with per-partition count below that minimum. Summing per-partition
+    (est, err) pairs preserves both bounds. With capacity >> k the top-k
+    by est_count contains every term whose true count exceeds the summed
+    error — the test pins this against the exact rollup.
+
+    Scale shape (100 TB): token rows never shuffle — each partition folds
+    its token stream into a ``capacity``-entry dict inside one
+    ``mapInPandas`` pass and emits at most ``capacity`` skinny rows; the
+    only shuffle is the |partitions| × capacity sketch merge, independent
+    of corpus size. Determinism: per-partition stream order is fixed for
+    a fixed input/plan, so results are run-to-run stable.
+    """
+    import pandas as pd
+
+    if capacity < k:
+        raise ValueError(
+            f"heavy_hitters: capacity ({capacity}) must be >= k ({k})"
+        )
+
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+
+    def sketch(batches):
+        counts: dict[str, list] = {}  # term -> [est, err]
+        for pdf in batches:
+            for term in pdf["term"]:
+                if term in counts:
+                    counts[term][0] += 1
+                elif len(counts) < capacity:
+                    counts[term] = [1, 0]
+                else:
+                    # Evict the minimum counter; inherit its estimate as
+                    # the new term's error bound (the SpaceSaving step).
+                    victim = min(counts, key=lambda t: counts[t][0])
+                    v_est = counts.pop(victim)[0]
+                    counts[term] = [v_est + 1, v_est]
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "term": list(counts),
+                    "est": [v[0] for v in counts.values()],
+                    "err": [v[1] for v in counts.values()],
+                }
+            )
+
+    partials = toks.mapInPandas(sketch, "term string, est long, err long")
+    merged = partials.groupBy("term").agg(
+        F.sum("est").alias("est_count"), F.sum("err").alias("err_bound")
+    )
+    w = Window.orderBy(F.desc("est_count"), F.asc("term"))
+    return (
+        merged.orderBy(F.desc("est_count"), F.asc("term"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -115,6 +115,12 @@ _BEYOND_DRIVER_CAP = [
     "sim5_kmeans_clusters",
     # dd10 (round 6): exact-substring duplication pairs, exact oracle.
     "dd10_exact_substring",
+    # f5 (round 6): SpaceSaving heavy hitters — rows-only sketch;
+    # overestimate/error-bound contract in tests/test_text_models.py.
+    "f5_heavy_hitters",
+    # ev1c (round 6): built-in session_window sessionization under the
+    # lag-window DuckDB oracle (>= boundary semantics).
+    "ev1c_session_window",
 ]
 
 _ALL: dict = {}

@@ -1703,6 +1703,50 @@ FROM ret r JOIN size_ s USING (cohort_week)
 """
 
 
+# ---------------------------------------------------------------------------
+# EV1C — sessionization via Spark's BUILT-IN session_window grouping
+# (operators/sessionize.py:session_window_stats): the Catalyst-native
+# merge-in-aggregation formulation, cross-checked against the lag-window
+# oracle.
+# Boundary semantics: session_window starts a NEW session when the gap is
+# >= the window gap (windows are half-open), hence the oracle's >= flag —
+# one boundary case stricter than EV1's lag > formulation.
+# ---------------------------------------------------------------------------
+
+def ev1c_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import session_window_stats
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    s = session_window_stats(ev, gap="30 minutes")
+    return s.select(
+        "user_id",
+        ts_us("session_start").alias("session_start_us"),
+        ts_us("session_end_ts").alias("session_end_us"),
+        "n_events",
+    )
+
+
+EV1C_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS flag
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(flag) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1747,6 +1791,7 @@ REGISTRY = {
     "ev5_funnel": (ev5_funnel, EV5_SQL),
     "ev5b_funnel_steps": (ev5b_funnel_steps, EV5B_SQL),
     "ev6_retention_cohorts": (ev6_retention_cohorts, EV6_SQL),
+    "ev1c_session_window": (ev1c_session_window, EV1C_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
     "f4_profile": (f4_profile, F4_SQL),

@@ -1128,6 +1128,21 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F5 — approximate heavy hitters (operators/text.py:heavy_hitters):
+# per-partition SpaceSaving sketches, merged — the map-side-bounded
+# top-terms path for vocabularies too large to shuffle (txt11 is the
+# exact counterpart). Rows-only; the overestimate/error-bound contract vs
+# the exact rollup is pinned in tests/test_text_models.py.
+# ---------------------------------------------------------------------------
+
+def f5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import heavy_hitters
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return heavy_hitters(docs, k=20, capacity=512)
+
+
+# ---------------------------------------------------------------------------
 # DD10 — exact-substring duplication (operators/dedup.py:
 # exact_substring_pairs): doc pairs sharing a verbatim 8-token window,
 # frequency-capped inverted index (boilerplate windows in > 8 docs are
@@ -1323,6 +1338,7 @@ REGISTRY = {
     "txt13_lm_score": (txt13_lm_score, TXT13_SQL),
     "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
+    "f5_heavy_hitters": (f5_heavy_hitters, None),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }

@@ -153,3 +153,89 @@ def test_exact_substring_matches_python_reference(spark, docs):
         for r in exact_substring_pairs(df, k=K, max_gram_docs=CAP).collect()
     }
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (SpaceSaving) contracts
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_bounds_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_analytics_spark.operators.text import heavy_hitters, tokens
+    from dbt_analytics_spark.sources import load_testdata
+
+    from .conftest import SF_DIR
+
+    docs = load_testdata(spark, SF_DIR)["documents"]
+    exact = {
+        r.term: r.n
+        for r in docs.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = heavy_hitters(docs, k=20, capacity=512).collect()
+    assert len(got) == min(20, len(exact))
+    for r in got:
+        true = exact[r.term]
+        # SpaceSaving: est overestimates by at most err_bound.
+        assert true <= r.est_count <= true + r.err_bound
+    # Every term whose true count beats (k-th estimate + its error) must
+    # be IN the top-k (the classic guarantee); with capacity >> vocab the
+    # sketch is exact, so simply require the true top-5 present.
+    top5 = sorted(exact, key=lambda t: (-exact[t], t))[:5]
+    assert set(top5) <= {r.term for r in got}
+
+
+def test_heavy_hitters_eviction_path(spark):
+    # Force evictions with a tiny capacity: bounds must still hold.
+    from dbt_analytics_spark.operators.text import heavy_hitters
+
+    import pytest as _pytest
+
+    rows = [(i, "alpha " * 30 + "beta " * 20 + f"rare{i}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.term: r for r in heavy_hitters(docs, k=5, capacity=8).collect()}
+    assert got["alpha"].est_count >= 1500  # true 1500, overestimate allowed
+    assert got["alpha"].est_count - got["alpha"].err_bound <= 1500
+    assert got["beta"].est_count >= 1000
+    assert list(got)  # non-empty
+    with _pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(docs, k=10, capacity=4)
+
+
+def test_session_window_matches_lag_formulation(spark):
+    # The built-in session_window and the lag-window sessionize must agree
+    # on session envelopes (no exact-boundary events in the testdata; the
+    # >= / > difference is covered by the oracle-parity test instead).
+    from pyspark.sql import functions as F
+
+    from dbt_analytics_spark.operators.sessionize import (
+        session_window_stats,
+        sessionize,
+    )
+    from dbt_analytics_spark.sources import load_testdata
+
+    from .conftest import SF_DIR
+
+    ev = load_testdata(spark, SF_DIR)["events"]
+    built_in = {
+        (r.user_id, r.session_start, r.session_end_ts, r.n_events)
+        for r in session_window_stats(ev, gap="30 minutes").collect()
+    }
+    lagged = {
+        (r.user_id, r.start, r.end, r.n)
+        for r in sessionize(ev, gap="30 minutes")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .collect()
+    }
+    assert built_in == lagged
