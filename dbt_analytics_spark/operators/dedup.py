@@ -608,10 +608,15 @@ def exact_substring_pairs(
     window in exactly [2, max_gram_docs] docs emits its pairs.
 
     Scale shape (100 TB): windows are linear per doc (gram_rows' posexplode
-    + lead formulation); the doc-frequency pass, eligibility filter, and
-    the within-gram self-join all key on the gram string, so the exchange
-    is reused across them; the final per-pair rollup is partial-agg. The
-    payload (text) never rides any shuffle — only (doc, gram) rows do.
+    + lead formulation) and the gram pipeline is computed exactly TWICE —
+    once for the doc-frequency pass (map-side partial aggs, so boilerplate
+    grams never concentrate) and once for the candidate join (AQE
+    broadcasts the eligible-gram set when it fits). Pairs come from a
+    per-gram ``collect_list`` + in-place combination expansion, NOT a
+    candidate self-join: the lists are post-filter, hence bounded at
+    ``max_gram_docs`` elements, the groupBy is co-partitioned with the
+    join's gram key, and the per-pair rollup is partial-agg. The payload
+    (text) never rides any shuffle — only (doc, gram) rows do.
     """
     if k < 2:
         raise ValueError(f"exact_substring_pairs: k must be >= 2, got {k}")
@@ -626,12 +631,22 @@ def exact_substring_pairs(
         .filter((F.col("df") >= 2) & (F.col("df") <= max_gram_docs))
         .select("g")
     )
-    cand = grams.join(eligible, "g")
-    a = cand.select("g", F.col("doc").alias("doc_a"))
-    b = cand.select("g", F.col("doc").alias("doc_b"))
+    per_gram = (
+        grams.join(eligible, "g")
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc")).alias("__ds"))
+    )
+    # Ordered pairs from each bounded doc list: posexplode anchors doc_a,
+    # slice takes everything after it as doc_b (arrays are <= cap long, so
+    # the quadratic Generate re-evaluation over slice() is negligible).
     return (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        per_gram.select(F.posexplode("__ds").alias("__i", "doc_a"), "__ds")
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("__ds", F.col("__i") + 2, max_gram_docs)
+            ).alias("doc_b"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
     )
