@@ -486,3 +486,36 @@ def test_finalized_sessions_allowed_late_event_merges(spark, tmp_path):
         # merged session 9:50–10:25 with 3 events, closed by the 12:00 event
         (1, (t0 - 10 * m).to_pydatetime()): (3, (t0 + 25 * m).to_pydatetime()),
     }  # the 12:00 session itself is still open → unemitted
+
+
+def test_session_window_streaming_matches_batch(spark, events, tmp_path):
+    """The built-in session_window aggregation runs as a watermarked stream
+    (complete mode, availableNow) and must produce exactly the batch
+    envelopes."""
+    from dbt_analytics_spark.operators.sessionize import session_window_stats
+    from dbt_analytics_spark.streaming.incremental import _ensure_event_time
+
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = _ensure_event_time(
+        spark.readStream.schema(schema).parquet(src), "ts"
+    ).withWatermark("ts", "1 hour")
+    q = (
+        session_window_stats(stream, gap="30 minutes")
+        .writeStream.queryName("sw_stream")
+        .format("memory")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end_ts, r.n_events)
+        for r in spark.sql("select * from sw_stream").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end_ts, r.n_events)
+        for r in session_window_stats(events, gap="30 minutes").collect()
+    }
+    assert got == want
