@@ -121,6 +121,9 @@ _BEYOND_DRIVER_CAP = [
     # ev1c (round 6): built-in session_window sessionization under the
     # lag-window DuckDB oracle (>= boundary semantics).
     "ev1c_session_window",
+    # smp4 (round 6): temperature-scaled (n^alpha) mixture sampling,
+    # exact oracle via the integer-threshold md5 draw.
+    "smp4_temperature_mixture",
 ]
 
 _ALL: dict = {}

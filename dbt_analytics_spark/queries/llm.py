@@ -1128,6 +1128,84 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SMP4 — temperature-scaled mixture sampling: per-source keep rates
+# proportional to n_s^alpha (alpha = 0.5), the standard multilingual /
+# multi-source rebalancing (upsample the tail, downsample the head) with
+# a 30%-of-corpus target size. Deterministic md5-integer draw against an
+# integer threshold (the smp1/smp2 machinery — no float comparison at the
+# keep boundary); the derived rate is rounded to 9 decimals before the
+# threshold so pow()/sum 1-ULP engine differences cannot move it.
+# Exchange-free on the corpus side: rates are a broadcast |sources|-row
+# dim; the draw and filter are map-side.
+# ---------------------------------------------------------------------------
+
+def smp4_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_s").cast("double"), F.lit(0.5))).alias("z"),
+        F.sum("n_s").alias("n_total"),
+    )
+    meta = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.floor(F.lit(0.3) * F.col("n_total"))
+                    * F.pow(F.col("n_s").cast("double"), F.lit(0.5))
+                    / F.col("z")
+                    / F.col("n_s").cast("double"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+        .withColumn(
+            "keep_below",
+            F.floor(F.col("rate") * F.lit(float(2**32))).cast("bigint"),
+        )
+    )
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(meta), "source")
+        .select("doc_id", "source", "rate", draw.alias("draw"))
+        .filter(
+            F.col("draw")
+            < F.floor(F.col("rate") * F.lit(float(2**32))).cast("bigint")
+        )
+        .select("doc_id", "source", "rate")
+    )
+
+
+SMP4_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(pow(CAST(n_s AS DOUBLE), 0.5)) AS z,
+         CAST(SUM(n_s) AS BIGINT) AS n_total
+  FROM counts
+), meta AS (
+  SELECT source,
+         ROUND(LEAST(1.0,
+                     floor(0.3 * n_total)
+                     * pow(CAST(n_s AS DOUBLE), 0.5) / z
+                     / CAST(n_s AS DOUBLE)), 9) AS rate
+  FROM counts CROSS JOIN tot
+), keyed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS draw
+  FROM documents
+)
+SELECT k.doc_id, k.source, m.rate
+FROM keyed k JOIN meta m USING (source)
+WHERE k.draw < CAST(floor(m.rate * 4294967296.0) AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
 # F5 — approximate heavy hitters (operators/text.py:heavy_hitters):
 # per-partition SpaceSaving sketches, merged — the map-side-bounded
 # top-terms path for vocabularies too large to shuffle (txt11 is the
@@ -1339,6 +1417,7 @@ REGISTRY = {
     "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
     "f5_heavy_hitters": (f5_heavy_hitters, None),
+    "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }

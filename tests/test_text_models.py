@@ -239,3 +239,32 @@ def test_session_window_matches_lag_formulation(spark):
         .collect()
     }
     assert built_in == lagged
+
+
+def test_temperature_mixture_boosts_tail_sources(spark):
+    # alpha = 0.5: keep RATE must be non-increasing in source size (the
+    # whole point of temperature rebalancing), and the kept total must
+    # land near the 30% target.
+    from dbt_analytics_spark.queries.llm import smp4_temperature_mixture
+    from dbt_analytics_spark.sources import load_testdata
+
+    from .conftest import SF_DIR
+
+    docs = load_testdata(spark, SF_DIR)["documents"]
+    n_total = docs.count()
+    kept = smp4_temperature_mixture(spark, SF_DIR)
+    rates = {
+        r.source: r.rate for r in kept.select("source", "rate").distinct().collect()
+    }
+    sizes = {
+        r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    pairs = sorted(sizes.items(), key=lambda kv: kv[1])
+    for (s_small, n_small), (s_big, n_big) in zip(pairs, pairs[1:]):
+        if n_small < n_big and s_small in rates and s_big in rates:
+            assert rates[s_small] >= rates[s_big]
+    # Deterministic md5 draw: expected total = sum(n_s * rate_s); binomial
+    # scatter at these sizes stays well within 20%.
+    expected = sum(sizes[s] * rates.get(s, 0.0) for s in sizes)
+    assert abs(kept.count() - expected) < max(50, 0.2 * expected)
+    assert kept.count() < n_total
