@@ -245,3 +245,12 @@ def test_kmeans_assign_no_key_shuffle(spark):
     # node — fan_out's round-robin — appears as exactly two mentions.
     assert plan.count("Exchange") <= 2
     assert plan.count("RoundRobinPartitioning") >= 1
+
+
+def test_temperature_mixture_corpus_side_broadcast(spark):
+    # smp4: the per-source rate dim must broadcast onto the corpus scan —
+    # the corpus side itself never sort-merge-joins or goes cartesian.
+    plan = _plan(REGISTRY["smp4_temperature_mixture"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
