@@ -365,12 +365,24 @@ def bigram_lm_score(
     with >= 2 tokens) — an empty model has V = 0 and every smoothed
     probability degenerates to 1/0 (scores come back infinite).
     """
-    train_grams = _doc_bigrams(train, id_col, text_col)
-    c2 = train_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = train_grams.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = train_grams.agg(
+    # ONE pass over the train corpus: the (w, nxt, gram) rollup is
+    # vocabulary-bounded (<= V^2 rows) and localCheckpointed (the dd7
+    # pattern — Spark evaluates each DataFrame subtree independently, so
+    # without it c1 / v_size / the score join would each re-tokenize the
+    # whole corpus; measured 4 scans -> 2). c1(w) = sum_x c2(w, x) and
+    # V = distinct nxt re-aggregate from the materialized model exactly
+    # as before.
+    c2 = (
+        _doc_bigrams(train, id_col, text_col)
+        .groupBy("w", "nxt", "gram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
+    c1 = c2.groupBy("w").agg(F.sum("c2").alias("c1"))
+    vocab = c2.agg(
         F.count_distinct(F.col("nxt")).cast("double").alias("v_size")
     )
+    c2 = c2.select("gram", "c2")
     scored = (
         _doc_bigrams(score, id_col, text_col)
         .join(c2, "gram", "left")
@@ -416,12 +428,18 @@ def nb_classify(
     on (id) — no Python, all codegen. The |labels|-way fan-out happens on
     the REDUCED (id, word, cnt) rows, not raw tokens.
     """
-    tr_toks = train.select(
-        F.col(label_col).alias("__lbl"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
-    )
-    likelihood = tr_toks.groupBy("__lbl", "w").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE tokenize pass over the train corpus: the (label, word) rollup is
+    # (V × |labels|)-bounded and localCheckpointed (see bigram_lm_score —
+    # without it tot_l and v_size would each re-tokenize the corpus);
+    # tot_l = sum(c) and V = distinct w re-aggregate from it exactly.
+    likelihood = (
+        train.select(
+            F.col(label_col).alias("__lbl"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .groupBy("__lbl", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     label_meta = (
         train.groupBy(F.col(label_col).alias("__lbl"))
@@ -432,14 +450,14 @@ def nb_classify(
             )
         )
         .join(
-            tr_toks.groupBy("__lbl").agg(
-                F.count(F.lit(1)).cast("double").alias("tot_l")
+            likelihood.groupBy("__lbl").agg(
+                F.sum("c").cast("double").alias("tot_l")
             ),
             "__lbl",
         )
         .crossJoin(
             F.broadcast(
-                tr_toks.agg(
+                likelihood.agg(
                     F.count_distinct("w").cast("double").alias("v_size")
                 )
             )
@@ -498,23 +516,29 @@ def heavy_hitters(
     """Approximate top-k terms via per-partition SpaceSaving sketches —
     the mergeable, map-side-bounded alternative to the exact full-vocab
     shuffle (txt11) for corpora whose vocabulary does NOT fit a shuffle.
-    Returns (term, est_count, err_bound, rank): ``est_count`` is an
-    OVERestimate of the true count by at most ``err_bound``.
+    Returns (term, est_count, err_bound, rank) with the two-sided merged
+    guarantee  est_count - err_bound <= true_count <= est_count.
 
-    Guarantee (Metwally et al.'s SpaceSaving, summed across partitions):
-    each partition's sketch of ``capacity`` counters overestimates any
-    term it tracks by at most its minimum counter, and misses only terms
-    with per-partition count below that minimum. Summing per-partition
-    (est, err) pairs preserves both bounds. With capacity >> k the top-k
-    by est_count contains every term whose true count exceeds the summed
-    error — the test pins this against the exact rollup.
+    Merged-sketch accounting (Metwally et al.'s SpaceSaving per
+    partition): within one partition, a tracked term's count is
+    overestimated by at most its stored err, and an UNTRACKED term's
+    count is at most the partition's final minimum counter (its "floor";
+    0 if the sketch never filled). Summing naive per-partition estimates
+    can therefore UNDERestimate a term evicted from some partitions, so
+    the merge adds every non-tracking partition's floor:
+
+        est_count = sum_tracked(est) + sum_untracked(floor)   # >= true
+        lower     = sum_tracked(est - err)                    # <= true
+
+    and err_bound = est_count - lower. Each partition emits one marker
+    row carrying its floor to make the untracked sum computable.
 
     Scale shape (100 TB): token rows never shuffle — each partition folds
     its token stream into a ``capacity``-entry dict inside one
-    ``mapInPandas`` pass and emits at most ``capacity`` skinny rows; the
-    only shuffle is the |partitions| × capacity sketch merge, independent
-    of corpus size. Determinism: per-partition stream order is fixed for
-    a fixed input/plan, so results are run-to-run stable.
+    ``mapInPandas`` pass and emits at most ``capacity`` + 1 skinny rows;
+    the only shuffle is the |partitions| × capacity sketch merge,
+    independent of corpus size. Determinism: per-partition stream order
+    is fixed for a fixed input/plan, so results are run-to-run stable.
     """
     import pandas as pd
 
@@ -529,8 +553,10 @@ def heavy_hitters(
 
     def sketch(batches):
         counts: dict[str, list] = {}  # term -> [est, err]
+        seen = False
         for pdf in batches:
             for term in pdf["term"]:
+                seen = True
                 if term in counts:
                     counts[term][0] += 1
                 elif len(counts) < capacity:
@@ -541,18 +567,49 @@ def heavy_hitters(
                     victim = min(counts, key=lambda t: counts[t][0])
                     v_est = counts.pop(victim)[0]
                     counts[term] = [v_est + 1, v_est]
-        if counts:
+        if seen:
+            # Floor: max possible count of a term NOT in this sketch.
+            floor = (
+                min(v[0] for v in counts.values())
+                if len(counts) >= capacity
+                else 0
+            )
             yield pd.DataFrame(
                 {
-                    "term": list(counts),
-                    "est": [v[0] for v in counts.values()],
-                    "err": [v[1] for v in counts.values()],
+                    "term": list(counts) + [None],  # None = marker row
+                    "est": [v[0] for v in counts.values()] + [0],
+                    "err": [v[1] for v in counts.values()] + [0],
+                    "floor": [floor] * (len(counts) + 1),
                 }
             )
 
-    partials = toks.mapInPandas(sketch, "term string, est long, err long")
-    merged = partials.groupBy("term").agg(
-        F.sum("est").alias("est_count"), F.sum("err").alias("err_bound")
+    partials = toks.mapInPandas(
+        sketch, "term string, est long, err long, floor long"
+    )
+    total_floor = partials.filter(F.col("term").isNull()).agg(
+        F.coalesce(F.sum("floor"), F.lit(0)).alias("total_floor")
+    )
+    merged = (
+        partials.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(
+            F.sum("est").alias("__e"),
+            F.sum(F.col("est") - F.col("err")).alias("__lower"),
+            F.sum("floor").alias("__tracked_floor"),
+        )
+        .crossJoin(F.broadcast(total_floor))
+        .select(
+            "term",
+            (
+                F.col("__e") + F.col("total_floor") - F.col("__tracked_floor")
+            ).alias("est_count"),
+            (
+                F.col("__e")
+                + F.col("total_floor")
+                - F.col("__tracked_floor")
+                - F.greatest(F.col("__lower"), F.lit(0))
+            ).alias("err_bound"),
+        )
     )
     w = Window.orderBy(F.desc("est_count"), F.asc("term"))
     return (

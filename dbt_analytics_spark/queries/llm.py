@@ -1171,11 +1171,8 @@ def smp4_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return (
         docs.join(F.broadcast(meta), "source")
-        .select("doc_id", "source", "rate", draw.alias("draw"))
-        .filter(
-            F.col("draw")
-            < F.floor(F.col("rate") * F.lit(float(2**32))).cast("bigint")
-        )
+        .select("doc_id", "source", "rate", "keep_below", draw.alias("draw"))
+        .filter(F.col("draw") < F.col("keep_below"))
         .select("doc_id", "source", "rate")
     )
 

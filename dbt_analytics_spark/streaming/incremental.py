@@ -289,13 +289,15 @@ def _make_finalized_session_fn(gap_us: int):
     ``operators.sessionize`` instead.
 
     Allowed-late events (above the watermark, delivered in a later batch):
-    the batch is processed in sorted order against the open session's
-    [start, last] envelope — an event inside the envelope or within gap of
-    its start MERGES (widening start backward); only events beyond
-    ``last + gap`` close it forward. An event more than a gap OLDER than
-    the open session's start belongs to an earlier, already-closed span —
-    it is emitted immediately as its own singleton session (no retraction
-    of previously emitted rows; the standard watermark trade-off).
+    the batch's events and the open session's [start, last] envelope are
+    merged as SORTED envelopes with the standard gap rule — consecutive
+    envelopes closer than the gap coalesce (so several late events form
+    ONE older session, and an in-horizon late event widens the open
+    session backward rather than mis-splitting it). After merging, every
+    envelope except the newest is gap-closed and emits; the newest stays
+    in state. A late arrival older than a session that ALREADY emitted can
+    re-emit its span (no retraction — the standard watermark trade-off,
+    bounded by the horizon); within the horizon, emission is exactly once.
     """
     gap_ms = gap_us // 1_000
 
@@ -317,34 +319,34 @@ def _make_finalized_session_fn(gap_us: int):
             )
             return
 
+        # Envelopes as [start_us, last_us, n_events], sorted by start.
+        envs: list[list[int]] = []
         if state.exists:
             n_events, start_us, last_us = state.get
-        else:
-            n_events, start_us, last_us = 0, None, None
+            envs.append([start_us, last_us, n_events])
 
-        out: list[list] = []
         chunks = [pdf for pdf in pdf_iter]
         if chunks:
             pdf = pd.concat(chunks).sort_values("ts")
-            for ts in pdf["ts"]:
-                us = int(ts.value // 1_000)  # pandas ns → µs
-                if last_us is None:
-                    n_events, start_us, last_us = 1, us, us
-                elif us > last_us + gap_us:
-                    # Over-gap forward event: close the open session.
-                    out.append(session_row(key, n_events, start_us, last_us))
-                    n_events, start_us, last_us = 1, us, us
-                elif us < start_us - gap_us:
-                    # Late event from an older, already-closed span:
-                    # emit as a singleton, keep the open session intact.
-                    out.append(session_row(key, 1, us, us))
+            items = [[int(ts.value // 1_000)] * 2 + [1] for ts in pdf["ts"]]
+            # Merge sorted envelope streams (state env + sorted events) by
+            # start, coalescing any envelope within gap of its predecessor.
+            merged: list[list[int]] = []
+            for env in sorted(envs + items):
+                if merged and env[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], env[1])
+                    merged[-1][2] += env[2]
                 else:
-                    # In-gap (incl. allowed-late inside/near the envelope):
-                    # merge, widening the envelope in either direction.
-                    n_events += 1
-                    start_us = min(start_us, us)
-                    last_us = max(last_us, us)
-        if last_us is not None:
+                    merged.append(env)
+            envs = merged
+
+        out = [session_row(key, n, s, l) for s, l, n in envs[:-1]]
+        if envs:
+            start_us, last_us, n_events = (
+                envs[-1][0],
+                envs[-1][1],
+                envs[-1][2],
+            )
             state.update((n_events, start_us, last_us))
             # Close the open session once the watermark passes last + gap.
             # The timeout timestamp must sit beyond the current watermark.

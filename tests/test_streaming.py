@@ -519,3 +519,66 @@ def test_session_window_streaming_matches_batch(spark, events, tmp_path):
         for r in session_window_stats(events, gap="30 minutes").collect()
     }
     assert got == want
+
+
+def test_finalized_sessions_consecutive_late_events_merge(spark, tmp_path):
+    """Two in-horizon late events within gap of EACH OTHER (but > gap older
+    than the open session) must emit as ONE older session, not two
+    singletons."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbt_analytics_spark.streaming.incremental import finalized_sessions
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        path = str(tmp_path / "src" / name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    base = _time.time() - 1000
+    # batch 1: open session at 10:00 (watermark 2h keeps everything live).
+    write("f1.parquet", [(1, t0)], base)
+    # batch 2: late 8:30 and 8:40 (within gap of each other, > gap older
+    # than the open session) — ONE session; 12:00 then closes 10:00.
+    write(
+        "f2.parquet",
+        [(1, t0 - 90 * m), (1, t0 - 80 * m), (1, t0 + 120 * m)],
+        base + 10,
+    )
+
+    schema = spark.read.parquet(str(tmp_path / "src")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        finalized_sessions(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.queryName("late_merge_sess")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.user_id, r.start_ts): (r.n_events, r.end_ts)
+        for r in spark.sql("select * from late_merge_sess").collect()
+    }
+    assert rows == {
+        # ONE merged late session 8:30–8:40 (2 events), not two singletons
+        (1, (t0 - 90 * m).to_pydatetime()): (2, (t0 - 80 * m).to_pydatetime()),
+        # the 10:00 session closed by the 12:00 event
+        (1, t0.to_pydatetime()): (1, t0.to_pydatetime()),
+    }  # the 12:00 session is still open → unemitted

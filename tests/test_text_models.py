@@ -268,3 +268,31 @@ def test_temperature_mixture_boosts_tail_sources(spark):
     expected = sum(sizes[s] * rates.get(s, 0.0) for s in sizes)
     assert abs(kept.count() - expected) < max(50, 0.2 * expected)
     assert kept.count() < n_total
+
+
+def test_heavy_hitters_cross_partition_eviction_bound(spark):
+    # The review scenario: a term heavy in partition A but EVICTED from
+    # A's final sketch, tracked only in partition B. The naive merge
+    # underestimates (50 < 150); the floor-marker accounting must restore
+    # the two-sided bound.
+    from dbt_analytics_spark.operators.text import heavy_hitters
+
+    # Partition A: z appears 100 times, then 800 distinct terms flood a
+    # capacity-16 sketch and evict it. Partition B: z appears 50 times.
+    # RDD-level union pins exactly two partitions (DataFrame union would
+    # let AQE coalesce them).
+    sc = spark.sparkContext
+    rows_a = [(0, "z " * 100)] + [
+        (i, " ".join(f"f{i}_{j}" for j in range(40))) for i in range(1, 21)
+    ]
+    rows_b = [(100, "z " * 50)]
+    rdd = sc.parallelize(rows_a, 1).union(sc.parallelize(rows_b, 1))
+    docs = spark.createDataFrame(rdd, "doc_id long, text string")
+    assert docs.rdd.getNumPartitions() == 2
+
+    got = {r.term: r for r in heavy_hitters(docs, k=16, capacity=16).collect()}
+    assert "z" in got, "z is tracked in partition B and must be returned"
+    z = got["z"]
+    true = 150
+    assert z.est_count >= true, (z.est_count, z.err_bound)
+    assert z.est_count - z.err_bound <= true, (z.est_count, z.err_bound)
