@@ -400,7 +400,12 @@ def dedup_against_corpus(
 # ---------------------------------------------------------------------------
 
 def gram_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    distinct: bool = True,
+    segment_tokens: int | None = None,
 ) -> DataFrame:
     """DISTINCT ``(doc, g)`` k-gram rows, linear in document length.
 
@@ -412,26 +417,67 @@ def gram_rows(
     attribute and ``lead()`` windows assemble each k-gram in one linear
     pass; short docs (< k tokens) contribute their whole-doc gram, same
     as the shingles fallback arm.
+
+    ``segment_tokens`` is the long-document skew guard: the default
+    per-doc window is never split by Spark, so ONE pathological 100 MB
+    document serializes its whole window pass through a single task
+    (the same failure mode the two-phase sessionizer fixes for hot
+    users). With ``segment_tokens=S`` the window keys on
+    ``(doc, pos div S)`` — bounded by S rows — and each segment's first
+    ``k - 1`` token rows are ALSO emitted into the previous segment so
+    boundary-spanning grams still assemble; grams starting in a
+    duplicated row are dropped (their home segment produces them), so
+    the output is row-identical to the unsegmented plan for any S >= k
+    (pinned by a property test). The duplication overhead is
+    (k-1)/S per segment — negligible for any sane S.
     """
     from pyspark.sql import Window
 
     words_df = df.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("words")
     )
-    wlead = Window.partitionBy("doc").orderBy("pos")
+    long_docs = words_df.filter(F.size("words") >= k).select(
+        "doc", F.posexplode("words").alias("pos", "w")
+    )
+    if segment_tokens is None:
+        wlead = Window.partitionBy("doc").orderBy("pos")
+        keyed = long_docs
+        home = None
+    else:
+        if segment_tokens < k:
+            raise ValueError(
+                f"gram_rows: segment_tokens ({segment_tokens}) must be >= k ({k})"
+            )
+        S = segment_tokens
+        home = F.floor(F.col("pos") / S)
+        keyed = long_docs.select(
+            "doc",
+            "pos",
+            "w",
+            F.explode(
+                F.when(
+                    ((F.col("pos") % S) < k - 1) & (F.col("pos") >= S),
+                    F.array(F.lit(0), F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("__back"),
+        ).withColumn("__seg", F.floor(F.col("pos") / S) - F.col("__back"))
+        wlead = Window.partitionBy("doc", "__seg").orderBy("pos")
     long_grams = (
-        words_df.filter(F.size("words") >= k)
-        .select("doc", F.posexplode("words").alias("pos", "w"))
-        .select(
+        keyed.select(
             "doc",
             "w",
+            *([] if segment_tokens is None else ["__back"]),
             *[F.lead("w", j).over(wlead).alias(f"w{j}") for j in range(1, k)],
         )
         .filter(F.col(f"w{k - 1}").isNotNull())
-        .select(
-            "doc",
-            F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)]).alias("g"),
-        )
+    )
+    if segment_tokens is not None:
+        # Grams starting at a duplicated (carried-back) row belong to
+        # their home segment, which also produces them — drop the copy.
+        long_grams = long_grams.filter(F.col("__back") == 0)
+    long_grams = long_grams.select(
+        "doc",
+        F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)]).alias("g"),
     )
     short_grams = words_df.filter(F.size("words") < k).select(
         "doc", F.concat_ws(" ", "words").alias("g")
@@ -448,6 +494,7 @@ def decontaminate(
     id_col: str,
     text_col: str = "text",
     ngram_k: int = 13,
+    segment_tokens: int | None = None,
 ) -> DataFrame:
     """Training docs sharing at least one k-gram with the eval corpus — the
     standard benchmark-decontamination sweep (flag, then drop, train docs
@@ -463,8 +510,15 @@ def decontaminate(
     # would serialize the per-row token work onto one core. gram_rows is
     # the linear (posexplode + lead) k-gram formulation — see its
     # docstring for why explode(shingles(...)) is avoided.
+    # segment_tokens: forward the long-document window-skew guard (see
+    # gram_rows) — pathological giant train docs stop serializing one task.
     train_grams = gram_rows(
-        fan_out(train), id_col, text_col, ngram_k, distinct=False
+        fan_out(train),
+        id_col,
+        text_col,
+        ngram_k,
+        distinct=False,
+        segment_tokens=segment_tokens,
     )
     eval_grams = (
         gram_rows(fan_out(eval_set), id_col, text_col, ngram_k)
@@ -593,6 +647,7 @@ def exact_substring_pairs(
     text_col: str = "text",
     k: int = 8,
     max_gram_docs: int = 8,
+    segment_tokens: int | None = None,
 ) -> DataFrame:
     """Corpus-internal exact-substring duplication: doc pairs sharing at
     least one verbatim k-token window, with the count of shared windows —
@@ -624,7 +679,9 @@ def exact_substring_pairs(
         raise ValueError(
             f"exact_substring_pairs: max_gram_docs must be >= 2, got {max_gram_docs}"
         )
-    grams = gram_rows(fan_out(docs), id_col, text_col, k)
+    grams = gram_rows(
+        fan_out(docs), id_col, text_col, k, segment_tokens=segment_tokens
+    )
     eligible = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))

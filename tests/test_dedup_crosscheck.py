@@ -365,3 +365,50 @@ def test_exact_substring_validates_args(spark):
         exact_substring_pairs(docs, k=1)
     with pytest.raises(ValueError, match="max_gram_docs"):
         exact_substring_pairs(docs, max_gram_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# gram_rows long-document segmentation: row-identical for any S >= k
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+    seg=st.integers(min_value=0, max_value=9),
+)
+def test_gram_rows_segmented_row_identical(spark, docs, k, seg):
+    from dbt_analytics_spark.operators.dedup import gram_rows
+
+    S = k + seg  # any segment width >= k
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    base = sorted(
+        (r.doc, r.g) for r in gram_rows(df, "doc_id", "text", k, distinct=False).collect()
+    )
+    got = sorted(
+        (r.doc, r.g)
+        for r in gram_rows(
+            df, "doc_id", "text", k, distinct=False, segment_tokens=S
+        ).collect()
+    )
+    assert got == base
+
+
+def test_gram_rows_segment_validates(spark):
+    import pytest
+
+    from dbt_analytics_spark.operators.dedup import gram_rows
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="segment_tokens"):
+        gram_rows(df, "doc_id", "text", 3, segment_tokens=2).collect()
