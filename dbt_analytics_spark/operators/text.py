@@ -309,23 +309,54 @@ def bm25_topk(
 
 
 def _doc_bigrams(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    segment_tokens: int | None = None,
 ) -> DataFrame:
     """(id, w, nxt, gram) — one row per word bigram, linear per doc.
 
     posexplode + lead, NOT explode(transform(...)): Generate re-evaluates
     a non-attribute child per OUTPUT row, so an interpreted HOF bigram
     array is O(len^2) per doc (the txt10 trap, BENCH_NOTES.md round 5).
+
+    ``segment_tokens`` is the long-document window-skew guard (see
+    ``dedup.gram_rows``): the window keys on ``(id, pos div S)`` with each
+    segment's first token row carried back into the previous segment, so
+    the boundary bigram still assembles — row-identical output for any
+    S >= 2, and a pathological giant doc parallelizes across segments.
     """
-    w = Window.partitionBy("__id").orderBy("pos")
-    return (
-        docs.select(
-            F.col(id_col).alias("__id"), tokens(F.lower(F.col(text_col))).alias("__toks")
-        )
-        .select("__id", F.posexplode("__toks").alias("pos", "w"))
-        .withColumn("nxt", F.lead("w").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("__id", "w", "nxt", F.concat_ws(" ", "w", "nxt").alias("gram"))
+    base = docs.select(
+        F.col(id_col).alias("__id"), tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).select("__id", F.posexplode("__toks").alias("pos", "w"))
+    if segment_tokens is None:
+        w = Window.partitionBy("__id").orderBy("pos")
+        keyed = base
+    else:
+        if segment_tokens < 2:
+            raise ValueError(
+                f"_doc_bigrams: segment_tokens ({segment_tokens}) must be >= 2"
+            )
+        S = segment_tokens
+        keyed = base.select(
+            "__id",
+            "pos",
+            "w",
+            F.explode(
+                F.when(
+                    ((F.col("pos") % S) == 0) & (F.col("pos") >= S),
+                    F.array(F.lit(0), F.lit(1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("__back"),
+        ).withColumn("__seg", F.floor(F.col("pos") / S) - F.col("__back"))
+        w = Window.partitionBy("__id", "__seg").orderBy("pos")
+    out = keyed.withColumn("nxt", F.lead("w").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    if segment_tokens is not None:
+        out = out.filter(F.col("__back") == 0)
+    return out.select(
+        "__id", "w", "nxt", F.concat_ws(" ", "w", "nxt").alias("gram")
     )
 
 
@@ -334,6 +365,7 @@ def bigram_lm_score(
     score: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    segment_tokens: int | None = None,
 ) -> DataFrame:
     """Perplexity-proxy quality scoring: fit an add-one-smoothed word-bigram
     language model on ``train`` and score every ``score`` document by its
@@ -373,7 +405,7 @@ def bigram_lm_score(
     # V = distinct nxt re-aggregate from the materialized model exactly
     # as before.
     c2 = (
-        _doc_bigrams(train, id_col, text_col)
+        _doc_bigrams(train, id_col, text_col, segment_tokens)
         .groupBy("w", "nxt", "gram")
         .agg(F.count(F.lit(1)).alias("c2"))
         .localCheckpoint()
@@ -384,7 +416,7 @@ def bigram_lm_score(
     )
     c2 = c2.select("gram", "c2")
     scored = (
-        _doc_bigrams(score, id_col, text_col)
+        _doc_bigrams(score, id_col, text_col, segment_tokens)
         .join(c2, "gram", "left")
         .join(c1, "w", "left")
         .crossJoin(F.broadcast(vocab))

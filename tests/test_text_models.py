@@ -296,3 +296,25 @@ def test_heavy_hitters_cross_partition_eviction_bound(spark):
     true = 150
     assert z.est_count >= true, (z.est_count, z.err_bound)
     assert z.est_count - z.err_bound <= true, (z.est_count, z.err_bound)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=_corpus,
+    seg=st.integers(min_value=2, max_value=8),
+)
+def test_doc_bigrams_segmented_row_identical(spark, docs, seg):
+    from dbt_analytics_spark.operators.text import _doc_bigrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    base = sorted(
+        (r["__id"], r["gram"])
+        for r in _doc_bigrams(df, "doc_id", "text").collect()
+    )
+    got = sorted(
+        (r["__id"], r["gram"])
+        for r in _doc_bigrams(df, "doc_id", "text", segment_tokens=seg).collect()
+    )
+    assert got == base
