@@ -268,5 +268,48 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def longdoc_main() -> None:
+    """`python skew_probe.py longdoc` — the text-family twin of the hot-user
+    probe: ONE pathological multi-million-token document serializes the
+    per-doc k-gram window (windows are never split), and
+    gram_rows(segment_tokens=...) parallelizes it. Row-identity of the two
+    plans is pinned by tests/test_dedup_crosscheck.py; this measures the
+    wall-clock effect and emits one JSON line."""
+    from dbt_analytics_spark.operators.dedup import gram_rows
+
+    spark = get_spark("longdoc-probe", shuffle_partitions=32)
+    n_big = int(float(os.environ.get("LONGDOC_TOKENS", "2000000")))
+    normal = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}_"), (F.col("id") % 97).cast("string"))
+                for j in range(30)
+            ],
+        ).alias("text"),
+    )
+    big_tokens = " ".join(f"t{i % 5003}" for i in range(n_big))
+    big = spark.createDataFrame(
+        [(10**9, big_tokens)], "doc_id long, text string"
+    )
+    docs = normal.union(big).localCheckpoint()
+    out = {"n_docs": 50_001, "big_doc_tokens": n_big}
+    for label, kw in [
+        ("unsegmented_sec", {}),
+        ("segmented_65536_sec", {"segment_tokens": 65536}),
+    ]:
+        t = time.time()
+        n = gram_rows(docs, "doc_id", "text", 13, distinct=False, **kw).count()
+        out[label] = round(time.time() - t, 2)
+        out["n_grams"] = n
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "longdoc":
+        longdoc_main()
+    else:
+        main()
