@@ -124,6 +124,10 @@ _BEYOND_DRIVER_CAP = [
     # smp4 (round 6): temperature-scaled (n^alpha) mixture sampling,
     # exact oracle via the integer-threshold md5 draw.
     "smp4_temperature_mixture",
+    # txt15 (round 6): distributed BPE tokenizer training — rows-only
+    # (iterative); merge-list equality vs a pure-Python reference in
+    # tests/test_bpe.py.
+    "txt15_bpe_train",
 ]
 
 _ALL: dict = {}

@@ -1128,6 +1128,26 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TXT15 — distributed BPE tokenizer training + application
+# (operators/bpe.py): learn merges from the word-FREQUENCY table (one
+# corpus shuffle; every round after that is vocabulary-bounded), then
+# segment the corpus with the merge list in an Arrow mapInPandas pass.
+# Rows-only (iterative argmax loop is not SQL-expressible); the learned
+# merge list equals a pure-Python reference bit-for-bit, including
+# tie-breaks (tests/test_bpe.py, property-tested).
+# ---------------------------------------------------------------------------
+
+def txt15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_segment, bpe_train
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    merges = bpe_train(docs.filter(F.col("doc_id") % 2 == 0), n_merges=12)
+    return bpe_segment(docs, merges).select(
+        F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SMP4 — temperature-scaled mixture sampling: per-source keep rates
 # proportional to n_s^alpha (alpha = 0.5), the standard multilingual /
 # multi-source rebalancing (upsample the tail, downsample the head) with
@@ -1415,6 +1435,7 @@ REGISTRY = {
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
     "f5_heavy_hitters": (f5_heavy_hitters, None),
     "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),
+    "txt15_bpe_train": (txt15_bpe_train, None),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }
