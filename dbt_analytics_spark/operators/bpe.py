@@ -82,6 +82,7 @@ def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
+    max_word_chars: int = 256,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge list [(left, right, weighted_pair_count), ...].
@@ -91,11 +92,24 @@ def bpe_train(
     vocabulary-bounded word table — pair counts are a posexplode+lead
     window over word types weighted by freq (linear, the txt10-safe
     formulation), the argmax is a 1-row TakeOrdered, and the rewrite is a
-    JVM fold. The driver holds n_merges rows, never data.
+    JVM fold. The driver holds n_merges rows, never data. Each round's
+    checkpoint unpersists the previous one, so executor storage holds ONE
+    copy of the symbol table, not ``n_merges``.
+
+    ``max_word_chars``: the fold rewrite copies the accumulator per
+    element (O(len²) per word per round), so one pathological unbroken
+    token — a megabyte base64/DNA blob with no whitespace — would
+    serialize a quadratic task every round. Word types longer than this
+    are excluded from training (the HuggingFace
+    ``max_input_chars_per_word`` convention); ``bpe_segment`` mirrors the
+    cap by emitting such words unsplit.
     """
     if n_merges < 1:
         raise ValueError(f"bpe_train: n_merges must be >= 1, got {n_merges}")
-    syms = _initial_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    words = word_freq_table(docs, text_col).filter(
+        F.length("word") <= max_word_chars
+    )
+    syms = _initial_symbols(words).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     wlead = Window.partitionBy("word").orderBy("pos")
     for _ in range(n_merges):
@@ -115,9 +129,11 @@ def bpe_train(
             break
         left, right, n = top[0]["s"], top[0]["nxt"], int(top[0]["n"])
         merges.append((left, right, n))
-        syms = syms.select(
+        prev = syms
+        syms = prev.select(
             "word", "freq", _merge_pair_in_syms(left, right).alias("syms")
         ).localCheckpoint()
+        prev.unpersist()
     return merges
 
 
@@ -140,12 +156,15 @@ def bpe_segment(
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_word_chars: int = 256,
 ) -> DataFrame:
     """Apply a learned merge list: (id, n_words, n_bpe_tokens,
     bpe_tokens array). Arrow-batched ``mapInPandas`` with the merge list
     in the task closure and a per-partition word→segmentation cache — the
     corpus never shuffles, and repeated word types cost one segmentation
-    each per partition."""
+    each per partition. NULL-text documents emit (id, 0, 0, []); words
+    over ``max_word_chars`` (excluded from training — see ``bpe_train``)
+    pass through unsplit as ``word + EOW``."""
     import pandas as pd
 
     rules = [(m[0], m[1]) for m in merges]
@@ -162,10 +181,13 @@ def bpe_segment(
             for i, words in zip(pdf["id"], pdf["words"]):
                 toks: list[str] = []
                 n_w = 0
-                for w in words:
+                for w in words if words is not None else []:
                     if not w:
                         continue
                     n_w += 1
+                    if len(w) > max_word_chars:
+                        toks.append(w + EOW)
+                        continue
                     seg = cache.get(w)
                     if seg is None:
                         seg = _apply_merges_to_word(w, rules)

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import exact_fingerprint, tokens
-from .util import fan_out
+from .util import fan_out, segment_window
 
 
 def _non_blank(df: DataFrame, text_col: str) -> DataFrame:
@@ -442,26 +442,12 @@ def gram_rows(
     if segment_tokens is None:
         wlead = Window.partitionBy("doc").orderBy("pos")
         keyed = long_docs
-        home = None
     else:
         if segment_tokens < k:
             raise ValueError(
                 f"gram_rows: segment_tokens ({segment_tokens}) must be >= k ({k})"
             )
-        S = segment_tokens
-        home = F.floor(F.col("pos") / S)
-        keyed = long_docs.select(
-            "doc",
-            "pos",
-            "w",
-            F.explode(
-                F.when(
-                    ((F.col("pos") % S) < k - 1) & (F.col("pos") >= S),
-                    F.array(F.lit(0), F.lit(1)),
-                ).otherwise(F.array(F.lit(0)))
-            ).alias("__back"),
-        ).withColumn("__seg", F.floor(F.col("pos") / S) - F.col("__back"))
-        wlead = Window.partitionBy("doc", "__seg").orderBy("pos")
+        keyed, wlead = segment_window(long_docs, ["doc"], segment_tokens, k - 1)
     long_grams = (
         keyed.select(
             "doc",

@@ -337,19 +337,10 @@ def _doc_bigrams(
             raise ValueError(
                 f"_doc_bigrams: segment_tokens ({segment_tokens}) must be >= 2"
             )
-        S = segment_tokens
-        keyed = base.select(
-            "__id",
-            "pos",
-            "w",
-            F.explode(
-                F.when(
-                    ((F.col("pos") % S) == 0) & (F.col("pos") >= S),
-                    F.array(F.lit(0), F.lit(1)),
-                ).otherwise(F.array(F.lit(0)))
-            ).alias("__back"),
-        ).withColumn("__seg", F.floor(F.col("pos") / S) - F.col("__back"))
-        w = Window.partitionBy("__id", "__seg").orderBy("pos")
+        from .util import segment_window
+
+        # carry = k - 1 = 1 boundary row per segment for bigrams.
+        keyed, w = segment_window(base, ["__id"], segment_tokens, 1)
     out = keyed.withColumn("nxt", F.lead("w").over(w)).filter(
         F.col("nxt").isNotNull()
     )

@@ -89,3 +89,36 @@ def interval_micros_int(interval: str) -> int:
             )
         total += float(num) * _UNIT_US[u]
     return int(round(total))
+
+
+def segment_window(df, part_cols: list[str], segment_tokens: int, carry: int):
+    """Long-sequence window-skew guard, shared by the gram/bigram family.
+
+    ``df`` must carry a ``pos`` ordering column. Returns (keyed_df,
+    window): rows are re-keyed on ``(part_cols..., __seg)`` where
+    ``__seg = pos div S``, and each segment's first ``carry`` rows are
+    ALSO emitted into the previous segment (``__back = 1`` duplicates) so
+    windows spanning a boundary still assemble; consumers drop rows whose
+    window output STARTS at a carried-back duplicate
+    (``filter(__back == 0)``) to keep the output row-identical to the
+    unsegmented plan. Spark never splits a window partition, so this
+    bounds any one task at S + carry rows regardless of how pathological
+    a single document/key is.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    S = segment_tokens
+    keyed = df.select(
+        *part_cols,
+        "pos",
+        *[c for c in df.columns if c not in part_cols and c != "pos"],
+        F.explode(
+            F.when(
+                ((F.col("pos") % S) < carry) & (F.col("pos") >= S),
+                F.array(F.lit(0), F.lit(1)),
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("__back"),
+    ).withColumn("__seg", F.floor(F.col("pos") / S) - F.col("__back"))
+    w = Window.partitionBy(*part_cols, "__seg").orderBy("pos")
+    return keyed, w

@@ -295,14 +295,19 @@ def longdoc_main() -> None:
     )
     docs = normal.union(big).localCheckpoint()
     out = {"n_docs": 50_001, "big_doc_tokens": n_big}
+    counts = {}
     for label, kw in [
-        ("unsegmented_sec", {}),
-        ("segmented_65536_sec", {"segment_tokens": 65536}),
+        ("unsegmented", {}),
+        ("segmented_65536", {"segment_tokens": 65536}),
     ]:
         t = time.time()
-        n = gram_rows(docs, "doc_id", "text", 13, distinct=False, **kw).count()
-        out[label] = round(time.time() - t, 2)
-        out["n_grams"] = n
+        counts[label] = gram_rows(
+            docs, "doc_id", "text", 13, distinct=False, **kw
+        ).count()
+        out[f"{label}_sec"] = round(time.time() - t, 2)
+        out[f"{label}_grams"] = counts[label]
+    # The probe is only meaningful if the plans are equivalent.
+    assert counts["unsegmented"] == counts["segmented_65536"], counts
     print(json.dumps(out))
 
 

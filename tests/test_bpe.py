@@ -104,3 +104,19 @@ def test_bpe_train_validates_and_exhausts(spark):
     assert 2 <= len(merges) <= 3
     rules = [(m[0], m[1]) for m in merges]
     assert _apply_merges_to_word("ab", rules) == ["ab" + EOW]
+
+
+def test_bpe_segment_null_text_and_long_word(spark):
+    # NULL-text docs emit an empty segmentation instead of crashing the
+    # job; over-cap words pass through unsplit (mirroring the training
+    # exclusion).
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, None), (3, "x" * 40)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=3, max_word_chars=30)
+    rows = {r.id: r for r in bpe_segment(df, merges, max_word_chars=30).collect()}
+    assert rows[2].n_words == 0 and rows[2].n_bpe_tokens == 0
+    assert rows[2].bpe_tokens == []
+    assert rows[3].bpe_tokens == ["x" * 40 + EOW]
+    assert rows[1].n_words == 2
