@@ -128,6 +128,8 @@ _BEYOND_DRIVER_CAP = [
     # (iterative); merge-list equality vs a pure-Python reference in
     # tests/test_bpe.py.
     "txt15_bpe_train",
+    # f6 (round 6): fixed-width histogram, exact integer oracle.
+    "f6_histogram",
 ]
 
 _ALL: dict = {}

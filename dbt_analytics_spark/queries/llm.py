@@ -1128,6 +1128,41 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F6 — fixed-width histogram of document lengths: the basic distribution
+# primitive beside exact (f1) and sketched (f3) percentiles. Fixed width
+# (no data-dependent min/max pass) keeps it one partial-agg shuffle and
+# makes the bin function a pure row-local floor — exact oracle, integer
+# arithmetic only.
+# ---------------------------------------------------------------------------
+
+_F6_WIDTH = 16
+
+
+def f6_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    b = F.floor(F.col("n_chars") / _F6_WIDTH).cast("bigint")
+    return (
+        docs.groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bin",
+            (F.col("bin") * _F6_WIDTH).alias("bin_lo"),
+            ((F.col("bin") + 1) * _F6_WIDTH - 1).alias("bin_hi"),
+            "n_docs",
+        )
+    )
+
+
+F6_SQL = f"""
+SELECT CAST(floor(n_chars / {_F6_WIDTH}) AS BIGINT) AS bin,
+       CAST(floor(n_chars / {_F6_WIDTH}) AS BIGINT) * {_F6_WIDTH} AS bin_lo,
+       (CAST(floor(n_chars / {_F6_WIDTH}) AS BIGINT) + 1) * {_F6_WIDTH} - 1 AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # TXT15 — distributed BPE tokenizer training + application
 # (operators/bpe.py): learn merges from the word-FREQUENCY table (one
 # corpus shuffle; every round after that is vocabulary-bounded), then
@@ -1436,6 +1471,7 @@ REGISTRY = {
     "f5_heavy_hitters": (f5_heavy_hitters, None),
     "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),
     "txt15_bpe_train": (txt15_bpe_train, None),
+    "f6_histogram": (f6_histogram, F6_SQL),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
 }
