@@ -48,7 +48,7 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
     if kind in ("table", "materialized_view") or (
         kind == "incremental" and not _incremental_applies(project, node)
     ):
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite").format(node.file_format)
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)
         if node.bucket_by:

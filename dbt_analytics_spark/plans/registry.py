@@ -77,6 +77,10 @@ class Node:
     partition_by: tuple[str, ...] = ()
     bucket_by: tuple[str, ...] = ()
     n_buckets: int = 0
+    #: Storage format for table-style materializations: any Spark-native
+    #: batch format (parquet default; orc for ORC-standardized lakes —
+    #: both give columnar scans with predicate pushdown).
+    file_format: str = "parquet"
     pre_hooks: tuple[Callable, ...] = ()
     post_hooks: tuple[Callable, ...] = ()
     depends_on: set[str] = field(default_factory=set)
@@ -105,6 +109,7 @@ class Node:
             "partition_by": list(self.partition_by),
             "bucket_by": list(self.bucket_by),
             "n_buckets": self.n_buckets,
+            "file_format": self.file_format,
             "tags": sorted(self.tags),
             # dbt: a contract change is a state:modified change
             # (nodes.py:372 same_contract feeds same_config).
@@ -362,6 +367,7 @@ class Project:
         partition_by: tuple[str, ...] = (),
         bucket_by: tuple[str, ...] = (),
         n_buckets: int = 0,
+        file_format: str = "parquet",
         pre_hooks: tuple[Callable, ...] = (),
         post_hooks: tuple[Callable, ...] = (),
         contract: dict[str, str] | None = None,
@@ -404,6 +410,7 @@ class Project:
                 partition_by=tuple(partition_by),
                 bucket_by=tuple(bucket_by),
                 n_buckets=n_buckets,
+                file_format=file_format,
                 pre_hooks=pre_hooks,
                 post_hooks=post_hooks,
                 description=(fn.__doc__ or "").strip(),

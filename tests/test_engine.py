@@ -1129,3 +1129,25 @@ def test_list_enumerates_selected_nodes_in_dag_order(project):
     assert [r["name"] for r in project.list(select="tag:spend")] == [
         "cust_spend", "spend_with_names",
     ]
+
+
+def test_orc_table_materialization_roundtrip(spark, project):
+    # file_format="orc": Spark-native columnar alternative to parquet —
+    # the table must round-trip exactly and report ORC as its provider.
+    p = project
+
+    @p.model(materialized="table", file_format="orc", name="orc_custs")
+    def orc_custs(ctx):
+        return ctx.source("customer_raw").select("c_custkey", "c_name")
+
+    res = {r.node: r for r in p.run(select="orc_custs")}
+    assert res["orc_custs"].status == "success"
+    src = load_testdata(spark, SF_DIR)["customer"].select("c_custkey", "c_name")
+    got = spark.table("orc_custs")
+    assert got.count() == src.count()
+    assert got.exceptAll(src).count() == 0
+    provider = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE EXTENDED orc_custs").collect()
+    }.get("Provider", "")
+    assert provider.lower() == "orc"
