@@ -130,6 +130,9 @@ _BEYOND_DRIVER_CAP = [
     "txt15_bpe_train",
     # f6 (round 6): fixed-width histogram, exact integer oracle.
     "f6_histogram",
+    # a5 (round 6): CUBE grouping sets, exact oracle — completes the
+    # grouping-set family beside a1 (multi-grain) and a2 (ROLLUP).
+    "a5_cube",
 ]
 
 _ALL: dict = {}

@@ -1453,6 +1453,37 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 # ---------------------------------------------------------------------------
+# A5 — CUBE grouping sets (beyond-reference; Spark df.cube vs DuckDB
+# GROUP BY CUBE): the all-marginals corpus report over (lang, source) —
+# every combination plus both one-way margins plus the grand total in one
+# aggregation pass. Completes the grouping-set family beside a1
+# (explicit multi-grain) and a2 (ROLLUP). avg length is an int/int
+# division — exact cross-engine.
+# ---------------------------------------------------------------------------
+
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+        )
+        .select("lang", "source", "n_docs", "avg_chars")
+    )
+
+
+A5_SQL = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # F1 — exact discrete percentiles (beyond-reference; percentile_disc picks
 # an actual element, so cross-engine float equality is exact)
 # ---------------------------------------------------------------------------
@@ -1792,6 +1823,7 @@ REGISTRY = {
     "ev5b_funnel_steps": (ev5b_funnel_steps, EV5B_SQL),
     "ev6_retention_cohorts": (ev6_retention_cohorts, EV6_SQL),
     "ev1c_session_window": (ev1c_session_window, EV1C_SQL),
+    "a5_cube": (a5_cube, A5_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
     "f4_profile": (f4_profile, F4_SQL),
