@@ -133,6 +133,10 @@ _BEYOND_DRIVER_CAP = [
     # a5 (round 6): CUBE grouping sets, exact oracle — completes the
     # grouping-set family beside a1 (multi-grain) and a2 (ROLLUP).
     "a5_cube",
+    # p6/u3 (round 6): PIVOT long→wide and EXCEPT/INTERSECT set ops,
+    # exact oracles — the remaining relational surface beside u1/u2/a3.
+    "p6_pivot",
+    "u3_except_intersect",
 ]
 
 _ALL: dict = {}

@@ -1484,6 +1484,76 @@ FROM documents GROUP BY CUBE (lang, source)
 
 
 # ---------------------------------------------------------------------------
+# P6 — PIVOT: long→wide event-count matrix per user bucket (df.pivot with
+# an EXPLICIT value list — the open-ended form needs a values scan; the
+# pinned list keeps it one pass). Spark compiles pivot to conditional
+# aggregation, so the oracle is the equivalent FILTERed counts; empty
+# cells are coalesced to 0 on the Spark side to match COUNT's 0.
+# ---------------------------------------------------------------------------
+
+_P6_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def p6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    wide = (
+        ev.groupBy((F.col("user_id") % 50).alias("bucket"))
+        .pivot("event_type", _P6_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _P6_TYPES],
+    )
+
+
+P6_SQL = """
+SELECT user_id % 50 AS bucket,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# U3 — EXCEPT / INTERSECT set operations (distinct semantics, matching the
+# SQL defaults): customers ordering in 1994 but not 1995, and in both —
+# the remaining set-operator family beside UNION (u1/u2). Both engines
+# hash-aggregate the set ops; one pass each side.
+# ---------------------------------------------------------------------------
+
+def u3_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_testdata(spark, sf_dir)["orders"]
+    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    ex = y94.subtract(y95)  # EXCEPT (distinct)
+    it = y94.intersect(y95)  # INTERSECT (distinct)
+    return ex.select(
+        F.lit("except").alias("op"), F.col("o_custkey").alias("custkey")
+    ).unionByName(
+        it.select(F.lit("intersect").alias("op"), F.col("o_custkey").alias("custkey"))
+    )
+
+
+U3_SQL = """
+SELECT 'except' AS op, o_custkey AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+)
+UNION ALL
+SELECT 'intersect' AS op, o_custkey AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # F1 — exact discrete percentiles (beyond-reference; percentile_disc picks
 # an actual element, so cross-engine float equality is exact)
 # ---------------------------------------------------------------------------
@@ -1824,6 +1894,8 @@ REGISTRY = {
     "ev6_retention_cohorts": (ev6_retention_cohorts, EV6_SQL),
     "ev1c_session_window": (ev1c_session_window, EV1C_SQL),
     "a5_cube": (a5_cube, A5_SQL),
+    "p6_pivot": (p6_pivot, P6_SQL),
+    "u3_except_intersect": (u3_except_intersect, U3_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
     "f4_profile": (f4_profile, F4_SQL),
