@@ -137,6 +137,9 @@ _BEYOND_DRIVER_CAP = [
     # exact oracles — the remaining relational surface beside u1/u2/a3.
     "p6_pivot",
     "u3_except_intersect",
+    # w6 (round 6): RANGE-frame (value-based) window, exact oracle —
+    # the frame family's complement to w4's ROWS frame.
+    "w6_range_frame",
 ]
 
 _ALL: dict = {}

@@ -1484,6 +1484,40 @@ FROM documents GROUP BY CUBE (lang, source)
 
 
 # ---------------------------------------------------------------------------
+# W6 — RANGE-frame window: per event, activity in the PRECEDING HOUR of
+# the same user (RANGE BETWEEN on event-time micros — a value-based
+# frame, unlike w4's ROWS frame). Count + max keep the comparison exact
+# (no float summation inside the frame). The rate-limiting /
+# burst-detection primitive for the events family.
+# ---------------------------------------------------------------------------
+
+def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prev_hour"),
+        F.max("value").over(w).alias("max_value_prev_hour"),
+    )
+
+
+W6_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+       MAX(value) OVER w AS max_value_prev_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
 # P6 — PIVOT: long→wide event-count matrix per user bucket (df.pivot with
 # an EXPLICIT value list — the open-ended form needs a values scan; the
 # pinned list keeps it one pass). Spark compiles pivot to conditional
@@ -1896,6 +1930,7 @@ REGISTRY = {
     "a5_cube": (a5_cube, A5_SQL),
     "p6_pivot": (p6_pivot, P6_SQL),
     "u3_except_intersect": (u3_except_intersect, U3_SQL),
+    "w6_range_frame": (w6_range_frame, W6_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
     "f4_profile": (f4_profile, F4_SQL),
