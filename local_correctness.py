@@ -70,7 +70,12 @@ def main() -> int:
                 row["hash_match"] = value_hash(spark_pdf) == value_hash(
                     oracle_pdf
                 )
-                if not (row["rows_match"] and row["schema_match"] and row["hash_match"]):
+                # Vacuity guard (VERDICT r6): a 0-row oracle proves only
+                # 0 = 0 — every oracled query must exercise real rows.
+                if len(oracle_pdf) == 0:
+                    row["err"] = "vacuous_oracle: 0 rows"
+                    failures += 1
+                elif not (row["rows_match"] and row["schema_match"] and row["hash_match"]):
                     failures += 1
         except Exception as exc:  # pragma: no cover - diagnostic path
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]

@@ -19,6 +19,10 @@ def test_oracle_parity(spark, ddb, name):
     builder, sql = REGISTRY[name]
     spark_pdf = builder(spark, SF_DIR).toPandas()
     oracle_pdf = ddb.execute(sql).fetchdf()
+    # Vacuity guard (VERDICT r6): an empty oracle result proves only 0 = 0
+    # (u3's 1994 window was empty at every sf). Every oracled query must
+    # exercise at least one real row even at the smallest scale factor.
+    assert len(oracle_pdf) >= 1, f"{name}: vacuous oracle (0 rows at {SF_DIR})"
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
