@@ -48,6 +48,32 @@ _BEYOND_DRIVER_CAP = [
     # operator IDs (A3, J1/J2 families) are evidenced by a3/j1/j2 rows.
     "q4_order_priority",
     "q22_dormant_customers",
+    # Round-7 rotation (VERDICT r6 item 3): the six fully-oracled round-6
+    # operators with no driver row (txt14, ev6, dd10, ev1c, smp4, f6)
+    # move INTO the 50-prefix. Displaced, in exchange — every one stays
+    # hash-green in the all-registry local gate and parity suite:
+    #   mm2_frame_sample — mm1_features evidences the multimodal
+    #     mapInPandas family (same Arrow plumbing, operators/multimodal.py).
+    #   txt3_langid — superseded in evidence terms by txt14_nb_langid's
+    #     driver row (same language-ID surface, stronger model).
+    #   txt5_bpe_token_stats — BPE-apply stays verified by txt15's
+    #     bit-equality pytest + local gate; the token-stats shape is
+    #     driver-evidenced by txt1_token_stats.
+    #   dd2_jaccard_pairs — the blocked-index near-dup family keeps two
+    #     driver rows (dd3 banded LSH; dd10's frequency-capped gram index
+    #     entering).
+    #   smp2_weighted_sample — the exchange-free md5-draw sampling family
+    #     is evidenced by smp4_temperature_mixture's entering row (same
+    #     draw mechanism, queries/llm.py).
+    #   f1_percentiles — distribution-summary family evidenced by
+    #     f6_histogram's entering row; exact percentile_disc stays oracled
+    #     in the local gate.
+    "mm2_frame_sample",
+    "txt3_langid",
+    "txt5_bpe_token_stats",
+    "dd2_jaccard_pairs",
+    "smp2_weighted_sample",
+    "f1_percentiles",
     "dd4_simhash_pairs",
     "sim2_lsh_topk",
     "smp1_stratified_sample",
@@ -100,36 +126,20 @@ _BEYOND_DRIVER_CAP = [
     # dd9 (round 6): cross-corpus incremental near-dup — rows-only like
     # dd3; self-join-restriction equivalence in test_dedup_crosscheck.py.
     "dd9_cross_dedup",
-    # txt14 (round 6): Naive Bayes language classifier (operators/
-    # text.py), exact DuckDB oracle with the rounded-score convention.
-    # txt13_lm_score (same convention) rotates INTO the 50-prefix in
-    # exchange for a2_rollup: §2a's A2 (agg functions) keeps driver
-    # evidence through q1_pricing_summary's row, while txt13 is a new
-    # round-6 operator that would otherwise never earn one.
+    # a2_rollup displaced in round 6: §2a's A2 (agg functions) keeps
+    # driver evidence through q1_pricing_summary's row, making room for
+    # txt13_lm_score's first driver row.
     "a2_rollup",
-    "txt14_nb_langid",
-    # ev6 (round 6): weekly retention cohorts over events, exact oracle.
-    "ev6_retention_cohorts",
     # sim5 (round 6): k-means corpus clustering — rows-only (iterative
     # Lloyd); determinism/coverage/inertia in tests/test_kmeans_assign.py.
     "sim5_kmeans_clusters",
-    # dd10 (round 6): exact-substring duplication pairs, exact oracle.
-    "dd10_exact_substring",
     # f5 (round 6): SpaceSaving heavy hitters — rows-only sketch;
     # overestimate/error-bound contract in tests/test_text_models.py.
     "f5_heavy_hitters",
-    # ev1c (round 6): built-in session_window sessionization under the
-    # lag-window DuckDB oracle (>= boundary semantics).
-    "ev1c_session_window",
-    # smp4 (round 6): temperature-scaled (n^alpha) mixture sampling,
-    # exact oracle via the integer-threshold md5 draw.
-    "smp4_temperature_mixture",
     # txt15 (round 6): distributed BPE tokenizer training — rows-only
     # (iterative); merge-list equality vs a pure-Python reference in
     # tests/test_bpe.py.
     "txt15_bpe_train",
-    # f6 (round 6): fixed-width histogram, exact integer oracle.
-    "f6_histogram",
     # a5 (round 6): CUBE grouping sets, exact oracle — completes the
     # grouping-set family beside a1 (multi-grain) and a2 (ROLLUP).
     "a5_cube",

@@ -60,9 +60,9 @@ def test_driver_prefix_is_frozen():
     # queries/__init__.py). Freeze the round-6 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-6 rotations: dd6/dd7/txt10/smp2/ev5 in,
-    # w4/w5/j3/t5_listagg/f2 out; then txt13_lm_score in, a2_rollup out —
-    # see queries/__init__.py for rationale).
+    # list in the same commit (round-7 rotation: txt14/ev6/dd10/ev1c/smp4/f6
+    # in, mm2/txt3/txt5/dd2/smp2/f1 out — see queries/__init__.py for the
+    # per-query sibling-evidence rationale).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
@@ -75,11 +75,12 @@ def test_driver_prefix_is_frozen():
         "d1_date_trunc", "d2_extract", "d3_interval_arith", "t2_regex_match",
         "t4_string_fns", "t3_normalize", "so1_order_limit", "ev1_sessionize",
         "ev2_json_extract", "ev3_asof_join", "ev4_range_join", "ev5_funnel",
-        "f1_percentiles", "dd1_exact_dedup", "dd2_jaccard_pairs",
+        "ev6_retention_cohorts", "ev1c_session_window", "dd1_exact_dedup",
         "dd3_minhash_lsh", "dd5_embedding_neardup", "sim1_cosine_topk",
-        "sim3_ivf_topk", "txt1_token_stats", "txt2_quality", "txt3_langid",
-        "txt4_fingerprint", "txt5_bpe_token_stats", "mm1_features",
-        "mm2_frame_sample", "dd6_decontaminate", "dd7_cluster_dedup",
-        "txt10_repetition", "smp2_weighted_sample", "txt13_lm_score",
+        "sim3_ivf_topk", "txt1_token_stats", "txt2_quality",
+        "txt4_fingerprint", "mm1_features", "dd6_decontaminate",
+        "dd7_cluster_dedup", "txt10_repetition", "txt13_lm_score",
+        "dd10_exact_substring", "smp4_temperature_mixture", "f6_histogram",
+        "txt14_nb_langid",
     ]
     assert list(q.queries())[:50] == expected_prefix
