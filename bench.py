@@ -48,6 +48,15 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Optional subset for scale probes (e.g. the sf10 run skips dd3, whose
+    # near-dup pair count grows quadratically in the synthetic clone count —
+    # that measures output volume, not engine throughput).
+    headline = HEADLINE
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        headline = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in headline if n not in REGISTRY]
+        assert not unknown, f"unknown bench queries: {unknown}"
     spark = get_spark("bench")
     # Warm the session once so per-query times measure the queries, not
     # startup: JVM + parquet footers, whole-stage-codegen JIT for the
@@ -96,13 +105,13 @@ def main() -> None:
     # elevated), which is what doubled BENCH_r04 vs r03 with zero code
     # change. Steady-state is the number a warmed cluster shows, so warm
     # explicitly and let the timed repeats measure only that.
-    for name in HEADLINE:
+    for name in headline:
         builder, _ = REGISTRY[name]
         builder(spark, sf_dir).count()
     load_before = os.getloadavg()
     times: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         builder, _ = REGISTRY[name]
         best, n = None, 0
         raw[name] = []
@@ -133,7 +142,7 @@ def main() -> None:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
-        for name in HEADLINE:
+        for name in headline:
             _, sql = REGISTRY[name]
             if sql is None:
                 # Sketch ops (dd3/sim3) are rows-only by design — no SQL

@@ -74,3 +74,151 @@ def lateral_top1_join(
     r = F.broadcast(right) if broadcast_right else right
     candidates = left.join(r, on=match, how=how)
     return top1_per_group(candidates, [F.col(k) for k in left_key], order_by)
+
+
+def _collect_ranked_dim(dim: DataFrame, order_by: Sequence[Column]) -> list:
+    """Collect a pattern dimension in rank order (first row = best match).
+
+    The dim is broadcast-sized by contract (the reference's merchant_regex
+    seed is 795 rows; models/classified_card_transactions.sql:126-147), so
+    a driver collect is the same data movement a broadcast join performs.
+    """
+    return dim.orderBy(*order_by).collect()
+
+
+def lateral_top1_case(
+    left: DataFrame,
+    dim: DataFrame,
+    *,
+    text_cols: Sequence[str],
+    order_by: Sequence[Column],
+    pattern_col: str,
+    payload_cols: Sequence[str],
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Regex lateral-top-1 as ONE literal CASE chain — no join, no shuffle.
+
+    Because the lateral's ORDER BY ranks *patterns* (priority/length/key),
+    not per-row values, the rank order is a property of the dim alone: sort
+    the 795 patterns once, and the first pattern that matches a row IS that
+    row's top-1. A CASE WHEN chain in rank order with LITERAL patterns gets
+    both wins the theta-join path structurally cannot have:
+
+    - literal ``rlike`` compiles each java.util.regex.Pattern ONCE in
+      codegen init (the non-literal pattern column recompiles per evaluated
+      pair), and
+    - CASE short-circuits — a row stops at its first match instead of
+      evaluating all 795 patterns.
+
+    100 TB shape: embarrassingly parallel map over the big side, zero
+    exchanges; the dim rides into the plan as literals (same driver-side
+    footprint as the broadcast it replaces). Unmatched rows keep NULL
+    payloads (left-outer semantics).
+    """
+    rows = _collect_ranked_dim(dim, order_by)
+    prefix = "(?i)" if case_insensitive else ""
+
+    def cond(row) -> Column:
+        pat = prefix + row[pattern_col]  # plain literal → codegen precompiles
+        c = None
+        for tc in text_cols:
+            m = F.col(tc).rlike(pat)
+            c = m if c is None else (c | m)
+        return c
+
+    chain = None
+    for row in rows:
+        payload = F.struct(
+            *[F.lit(row[p]).alias(p) for p in payload_cols]
+        )
+        chain = (
+            F.when(cond(row), payload)
+            if chain is None
+            else chain.when(cond(row), payload)
+        )
+    best = chain.otherwise(F.lit(None))
+    return left.select(
+        "*", *[best[p].alias(p) for p in payload_cols]
+    )
+
+
+def lateral_top1_udf(
+    left: DataFrame,
+    dim: DataFrame,
+    *,
+    text_cols: Sequence[str],
+    order_by: Sequence[Column],
+    pattern_col: str,
+    payload_cols: Sequence[str],
+    case_insensitive: bool = True,
+) -> DataFrame:
+    """Regex lateral-top-1 via an Arrow-batched pandas UDF matcher.
+
+    Patterns are precompiled ONCE per executor (``re`` module cache in the
+    closure) and scanned in rank order with early exit per row. The UDF
+    returns only the winning pattern's rank index; payloads attach JVM-side
+    via ``element_at`` on literal arrays — no join, no shuffle. Python-side
+    cost is the per-row loop; the probe (scripts/probe_j3_matchers.py)
+    decides when this beats the JVM CASE chain.
+    """
+    import pandas as pd
+
+    rows = _collect_ranked_dim(dim, order_by)
+    patterns = [r[pattern_col] for r in rows]
+    flags_ci = case_insensitive
+
+    compiled_cache: list = []
+
+    def match_idx(*cols: pd.Series) -> pd.Series:
+        import re as _re
+
+        if not compiled_cache:  # once per executor process, not per batch
+            flags = _re.IGNORECASE if flags_ci else 0
+            compiled_cache.extend(_re.compile(p, flags) for p in patterns)
+        compiled = compiled_cache
+        out = []
+        n = len(cols[0])
+        for i in range(n):
+            texts = [c.iat[i] for c in cols]
+            hit = -1
+            for j, cp in enumerate(compiled):
+                if any(t is not None and cp.search(t) for t in texts):
+                    hit = j
+                    break
+            out.append(hit)
+        return pd.Series(out, dtype="int32")
+
+    # pandas_udf infers the eval type from the signature — a *args function
+    # has no per-parameter hints, so synthesize a fixed-arity signature for
+    # the actual number of text columns.
+    import inspect
+
+    match_idx.__annotations__ = {
+        **{f"c{i}": pd.Series for i in range(len(text_cols))},
+        "return": pd.Series,
+    }
+    match_idx.__signature__ = inspect.Signature(
+        [
+            inspect.Parameter(
+                f"c{i}",
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                annotation=pd.Series,
+            )
+            for i in range(len(text_cols))
+        ],
+        return_annotation=pd.Series,
+    )
+    idx_udf = F.pandas_udf(match_idx, "int")
+
+    with_idx = left.withColumn("__rank_idx", idx_udf(*[F.col(c) for c in text_cols]))
+    out = with_idx
+    for p in payload_cols:
+        arr = F.array(*[F.lit(r[p]) for r in rows])
+        out = out.withColumn(
+            p,
+            F.when(
+                F.col("__rank_idx") >= 0,
+                F.element_at(arr, F.col("__rank_idx") + 1),
+            ),
+        )
+    return out.drop("__rank_idx")

@@ -493,12 +493,26 @@ FROM flagged GROUP BY 1, 2
 
 def w3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
+    # Reduce-before-join: sum orders per custkey FIRST (map-side partials,
+    # ~10x row reduction), then join the customer dim and re-aggregate to
+    # nations. Decimal addition is associative, so regrouping the sum is
+    # bit-exact under the oracle. Without this, Catalyst's compressed-size
+    # estimate let the 15M-row orders side through the broadcast threshold
+    # at sf10 (a fact-table broadcast build — 7.9 s vs 1.6 s, and at
+    # cluster scale a driver OOM). Only nation, the true small dim, is
+    # broadcast.
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.sum(_money(F.col("o_totalprice"))).alias("cust_spend")
+    )
     per_nation = (
-        t["customer"]
+        per_cust
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sum(_money(F.col("o_totalprice"))).alias("spend_dec"))
+        .agg(F.sum("cust_spend").alias("spend_dec"))
     )
     w = Window.partitionBy()
     return per_nation.select(

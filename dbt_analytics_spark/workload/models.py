@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.pg import pg_regex_to_java_col
-from ..operators.top1 import top1_per_group
+from ..operators.top1 import lateral_top1_udf, top1_per_group
 from ..plans import Project
 from ..sources.seeds import read_seed_csv
 
@@ -275,26 +275,31 @@ def build_project(
                 ).otherwise(F.lit(0))
             ).alias("rx_priority"),
         )
-        pat = F.concat(F.lit("(?i)"), F.col("rx_pattern_java"))
-        match_cond = (
-            F.rlike(F.col("desc_keep"), pat)
-            | F.rlike(F.col("desc_nohyphen"), pat)
-            | F.rlike(F.col("desc_noagg"), pat)
-            | F.rlike(F.col("desc_noagg_nohyphen"), pat)
-            | F.rlike(F.col("desc_tail"), pat)
-            | (F.col("desc_alias").isNotNull() & F.rlike(F.col("desc_alias"), pat))
-        )
-        rx_candidates = norm.join(F.broadcast(regex), on=match_cond, how="inner")
-        rx_best = top1_per_group(
-            rx_candidates,
-            ["key"],
-            [
+        # Matcher strategy (probed at 1M/6M rows, scripts/probe_j3_matchers.py,
+        # BENCH_NOTES round 7): the rank order is a property of the PATTERN
+        # dim alone (priority/length/key — no per-row values), so the top-1
+        # is simply the first match in rank order. The Arrow-batched matcher
+        # with per-executor precompiled regexes and early exit measured
+        # 0.95 s at 1M rows and 1.1 s at 6M vs 21 s / 138 s for the
+        # theta-join+window plan (non-literal rlike recompiles per pair and
+        # evaluates all 795 patterns per row). Zero joins/shuffles; payloads
+        # attach JVM-side via element_at on literal arrays. The window plan
+        # remains lateral_top1_join for dims ranked by per-row values.
+        matched = lateral_top1_udf(
+            norm,
+            regex,
+            text_cols=[
+                "desc_keep", "desc_nohyphen", "desc_noagg",
+                "desc_noagg_nohyphen", "desc_tail", "desc_alias",
+            ],
+            order_by=[
                 F.desc("rx_priority"),
                 F.desc(F.length("rx_pattern")),
                 F.desc("regex_key"),  # determinism beyond the reference's ordering
             ],
-        ).select("key", "rx_merchant_key", "rx_pattern", "rx_priority")
-        matched = norm.join(rx_best, "key", "left")
+            pattern_col="rx_pattern_java",
+            payload_cols=["rx_merchant_key", "rx_pattern", "rx_priority"],
+        )
 
         # --- name-containment fallback (reference :150-185); the merchant
         # variants are plain expressions on the broadcast dim (J4 → exprs) --
