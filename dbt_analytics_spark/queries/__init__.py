@@ -150,6 +150,12 @@ _BEYOND_DRIVER_CAP = [
     # w6 (round 6): RANGE-frame (value-based) window, exact oracle —
     # the frame family's complement to w4's ROWS frame.
     "w6_range_frame",
+    # f5b/sim5b (round 7, VERDICT r6 item 4): the sketch/procedural ops in
+    # their exact regimes — SpaceSaving with capacity >= distinct keys
+    # under a plain GROUP BY oracle; the k-means assignment pass with
+    # pinned data-row centroids under an argmin-over-cross-join oracle.
+    "f5b_heavy_hitters_exact",
+    "sim5b_kmeans_assign",
 ]
 
 _ALL: dict = {}

@@ -1273,6 +1273,39 @@ def f5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F5B — SpaceSaving in its EXACT regime (VERDICT r6 item 4): when
+# ``capacity >= per-partition distinct keys`` no counter is ever evicted,
+# so every partition's sketch is a plain frequency map (err = 0,
+# floor = 0) and the merged estimate equals the true count. That makes
+# the sketch pipeline itself checkable against a plain GROUP BY / ORDER
+# BY oracle — hash-green here proves the mapInPandas fold, the marker-row
+# floor accounting, and the merge algebra, not just a row count.
+# ---------------------------------------------------------------------------
+
+def f5b_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import heavy_hitters
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return heavy_hitters(docs, k=20, capacity=4096)
+
+
+F5B_SQL = f"""
+WITH terms AS (
+  SELECT unnest(string_split(TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound,
+       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, term) AS INT) AS rank
+FROM terms WHERE term <> ''
+GROUP BY term
+ORDER BY est_count DESC, term
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # DD10 — exact-substring duplication (operators/dedup.py:
 # exact_substring_pairs): doc pairs sharing a verbatim 8-token window,
 # frequency-capped inverted index (boilerplate windows in > 8 docs are
@@ -1323,6 +1356,55 @@ def sim5_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = similarity.kmeans_assign(emb, centroids, "vec_id", "embedding")
     return similarity.kmeans_cluster_stats(assigned)
+
+
+# ---------------------------------------------------------------------------
+# SIM5B — the k-means ASSIGNMENT pass under an exact oracle (VERDICT r6
+# item 4): with centroids pinned to four data rows (vec_id 0..3, cell =
+# rank by vec_id), the argmin-over-centroids step IS SQL-expressible, so
+# the mapInPandas numpy pass — the expanded ||x||²-2x·c+||c||² distance,
+# the lowest-index tie-break, the float64 upcast — gets a hash-green
+# check instead of rows-only. dist2 is rounded to 6 decimals on both
+# sides (the txt12 convention) to absorb the expanded-vs-direct
+# summation-order difference (~1e-12 at this scale).
+# ---------------------------------------------------------------------------
+
+def sim5b_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    crows = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2, 3))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.asarray([list(r[0]) for r in crows], dtype=np.float64)
+    assigned = similarity.kmeans_assign(emb, C, "vec_id", "embedding")
+    return assigned.select(
+        F.col("id").alias("vec_id"),
+        "cell",
+        F.round("dist2", 6).alias("dist2_r"),
+    )
+
+
+SIM5B_SQL = """
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE embedding IS NOT NULL
+), d AS (
+  SELECT vec_id, cell,
+         list_sum(list_transform(range(1, len(ev) + 1), i -> (ev[i] - cv[i]) ^ 2)) AS dist2
+  FROM v CROSS JOIN c
+)
+SELECT vec_id, cell, round(dist2, 6) AS dist2_r
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) = 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1467,8 +1549,10 @@ REGISTRY = {
     "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
     "txt13_lm_score": (txt13_lm_score, TXT13_SQL),
     "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
+    "sim5b_kmeans_assign": (sim5b_kmeans_assign, SIM5B_SQL),
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
     "f5_heavy_hitters": (f5_heavy_hitters, None),
+    "f5b_heavy_hitters_exact": (f5b_heavy_hitters_exact, F5B_SQL),
     "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),
     "txt15_bpe_train": (txt15_bpe_train, None),
     "f6_histogram": (f6_histogram, F6_SQL),
