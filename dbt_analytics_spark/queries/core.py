@@ -210,15 +210,26 @@ GROUP BY event_type
 
 def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
+    # Reduce-before-join (same rationale as w3): collapse the orders fact
+    # to one row per custkey before touching the customer dim, so the join
+    # carries 10x fewer rows and neither fact side is ever a broadcast
+    # build. count/decimal-sum regrouping is exact.
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cust_orders"),
+        F.sum(_money(F.col("o_totalprice"))).alias("cust_spend"),
+    )
     return (
-        t["orders"]
-        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        per_cust
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+            F.sum("cust_orders").alias("n_orders"),
+            F.sum("cust_spend").cast("double").alias("total_spend"),
         )
     )
 
