@@ -239,8 +239,12 @@ def weights(spark: SparkSession, n: int = 200, seed: int = 46) -> DataFrame:
 
 
 def all_sources(spark: SparkSession) -> dict[str, DataFrame]:
+    # SPARK_GRAFT_FIXTURE_N scales the transaction fixture (default 600) so
+    # the boss-model cross-engine diff can run at probe scales — see
+    # BENCH_NOTES.md round-7 workload-scale probe.
+    n = int(os.environ.get("SPARK_GRAFT_FIXTURE_N", "600"))
     return {
-        "card_transactions": card_transactions(spark),
+        "card_transactions": card_transactions(spark, n=n),
         "exercise_log": exercise_log(spark),
         "recipe_log": recipe_log(spark),
         "shopping_log": shopping_log(spark),
