@@ -156,6 +156,9 @@ _BEYOND_DRIVER_CAP = [
     # pinned data-row centroids under an argmin-over-cross-join oracle.
     "f5b_heavy_hitters_exact",
     "sim5b_kmeans_assign",
+    # sim3b (round 7): IVF probing all cells == exact top-k, so the whole
+    # inverted-file pipeline hash-checks against SIM1's SQL oracle.
+    "sim3b_ivf_exact",
 ]
 
 _ALL: dict = {}

@@ -220,6 +220,52 @@ def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SIM3B — IVF in its EXACT regime (the f5b/sim5b pattern): probing ALL
+# cells makes the inverted-file search equal to exact cosine top-k, so
+# the entire IVF machinery — centroid sampling, cell assignment, probe
+# masking, per-batch top-k, global merge — gets a hash-green check
+# against SIM1's plain SQL oracle instead of rows-only + recall tests.
+# ---------------------------------------------------------------------------
+
+def sim3b_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=16
+    )
+    # IVF deliberately scores with normalize-then-BLAS-matmul (the fast
+    # path — sim1 pays a d-loop for bit-exact oracle floats), so the sims
+    # differ from DuckDB's list_inner_product in the last ~2 bits. Report
+    # them under the rounded-score convention; ranking stays on the
+    # unrounded values (per-engine gaps ~1e-16 vs rank gaps ~1e-2 here).
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round("cosine_sim", 6).alias("cosine_sim_r"),
+        "rank",
+    )
+
+
+SIM3B_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM c WHERE vec_id < 20
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_inner_product(q.v, c.v)
+           / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine_sim
+  FROM q JOIN c ON c.vec_id != q.vec_id
+)
+SELECT query_id, corpus_id, round(cosine_sim, 6) AS cosine_sim_r, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # SIM4 — product-quantization ADC top-k with exact re-rank (rows-only;
 # recall measured in tests against SIM1). The 100 TB memory-bound path:
 # pq_encode compresses 256 B float vectors to 8 one-byte codes. Production
@@ -1550,6 +1596,7 @@ REGISTRY = {
     "txt13_lm_score": (txt13_lm_score, TXT13_SQL),
     "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
     "sim5b_kmeans_assign": (sim5b_kmeans_assign, SIM5B_SQL),
+    "sim3b_ivf_exact": (sim3b_ivf_exact, SIM3B_SQL),
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
     "f5_heavy_hitters": (f5_heavy_hitters, None),
     "f5b_heavy_hitters_exact": (f5b_heavy_hitters_exact, F5B_SQL),
