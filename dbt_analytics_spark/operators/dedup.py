@@ -191,6 +191,30 @@ def minhash_signature(col: Column, num_hashes: int = 32, pre_hashed: bool = Fals
     )
 
 
+def minhash_signatures_agg(shingled: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, sig) via posexplode + codegen min-aggregations — the at-scale
+    alternative to the ``F.aggregate`` fold, which is a CodegenFallback
+    (interpreted) expression costing ~num_hashes interpreted evals PER
+    SHINGLE (5M docs x ~125 shingles x 32 slots = 20B interpreted ops at
+    the dedup-corpus probe). Here the explode and the 32 hash+min aggs are
+    whole-stage-codegen, the partial agg reduces map-side to one row per
+    doc before the shuffle, and the signatures are BIT-IDENTICAL to the
+    fold's (same xxhash64(h, seed) per slot, min is order-free). The fold
+    wins at small corpora (no shuffle, no extra stage); see
+    BENCH_NOTES.md round-7 for the measured crossover.
+    """
+    flat = shingled.select("doc", F.explode("sh").alias("h"))
+    per_doc = flat.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"__m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return per_doc.select(
+        "doc", F.array(*[F.col(f"__m{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
 def _shingle_and_band(
     df: DataFrame,
     id_col: str,
@@ -198,6 +222,7 @@ def _shingle_and_band(
     shingle_k: int,
     num_hashes: int,
     bands: int,
+    sig_mode: str = "fold",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: persisted shingle index + skinny banded
     relation (doc, band, bucket). The LSH shuffle carries ONLY the banded
@@ -220,9 +245,12 @@ def _shingle_and_band(
         _PERSISTED_INDEXES.append(shingled)
         while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
             _PERSISTED_INDEXES.pop(0).unpersist()
-    sig_df = shingled.withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes, pre_hashed=True)
-    )
+    if sig_mode == "agg":
+        sig_df = minhash_signatures_agg(shingled, num_hashes)
+    else:
+        sig_df = shingled.withColumn(
+            "sig", minhash_signature(F.col("sh"), num_hashes, pre_hashed=True)
+        )
     banded = sig_df.select(
         "doc",
         F.explode(
@@ -254,6 +282,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     n_salts: int | None = None,
+    sig_mode: str = "fold",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact shingle
     Jaccard.
@@ -279,7 +308,7 @@ def minhash_lsh_pairs(
     when done with all results.
     """
     shingled, banded = _shingle_and_band(
-        df, id_col, text_col, shingle_k, num_hashes, bands
+        df, id_col, text_col, shingle_k, num_hashes, bands, sig_mode=sig_mode
     )
 
     if n_salts:
@@ -644,8 +673,16 @@ def simhash_pairs(
             F.col("r.doc").alias("doc2"),
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
         )
-        .dropDuplicates(["doc1", "doc2"])
+        # Hamming filter BEFORE the pair dedup: chunk collisions are
+        # ~n²/2^16 (at the 5M-doc probe, ~760M candidate rows), and
+        # deduplicating that stream OOMed the hash-agg buffers; the filter
+        # is a streamed codegen projection that cuts the dedup input to
+        # the true near-dup volume (~1000x here). Same result set —
+        # hamming is pair-intrinsic. Past ~50M docs the 16-bit chunk key
+        # space itself saturates; that regime needs permuted-prefix
+        # multi-index banding (wider keys), not a bigger shuffle.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc1", "doc2"])
     )
 
 

@@ -412,3 +412,23 @@ def test_gram_rows_segment_validates(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="segment_tokens"):
         gram_rows(df, "doc_id", "text", 3, segment_tokens=2).collect()
+
+
+def test_agg_signature_mode_identical_pairs(spark):
+    """sig_mode='agg' (posexplode + codegen min-aggs, the at-scale path)
+    must produce signatures bit-identical to the fold — same xxhash64 per
+    slot, min is order-free — hence the IDENTICAL pair set and jaccards."""
+    df = spark.createDataFrame(_corpus(), ["doc_id", "text"])
+    fold = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    }
+    agg = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.3, sig_mode="agg"
+        ).collect()
+    }
+    assert set(agg) == set(fold) and len(fold) > 0
+    for pair, j in agg.items():
+        assert abs(j - fold[pair]) < 1e-12
