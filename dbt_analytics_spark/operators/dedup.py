@@ -457,8 +457,16 @@ def gram_rows(
     k: int,
     distinct: bool = True,
     segment_tokens: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """DISTINCT ``(doc, g)`` k-gram rows, linear in document length.
+
+    ``hashed=True`` emits ``g`` as the gram's xxhash64 (long) instead of
+    the ~50-byte gram string: every downstream shuffle/join/group key
+    shrinks ~6x, which is the difference between dd10 finishing and
+    filling the disk at the 5M-doc probe (625M gram strings spilled
+    >75 GB of shuffle; hashed grams fit). Join/count semantics are
+    preserved up to 64-bit collisions (~n^2/2^64).
 
     Equivalent to ``explode(shingles(text, k))`` but NOT written that way:
     Generate re-evaluates a non-attribute child per OUTPUT row, and
@@ -512,12 +520,13 @@ def gram_rows(
         # Grams starting at a duplicated (carried-back) row belong to
         # their home segment, which also produces them — drop the copy.
         long_grams = long_grams.filter(F.col("__back") == 0)
-    long_grams = long_grams.select(
-        "doc",
-        F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)]).alias("g"),
-    )
+    long_g = F.concat_ws(" ", "w", *[f"w{j}" for j in range(1, k)])
+    short_g = F.concat_ws(" ", "words")
+    if hashed:
+        long_g, short_g = F.xxhash64(long_g), F.xxhash64(short_g)
+    long_grams = long_grams.select("doc", long_g.alias("g"))
     short_grams = words_df.filter(F.size("words") < k).select(
-        "doc", F.concat_ws(" ", "words").alias("g")
+        "doc", short_g.alias("g")
     )
     out = long_grams.unionByName(short_grams)
     # distinct=False skips the dedup shuffle — for consumers that fold the
@@ -725,7 +734,8 @@ def exact_substring_pairs(
             f"exact_substring_pairs: max_gram_docs must be >= 2, got {max_gram_docs}"
         )
     grams = gram_rows(
-        fan_out(docs), id_col, text_col, k, segment_tokens=segment_tokens
+        fan_out(docs), id_col, text_col, k, segment_tokens=segment_tokens,
+        hashed=True,
     )
     eligible = (
         grams.groupBy("g")
