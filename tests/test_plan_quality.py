@@ -254,3 +254,28 @@ def test_temperature_mixture_corpus_side_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["j1_join_agg", "w3_pct_of_total"])
+def test_star_join_size_gate(spark, name, monkeypatch):
+    # The size-gated star join (queries/core.py j1/w3): within budget the
+    # customer map rides broadcast and the fact partial-aggregates straight
+    # to output grain; past the budget the plan must fall back to
+    # reduce-before-join — the fact collapses to custkey grain BEFORE any
+    # non-broadcast join, and the dim join may shuffle. Both paths must be
+    # row-identical.
+    from dbt_analytics_spark.queries import core
+
+    fast = REGISTRY[name][0](spark, SF)
+    fast_plan = _plan(fast)
+    assert "BroadcastHashJoin" in fast_plan
+
+    monkeypatch.setattr(core, "DIM_BROADCAST_BUDGET", 0)
+    slow = REGISTRY[name][0](spark, SF)
+    slow_plan = _plan(slow)
+    # Fallback path: a pre-join partial aggregate on o_custkey must exist.
+    assert "partial_sum" in slow_plan
+    assert "o_custkey" in slow_plan
+    rows_fast = sorted(map(tuple, fast.collect()))
+    rows_slow = sorted(map(tuple, slow.collect()))
+    assert rows_fast == rows_slow
