@@ -159,6 +159,15 @@ _BEYOND_DRIVER_CAP = [
     # sim3b (round 7): IVF probing all cells == exact top-k, so the whole
     # inverted-file pipeline hash-checks against SIM1's SQL oracle.
     "sim3b_ivf_exact",
+    # q6/q10/q14/q18 (round 7): TPC-H breadth batch, all exact oracles.
+    # Past the cap like q3/q5 — their §2a operator IDs (S1/P2/A2/A3/J1/
+    # SO1) are driver-evidenced by existing prefix rows; scan-pushdown,
+    # agg-then-semijoin, and conditional-ratio plan shapes stay pinned in
+    # tests/test_plan_quality.py + the all-registry local gate.
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
 ]
 
 _ALL: dict = {}

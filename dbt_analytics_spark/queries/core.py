@@ -1775,6 +1775,170 @@ GROUP BY c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# Q6-shape — pure scan-side filter + single global aggregate: the plan
+# every storage layer must get right (all three predicates pushed to the
+# parquet scan, zero joins, one partial→final agg — the 100 TB cost is
+# exactly one pruned column scan).
+# ---------------------------------------------------------------------------
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(
+            F.sum(_money(F.col("l_extendedprice")) * _rate(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape — returned-item revenue per customer, top 20: fact⋈fact on
+# orderkey (the one shuffle), dims broadcast, deterministic tiebreak on
+# the LIMIT so cross-engine ordering is exact.
+# ---------------------------------------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("cust_key"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey AS cust_key, c_name AS cust_name, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, cust_key ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape — promo revenue share: conditional aggregate over a
+# fact⋈broadcast-dim join; the ratio is double-division of two exact
+# decimal sums so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("date"))
+    )
+    revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    joined = li.join(
+        F.broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    sums = joined.groupBy().agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("promo_dec"),
+        F.sum(revenue).alias("total_dec"),
+    )
+    return sums.select(
+        (F.lit(100.0) * F.col("promo_dec").cast("double") / F.col("total_dec").cast("double")).alias("promo_pct"),
+        F.col("promo_dec").cast("double").alias("promo_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS promo_pct,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape — large-volume orders: aggregate-then-semijoin (HAVING on the
+# fact's own rollup feeds a key filter back into the join). The qty rollup
+# and the order join share the orderkey shuffle; customer broadcasts.
+# ---------------------------------------------------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            _money(F.col("o_totalprice")).cast("double").alias("total_price"),
+            F.col("total_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("order_key"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name AS cust_name, c_custkey AS cust_key, o_orderkey AS order_key,
+       o_orderdate AS order_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       big.total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, order_key ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # W5 — ntile bucketing (beyond-reference; deterministic given a total
 # order, so it cross-checks exactly)
 # ---------------------------------------------------------------------------
@@ -1952,6 +2116,10 @@ REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q6_revenue_forecast": (q6_revenue_forecast, Q6_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "q5_local_supplier_volume": (q5_local_supplier_volume, Q5_SQL),
     "p1_projection_cast": (p1_projection_cast, P1_SQL),

@@ -32,7 +32,9 @@ def test_dim_joins_broadcast(spark, name):
     assert "SortMergeJoin" not in plan  # all dims must stay broadcast-able
 
 
-@pytest.mark.parametrize("name", ["q3_shipping_priority", "p2_filter_ilike"])
+@pytest.mark.parametrize(
+    "name", ["q3_shipping_priority", "p2_filter_ilike", "q6_revenue_forecast"]
+)
 def test_filters_pushed_to_scan(spark, name):
     plan = _plan(REGISTRY[name][0](spark, SF))
     pushed = [
