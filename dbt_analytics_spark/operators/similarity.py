@@ -892,3 +892,69 @@ def kmeans_cluster_stats(assigned: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.round(F.avg("dist2"), 6).alias("mean_dist2"),
     )
+
+
+def semdedup_flags(
+    corpus_with_cell: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    threshold: float = 0.4,
+    block: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): within each embedding cluster, flag every vector
+    that has a LOWER-id neighbor with cosine >= ``threshold`` (greedy
+    keep-first — the kept set is deterministic and order-free). Returns
+    ``(id, cell, n_dups_lower, is_dropped)`` for every input vector.
+
+    Scale design (100 TB): the cluster assignment (``kmeans_assign``)
+    bounds the quadratic — pairs are only ever formed INSIDE a cell, so
+    the cost is sum(|cell|^2), not |corpus|^2; the cells are the unit of
+    parallelism (one ``applyInPandas`` group each). Per-cell memory is
+    bounded by ``block``: the sim matrix is computed in row blocks
+    (|cell| x block at a time), never materializing |cell|^2 floats. A
+    pathological giant cell is the n_cells dial's job (more centroids →
+    smaller cells), the same dial IVF uses; the block loop keeps even a
+    hot cell from OOMing the executor.
+
+    Exactness: cosine is dot/(||a||*||b||) rounded to 6 decimals BEFORE
+    the threshold compare (the sim5b/txt12 convention), so the numpy
+    matmul's summation order and an oracle's sequential fold agree.
+    """
+    import numpy as np
+
+    id_type = corpus_with_cell.schema[id_col].dataType.simpleString()
+    data = corpus_with_cell.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(cell_col).cast("int").alias("cell"),
+        as_double_array(vec_col).alias("cvec"),
+    )
+
+    def flag_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+        n = len(pdf)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        n_lower = np.zeros(n, dtype=np.int64)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            # rows lo:hi vs ALL columns; only j < i pairs count
+            sims = (X[lo:hi] @ X.T) / (norms[lo:hi, None] * norms[None, :])
+            hits = np.round(sims, 6) >= threshold
+            for r in range(hi - lo):
+                i = lo + r
+                n_lower[i] = int(hits[r, :i].sum())
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "n_dups_lower": n_lower,
+                "is_dropped": n_lower > 0,
+            }
+        )
+
+    return data.groupBy("cell").applyInPandas(
+        flag_cell,
+        f"id {id_type}, cell int, n_dups_lower bigint, is_dropped boolean",
+    )

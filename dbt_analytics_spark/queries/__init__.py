@@ -168,6 +168,11 @@ _BEYOND_DRIVER_CAP = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
+    # dd11 (round 7): SemDeDup cluster-bounded semantic dedup — the
+    # composition of sim5b's pinned-centroid assignment and within-cell
+    # rounded-cosine pair flags, fully SQL-oracled. The near-dup family
+    # keeps its driver rows via dd3/dd5/dd10.
+    "dd11_semdedup",
 ]
 
 _ALL: dict = {}

@@ -1561,6 +1561,72 @@ FROM top WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# DD11 — SemDeDup: cluster-bounded semantic dedup (operators/similarity.py:
+# semdedup_flags, after Abbas et al. 2023). Cluster assignment bounds the
+# pairwise-cosine quadratic to within-cell work; greedy keep-first drops
+# every vector with a lower-id neighbor above the threshold. With pinned
+# data-row centroids (the sim5b pattern) the WHOLE pipeline — argmin
+# assignment, within-cell pairs, rounded-cosine threshold, drop flags —
+# is SQL-expressible, so this composition gets a hash-green oracle.
+# ---------------------------------------------------------------------------
+
+def dd11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    crows = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2, 3))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    C = np.asarray([list(r[0]) for r in crows], dtype=np.float64)
+    assigned = similarity.kmeans_assign(emb, C, "vec_id", "embedding")
+    with_cell = emb.join(
+        assigned.select(F.col("id").alias("vec_id"), "cell"), "vec_id"
+    )
+    return similarity.semdedup_flags(
+        with_cell, "vec_id", "embedding", threshold=0.4
+    ).select(
+        F.col("id").alias("vec_id"), "cell", "n_dups_lower", "is_dropped"
+    )
+
+
+DD11_SQL = """
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings WHERE embedding IS NOT NULL
+), a AS (
+  SELECT vec_id, cell, ev FROM (
+    SELECT v.vec_id, c.cell, v.ev,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(ev) + 1),
+                                              i -> (ev[i] - cv[i]) ^ 2)), cell
+           ) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), hits AS (
+  SELECT a.vec_id, a.cell,
+         CASE WHEN lo.vec_id IS NULL THEN 0
+              WHEN round(list_inner_product(a.ev, lo.ev)
+                         / (sqrt(list_inner_product(a.ev, a.ev))
+                            * sqrt(list_inner_product(lo.ev, lo.ev))), 6) >= 0.4
+              THEN 1 ELSE 0 END AS hit
+  FROM a LEFT JOIN a lo ON lo.cell = a.cell AND lo.vec_id < a.vec_id
+)
+SELECT vec_id, cell,
+       CAST(SUM(hit) AS BIGINT) AS n_dups_lower,
+       SUM(hit) > 0 AS is_dropped
+FROM hits GROUP BY vec_id, cell
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -1605,4 +1671,5 @@ REGISTRY = {
     "f6_histogram": (f6_histogram, F6_SQL),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
+    "dd11_semdedup": (dd11_semdedup, DD11_SQL),
 }
