@@ -222,3 +222,43 @@ def lateral_top1_udf(
             ),
         )
     return out.drop("__rank_idx")
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    k: int,
+    n_salts: int | None = None,
+    salt_on: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the best ``k`` rows per group, with a dense 1..k ``rank_col``.
+
+    Scale shape: a per-group ranking window never splits its partition, so
+    a hot group (one language holding 60% of a 100 TB corpus) lands on one
+    task. With ``n_salts`` set, the window runs TWO-PHASE (the sessionize
+    skew pattern, SKEW_PROBE_r06): phase 1 ranks within (group, salt) —
+    the hot group splits across ``n_salts`` tasks — and keeps only k rows
+    per salt; phase 2 re-ranks the surviving ``n_salts * k`` rows per
+    group, a trivially small window. The salt is derived from ``salt_on``
+    (default: the first partition column is NOT usable — pass a
+    high-cardinality column, e.g. the unique id) and never affects the
+    result: phase 2's total order is identical to the single-window
+    answer, which callers must make deterministic via a unique tiebreak
+    in ``order_by``.
+    """
+    if n_salts:
+        if not salt_on:
+            raise ValueError("topk_per_group: n_salts requires salt_on (a high-cardinality column)")
+        salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
+        w1 = Window.partitionBy(*partition_by, salt).orderBy(*order_by)
+        df = (
+            df.withColumn("__salt_rn", F.row_number().over(w1))
+            .filter(F.col("__salt_rn") <= k)
+            .drop("__salt_rn")
+        )
+    w2 = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )

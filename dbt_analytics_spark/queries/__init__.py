@@ -173,6 +173,12 @@ _BEYOND_DRIVER_CAP = [
     # rounded-cosine pair flags, fully SQL-oracled. The near-dup family
     # keeps its driver rows via dd3/dd5/dd10.
     "dd11_semdedup",
+    # smp5 (round 7): fixed-k stratified sampling on the salted two-phase
+    # top-k window (sampling family driver-evidenced by smp4's row).
+    # f7 (round 7): PSI distribution-drift monitor (sketch/profile family
+    # driver-evidenced by f6's row).
+    "smp5_fixed_k_sample",
+    "f7_drift_psi",
 ]
 
 _ALL: dict = {}

@@ -1562,6 +1562,112 @@ FROM top WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# SMP5 — fixed-k stratified sampling (eval-set carving: exactly k docs per
+# language, deterministic). The md5-hex draw (smp1's convention) gives the
+# per-doc uniform key; operators/top1.py:topk_per_group runs the ranking
+# TWO-PHASE (salted) so a hot stratum — one language holding most of a
+# 100 TB corpus — never lands its whole window on one task.
+# ---------------------------------------------------------------------------
+
+_SMP5_K = 25
+
+
+def smp5_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.top1 import topk_per_group
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("sample_key"),
+    )
+    picked = topk_per_group(
+        keyed,
+        ["lang"],
+        [F.asc("sample_key"), F.asc("doc_id")],
+        k=_SMP5_K,
+        n_salts=16,
+        salt_on="doc_id",
+    )
+    return picked.select(
+        "doc_id", "lang", "sample_key", F.col("rank").cast("int").alias("rank")
+    )
+
+
+SMP5_SQL = f"""
+SELECT doc_id, lang, sample_key, CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= {_SMP5_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# F7 — distribution-drift monitor (PSI): the check a training-data
+# pipeline runs between crawl snapshots before mixing a new batch in.
+# Fixed-width value buckets, Laplace-smoothed shares, per-bucket PSI
+# contribution. One conditional-agg scan; the 10-row bucket table never
+# shuffles anything wide. Exact oracle: shares are int-derived double
+# divisions; the ln() term is rounded to 6 decimals (the txt12/txt13
+# libm convention).
+# ---------------------------------------------------------------------------
+
+def f7_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    week_a = (F.col("ts") >= F.lit("2024-01-01").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    week_b = (F.col("ts") >= F.lit("2024-01-08").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    )
+    bucketed = ev.filter(week_a | week_b).select(
+        F.floor(F.col("value") / 50).cast("int").alias("bucket"),
+        week_a.cast("long").alias("in_a"),
+        week_b.cast("long").alias("in_b"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum("in_a").alias("n_a"), F.sum("in_b").alias("n_b")
+    )
+    w = Window.partitionBy()
+    n_buckets = F.count(F.lit(1)).over(w)
+    p_a = (F.col("n_a") + 1).cast("double") / (F.sum("n_a").over(w) + n_buckets).cast("double")
+    p_b = (F.col("n_b") + 1).cast("double") / (F.sum("n_b").over(w) + n_buckets).cast("double")
+    return counts.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term_r"),
+    )
+
+
+F7_SQL = """
+WITH counts AS (
+  SELECT CAST(floor(value / 50) AS INT) AS bucket,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS n_b
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+  GROUP BY 1
+), shares AS (
+  SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(n_a + 1 AS DOUBLE) / CAST(SUM(n_a) OVER () + COUNT(*) OVER () AS DOUBLE) AS p_a,
+         CAST(n_b + 1 AS DOUBLE) / CAST(SUM(n_b) OVER () + COUNT(*) OVER () AS DOUBLE) AS p_b
+  FROM counts
+)
+SELECT bucket, n_a, n_b, round((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term_r
+FROM shares
+"""
+
+
+# ---------------------------------------------------------------------------
 # DD11 — SemDeDup: cluster-bounded semantic dedup (operators/similarity.py:
 # semdedup_flags, after Abbas et al. 2023). Cluster assignment bounds the
 # pairwise-cosine quadratic to within-cell work; greedy keep-first drops
@@ -1672,4 +1778,6 @@ REGISTRY = {
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
     "dd11_semdedup": (dd11_semdedup, DD11_SQL),
+    "smp5_fixed_k_sample": (smp5_fixed_k_sample, SMP5_SQL),
+    "f7_drift_psi": (f7_drift_psi, F7_SQL),
 }

@@ -281,3 +281,24 @@ def test_star_join_size_gate(spark, name, monkeypatch):
     rows_fast = sorted(map(tuple, fast.collect()))
     rows_slow = sorted(map(tuple, slow.collect()))
     assert rows_fast == rows_slow
+
+
+def test_topk_per_group_salting_invariant(spark):
+    # The two-phase salted top-k (operators/top1.py:topk_per_group) must be
+    # row-identical to the single-window answer for any salt count — the
+    # salt only splits the phase-1 window.
+    from dbt_analytics_spark.operators.top1 import topk_per_group
+    from dbt_analytics_spark.sources import load_testdata
+    from pyspark.sql import functions as F
+
+    docs = load_testdata(spark, SF)["documents"].select(
+        "doc_id", "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("key"),
+    )
+    order = [F.asc("key"), F.asc("doc_id")]
+    plain = sorted(map(tuple, topk_per_group(docs, ["lang"], order, k=25).collect()))
+    for n_salts in (2, 16):
+        salted = sorted(map(tuple, topk_per_group(
+            docs, ["lang"], order, k=25, n_salts=n_salts, salt_on="doc_id"
+        ).collect()))
+        assert salted == plain
