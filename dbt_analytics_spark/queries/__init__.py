@@ -168,6 +168,11 @@ _BEYOND_DRIVER_CAP = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
+    # Second batch: bilateral nation-pair rollup (q7), 6-table
+    # market-share star (q8), scalar-subquery-on-aggregate (q15).
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
     # dd11 (round 7): SemDeDup cluster-bounded semantic dedup — the
     # composition of sim5b's pinned-centroid assignment and within-cell
     # rounded-cosine pair flags, fully SQL-oracled. The near-dup family

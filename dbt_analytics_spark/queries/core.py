@@ -1894,6 +1894,185 @@ WHERE l_partkey = p_partkey
 
 
 # ---------------------------------------------------------------------------
+# Q7-shape — bilateral volume shipping: the two-dim-sides join (supplier
+# nation × customer nation) with an IN-pair filter and a year rollup.
+# Both nation-tagged key maps broadcast; the fact⋈fact orderkey join is
+# the only wide shuffle.
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    n1, n2 = "NATION_3", "NATION_2"
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM lineitem, orders, supplier, customer, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey AND o_custkey = c_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8-shape — national market share: a 6-table star with region/part
+# filters and a conditional-share rollup per year (double division of two
+# exact decimal sums).
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    cust_in_region = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    base = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    sums = base.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("nation_dec"),
+        F.sum(revenue).alias("total_dec"),
+    )
+    return sums.select(
+        "order_year",
+        (F.col("nation_dec").cast("double") / F.col("total_dec").cast("double")).alias("mkt_share"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+    )
+
+
+Q8_SQL = """
+WITH base AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem, part, orders, supplier, nation n2
+  WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+    AND s_nationkey = n2.n_nationkey
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    AND EXISTS (
+      SELECT 1 FROM customer, nation n1, region
+      WHERE c_custkey = o_custkey AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA')
+)
+SELECT CAST(order_year AS INT) AS order_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+FROM base GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15-shape — top supplier(s) by quarterly revenue: scalar-subquery-on-
+# aggregate (revenue == MAX(revenue)) — equality tested on the EXACT
+# decimal sum, so ties and the max compare identically cross-engine.
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
+    per_supp = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    best = per_supp.withColumn("max_dec", F.max("rev_dec").over(w)).filter(
+        F.col("rev_dec") == F.col("max_dec")
+    )
+    return (
+        best.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS supp_key, s_name AS supp_name,
+       CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q18-shape — large-volume orders: aggregate-then-semijoin (HAVING on the
 # fact's own rollup feeds a key filter back into the join). The qty rollup
 # and the order join share the orderkey shuffle; customer broadcasts.
@@ -2117,7 +2296,10 @@ REGISTRY = {
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q6_revenue_forecast": (q6_revenue_forecast, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
