@@ -184,6 +184,9 @@ _BEYOND_DRIVER_CAP = [
     # driver-evidenced by f6's row).
     "smp5_fixed_k_sample",
     "f7_drift_psi",
+    # ev7 (round 7): first-order Markov transition matrix over user event
+    # streams (event family driver-evidenced by ev1/ev2/ev3/ev4 rows).
+    "ev7_event_transitions",
 ]
 
 _ALL: dict = {}

@@ -2248,6 +2248,57 @@ FROM ret r JOIN size_ s USING (cohort_week)
 
 
 # ---------------------------------------------------------------------------
+# EV7 — event-sequence transition matrix (first-order Markov over each
+# user's event stream): the sequence-mining shape behind journey analytics
+# and next-event models. One lag window partitioned by user_id (the
+# per-key window class — high-cardinality key, no hot partition), then a
+# 25-cell rollup; transition probabilities are int/int double divisions
+# so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+def ev7_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+EV7_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p_transition
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
 # EV1C — sessionization via Spark's BUILT-IN session_window grouping
 # (operators/sessionize.py:session_window_stats): the Catalyst-native
 # merge-in-aggregation formulation, cross-checked against the lag-window
@@ -2342,6 +2393,7 @@ REGISTRY = {
     "ev5_funnel": (ev5_funnel, EV5_SQL),
     "ev5b_funnel_steps": (ev5b_funnel_steps, EV5B_SQL),
     "ev6_retention_cohorts": (ev6_retention_cohorts, EV6_SQL),
+    "ev7_event_transitions": (ev7_event_transitions, EV7_SQL),
     "ev1c_session_window": (ev1c_session_window, EV1C_SQL),
     "a5_cube": (a5_cube, A5_SQL),
     "p6_pivot": (p6_pivot, P6_SQL),
