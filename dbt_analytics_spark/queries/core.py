@@ -1547,6 +1547,34 @@ FROM documents GROUP BY CUBE (lang, source)
 
 
 # ---------------------------------------------------------------------------
+# A6 — explicit GROUPING SETS (the non-uniform grain list CUBE/ROLLUP
+# can't express: (lang, source), (lang), (source) but NOT the grand
+# total). Spark 4's native DataFrame.groupingSets — one pass, Expand +
+# partial aggregation, no self-union of scans.
+# ---------------------------------------------------------------------------
+
+def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return (
+        docs.groupingSets(
+            [["lang", "source"], ["lang"], ["source"]], "lang", "source"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select("lang", "source", "n_docs", "total_chars")
+    )
+
+
+A6_SQL = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+"""
+
+
+# ---------------------------------------------------------------------------
 # W6 — RANGE-frame window: per event, activity in the PRECEDING HOUR of
 # the same user (RANGE BETWEEN on event-time micros — a value-based
 # frame, unlike w4's ROWS frame). Count + max keep the comparison exact
@@ -2396,6 +2424,7 @@ REGISTRY = {
     "ev7_event_transitions": (ev7_event_transitions, EV7_SQL),
     "ev1c_session_window": (ev1c_session_window, EV1C_SQL),
     "a5_cube": (a5_cube, A5_SQL),
+    "a6_grouping_sets": (a6_grouping_sets, A6_SQL),
     "p6_pivot": (p6_pivot, P6_SQL),
     "u3_except_intersect": (u3_except_intersect, U3_SQL),
     "w6_range_frame": (w6_range_frame, W6_SQL),
