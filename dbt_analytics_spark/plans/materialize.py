@@ -264,6 +264,47 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
 
     if strategy == "append":
         combined = existing.unionByName(new_rows)
+    elif strategy == "dedup_insert":
+        # Ingest-time corpus hygiene: drop batch rows that EXACTLY match an
+        # existing row's text fingerprint, then drop near-duplicates of the
+        # existing corpus (MinHash-LSH cross banding — candidate volume
+        # scales with the BATCH, not the corpus; operators/dedup.py:
+        # dedup_against_corpus), then append the survivors. The incremental
+        # analogue of dd8's clean-corpus materialization: each batch pays
+        # one banded shuffle of skinny signature rows against the corpus
+        # index, never a corpus×corpus pass — the 100 TB ingest shape.
+        if not node.unique_key:
+            raise ValueError(
+                f"dedup_insert strategy requires unique_key on {node.name}"
+            )
+        from ..operators import dedup as _dedup
+
+        text_col = node.dedup_text_col
+        if text_col not in new_rows.columns:
+            raise ValueError(
+                f"dedup_insert: text column {text_col!r} not in {node.name}"
+            )
+        fp = F.md5(F.col(text_col))
+        seen = existing.select(fp.alias("__fp")).distinct()
+        w_fp = Window.partitionBy("__fp").orderBy(F.col(node.unique_key))
+        fresh = (
+            new_rows.withColumn("__fp", fp)
+            # within-batch exact dedup first (keep the lowest key —
+            # deterministic), then drop rows whose text already exists.
+            .withColumn("__rn", F.row_number().over(w_fp))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .join(seen, "__fp", "left_anti")
+            .drop("__fp")
+        )
+        survivors = _dedup.dedup_against_corpus(
+            fresh,
+            existing,
+            node.unique_key,
+            text_col,
+            **(node.dedup_kwargs or {}),
+        )
+        combined = existing.unionByName(survivors)
     elif strategy in ("merge", "delete+insert"):
         if not node.unique_key:
             raise ValueError(f"{strategy} strategy requires unique_key on {node.name}")

@@ -68,7 +68,12 @@ class Node:
     path: str = ""
     checksum: str = ""
     unique_key: str | None = None
-    incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite
+    incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite | dedup_insert
+    #: dedup_insert strategy: text column near-dupped against the existing
+    #: corpus (MinHash-LSH banding) before the batch appends; extra kwargs
+    #: forwarded to operators/dedup.py:dedup_against_corpus.
+    dedup_text_col: str = "text"
+    dedup_kwargs: dict | None = None
     on_schema_change: str = "ignore"  # ignore | fail | append_new_columns | sync_all_columns
     event_time: str | None = None  # microbatch: event-time column
     batch_size: str = "day"  # microbatch: hour | day | month | year
@@ -105,6 +110,8 @@ class Node:
             "materialized": self.materialized,
             "unique_key": self.unique_key,
             "incremental_strategy": self.incremental_strategy,
+            "dedup_text_col": self.dedup_text_col,
+            "dedup_kwargs": dict(self.dedup_kwargs) if self.dedup_kwargs else None,
             "on_schema_change": self.on_schema_change,
             "partition_by": list(self.partition_by),
             "bucket_by": list(self.bucket_by),
@@ -359,6 +366,8 @@ class Project:
         tags: tuple[str, ...] = (),
         unique_key: str | None = None,
         incremental_strategy: str = "merge",
+        dedup_text_col: str = "text",
+        dedup_kwargs: dict | None = None,
         on_schema_change: str = "ignore",
         event_time: str | None = None,
         batch_size: str = "day",
@@ -402,6 +411,8 @@ class Project:
                 checksum=checksum,
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
+                dedup_text_col=dedup_text_col,
+                dedup_kwargs=dict(dedup_kwargs) if dedup_kwargs else None,
                 on_schema_change=on_schema_change,
                 event_time=event_time,
                 batch_size=batch_size,

@@ -1151,3 +1151,49 @@ def test_orc_table_materialization_roundtrip(spark, project):
         for r in spark.sql("DESCRIBE EXTENDED orc_custs").collect()
     }.get("Provider", "")
     assert provider.lower() == "orc"
+
+
+def test_incremental_dedup_insert(spark):
+    # dedup_insert: each batch drops (a) within-batch exact text dups,
+    # (b) rows whose text already exists in the corpus, (c) near-dups of
+    # the corpus (MinHash-LSH cross banding), then appends the survivors.
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+    ) * 4
+    distinct = (
+        "completely different content about spark incremental pipelines "
+        "and tokenizer training corpora with unique vocabulary terms "
+    ) * 4
+    near = base.replace("lazy", "sleepy")  # one word changed -> near-dup
+    p = Project(spark, name="ddins")
+    state = {"rows": [(1, base), (2, distinct)]}
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="dedup_insert",
+        unique_key="doc_id",
+        dedup_text_col="body",
+        dedup_kwargs={"threshold": 0.4},
+        name="corpus_t",
+    )
+    def corpus_t(ctx):
+        return ctx.spark.createDataFrame(state["rows"], ["doc_id", "body"])
+
+    p.run(select="corpus_t")
+    assert spark.table("corpus_t").count() == 2
+
+    state["rows"] = [
+        (3, base),       # exact dup of corpus doc 1 -> dropped
+        (4, near),       # near-dup of corpus doc 1 -> dropped by LSH
+        (5, distinct + "brand new suffix sentence"),  # near-dup of doc 2 -> dropped
+        (6, "entirely fresh subject matter with no overlap whatsoever "
+            "covering astronomy telescopes galaxies and spectral lines " * 3),
+        (7, "entirely fresh subject matter with no overlap whatsoever "
+            "covering astronomy telescopes galaxies and spectral lines " * 3),
+        # 6/7 are within-batch exact dups -> lowest key (6) survives
+    ]
+    p2 = Project(spark, name="ddins")
+    p2.nodes = p.nodes
+    p2.run(select="corpus_t")
+    got = sorted(r["doc_id"] for r in spark.table("corpus_t").collect())
+    assert got == [1, 2, 6]
