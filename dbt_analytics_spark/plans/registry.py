@@ -466,6 +466,16 @@ class Project:
             checksum=hashlib.md5(seed_path.encode()).hexdigest() if seed_path else "",
         )
 
+    def sql_model(self, sql: str, name: str, **config_overrides) -> str:
+        """Register a Jinja-SQL model string (dbt's authoring surface):
+        ``{{ config(...) }}`` header, ``{{ ref('x') }}`` /
+        ``{{ source('s', 't') }}``, ``{{ this }}`` and
+        ``{% if is_incremental() %}`` blocks — rendered at execution time
+        and run as one ``spark.sql`` statement (plans/sql_models.py)."""
+        from .sql_models import register_sql_model
+
+        return register_sql_model(self, sql, name, **config_overrides)
+
     def source_table(self, name: str, df: DataFrame, tags: tuple[str, ...] = ()):
         """Register a pre-existing raw input (the reference's hardcoded
         ``public.<name>`` tables — SURVEY.md §1 'Raw inputs')."""

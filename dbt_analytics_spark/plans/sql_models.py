@@ -1,0 +1,130 @@
+"""SQL-string models: dbt's primary authoring surface, run natively.
+
+A reference user writes models as Jinja-SQL files — ``{{ config(...) }}``
+header, ``{{ ref('x') }}`` / ``{{ source('s', 't') }}`` relation
+references, ``{{ this }}`` and ``{% if is_incremental() %}`` for
+incremental models (reference: any model under models/, e.g.
+models/spend_monthly.sql:1-27; SP/dbt/context/providers.py:573-640
+ref resolution; SP/.../incremental/is_incremental.sql). This module runs
+that authoring surface on Spark without dbt's Jinja machinery:
+
+- the ``config()`` header is parsed with ``ast`` (literal kwargs only —
+  the same constraint dbt's static parser imposes for fast parsing),
+- each ``ref()``/``source()`` renders to a per-node temp view REGISTERED
+  FROM ``ctx.ref(...)`` at execution time, so DAG edges, version pins,
+  group/access governance, and ephemeral upstreams all behave exactly as
+  they do for Python models (an ephemeral ref is a temp view over an
+  unmaterialized DataFrame — Catalyst inlines it, the engine-native
+  analogue of dbt's CTE splicing),
+- ``{% if is_incremental() %}…{% endif %}`` blocks are kept or dropped
+  per run from ``ctx.is_incremental()``, and ``{{ this }}`` renders to
+  the qualified target relation,
+- the rendered text is ONE ``spark.sql`` statement — Catalyst compiles
+  it into the same plans the DataFrame API produces, so every
+  plan-quality property (pushdown, broadcast dims, AQE) applies
+  unchanged.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .registry import ModelContext, Project
+
+_CONFIG_RE = re.compile(r"\{\{\s*config\s*\((.*?)\)\s*\}\}", re.S)
+_REF_RE = re.compile(
+    r"\{\{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*(?:,\s*v\s*=\s*(\d+)\s*)?\)\s*\}\}"
+)
+_SOURCE_RE = re.compile(
+    r"\{\{\s*source\(\s*['\"]([^'\"]+)['\"]\s*(?:,\s*['\"]([^'\"]+)['\"]\s*)?\)\s*\}\}"
+)
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_IF_INC_RE = re.compile(
+    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S
+)
+
+
+def parse_config(sql: str) -> tuple[dict[str, Any], str]:
+    """Extract ``{{ config(...) }}`` kwargs (literals only) and return
+    (config_dict, sql_without_header)."""
+    m = _CONFIG_RE.search(sql)
+    if not m:
+        return {}, sql
+    call = ast.parse(f"f({m.group(1)})", mode="eval").body
+    if not isinstance(call, ast.Call) or call.args:
+        raise ValueError("config() takes keyword arguments only")
+    cfg: dict[str, Any] = {}
+    for kw in call.keywords:
+        if kw.arg is None:
+            raise ValueError("config() does not accept **kwargs")
+        cfg[kw.arg] = ast.literal_eval(kw.value)
+    return cfg, sql[: m.start()] + sql[m.end() :]
+
+
+def _view_name(node_name: str, ref_name: str) -> str:
+    return f"__sqlref_{node_name}_{ref_name}".replace(".", "_")
+
+
+def render(ctx: "ModelContext", node_name: str, body: str) -> str:
+    """Render a SQL model body against the runtime context. Every ref /
+    source resolves through ``ctx.ref`` (recording the DAG edge) into a
+    temp view; is_incremental blocks and ``this`` render from the node's
+    actual state."""
+    inc = ctx.is_incremental()
+    body = _IF_INC_RE.sub(lambda m: m.group(1) if inc else "", body)
+    body = _THIS_RE.sub(ctx._project.qualified(ctx._node.name), body)
+
+    def sub_ref(m: re.Match) -> str:
+        name, v = m.group(1), m.group(2)
+        df = ctx.ref(name, v=int(v)) if v else ctx.ref(name)
+        view = _view_name(node_name, name if not v else f"{name}_v{v}")
+        df.createOrReplaceTempView(view)
+        return view
+
+    def sub_source(m: re.Match) -> str:
+        # dbt's source('schema', 'table') identifies the relation by its
+        # second argument; the 1-arg form maps directly to a registered
+        # source node.
+        name = m.group(2) or m.group(1)
+        df = ctx.source(name)
+        view = _view_name(node_name, name)
+        df.createOrReplaceTempView(view)
+        return view
+
+    body = _REF_RE.sub(sub_ref, body)
+    body = _SOURCE_RE.sub(sub_source, body)
+    return body
+
+
+def register_sql_model(
+    project: "Project", sql: str, name: str, **config_overrides
+) -> str:
+    """Register a Jinja-SQL model string as a node. Returns the node name.
+
+    The config header supplies the node config (``materialized``,
+    ``unique_key``, ``incremental_strategy``, ``tags``, …);
+    ``config_overrides`` win over the header. The model function renders
+    refs/sources/this/is_incremental at execution time and runs ONE
+    ``spark.sql`` statement.
+    """
+    cfg, body = parse_config(sql)
+    cfg.update(config_overrides)
+    body = body.strip().rstrip(";")
+    if not body:
+        raise ValueError(f"sql model {name!r}: empty body")
+    tags = cfg.pop("tags", ())
+    if isinstance(tags, str):
+        tags = (tags,)
+
+    def fn(ctx: "ModelContext") -> DataFrame:
+        return ctx.spark.sql(render(ctx, name, body))
+
+    fn.__name__ = name
+    fn.__doc__ = cfg.pop("description", None)
+    project.model(name=name, tags=tuple(tags), **cfg)(fn)
+    return name
