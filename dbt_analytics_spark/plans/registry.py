@@ -244,6 +244,16 @@ class ModelContext:
     def source(self, name: str) -> DataFrame:
         return self.ref(name)
 
+    def var(self, name: str, default=None):
+        """dbt's var() context function: project-level variables with an
+        optional default; raises KeyError for an unknown var with no
+        default (dbt's compilation error)."""
+        if name in self._project.vars:
+            return self._project.vars[name]
+        if default is not None:
+            return default
+        raise KeyError(f"var({name!r}): undefined and no default provided")
+
     def is_incremental(self) -> bool:
         """dbt's is_incremental() flag (reference:
         SP/.../incremental/is_incremental.sql): true when the target exists
@@ -276,6 +286,7 @@ class Project:
         run_date: dt.date | None = None,
         threads: int = 8,
         full_refresh: bool = False,
+        vars: dict | None = None,
     ):
         self.spark = spark
         self.name = name
@@ -283,6 +294,9 @@ class Project:
         self.run_date = run_date or dt.date.today()
         self.threads = threads
         self.full_refresh = full_refresh
+        #: Project variables (dbt --vars / var() context function;
+        #: reference: SP/dbt/context/providers.py Var resolution).
+        self.vars: dict = dict(vars or {})
         self.nodes: dict[str, Node] = {}
         self._built: dict[str, DataFrame] = {}
         self._compile_errors: dict[str, str] = {}

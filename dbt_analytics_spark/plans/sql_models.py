@@ -44,6 +44,9 @@ _SOURCE_RE = re.compile(
     r"\{\{\s*source\(\s*['\"]([^'\"]+)['\"]\s*(?:,\s*['\"]([^'\"]+)['\"]\s*)?\)\s*\}\}"
 )
 _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_VAR_RE = re.compile(
+    r"\{\{\s*var\(\s*['\"]([^'\"]+)['\"]\s*(?:,\s*(.+?)\s*)?\)\s*\}\}"
+)
 _IF_INC_RE = re.compile(
     r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S
 )
@@ -78,6 +81,14 @@ def render(ctx: "ModelContext", node_name: str, body: str) -> str:
     inc = ctx.is_incremental()
     body = _IF_INC_RE.sub(lambda m: m.group(1) if inc else "", body)
     body = _THIS_RE.sub(ctx._project.qualified(ctx._node.name), body)
+
+    def sub_var(m: re.Match) -> str:
+        # var('name') / var('name', <literal default>) — the default is a
+        # Python literal (dbt's static-parse constraint, same as config()).
+        default = ast.literal_eval(m.group(2)) if m.group(2) else None
+        return str(ctx.var(m.group(1), default))
+
+    body = _VAR_RE.sub(sub_var, body)
 
     def sub_ref(m: re.Match) -> str:
         name, v = m.group(1), m.group(2)

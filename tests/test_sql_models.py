@@ -157,3 +157,29 @@ def test_sql_model_matches_workload_dataframe_model(spark):
     a = sorted(map(tuple, spark.table("spend_monthly").collect()))
     b = sorted(map(tuple, spark.table("spend_monthly_sql").collect()))
     assert a == b and len(a) > 0
+
+
+def test_sql_model_vars(spark):
+    p = Project(spark, name="sqlvars", vars={"min_total": 12})
+    p.source_table(
+        "v_src", spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "total"])
+    )
+    p.sql_model(
+        "SELECT id FROM {{ source('v_src') }} "
+        "WHERE total > {{ var('min_total') }} "
+        "AND id < {{ var('max_id', 100) }}",
+        name="var_model",
+    )
+    p.run(select="var_model")
+    assert [r["id"] for r in spark.table("var_model").collect()] == [2]
+
+    # ctx.var in Python models + undefined var raises.
+    @p.model(name="pyvar")
+    def pyvar(ctx):
+        assert ctx.var("min_total") == 12
+        assert ctx.var("missing", "d") == "d"
+        with pytest.raises(KeyError):
+            ctx.var("missing")
+        return ctx.spark.range(1)
+
+    p.run(select="pyvar")
