@@ -235,18 +235,25 @@ def topk_per_group(
 ) -> DataFrame:
     """Keep the best ``k`` rows per group, with a dense 1..k ``rank_col``.
 
-    Scale shape: a per-group ranking window never splits its partition, so
-    a hot group (one language holding 60% of a 100 TB corpus) lands on one
-    task. With ``n_salts`` set, the window runs TWO-PHASE (the sessionize
-    skew pattern, SKEW_PROBE_r06): phase 1 ranks within (group, salt) —
-    the hot group splits across ``n_salts`` tasks — and keeps only k rows
-    per salt; phase 2 re-ranks the surviving ``n_salts * k`` rows per
-    group, a trivially small window. The salt is derived from ``salt_on``
-    (default: the first partition column is NOT usable — pass a
+    Scale shape — measured, not assumed: for a ``row_number() <= k``
+    filter Catalyst inserts **WindowGroupLimit** in Partial mode BEFORE
+    the exchange and Final mode after it (plan-pinned in
+    tests/test_plan_quality.py), i.e. every input partition keeps only
+    its own top-k per group map-side. That is exactly the two-phase
+    hot-stratum rewrite, done by the optimizer: the shuffle carries at
+    most ``k x input_partitions`` rows per group and no task ever sorts a
+    whole hot stratum. Probed at 5M rows with a 90% hot group
+    (BENCH_NOTES round-7 session 2): the plain window (0.62 s warm) BEATS
+    the manual salted two-phase (0.87 s) — the salt's second window pass
+    is pure overhead on top of what WindowGroupLimit already did.
+
+    ``n_salts`` keeps the manual two-phase available for window functions
+    the rank-pushdown does not cover; it is row-identical to the plain
+    path (pinned by test) but measured slower for row_number top-k —
+    leave it unset there. The salt derives from ``salt_on`` (pass a
     high-cardinality column, e.g. the unique id) and never affects the
-    result: phase 2's total order is identical to the single-window
-    answer, which callers must make deterministic via a unique tiebreak
-    in ``order_by``.
+    result; callers must make ``order_by`` a total order via a unique
+    tiebreak either way.
     """
     if n_salts:
         if not salt_on:

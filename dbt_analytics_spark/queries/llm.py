@@ -1564,9 +1564,10 @@ FROM top WHERE rn = 1
 # ---------------------------------------------------------------------------
 # SMP5 — fixed-k stratified sampling (eval-set carving: exactly k docs per
 # language, deterministic). The md5-hex draw (smp1's convention) gives the
-# per-doc uniform key; operators/top1.py:topk_per_group runs the ranking
-# TWO-PHASE (salted) so a hot stratum — one language holding most of a
-# 100 TB corpus — never lands its whole window on one task.
+# per-doc uniform key; operators/top1.py:topk_per_group ranks it. Skew
+# story: Catalyst's WindowGroupLimit runs the rank in two phases (Partial
+# before the exchange), so a hot stratum never lands a whole window on
+# one task — measured faster than manual salting (see topk_per_group).
 # ---------------------------------------------------------------------------
 
 _SMP5_K = 25
@@ -1586,8 +1587,6 @@ def smp5_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang"],
         [F.asc("sample_key"), F.asc("doc_id")],
         k=_SMP5_K,
-        n_salts=16,
-        salt_on="doc_id",
     )
     return picked.select(
         "doc_id", "lang", "sample_key", F.col("rank").cast("int").alias("rank")

@@ -302,3 +302,22 @@ def test_topk_per_group_salting_invariant(spark):
             docs, ["lang"], order, k=25, n_salts=n_salts, salt_on="doc_id"
         ).collect()))
         assert salted == plain
+
+
+def test_topk_per_group_partial_window_group_limit(spark):
+    # The property smp5's skew story rests on: Catalyst runs the
+    # row_number()<=k filter as WindowGroupLimit with a PARTIAL pass
+    # before the exchange (map-side per-partition top-k), so no task ever
+    # sorts a whole hot stratum and the shuffle carries <= k rows per
+    # group per input partition.
+    from dbt_analytics_spark.operators.top1 import topk_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("lang"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    plan = _plan(topk_per_group(df, ["lang"], [F.asc("key"), F.asc("doc_id")], k=25))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
