@@ -139,3 +139,35 @@ def register_sql_model(
     fn.__doc__ = cfg.pop("description", None)
     project.model(name=name, tags=tuple(tags), **cfg)(fn)
     return name
+
+
+def load_sql_models_dir(project: "Project", path: str) -> list[str]:
+    """Register every ``*.sql`` file under ``path`` (recursively) as a SQL
+    model named after its filename — the dbt ``models/`` directory layout,
+    so a reference user can point their existing model tree at the engine.
+    Subdirectory names become tags (dbt's folder-scoped config selection:
+    ``tag:staging`` ~ ``staging/**``). Returns registered node names in
+    path order.
+    """
+    import os
+
+    names: list[str] = []
+    for root, _dirs, files in sorted(os.walk(path)):
+        rel = os.path.relpath(root, path)
+        folder_tags = () if rel == "." else tuple(rel.split(os.sep))
+        for f in sorted(files):
+            if not f.endswith(".sql"):
+                continue
+            name = f[: -len(".sql")]
+            with open(os.path.join(root, f)) as fh:
+                sql = fh.read()
+            cfg, _ = parse_config(sql)
+            tags = cfg.get("tags", ())
+            if isinstance(tags, str):
+                tags = (tags,)
+            names.append(
+                register_sql_model(
+                    project, sql, name, tags=tuple(tags) + folder_tags
+                )
+            )
+    return names

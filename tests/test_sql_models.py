@@ -183,3 +183,31 @@ def test_sql_model_vars(spark):
         return ctx.spark.range(1)
 
     p.run(select="pyvar")
+
+
+def test_load_sql_models_dir(spark, tmp_path):
+    # A dbt-style models/ tree: staging/ + marts/, filename = model name,
+    # folder = tag.
+    (tmp_path / "staging").mkdir()
+    (tmp_path / "marts").mkdir()
+    (tmp_path / "staging" / "stg_orders.sql").write_text(
+        "{{ config(materialized='view') }}\n"
+        "SELECT id, amount FROM {{ source('raw_tbl') }} WHERE amount > 0"
+    )
+    (tmp_path / "marts" / "order_totals.sql").write_text(
+        "SELECT SUM(amount) AS total FROM {{ ref('stg_orders') }}"
+    )
+    p = Project(spark, name="sqldir")
+    p.source_table(
+        "raw_tbl",
+        spark.createDataFrame([(1, 5.0), (2, -1.0), (3, 7.0)], ["id", "amount"]),
+    )
+    from dbt_analytics_spark.plans.sql_models import load_sql_models_dir
+
+    names = load_sql_models_dir(p, str(tmp_path))
+    assert set(names) == {"stg_orders", "order_totals"}
+    assert "staging" in p.nodes["stg_orders"].tags
+    assert p.nodes["stg_orders"].materialized == "view"
+    p.run()
+    assert spark.table("order_totals").collect()[0]["total"] == 12.0
+    assert "stg_orders" in p.nodes["order_totals"].depends_on
