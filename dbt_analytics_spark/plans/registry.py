@@ -314,6 +314,9 @@ class Project:
         self._latest_pin: dict[str, int] = {}
         #: Named YAML selectors (selectors.yml; plans/selectors_yaml.py).
         self.selectors: dict[str, dict] = {}
+        #: SQL macros for sql_model rendering (plans/sql_models.py):
+        #: name -> fn(*literal_args) -> SQL fragment string.
+        self.sql_macros: dict[str, Callable[..., str]] = {}
         #: Deferred environment (dbt --defer): database whose relations
         #: satisfy refs to unselected, unbuilt nodes.
         self._defer_db: str | None = None
@@ -479,6 +482,18 @@ class Project:
             path=seed_path,
             checksum=hashlib.md5(seed_path.encode()).hexdigest() if seed_path else "",
         )
+
+    def sql_macro(self, name: str | None = None):
+        """Decorator registering a SQL macro usable from sql_model bodies
+        as ``{{ name(args...) }}`` (plans/sql_models.py: args are Python
+        literals; the returned fragment may itself contain ref()/var()
+        templates — the dbt_utils macro idiom)."""
+
+        def wrap(fn: Callable[..., str]):
+            self.sql_macros[name or fn.__name__] = fn
+            return fn
+
+        return wrap
 
     def sql_model(self, sql: str, name: str, **config_overrides) -> str:
         """Register a Jinja-SQL model string (dbt's authoring surface):

@@ -73,11 +73,47 @@ def _view_name(node_name: str, ref_name: str) -> str:
     return f"__sqlref_{node_name}_{ref_name}".replace(".", "_")
 
 
+_MACRO_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\(\s*(.*?)\s*\)\s*\}\}")
+_BUILTIN_CALLS = frozenset({"config", "ref", "source", "var"})
+
+
+def _expand_macros(ctx: "ModelContext", body: str) -> str:
+    """Expand user-registered SQL macros (``Project.sql_macro``): a macro
+    is a Python function returning a SQL fragment string; call-site args
+    are literals (dbt's static-parse constraint). Macros expand BEFORE
+    ref/source/var rendering, so a macro may emit ``{{ ref('x') }}`` —
+    the dbt_utils idiom of macros that reference relations. Expansion
+    repeats until fixpoint (macros emitting macros), bounded to keep a
+    cyclic definition from looping forever."""
+    macros = ctx._project.sql_macros
+    if not macros:
+        return body
+
+    def sub(m: re.Match) -> str:
+        name, raw_args = m.group(1), m.group(2)
+        if name in _BUILTIN_CALLS or name not in macros:
+            return m.group(0)
+        args = (
+            [ast.literal_eval(a) for a in ast.parse(f"f({raw_args})", mode="eval").body.args]
+            if raw_args.strip()
+            else []
+        )
+        return str(macros[name](*args))
+
+    for _ in range(10):
+        expanded = _MACRO_RE.sub(sub, body)
+        if expanded == body:
+            return expanded
+        body = expanded
+    raise ValueError("sql macro expansion did not converge (cyclic macros?)")
+
+
 def render(ctx: "ModelContext", node_name: str, body: str) -> str:
     """Render a SQL model body against the runtime context. Every ref /
     source resolves through ``ctx.ref`` (recording the DAG edge) into a
     temp view; is_incremental blocks and ``this`` render from the node's
     actual state."""
+    body = _expand_macros(ctx, body)
     inc = ctx.is_incremental()
     body = _IF_INC_RE.sub(lambda m: m.group(1) if inc else "", body)
     body = _THIS_RE.sub(ctx._project.qualified(ctx._node.name), body)

@@ -211,3 +211,44 @@ def test_load_sql_models_dir(spark, tmp_path):
     p.run()
     assert spark.table("order_totals").collect()[0]["total"] == 12.0
     assert "stg_orders" in p.nodes["order_totals"].depends_on
+
+
+def test_sql_macros(spark):
+    p = Project(spark, name="sqlmac", vars={"fx": 100})
+    p.source_table(
+        "m_src", spark.createDataFrame([(1, 2.5), (2, 4.0)], ["id", "amt"])
+    )
+
+    @p.sql_macro()
+    def cents(col):
+        return f"CAST({col} * {{{{ var('fx') }}}} AS BIGINT)"
+
+    @p.sql_macro("amounts_rel")
+    def amounts_rel():
+        return "{{ source('m_src') }}"
+
+    p.sql_model(
+        "SELECT id, {{ cents('amt') }} AS amt_cents FROM {{ amounts_rel() }}",
+        name="macro_model",
+    )
+    p.run(select="macro_model")
+    got = {r["id"]: r["amt_cents"] for r in spark.table("macro_model").collect()}
+    assert got == {1: 250, 2: 400}
+    assert "m_src" in p.nodes["macro_model"].depends_on
+
+
+def test_sql_macro_cycle_raises(spark):
+    p = Project(spark, name="sqlcyc")
+
+    @p.sql_macro()
+    def a():
+        return "{{ b() }}"
+
+    @p.sql_macro()
+    def b():
+        return "{{ a() }}"
+
+    p.sql_model("SELECT {{ a() }}", name="cyc")
+    results = {r.node: r for r in p.run(select="cyc")}
+    assert results["cyc"].status == "error"
+    assert "converge" in results["cyc"].message
