@@ -889,6 +889,26 @@ class Project:
         """dbt show: preview a node (reference: SP/dbt/task/show.py:29-39)."""
         self.compile_node(name).limit(n).show(truncate=False)
 
+    def query(self, sql: str) -> DataFrame:
+        """Ad-hoc analysis over the project graph — ``dbt show --inline``
+        / the analyses/ surface: render a Jinja-SQL string ({{ ref }},
+        {{ source }}, {{ var }}, registered macros) against the project's
+        relations and return the DataFrame without registering or
+        materializing a node."""
+        from .sql_models import render
+
+        scratch = Node(name="__adhoc__", kind="model", materialized="ephemeral")
+        ctx = ModelContext(self, scratch, self._resolve_for_adhoc)
+        return self.spark.sql(render(ctx, "__adhoc__", sql))
+
+    def _resolve_for_adhoc(self, name: str) -> DataFrame:
+        """Resolve a ref for Project.query: prefer the materialized
+        relation (what an analyst queries), fall back to compiling the
+        node when it has not been built yet."""
+        if self.relation_exists(name):
+            return self.read_relation(name)
+        return self.compile_node(name)
+
     def list(
         self, select: str | None = None, selector: str | None = None
     ) -> list[dict]:

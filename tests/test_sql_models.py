@@ -252,3 +252,22 @@ def test_sql_macro_cycle_raises(spark):
     results = {r.node: r for r in p.run(select="cyc")}
     assert results["cyc"].status == "error"
     assert "converge" in results["cyc"].message
+
+
+def test_project_query_adhoc(spark):
+    p = Project(spark, name="sqladhoc", vars={"cut": 10})
+    p.source_table(
+        "q_src", spark.createDataFrame([(1, 5.0), (2, 15.0)], ["id", "amt"])
+    )
+    p.sql_model(
+        "SELECT id, amt FROM {{ source('q_src') }}", name="amounts"
+    )
+    # Before any run: query compiles the unbuilt node.
+    pre = p.query(
+        "SELECT COUNT(*) AS n FROM {{ ref('amounts') }} WHERE amt > {{ var('cut') }}"
+    ).collect()
+    assert pre[0]["n"] == 1
+    p.run(select="amounts")
+    # After the run: resolves from the materialized relation.
+    post = p.query("SELECT SUM(amt) AS s FROM {{ ref('amounts') }}").collect()
+    assert post[0]["s"] == 20.0
