@@ -187,6 +187,9 @@ _BEYOND_DRIVER_CAP = [
     # ev7 (round 7): first-order Markov transition matrix over user event
     # streams (event family driver-evidenced by ev1/ev2/ev3/ev4 rows).
     "ev7_event_transitions",
+    # w7 (round 7): percent_rank/cume_dist/nth_value analytic suite
+    # (window family driver-evidenced by w1/w2/w3 rows).
+    "w7_analytic_suite",
     # a6 (round 7): explicit GROUPING SETS — the grouping-set family's
     # last member beside a1 (manual grains), a2 (ROLLUP), a5 (CUBE).
     "a6_grouping_sets",

@@ -1609,6 +1609,44 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 
 
 # ---------------------------------------------------------------------------
+# W7 — distribution analytics: percent_rank / cume_dist / nth_value in
+# one window pass (the remaining analytic-function family beside W1/W2's
+# ranking, W4/W6's frames, W5's ntile). Ratios are (rank-1)/(n-1) and
+# rank/n int-derived divisions — exact cross-engine; the ordering key
+# includes the unique custkey so every function sees a total order.
+# ---------------------------------------------------------------------------
+
+def w7_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_testdata(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank_r"),
+        F.round(F.cume_dist().over(w), 9).alias("cume_dist_r"),
+        _money(F.nth_value("c_acctbal", 2).over(w_frame)).cast("double").alias(
+            "second_highest_bal"
+        ),
+    )
+
+
+W7_SQL = """
+SELECT c_custkey AS cust_key, c_nationkey AS nation_key,
+       round(percent_rank() OVER w, 9) AS pct_rank_r,
+       round(cume_dist() OVER w, 9) AS cume_dist_r,
+       CAST(CAST(nth_value(c_acctbal, 2) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS DECIMAL(18,2)) AS DOUBLE) AS second_highest_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
 # P6 — PIVOT: long→wide event-count matrix per user bucket (df.pivot with
 # an EXPLICIT value list — the open-ended form needs a values scan; the
 # pinned list keeps it one pass). Spark compiles pivot to conditional
@@ -2438,6 +2476,7 @@ REGISTRY = {
     "p6_pivot": (p6_pivot, P6_SQL),
     "u3_except_intersect": (u3_except_intersect, U3_SQL),
     "w6_range_frame": (w6_range_frame, W6_SQL),
+    "w7_analytic_suite": (w7_analytic_suite, W7_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
     "f1_percentiles": (f1_percentiles, F1_SQL),
     "f4_profile": (f4_profile, F4_SQL),
