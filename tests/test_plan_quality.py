@@ -321,3 +321,27 @@ def test_topk_per_group_partial_window_group_limit(spark):
     plan = _plan(topk_per_group(df, ["lang"], [F.asc("key"), F.asc("doc_id")], k=25))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q7_volume_shipping", "q8_market_share", "q10_returned_items",
+             "q14_promo_revenue", "q15_top_supplier", "q18_large_orders"]
+)
+def test_tpch_batch_no_cartesian_dims_broadcast(spark, name):
+    # The q6-q18 batch: every dim rides a broadcast, nothing degrades to a
+    # cartesian/nested-loop, and the only shuffle joins are fact⋈fact.
+    plan = _plan(REGISTRY[name][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_filters_facts_before_fact_join(spark):
+    # The join-order fix (BENCH_NOTES): both facts must meet their
+    # FILTERED broadcast dims BEFORE the fact⋈fact orderkey join — the
+    # nation filter must appear under a broadcast join input, not after
+    # the orderkey join.
+    plan = _plan(REGISTRY["q7_volume_shipping"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the selective dim filter is pushed into the dim scans
+    assert "NATION_" in plan
