@@ -184,6 +184,12 @@ _BEYOND_DRIVER_CAP = [
     # driver-evidenced by f6's row).
     "smp5_fixed_k_sample",
     "f7_drift_psi",
+    # txt16/txt16b (round 7): learned logreg quality classifier — training
+    # rows-only (iterative GD, tests/test_classifier.py); scoring with
+    # pinned weights exact-oracled (classifier family driver-evidenced by
+    # txt14_nb_langid's row).
+    "txt16_logreg_quality",
+    "txt16b_logreg_score",
     # ev7 (round 7): first-order Markov transition matrix over user event
     # streams (event family driver-evidenced by ev1/ev2/ev3/ev4 rows).
     "ev7_event_transitions",

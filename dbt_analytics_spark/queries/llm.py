@@ -1732,6 +1732,56 @@ FROM hits GROUP BY vec_id, cell
 """
 
 
+# ---------------------------------------------------------------------------
+# TXT16 — learned quality classifier: distributed logistic regression
+# (operators/classifier.py) over cheap engine-side features, trained by
+# one-corpus-scan-per-epoch partial-gradient GD (the kmeans_fit shape).
+# Rows-only (iterative training); loss-monotonicity/determinism/
+# discrimination pinned in tests/test_classifier.py. TXT16B scores with
+# PINNED weights — pure row-local expressions — under an exact DuckDB
+# oracle (the f5b/sim5b exact-regime pattern).
+# ---------------------------------------------------------------------------
+
+def txt16_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import logreg_fit, logreg_score
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    w, _hist = logreg_fit(docs, F.col("lang") == "en", max_iter=15)
+    return logreg_score(docs, w)
+
+
+_TXT16B_W = [-2.0, 0.8, 0.3, -0.5, -3.0]
+
+
+def txt16b_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import logreg_score
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return logreg_score(docs, _TXT16B_W)
+
+
+TXT16B_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS nc,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS nt,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS nd
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(
+             {_TXT16B_W[0]} * 1.0
+           + {_TXT16B_W[1]} * log10(nc + 1.0)
+           + {_TXT16B_W[2]} * (nt / 100.0)
+           + {_TXT16B_W[3]} * (nc / greatest(nt, 1.0) / 10.0)
+           + {_TXT16B_W[4]} * (nd / greatest(nc, 1.0))
+         ))), 6) AS quality_score
+  FROM feats
+)
+SELECT doc_id, quality_score, quality_score >= 0.5 AS keep FROM scored
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -1778,5 +1828,7 @@ REGISTRY = {
     "f3_approx_percentiles": (f3_approx_percentiles, None),
     "dd11_semdedup": (dd11_semdedup, DD11_SQL),
     "smp5_fixed_k_sample": (smp5_fixed_k_sample, SMP5_SQL),
+    "txt16_logreg_quality": (txt16_logreg_quality, None),
+    "txt16b_logreg_score": (txt16b_logreg_score, TXT16B_SQL),
     "f7_drift_psi": (f7_drift_psi, F7_SQL),
 }
