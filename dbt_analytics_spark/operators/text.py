@@ -663,3 +663,78 @@ def heavy_hitters(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def _cms_bucket(term: Column, d: Column, hex_digits: int) -> Column:
+    """Engine-portable CMS bucket: the first ``hex_digits`` hex chars of
+    md5(term|row) AS A STRING. Identical in any engine with md5 — the
+    whole sketch (build AND probe) is therefore SQL-expressible, so CMS
+    estimates hash-check exactly cross-engine despite being approximate
+    with respect to the true counts."""
+    return F.substring(
+        F.md5(F.concat(term, F.lit("|"), d.cast("string"))), 1, hex_digits
+    )
+
+
+def cms_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """Count-Min sketch over the token stream (Cormode & Muthukrishnan
+    2005): ``depth`` hash rows × ``16^hex_digits`` buckets of exact
+    bucket-counts. Returns (d, bucket, cnt).
+
+    Scale shape (100 TB): the build is ONE groupBy over a key space
+    bounded at depth × width — map-side partial aggregation collapses
+    each partition to at most that many rows before the shuffle, so
+    shuffle volume is independent of corpus size (the same property as
+    the SpaceSaving merge, without per-partition eviction logic). The
+    sketch table itself is broadcast-sized by construction.
+    """
+    toks = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    rows = toks.select(
+        "term",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    )
+    return (
+        rows.groupBy(
+            "d", _cms_bucket(F.col("term"), F.col("d"), hex_digits).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: list[str],
+    depth: int = 4,
+    hex_digits: int = 3,
+) -> DataFrame:
+    """Point-query the sketch: est(term) = min over rows of the term's
+    bucket count (0 if a bucket is empty). CMS guarantee: est >= true
+    always; est <= true + eps*N with probability 1 - delta for
+    width = e/eps, depth = ln(1/delta). The probe is |terms| x depth
+    skinny rows against the broadcast-sized sketch."""
+    spark = sketch.sparkSession
+    probe = (
+        spark.createDataFrame([(t,) for t in sorted(set(terms))], ["term"])
+        .select(
+            "term",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+        )
+        .select(
+            "term",
+            "d",
+            _cms_bucket(F.col("term"), F.col("d"), hex_digits).alias("bucket"),
+        )
+    )
+    joined = probe.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )

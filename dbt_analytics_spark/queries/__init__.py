@@ -190,6 +190,10 @@ _BEYOND_DRIVER_CAP = [
     # txt14_nb_langid's row).
     "txt16_logreg_quality",
     "txt16b_logreg_score",
+    # f8 (round 7): Count-Min sketch with a portable md5-string bucket —
+    # build AND probe SQL-expressible, so the approximate estimates
+    # hash-check exactly (sketch family driver-evidenced by f6's row).
+    "f8_cms_counts",
     # ev7 (round 7): first-order Markov transition matrix over user event
     # streams (event family driver-evidenced by ev1/ev2/ev3/ev4 rows).
     "ev7_event_transitions",

@@ -1733,6 +1733,53 @@ FROM hits GROUP BY vec_id, cell
 
 
 # ---------------------------------------------------------------------------
+# F8 — Count-Min sketch (operators/text.py:cms_sketch/cms_estimate):
+# frequency point-queries in bounded memory, completing the sketch family
+# beside HLL (f2), GK (f3), SpaceSaving (f5), histogram (f6). The bucket
+# is an md5-hex-substring STRING, so the entire sketch — build and probe
+# — is SQL-expressible and the (approximate!) estimates hash-check
+# exactly cross-engine; the est >= true one-sided guarantee is pinned
+# against exact counts in tests/test_functions.py.
+# ---------------------------------------------------------------------------
+
+_F8_TERMS = ["data", "spark", "merge", "window", "slow", "zz_absent_term"]
+_F8_DEPTH = 4
+_F8_HEX = 3
+
+
+def f8_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import cms_estimate, cms_sketch
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    sk = cms_sketch(docs, depth=_F8_DEPTH, hex_digits=_F8_HEX)
+    return cms_estimate(sk, _F8_TERMS, depth=_F8_DEPTH, hex_digits=_F8_HEX)
+
+
+_F8_TERMS_SQL = ", ".join(f"('{t}')" for t in _F8_TERMS)
+
+F8_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(TRIM(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), rows_ AS (
+  SELECT term, d FROM toks, (SELECT unnest(range({_F8_DEPTH})) AS d)
+  WHERE term <> ''
+), sketch AS (
+  SELECT d, substr(md5(term || '|' || CAST(d AS VARCHAR)), 1, {_F8_HEX}) AS bucket,
+         COUNT(*) AS cnt
+  FROM rows_ GROUP BY 1, 2
+), probe AS (
+  SELECT t.term, d.d,
+         substr(md5(t.term || '|' || CAST(d.d AS VARCHAR)), 1, {_F8_HEX}) AS bucket
+  FROM (VALUES {_F8_TERMS_SQL}) t(term), (SELECT unnest(range({_F8_DEPTH})) AS d) d
+)
+SELECT p.term, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+FROM probe p LEFT JOIN sketch s USING (d, bucket)
+GROUP BY p.term
+"""
+
+
+# ---------------------------------------------------------------------------
 # TXT16 — learned quality classifier: distributed logistic regression
 # (operators/classifier.py) over cheap engine-side features, trained by
 # one-corpus-scan-per-epoch partial-gradient GD (the kmeans_fit shape).
@@ -1828,6 +1875,7 @@ REGISTRY = {
     "f3_approx_percentiles": (f3_approx_percentiles, None),
     "dd11_semdedup": (dd11_semdedup, DD11_SQL),
     "smp5_fixed_k_sample": (smp5_fixed_k_sample, SMP5_SQL),
+    "f8_cms_counts": (f8_cms_counts, F8_SQL),
     "txt16_logreg_quality": (txt16_logreg_quality, None),
     "txt16b_logreg_score": (txt16b_logreg_score, TXT16B_SQL),
     "f7_drift_psi": (f7_drift_psi, F7_SQL),

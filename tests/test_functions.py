@@ -167,3 +167,37 @@ def test_approx_percentiles_accuracy(spark):
             exact = r[f"exact_p{q}"]
             assert exact > 0
             assert abs(r[f"approx_p{q}"] - exact) / exact < 0.02, (r, q)
+
+
+def test_cms_overestimate_invariant(spark):
+    # Count-Min's one-sided guarantee: est >= true ALWAYS; and with
+    # depth=4 x 4096 buckets over this vocabulary, absent terms estimate
+    # small (bounded by collision mass, not by the corpus).
+    from pyspark.sql import functions as F
+
+    from dbt_analytics_spark.operators.text import (
+        cms_estimate,
+        cms_sketch,
+        tokens,
+    )
+    from dbt_analytics_spark.sources import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001")["documents"]
+    truth = {
+        r["term"]: r["cnt"]
+        for r in docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    terms = sorted(truth, key=truth.get, reverse=True)[:10] + ["zz_absent"]
+    sk = cms_sketch(docs)
+    est = {r["term"]: r["est_count"] for r in cms_estimate(sk, terms).collect()}
+    n_tokens = sum(truth.values())
+    for t in terms:
+        true = truth.get(t, 0)
+        assert est[t] >= true, (t, est[t], true)
+        # eps = e/width with width=4096 -> est - true <= ~2.7e-4 * N
+        # per the CMS bound at delta = e^-4; allow 10x slack.
+        assert est[t] - true <= max(10, 10 * 2.7e-4 * n_tokens), (t, est[t], true)
