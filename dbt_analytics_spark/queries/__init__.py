@@ -173,6 +173,10 @@ _BEYOND_DRIVER_CAP = [
     "q7_volume_shipping",
     "q8_market_share",
     "q15_top_supplier",
+    # Third batch: zero-preserving count histogram (q13), decorrelated
+    # avg-quantity subquery with integer cross-multiplied boundary (q17).
+    "q13_custdist",
+    "q17_small_qty_revenue",
     # dd11 (round 7): SemDeDup cluster-bounded semantic dedup — the
     # composition of sim5b's pinned-centroid assignment and within-cell
     # rounded-cosine pair flags, fully SQL-oracled. The near-dup family

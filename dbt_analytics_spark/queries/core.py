@@ -2149,6 +2149,96 @@ WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
 
 
 # ---------------------------------------------------------------------------
+# Q13-shape — customer order-count distribution: LEFT join so zero-order
+# customers survive, then a histogram of the counts (agg-of-agg). The
+# per-customer rollup reduces the fact before anything joins it (the j1
+# fallback plan is mandatory here — the output grain forces it).
+# ---------------------------------------------------------------------------
+
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    per_cust = t["orders"].groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("c_count")
+    )
+    counts = (
+        t["customer"]
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+  ) o ON c_custkey = o.o_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17-shape — small-quantity-order revenue: a correlated AVG subquery
+# (l_quantity < 0.5 * avg(l_quantity) per part) decorrelated into a
+# per-part aggregate joined back to the fact. The threshold compare uses
+# the exact decimal avg-halving (sum/2/count as decimal math both sides)
+# so the boundary is engine-stable.
+# ---------------------------------------------------------------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"]
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    # The correlated "qty < avg(qty)/2" threshold decorrelates to a
+    # per-part aggregate; the compare is cross-multiplied into pure
+    # INTEGER arithmetic (quantities are integral):
+    #   qty < sum/(2*cnt)  <=>  qty * 2 * cnt < sum
+    # so the boundary is bit-exact in any engine — no decimal-division
+    # scale rules involved.
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_cnt"),
+    )
+    return (
+        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 2 * F.col("qty_cnt")
+            < F.col("qty_sum")
+        )
+        .groupBy()
+        .agg(
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+         COUNT(*) AS qty_cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+JOIN per_part ON l_partkey = pk
+WHERE CAST(l_quantity AS BIGINT) * 2 * qty_cnt < qty_sum
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q18-shape — large-volume orders: aggregate-then-semijoin (HAVING on the
 # fact's own rollup feeds a key filter back into the join). The qty rollup
 # and the order join share the orderkey shuffle; customer broadcasts.
@@ -2426,7 +2516,9 @@ REGISTRY = {
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_custdist": (q13_custdist, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
