@@ -2203,13 +2203,20 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   qty < sum/(2*cnt)  <=>  qty * 2 * cnt < sum
     # so the boundary is bit-exact in any engine — no decimal-division
     # scale rules involved.
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # Restrict lineitem to the brand's parts FIRST (broadcast semi —
+    # every lineitem row of a selected part survives, so the per-part
+    # average is unchanged): the decorrelated aggregate then runs over
+    # ~4% of the fact and the threshold join is a broadcast, not a 60M-row
+    # shuffle (measured sf10: 4.9 s -> 1.5 s, 1.15x DuckDB).
+    brand_li = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
         F.count(F.lit(1)).alias("qty_cnt"),
     )
     return (
-        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        brand_li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
         .filter(
             F.col("l_quantity").cast("bigint") * 2 * F.col("qty_cnt")
             < F.col("qty_sum")
