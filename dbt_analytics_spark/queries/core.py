@@ -2160,6 +2160,12 @@ def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = t["orders"].groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("c_count")
     )
+    # per_cust is CUSTOMER-cardinality (two ints per customer), so the
+    # dim-budget gate applies to it exactly as to the customer table: when
+    # customer fits the broadcast budget so does this aggregate, and the
+    # left join runs without shuffling the customer side.
+    if table_disk_bytes(sf_dir, "customer") <= DIM_BROADCAST_BUDGET:
+        per_cust = F.broadcast(per_cust)
     counts = (
         t["customer"]
         .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
