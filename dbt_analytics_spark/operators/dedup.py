@@ -363,6 +363,7 @@ def minhash_lsh_pairs_cross(
     bands: int = 8,
     threshold: float = 0.5,
     n_salts: int | None = None,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Cross-set near-dup pairs: each NEW document against an EXISTING
     corpus — the incremental-ingest dedup ("is this crawl batch already in
@@ -385,9 +386,18 @@ def minhash_lsh_pairs_cross(
     new_sh, new_banded = _shingle_and_band(
         new, id_col, text_col, shingle_k, num_hashes, bands
     )
-    cor_sh, cor_banded = _shingle_and_band(
-        corpus, id_col, text_col, shingle_k, num_hashes, bands
-    )
+    if corpus_index is not None:
+        # Pre-built (shingles, banded) relations — e.g. the persisted
+        # index tables build_lsh_index() produces. Skips re-banding the
+        # corpus entirely: the per-batch cost becomes banding the BATCH
+        # plus one skinny join against the stored bands, independent of
+        # corpus size. The index MUST have been built with the same
+        # shingle_k/num_hashes/bands.
+        cor_sh, cor_banded = corpus_index
+    else:
+        cor_sh, cor_banded = _shingle_and_band(
+            corpus, id_col, text_col, shingle_k, num_hashes, bands
+        )
 
     if n_salts:
         a = new_banded.withColumn(
@@ -439,11 +449,32 @@ def dedup_against_corpus(
     **lsh_kwargs,
 ) -> DataFrame:
     """Rows of ``new`` that are NOT near-duplicates of any corpus doc —
-    ``minhash_lsh_pairs_cross`` then a left-anti join on the new id."""
+    ``minhash_lsh_pairs_cross`` then a left-anti join on the new id.
+    Accepts ``corpus_index=`` (see minhash_lsh_pairs_cross) to reuse a
+    persisted banded corpus."""
     dups = minhash_lsh_pairs_cross(
         new, corpus, id_col, text_col, **lsh_kwargs
     ).select(F.col("new_doc").alias(id_col))
     return new.join(dups, id_col, "left_anti")
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The reusable corpus side of the cross-set near-dup: returns
+    (shingles, banded) — ``(doc, sh array<long>)`` and ``(doc, band,
+    bucket)`` — suitable for persisting as tables and passing back via
+    ``corpus_index=``. This is the 100 TB ingest design: the corpus is
+    banded ONCE (and appended to incrementally as batches land), so
+    per-batch dedup cost scales with the batch, never the corpus."""
+    return _shingle_and_band(
+        corpus, id_col, text_col, shingle_k, num_hashes, bands
+    )
 
 
 # ---------------------------------------------------------------------------

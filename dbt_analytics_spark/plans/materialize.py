@@ -48,6 +48,14 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
     if kind in ("table", "materialized_view") or (
         kind == "incremental" and not _incremental_applies(project, node)
     ):
+        if kind == "incremental" and node.incremental_strategy == "dedup_insert":
+            # Initial build / full refresh: any companion LSH index from a
+            # previous life is stale — drop it so the next incremental run
+            # bootstraps a fresh one from the rebuilt corpus.
+            for suffix in ("__lsh_shingles", "__lsh_bands"):
+                project.spark.sql(
+                    f"DROP TABLE IF EXISTS {project.qualified(node.name + suffix)}"
+                )
         writer = df.write.mode("overwrite").format(node.file_format)
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)
@@ -297,13 +305,51 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
             .join(seen, "__fp", "left_anti")
             .drop("__fp")
         )
+        # Persistent banded index: without it every batch re-bands the
+        # ENTIRE corpus (measured: 62 s against a 500k-doc corpus for an
+        # EMPTY batch). The companion tables {name}__lsh_shingles /
+        # {name}__lsh_bands hold the corpus's shingle sets and banded
+        # rows; each run reuses them (per-batch cost scales with the
+        # batch) and appends the accepted survivors' rows, so the index
+        # tracks the corpus. Bootstrap on first incremental run; dropped
+        # on full refresh (materialize()); changing the LSH kwargs
+        # requires a full refresh — they are part of the node's
+        # state:modified fingerprint, so dbt-style state selection flags
+        # exactly that.
+        kw = dict(node.dedup_kwargs or {})
+        idx_kw = {
+            k: kw[k]
+            for k in ("shingle_k", "num_hashes", "bands")
+            if k in kw
+        }
+        spark = project.spark
+        sh_tbl = project.qualified(f"{node.name}__lsh_shingles")
+        bd_tbl = project.qualified(f"{node.name}__lsh_bands")
+        have_index = spark.catalog.tableExists(sh_tbl) and spark.catalog.tableExists(bd_tbl)
+        if have_index:
+            kw["corpus_index"] = (spark.table(sh_tbl), spark.table(bd_tbl))
         survivors = _dedup.dedup_against_corpus(
             fresh,
             existing,
             node.unique_key,
             text_col,
-            **(node.dedup_kwargs or {}),
+            **kw,
         )
+        if have_index:
+            surv_sh, surv_bd = _dedup.build_lsh_index(
+                survivors, node.unique_key, text_col, **idx_kw
+            )
+            surv_sh.write.mode("append").format(node.file_format).saveAsTable(sh_tbl)
+            surv_bd.write.mode("append").format(node.file_format).saveAsTable(bd_tbl)
+        else:
+            all_sh, all_bd = _dedup.build_lsh_index(
+                existing.unionByName(survivors),
+                node.unique_key,
+                text_col,
+                **idx_kw,
+            )
+            all_sh.write.mode("overwrite").format(node.file_format).saveAsTable(sh_tbl)
+            all_bd.write.mode("overwrite").format(node.file_format).saveAsTable(bd_tbl)
         combined = existing.unionByName(survivors)
     elif strategy in ("merge", "delete+insert"):
         if not node.unique_key:

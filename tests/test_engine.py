@@ -1197,3 +1197,32 @@ def test_incremental_dedup_insert(spark):
     p2.run(select="corpus_t")
     got = sorted(r["doc_id"] for r in spark.table("corpus_t").collect())
     assert got == [1, 2, 6]
+    # The persistent LSH index tracks the corpus: one banded-row set per
+    # accepted doc, so the next batch never re-bands the corpus.
+    assert spark.catalog.tableExists("corpus_t__lsh_bands")
+    idx_docs = {r["doc"] for r in spark.table("corpus_t__lsh_bands").select("doc").distinct().collect()}
+    assert idx_docs == {1, 2, 6}
+
+    # Third batch USES the index: a near-dup of doc 6 (indexed via the
+    # append path) must be dropped; a fresh doc appends to the index.
+    state["rows"] = [
+        (8, "entirely fresh subject matter with no overlap whatsoever "
+            "covering astronomy telescopes galaxies and spectral rows " * 3),
+        (9, "totally novel corpus slice regarding oceanography currents "
+            "salinity thermoclines and deep trenches measurements " * 3),
+    ]
+    p3 = Project(spark, name="ddins")
+    p3.nodes = p.nodes
+    p3.run(select="corpus_t")
+    got = sorted(r["doc_id"] for r in spark.table("corpus_t").collect())
+    assert got == [1, 2, 6, 9]  # 8 is a near-dup of indexed doc 6
+    idx_docs = {r["doc"] for r in spark.table("corpus_t__lsh_bands").select("doc").distinct().collect()}
+    assert idx_docs == {1, 2, 6, 9}
+
+    # Full refresh rebuilds the corpus AND drops the stale index.
+    state["rows"] = [(1, base)]
+    p4 = Project(spark, name="ddins", full_refresh=True)
+    p4.nodes = p.nodes
+    p4.run(select="corpus_t")
+    assert spark.table("corpus_t").count() == 1
+    assert not spark.catalog.tableExists("corpus_t__lsh_bands")
