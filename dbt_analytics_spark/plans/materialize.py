@@ -52,7 +52,7 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
             # Initial build / full refresh: any companion LSH index from a
             # previous life is stale — drop it so the next incremental run
             # bootstraps a fresh one from the rebuilt corpus.
-            for suffix in ("__lsh_shingles", "__lsh_bands"):
+            for suffix in ("__lsh_shingles", "__lsh_bands", "__dedup_fps"):
                 project.spark.sql(
                     f"DROP TABLE IF EXISTS {project.qualified(node.name + suffix)}"
                 )
@@ -292,8 +292,15 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
             raise ValueError(
                 f"dedup_insert: text column {text_col!r} not in {node.name}"
             )
+        spark = project.spark
         fp = F.md5(F.col(text_col))
-        seen = existing.select(fp.alias("__fp")).distinct()
+        fp_tbl = project.qualified(f"{node.name}__dedup_fps")
+        if spark.catalog.tableExists(fp_tbl):
+            # Fingerprint companion table: the exact-dup anti-join probes
+            # stored md5s instead of re-scanning the corpus text column.
+            seen = spark.table(fp_tbl)
+        else:
+            seen = existing.select(fp.alias("__fp")).distinct()
         w_fp = Window.partitionBy("__fp").orderBy(F.col(node.unique_key))
         fresh = (
             new_rows.withColumn("__fp", fp)
@@ -335,6 +342,12 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
             text_col,
             **kw,
         )
+        # Eagerly cut the lineage BEFORE touching the companion tables:
+        # survivors' plan READS them (seen fps / corpus_index), and the
+        # final target write re-evaluates `combined` AFTER the appends
+        # below — without the checkpoint that re-evaluation would see the
+        # batch's own fingerprints/bands and silently drop every new row.
+        survivors = survivors.localCheckpoint(eager=True)
         if have_index:
             surv_sh, surv_bd = _dedup.build_lsh_index(
                 survivors, node.unique_key, text_col, **idx_kw
@@ -350,6 +363,15 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
             )
             all_sh.write.mode("overwrite").format(node.file_format).saveAsTable(sh_tbl)
             all_bd.write.mode("overwrite").format(node.file_format).saveAsTable(bd_tbl)
+        # Fingerprint table follows the same lifecycle as the LSH index.
+        if spark.catalog.tableExists(fp_tbl):
+            survivors.select(fp.alias("__fp")).distinct().write.mode(
+                "append"
+            ).format(node.file_format).saveAsTable(fp_tbl)
+        else:
+            existing.unionByName(survivors).select(
+                fp.alias("__fp")
+            ).distinct().write.mode("overwrite").format(node.file_format).saveAsTable(fp_tbl)
         combined = existing.unionByName(survivors)
     elif strategy in ("merge", "delete+insert"):
         if not node.unique_key:

@@ -1218,6 +1218,8 @@ def test_incremental_dedup_insert(spark):
     assert got == [1, 2, 6, 9]  # 8 is a near-dup of indexed doc 6
     idx_docs = {r["doc"] for r in spark.table("corpus_t__lsh_bands").select("doc").distinct().collect()}
     assert idx_docs == {1, 2, 6, 9}
+    # fingerprint table mirrors the corpus (one md5 per distinct text)
+    assert spark.table("corpus_t__dedup_fps").count() == 4
 
     # Full refresh rebuilds the corpus AND drops the stale index.
     state["rows"] = [(1, base)]
@@ -1226,3 +1228,4 @@ def test_incremental_dedup_insert(spark):
     p4.run(select="corpus_t")
     assert spark.table("corpus_t").count() == 1
     assert not spark.catalog.tableExists("corpus_t__lsh_bands")
+    assert not spark.catalog.tableExists("corpus_t__dedup_fps")
