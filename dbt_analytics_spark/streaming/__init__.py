@@ -1,5 +1,6 @@
 from .incremental import (  # noqa: F401
     dedup_stream,
+    enrich_stream,
     microbatch_append,
     stream_stream_interval_join,
     sessionized_counts_stateful,

@@ -399,3 +399,31 @@ def finalized_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach a slowly-changing dimension
+    (source metadata, quality scores, language models' keep-lists) to a
+    streaming fact — the ingest-time counterpart of the batch star join.
+
+    Semantics worth knowing (and why this is its own helper): Spark
+    re-evaluates the STATIC side per micro-batch, so a dim backed by a
+    table picks up updates between batches without restarting the query —
+    slow-changing enrichment for free. No watermark is needed (the static
+    side holds no streaming state), and inner/left joins are the only
+    shapes allowed by Structured Streaming for stream-static. The dim is
+    broadcast by default — per-micro-batch shuffles of the stream side
+    are the silent cost of letting a static join default to SMJ.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"stream-static join supports inner/left, got {how!r}"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -582,3 +582,45 @@ def test_finalized_sessions_consecutive_late_events_merge(spark, tmp_path):
         # the 10:00 session closed by the 12:00 event
         (1, t0.to_pydatetime()): (1, t0.to_pydatetime()),
     }  # the 12:00 session is still open → unemitted
+
+
+def test_enrich_stream_static_join(spark, events, tmp_path):
+    """Stream-static enrichment: the streaming left join against a static
+    dim produces exactly the batch join's rows, and the dim side rides a
+    broadcast (no per-micro-batch shuffle of the stream)."""
+    from dbt_analytics_spark.streaming import enrich_stream
+    from dbt_analytics_spark.streaming.incremental import stream_from_parquet_dir
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.1)],
+        ["event_type", "weight"],
+    )
+    batch_rows = (
+        enrich_stream(events.select("event_id", "event_type"), dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("weight").alias("w"))
+        .collect()
+    )
+    expected = {(r["event_type"], r["n"], r["w"]) for r in batch_rows}
+    assert len(expected) == 5  # all event types survive the LEFT join
+    assert {e for e, _, w in expected if w is None}  # unenriched types keep null
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    events.select("event_id", "event_type").write.parquet(src)
+    enriched = enrich_stream(stream_from_parquet_dir(spark, src), dim, "event_type")
+    (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r["event_type"], r["n"], r["w"])
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("weight").alias("w"))
+        .collect()
+    }
+    assert got == expected
