@@ -4,6 +4,7 @@ from .incremental import (  # noqa: F401
     microbatch_append,
     stream_stream_interval_join,
     sessionized_counts_stateful,
+    stream_dedup_ingest,
     stream_from_parquet_dir,
     watermarked_window_agg,
 )

@@ -31,7 +31,7 @@ from collections.abc import Callable, Iterable
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -427,3 +427,109 @@ def enrich_stream(
         )
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "stream_dedup_ingest",
+    **lsh_kwargs,
+) -> None:
+    """Streaming corpus ingest with duplicate suppression — the capstone
+    of the ingest story: ``readStream`` over a landing directory,
+    ``foreachBatch`` applying the dedup_insert pipeline (within-batch
+    exact dedup → corpus-fingerprint anti-join → MinHash-LSH near-dup
+    drop against the persistent banded index) and appending survivors to
+    ``target_table``, Trigger.AvailableNow so each invocation drains the
+    new files exactly once (checkpointed; a crashed run resumes without
+    re-processing).
+
+    Scale shape: identical to the batch dedup_insert strategy — the
+    companion tables ``{target}__lsh_shingles`` / ``__lsh_bands`` /
+    ``__dedup_fps`` are bootstrapped on the first batch and appended per
+    batch, so every micro-batch's cost scales with the batch, never the
+    corpus. foreachBatch is the exactly-once boundary: the checkpoint
+    only advances when the whole per-batch pipeline commits.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as _dedup
+
+    sh_tbl = f"{target_table}__lsh_shingles"
+    bd_tbl = f"{target_table}__lsh_bands"
+    fp_tbl = f"{target_table}__dedup_fps"
+    idx_kw = {
+        k: lsh_kwargs[k]
+        for k in ("shingle_k", "num_hashes", "bands")
+        if k in lsh_kwargs
+    }
+
+    def ingest_batch(batch: DataFrame, _batch_id: int) -> None:
+        s = batch.sparkSession
+        fp = F.md5(F.col(text_col))
+        first_run = not s.catalog.tableExists(target_table)
+        if first_run:
+            # Bootstrap: within-batch exact dedup only (no corpus yet).
+            w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col))
+            survivors = (
+                batch.withColumn("__fp", fp)
+                .withColumn("__rn", F.row_number().over(w_fp))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__fp")
+                .localCheckpoint(eager=True)
+            )
+            survivors.write.saveAsTable(target_table)
+            sh, bd = _dedup.build_lsh_index(survivors, id_col, text_col, **idx_kw)
+            sh.write.mode("overwrite").saveAsTable(sh_tbl)
+            bd.write.mode("overwrite").saveAsTable(bd_tbl)
+            survivors.select(fp.alias("__fp")).distinct().write.mode(
+                "overwrite"
+            ).saveAsTable(fp_tbl)
+            return
+        existing = s.table(target_table)
+        w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col))
+        fresh = (
+            batch.withColumn("__fp", fp)
+            .withColumn("__rn", F.row_number().over(w_fp))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .join(s.table(fp_tbl), "__fp", "left_anti")
+            .drop("__fp")
+        )
+        survivors = _dedup.dedup_against_corpus(
+            fresh,
+            existing,
+            id_col,
+            text_col,
+            corpus_index=(s.table(sh_tbl), s.table(bd_tbl)),
+            **lsh_kwargs,
+        ).localCheckpoint(eager=True)  # lineage cut BEFORE the appends
+        survivors.write.mode("append").saveAsTable(target_table)
+        sh, bd = _dedup.build_lsh_index(survivors, id_col, text_col, **idx_kw)
+        sh.write.mode("append").saveAsTable(sh_tbl)
+        bd.write.mode("append").saveAsTable(bd_tbl)
+        survivors.select(fp.alias("__fp")).distinct().write.mode(
+            "append"
+        ).saveAsTable(fp_tbl)
+
+    q = (
+        stream_from_parquet_dir(spark, source_dir)
+        .writeStream.queryName(query_name)
+        .foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # foreachBatch runs in a CLONED session whose appends do not
+    # invalidate the PARENT session's cached file index for these tables
+    # (verified: the parent read [1,2] after a committed append until
+    # refreshTable) — refresh so the caller immediately sees the drained
+    # state.
+    for t in (target_table, sh_tbl, bd_tbl, fp_tbl):
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)

@@ -624,3 +624,39 @@ def test_enrich_stream_static_join(spark, events, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
+    """Streaming corpus ingest with dedup suppression: two availableNow
+    drains over a landing dir — batch 2's exact/near duplicates of batch
+    1's accepted docs are dropped, fresh docs append, the persistent
+    index tracks the corpus, and the checkpoint prevents reprocessing."""
+    import uuid
+
+    from dbt_analytics_spark.streaming import stream_dedup_ingest
+
+    tbl = f"ingest_t_{uuid.uuid4().hex[:8]}"
+    src, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again today " * 4
+    other = "tokenizer corpora need unique vocabulary spread wide apart " * 4
+
+    spark.createDataFrame(
+        [(1, base), (2, other), (3, base)], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(src)
+    stream_dedup_ingest(spark, src, tbl, ckpt)
+    assert sorted(r["doc_id"] for r in spark.table(tbl).collect()) == [1, 2]
+
+    # second drop of files: exact dup of 1, near-dup of 2, one fresh
+    near = other.replace("wide", "far")
+    fresh = "astronomy telescopes galaxies spectra and deep sky surveys " * 4
+    spark.createDataFrame(
+        [(10, base), (11, near), (12, fresh)], ["doc_id", "text"]
+    ).write.mode("append").parquet(src)
+    stream_dedup_ingest(spark, src, tbl, ckpt, threshold=0.4)
+    assert sorted(r["doc_id"] for r in spark.table(tbl).collect()) == [1, 2, 12]
+    idx = {r["doc"] for r in spark.table(f"{tbl}__lsh_bands").select("doc").distinct().collect()}
+    assert idx == {1, 2, 12}
+
+    # re-drain with no new files: checkpoint prevents reprocessing
+    stream_dedup_ingest(spark, src, tbl, ckpt, threshold=0.4)
+    assert spark.table(tbl).count() == 3
