@@ -764,14 +764,21 @@ def lsh_bucket_topk(
     """
     import numpy as np
 
-    planes = np.asarray(
-        [
-            _hyperplane(dim, t * num_planes + p)
-            for t in range(num_tables)
-            for p in range(num_planes)
-        ],
-        dtype=np.float64,
-    ).T  # (dim, tables*planes)
+    # reshape (not bare asarray) so num_planes=0 — the EXACT regime: zero
+    # cuts ⇒ one bucket ⇒ brute-force within the same machinery, used by
+    # sim2b's oracle check — yields a well-formed (dim, 0) operand.
+    planes = (
+        np.asarray(
+            [
+                _hyperplane(dim, t * num_planes + p)
+                for t in range(num_tables)
+                for p in range(num_planes)
+            ],
+            dtype=np.float64,
+        )
+        .reshape(num_tables * num_planes, dim)
+        .T
+    )  # (dim, tables*planes)
     weights = 1 << np.arange(num_planes, dtype=np.int64)
 
     def bucketize(batches):
@@ -784,7 +791,11 @@ def lsh_bucket_topk(
             codes = (
                 signs.reshape(n, num_tables, num_planes) @ weights
             )  # (n, tables)
-            n2 = np.einsum("ij,ij->i", m, m)
+            # sequential-fold self-dots (NOT einsum): the rerank divides by
+            # these, and the cross-engine float contract (sim1/sim2b) is
+            # each product rounded once then summed left-to-right —
+            # einsum's pairwise summation differs in the last ulp.
+            n2 = _seq_self_dot(m)
             idx = np.repeat(np.arange(n), num_tables)
             yield pd.DataFrame(
                 {

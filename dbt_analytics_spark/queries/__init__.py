@@ -159,6 +159,9 @@ _BEYOND_DRIVER_CAP = [
     # sim3b (round 7): IVF probing all cells == exact top-k, so the whole
     # inverted-file pipeline hash-checks against SIM1's SQL oracle.
     "sim3b_ivf_exact",
+    # sim2b (round 7): hyperplane LSH with zero planes == brute force, so
+    # the bucket machinery hash-checks against the sim1-style oracle.
+    "sim2b_lsh_exact",
     # q6/q10/q14/q18 (round 7): TPC-H breadth batch, all exact oracles.
     # Past the cap like q3/q5 — their §2a operator IDs (S1/P2/A2/A3/J1/
     # SO1) are driver-evidenced by existing prefix rows; scan-pushdown,

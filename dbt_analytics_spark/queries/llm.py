@@ -246,6 +246,42 @@ def sim3b_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SIM2B — hyperplane LSH in its EXACT regime (the sim3b pattern): zero
+# cutting planes ⇒ every vector lands in one bucket ⇒ the bucket search
+# IS brute force, so the whole LSH machinery — signature matmul, bucket
+# join, pair dedup, fold-cosine rerank, top-k window — hash-checks
+# against the plain SQL oracle. The fold cosine is bit-exact vs DuckDB's
+# list_inner_product (the sim1 contract), so no rounding is needed.
+# ---------------------------------------------------------------------------
+
+def sim2b_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_bucket_topk(
+        emb, queries, "vec_id", "embedding", k=3, num_planes=0, num_tables=1
+    )
+
+
+SIM2B_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM c WHERE vec_id < 20
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_inner_product(q.v, c.v)
+           / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine_sim
+  FROM q JOIN c ON c.vec_id != q.vec_id
+)
+SELECT query_id, corpus_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 SIM3B_SQL = """
 WITH c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1865,6 +1901,7 @@ REGISTRY = {
     "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
     "sim5b_kmeans_assign": (sim5b_kmeans_assign, SIM5B_SQL),
     "sim3b_ivf_exact": (sim3b_ivf_exact, SIM3B_SQL),
+    "sim2b_lsh_exact": (sim2b_lsh_exact, SIM2B_SQL),
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
     "f5_heavy_hitters": (f5_heavy_hitters, None),
     "f5b_heavy_hitters_exact": (f5b_heavy_hitters_exact, F5B_SQL),
