@@ -117,6 +117,14 @@ def lateral_top1_case(
     """
     rows = _collect_ranked_dim(dim, order_by)
     prefix = "(?i)" if case_insensitive else ""
+    if not rows:
+        # Empty pattern dim: honor the left-outer contract — every left row
+        # survives with NULL-typed payload columns (typed from the dim's
+        # schema so downstream casts/joins see the same types either way).
+        types = {f.name: f.dataType for f in dim.schema.fields}
+        return left.select(
+            "*", *[F.lit(None).cast(types[p]).alias(p) for p in payload_cols]
+        )
 
     def cond(row) -> Column:
         pat = prefix + row[pattern_col]  # plain literal → codegen precompiles
@@ -160,12 +168,34 @@ def lateral_top1_udf(
     via ``element_at`` on literal arrays — no join, no shuffle. Python-side
     cost is the per-row loop; the probe (scripts/probe_j3_matchers.py)
     decides when this beats the JVM CASE chain.
+
+    Regex dialect: this matcher runs Python ``re``, the CASE-chain variant
+    runs java.util.regex — patterns come from a user-editable seed, so the
+    driver FAILS FAST here on any pattern Python can't compile (Java-only
+    constructs: ``\\p{...}`` classes, possessive quantifiers) instead of an
+    opaque executor traceback. Residual semantic gap to know about: Java's
+    ``(?i)``/``\\b``/``\\w`` are ASCII-default while Python's are Unicode —
+    identical for the reference's ASCII merchant patterns
+    (tests/test_functions.py audits every seed pattern both ways), but a
+    Unicode-dependent pattern should use ``lateral_top1_case`` (pure Java)
+    for engine-exact semantics.
     """
+    import re as _re_check
+
     import pandas as pd
 
     rows = _collect_ranked_dim(dim, order_by)
     patterns = [r[pattern_col] for r in rows]
     flags_ci = case_insensitive
+    for p in patterns:
+        try:
+            _re_check.compile(p, _re_check.IGNORECASE if flags_ci else 0)
+        except _re_check.error as e:
+            raise ValueError(
+                f"lateral_top1_udf: pattern {p!r} is not valid Python-re "
+                f"syntax ({e}); Java-only constructs are unsupported by the "
+                "Arrow matcher — use lateral_top1_case for that pattern set"
+            ) from None
 
     compiled_cache: list = []
 

@@ -227,6 +227,7 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
     target = project.qualified(node.name)
     existing = project.read_relation(node.name)
     strategy = node.incremental_strategy
+    post_commit = None  # dedup_insert defers companion-table writes here
 
     if strategy != "insert_overwrite":
         existing, new_rows = _align_schema_drift(node, existing, new_rows)
@@ -342,36 +343,54 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
             text_col,
             **kw,
         )
-        # Eagerly cut the lineage BEFORE touching the companion tables:
-        # survivors' plan READS them (seen fps / corpus_index), and the
-        # final target write re-evaluates `combined` AFTER the appends
-        # below — without the checkpoint that re-evaluation would see the
-        # batch's own fingerprints/bands and silently drop every new row.
+        # Eagerly cut the lineage NOW: survivors' plan READS the companion
+        # tables (seen fps / corpus_index) AND the target table, and it is
+        # re-evaluated both at the final target write and at the deferred
+        # companion appends below — without the checkpoint those
+        # re-evaluations would see their own writes and silently drop
+        # every new row.
         survivors = survivors.localCheckpoint(eager=True)
-        if have_index:
-            surv_sh, surv_bd = _dedup.build_lsh_index(
-                survivors, node.unique_key, text_col, **idx_kw
-            )
-            surv_sh.write.mode("append").format(node.file_format).saveAsTable(sh_tbl)
-            surv_bd.write.mode("append").format(node.file_format).saveAsTable(bd_tbl)
-        else:
-            all_sh, all_bd = _dedup.build_lsh_index(
-                existing.unionByName(survivors),
-                node.unique_key,
-                text_col,
-                **idx_kw,
-            )
-            all_sh.write.mode("overwrite").format(node.file_format).saveAsTable(sh_tbl)
-            all_bd.write.mode("overwrite").format(node.file_format).saveAsTable(bd_tbl)
-        # Fingerprint table follows the same lifecycle as the LSH index.
-        if spark.catalog.tableExists(fp_tbl):
-            survivors.select(fp.alias("__fp")).distinct().write.mode(
-                "append"
-            ).format(node.file_format).saveAsTable(fp_tbl)
-        else:
-            existing.unionByName(survivors).select(
-                fp.alias("__fp")
-            ).distinct().write.mode("overwrite").format(node.file_format).saveAsTable(fp_tbl)
+        fp_existed = spark.catalog.tableExists(fp_tbl)
+
+        def _commit_companions() -> None:
+            # Runs AFTER the target table write commits. Writing the
+            # fingerprints/LSH bands first would be the fatal order: a
+            # failed target write with committed companions makes a retry
+            # anti-join the whole batch away (silent data loss) and leaves
+            # ghost docs in the index suppressing future legitimate
+            # near-dups. After a committed target, a crash before/inside
+            # this function leaves companions BEHIND the corpus — the safe
+            # side: the next run re-derives nothing wrong, it only pays an
+            # extra near-dup check until the companions catch up, and the
+            # bootstrap path below rebuilds them from the target itself.
+            if have_index:
+                surv_sh, surv_bd = _dedup.build_lsh_index(
+                    survivors, node.unique_key, text_col, **idx_kw
+                )
+                surv_sh.write.mode("append").format(node.file_format).saveAsTable(sh_tbl)
+                surv_bd.write.mode("append").format(node.file_format).saveAsTable(bd_tbl)
+            else:
+                # Bootstrap from the just-committed target (== existing ∪
+                # survivors) so index content matches the corpus exactly.
+                spark.catalog.refreshTable(target)
+                corpus = spark.table(target)
+                all_sh, all_bd = _dedup.build_lsh_index(
+                    corpus, node.unique_key, text_col, **idx_kw
+                )
+                all_sh.write.mode("overwrite").format(node.file_format).saveAsTable(sh_tbl)
+                all_bd.write.mode("overwrite").format(node.file_format).saveAsTable(bd_tbl)
+            # Fingerprint table follows the same lifecycle as the LSH index.
+            if fp_existed:
+                survivors.select(fp.alias("__fp")).distinct().write.mode(
+                    "append"
+                ).format(node.file_format).saveAsTable(fp_tbl)
+            else:
+                spark.catalog.refreshTable(target)
+                spark.table(target).select(
+                    fp.alias("__fp")
+                ).distinct().write.mode("overwrite").format(node.file_format).saveAsTable(fp_tbl)
+
+        post_commit = _commit_companions
         combined = existing.unionByName(survivors)
     elif strategy in ("merge", "delete+insert"):
         if not node.unique_key:
@@ -397,6 +416,11 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
     combined.write.mode("overwrite").saveAsTable(project.qualified(staging))
     staged = project.spark.table(project.qualified(staging))
     staged.write.mode("overwrite").saveAsTable(target)
+    if post_commit is not None:
+        # Companion state (dedup fingerprints / LSH index) commits strictly
+        # AFTER the target table — see _commit_companions for why the
+        # reverse order loses data on retry.
+        post_commit()
     n = project.spark.table(target).count()
     project.spark.sql(f"DROP TABLE IF EXISTS {project.qualified(staging)}")
     return n

@@ -204,6 +204,11 @@ class RunResult:
     rows: int | None = None
 
 
+#: no-default sentinel for ModelContext.var — ``var('x', None)`` must return
+#: None (dbt's ``var('x', none)``), so absence can't be spelled as None.
+_VAR_MISSING = object()
+
+
 class ModelContext:
     """The runtime context a model function receives — the engine-native
     equivalent of dbt's Jinja context (ref/source/config/run date).
@@ -244,13 +249,16 @@ class ModelContext:
     def source(self, name: str) -> DataFrame:
         return self.ref(name)
 
-    def var(self, name: str, default=None):
+    def var(self, name: str, default=_VAR_MISSING):
         """dbt's var() context function: project-level variables with an
         optional default; raises KeyError for an unknown var with no
-        default (dbt's compilation error)."""
+        default (dbt's compilation error). The no-default sentinel (not
+        ``None``) matches dbt, where ``var('x', none)`` is a legitimate
+        optional-var idiom that returns ``none`` — an explicit ``None``
+        default is honored, only a truly absent default raises."""
         if name in self._project.vars:
             return self._project.vars[name]
-        if default is not None:
+        if default is not _VAR_MISSING:
             return default
         raise KeyError(f"var({name!r}): undefined and no default provided")
 

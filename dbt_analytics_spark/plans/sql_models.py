@@ -121,8 +121,12 @@ def render(ctx: "ModelContext", node_name: str, body: str) -> str:
     def sub_var(m: re.Match) -> str:
         # var('name') / var('name', <literal default>) — the default is a
         # Python literal (dbt's static-parse constraint, same as config()).
-        default = ast.literal_eval(m.group(2)) if m.group(2) else None
-        return str(ctx.var(m.group(1), default))
+        # No default written in the SQL → call var() with no default so an
+        # unknown var still raises (a None default is a VALID default now
+        # that ctx.var uses a missing-sentinel, dbt's var('x', none)).
+        if m.group(2):
+            return str(ctx.var(m.group(1), ast.literal_eval(m.group(2))))
+        return str(ctx.var(m.group(1)))
 
     body = _VAR_RE.sub(sub_var, body)
 

@@ -445,76 +445,35 @@ def stream_dedup_ingest(
     exact dedup → corpus-fingerprint anti-join → MinHash-LSH near-dup
     drop against the persistent banded index) and appending survivors to
     ``target_table``, Trigger.AvailableNow so each invocation drains the
-    new files exactly once (checkpointed; a crashed run resumes without
-    re-processing).
+    new files (checkpointed; a crashed run resumes without losing data).
+
+    Delivery semantics — effectively-once, NOT native exactly-once:
+    foreachBatch replays a batch at-least-once over four non-transactional
+    table writes, so the per-batch pipeline is made IDEMPOTENT instead:
+
+    - a ``{target}__stream_commits`` marker (appended LAST) skips batches
+      whose full pipeline already committed — the cheap fast path;
+    - every data write is individually replay-safe for a crash mid-batch:
+      the target append anti-joins on ``id_col`` against the target, the
+      LSH appends anti-join on doc id against the stored index, and the
+      fingerprint append anti-joins on ``__fp`` — a replayed row can never
+      double-append, and a row whose target append committed but whose
+      index/fp writes didn't is healed (not lost) on replay;
+    - the target append runs FIRST, so a crash can only leave companions
+      BEHIND the corpus (the safe side — see plans/materialize.py
+      ``_commit_companions`` for why the reverse order loses data).
 
     Scale shape: identical to the batch dedup_insert strategy — the
     companion tables ``{target}__lsh_shingles`` / ``__lsh_bands`` /
     ``__dedup_fps`` are bootstrapped on the first batch and appended per
     batch, so every micro-batch's cost scales with the batch, never the
-    corpus. foreachBatch is the exactly-once boundary: the checkpoint
-    only advances when the whole per-batch pipeline commits.
+    corpus (the idempotence anti-joins probe stored keys, also
+    batch-scaled).
     """
-    from pyspark.sql import functions as F
-
-    from ..operators import dedup as _dedup
-
-    sh_tbl = f"{target_table}__lsh_shingles"
-    bd_tbl = f"{target_table}__lsh_bands"
-    fp_tbl = f"{target_table}__dedup_fps"
-    idx_kw = {
-        k: lsh_kwargs[k]
-        for k in ("shingle_k", "num_hashes", "bands")
-        if k in lsh_kwargs
-    }
-
-    def ingest_batch(batch: DataFrame, _batch_id: int) -> None:
-        s = batch.sparkSession
-        fp = F.md5(F.col(text_col))
-        first_run = not s.catalog.tableExists(target_table)
-        if first_run:
-            # Bootstrap: within-batch exact dedup only (no corpus yet).
-            w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col))
-            survivors = (
-                batch.withColumn("__fp", fp)
-                .withColumn("__rn", F.row_number().over(w_fp))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "__fp")
-                .localCheckpoint(eager=True)
-            )
-            survivors.write.saveAsTable(target_table)
-            sh, bd = _dedup.build_lsh_index(survivors, id_col, text_col, **idx_kw)
-            sh.write.mode("overwrite").saveAsTable(sh_tbl)
-            bd.write.mode("overwrite").saveAsTable(bd_tbl)
-            survivors.select(fp.alias("__fp")).distinct().write.mode(
-                "overwrite"
-            ).saveAsTable(fp_tbl)
-            return
-        existing = s.table(target_table)
-        w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col))
-        fresh = (
-            batch.withColumn("__fp", fp)
-            .withColumn("__rn", F.row_number().over(w_fp))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .join(s.table(fp_tbl), "__fp", "left_anti")
-            .drop("__fp")
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        _dedup_ingest_batch(
+            batch, batch_id, target_table, id_col, text_col, **lsh_kwargs
         )
-        survivors = _dedup.dedup_against_corpus(
-            fresh,
-            existing,
-            id_col,
-            text_col,
-            corpus_index=(s.table(sh_tbl), s.table(bd_tbl)),
-            **lsh_kwargs,
-        ).localCheckpoint(eager=True)  # lineage cut BEFORE the appends
-        survivors.write.mode("append").saveAsTable(target_table)
-        sh, bd = _dedup.build_lsh_index(survivors, id_col, text_col, **idx_kw)
-        sh.write.mode("append").saveAsTable(sh_tbl)
-        bd.write.mode("append").saveAsTable(bd_tbl)
-        survivors.select(fp.alias("__fp")).distinct().write.mode(
-            "append"
-        ).saveAsTable(fp_tbl)
 
     q = (
         stream_from_parquet_dir(spark, source_dir)
@@ -530,6 +489,116 @@ def stream_dedup_ingest(
     # (verified: the parent read [1,2] after a committed append until
     # refreshTable) — refresh so the caller immediately sees the drained
     # state.
-    for t in (target_table, sh_tbl, bd_tbl, fp_tbl):
+    for suffix in ("", "__lsh_shingles", "__lsh_bands", "__dedup_fps", "__stream_commits"):
+        t = f"{target_table}{suffix}"
         if spark.catalog.tableExists(t):
             spark.catalog.refreshTable(t)
+
+
+def _dedup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    target_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> None:
+    """One idempotent micro-batch of the dedup ingest pipeline (module-level
+    so crash/replay scenarios are directly testable — see
+    tests/test_streaming.py). Safe to call more than once with the same
+    ``batch_id``/rows: see stream_dedup_ingest's docstring for the write
+    order and per-write replay guards."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as _dedup
+
+    sh_tbl = f"{target_table}__lsh_shingles"
+    bd_tbl = f"{target_table}__lsh_bands"
+    fp_tbl = f"{target_table}__dedup_fps"
+    commit_tbl = f"{target_table}__stream_commits"
+    idx_kw = {
+        k: lsh_kwargs[k]
+        for k in ("shingle_k", "num_hashes", "bands")
+        if k in lsh_kwargs
+    }
+
+    s = batch.sparkSession
+    if s.catalog.tableExists(commit_tbl):
+        done = (
+            s.table(commit_tbl)
+            .filter(F.col("batch_id") == F.lit(int(batch_id)))
+            .limit(1)
+            .count()
+        )
+        if done:
+            return  # full pipeline already committed; pure replay
+    fp = F.md5(F.col(text_col))
+    w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    batch = (
+        batch.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)  # within-batch exact dedup
+        .drop("__rn")
+    )
+    first_run = not s.catalog.tableExists(target_table)
+    if first_run:
+        survivors = batch.drop("__fp").localCheckpoint(eager=True)
+        survivors.write.saveAsTable(target_table)
+    else:
+        # A crash may have committed the target but not yet the
+        # companions (they are written after), so each companion may
+        # individually be missing — fall back to deriving its content
+        # from the corpus itself.
+        existing = s.table(target_table)
+        seen_fps = (
+            s.table(fp_tbl)
+            if s.catalog.tableExists(fp_tbl)
+            else existing.select(fp.alias("__fp")).distinct()
+        )
+        fresh = batch.join(seen_fps, "__fp", "left_anti").drop("__fp")
+        have_index = s.catalog.tableExists(sh_tbl) and s.catalog.tableExists(bd_tbl)
+        kw = dict(lsh_kwargs)
+        if have_index:
+            kw["corpus_index"] = (s.table(sh_tbl), s.table(bd_tbl))
+        survivors = _dedup.dedup_against_corpus(
+            fresh, existing, id_col, text_col, **kw
+        ).localCheckpoint(eager=True)  # lineage cut BEFORE the appends
+        # Replay guard: rows whose target append already committed in
+        # a crashed attempt must not double-append, but they DO flow
+        # into the companion writes below (which have their own
+        # guards), healing a partially-committed batch.
+        survivors.join(
+            existing.select(id_col), id_col, "left_anti"
+        ).write.mode("append").saveAsTable(target_table)
+    if s.catalog.tableExists(sh_tbl) and s.catalog.tableExists(bd_tbl):
+        sh, bd = _dedup.build_lsh_index(survivors, id_col, text_col, **idx_kw)
+        sh = sh.join(s.table(sh_tbl).select("doc").distinct(), "doc", "left_anti")
+        bd = bd.join(s.table(bd_tbl).select("doc").distinct(), "doc", "left_anti")
+        sh = sh.localCheckpoint(eager=True)  # reads sh_tbl, then appends to it
+        bd = bd.localCheckpoint(eager=True)
+        sh.write.mode("append").saveAsTable(sh_tbl)
+        bd.write.mode("append").saveAsTable(bd_tbl)
+    else:
+        # (Re-)bootstrap from the CORPUS, not the batch's survivors: a
+        # missing index here can mean a crash after an earlier batch's
+        # target append — the corpus already holds rows the batch doesn't.
+        s.catalog.refreshTable(target_table)
+        sh, bd = _dedup.build_lsh_index(
+            s.table(target_table), id_col, text_col, **idx_kw
+        )
+        sh.write.mode("overwrite").saveAsTable(sh_tbl)
+        bd.write.mode("overwrite").saveAsTable(bd_tbl)
+    if s.catalog.tableExists(fp_tbl):
+        fps = survivors.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+        fps = fps.join(s.table(fp_tbl), "__fp", "left_anti")
+        fps = fps.localCheckpoint(eager=True)
+        fps.write.mode("append").saveAsTable(fp_tbl)
+    else:
+        s.catalog.refreshTable(target_table)
+        s.table(target_table).select(
+            F.md5(F.col(text_col)).alias("__fp")
+        ).distinct().write.mode("overwrite").saveAsTable(fp_tbl)
+    # Marker LAST: its presence certifies every write above committed.
+    s.createDataFrame(
+        [(int(batch_id),)], "batch_id long"
+    ).write.mode("append").saveAsTable(commit_tbl)

@@ -1229,3 +1229,85 @@ def test_incremental_dedup_insert(spark):
     assert spark.table("corpus_t").count() == 1
     assert not spark.catalog.tableExists("corpus_t__lsh_bands")
     assert not spark.catalog.tableExists("corpus_t__dedup_fps")
+
+
+def test_dedup_insert_companions_commit_after_target(spark, monkeypatch):
+    """ADVICE r7 (medium): the fp/LSH companion tables must commit AFTER
+    the target write — with the old order a failed target write left the
+    batch's fingerprints persisted, so the retry anti-joined every batch
+    row away (silent permanent loss). Inject a target-write failure and
+    prove the retry still lands the batch."""
+    import pyspark.sql.readwriter as _rw
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+    ) * 4
+    fresh = (
+        "entirely fresh subject matter with no overlap whatsoever "
+        "covering astronomy telescopes galaxies and spectral lines "
+    ) * 3
+    p = Project(spark, name="ddfail")
+    state = {"rows": [(1, base)]}
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="dedup_insert",
+        unique_key="doc_id",
+        dedup_text_col="body",
+        dedup_kwargs={"threshold": 0.4},
+        name="corpus_fail_t",
+    )
+    def corpus_fail_t(ctx):
+        return ctx.spark.createDataFrame(state["rows"], ["doc_id", "body"])
+
+    res = {r.node: r for r in p.run(select="corpus_fail_t")}
+    assert res["corpus_fail_t"].status == "success"
+    # Second run bootstraps the companion tables (first incremental apply).
+    state["rows"] = [(2, fresh)]
+    p1b = Project(spark, name="ddfail")
+    p1b.nodes = p.nodes
+    res = {r.node: r for r in p1b.run(select="corpus_fail_t")}
+    assert res["corpus_fail_t"].status == "success"
+    fp_before = spark.table("corpus_fail_t__dedup_fps").count()
+    idx_before = spark.table("corpus_fail_t__lsh_bands").count()
+
+    # Batch 3 arrives; the FINAL target write fails (injected). The
+    # staging write (…__dbt_tmp) and companion writes are left alone.
+    state["rows"] = [
+        (3, "totally novel corpus slice regarding oceanography currents "
+            "salinity thermoclines and deep trenches measurements " * 3)
+    ]
+    orig = _rw.DataFrameWriter.saveAsTable
+
+    def failing(self, name, *a, **kw):
+        if name == "corpus_fail_t":
+            raise RuntimeError("injected target-write failure")
+        return orig(self, name, *a, **kw)
+
+    monkeypatch.setattr(_rw.DataFrameWriter, "saveAsTable", failing)
+    p2 = Project(spark, name="ddfail")
+    p2.nodes = p.nodes
+    res = {r.node: r for r in p2.run(select="corpus_fail_t")}
+    assert res["corpus_fail_t"].status == "error"
+    monkeypatch.setattr(_rw.DataFrameWriter, "saveAsTable", orig)
+
+    # The failed run must NOT have advanced companion state — that is
+    # exactly what made the retry lose the batch under the old order.
+    spark.catalog.refreshTable("corpus_fail_t__dedup_fps")
+    spark.catalog.refreshTable("corpus_fail_t__lsh_bands")
+    assert spark.table("corpus_fail_t__dedup_fps").count() == fp_before
+    assert spark.table("corpus_fail_t__lsh_bands").count() == idx_before
+
+    # Retry: the batch lands (old order: silently dropped forever).
+    p3 = Project(spark, name="ddfail")
+    p3.nodes = p.nodes
+    res = {r.node: r for r in p3.run(select="corpus_fail_t")}
+    assert res["corpus_fail_t"].status == "success"
+    got = sorted(r["doc_id"] for r in spark.table("corpus_fail_t").collect())
+    assert got == [1, 2, 3]
+    assert spark.table("corpus_fail_t__dedup_fps").count() == 3
+    idx_docs = {
+        r["doc"]
+        for r in spark.table("corpus_fail_t__lsh_bands").select("doc").distinct().collect()
+    }
+    assert idx_docs == {1, 2, 3}

@@ -178,6 +178,9 @@ def test_sql_model_vars(spark):
     def pyvar(ctx):
         assert ctx.var("min_total") == 12
         assert ctx.var("missing", "d") == "d"
+        # dbt's var('x', none): an explicit None default is a real default
+        # (ADVICE r7 — the old code treated None as "no default" and raised).
+        assert ctx.var("missing", None) is None
         with pytest.raises(KeyError):
             ctx.var("missing")
         return ctx.spark.range(1)

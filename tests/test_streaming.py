@@ -660,3 +660,78 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     # re-drain with no new files: checkpoint prevents reprocessing
     stream_dedup_ingest(spark, src, tbl, ckpt, threshold=0.4)
     assert spark.table(tbl).count() == 3
+
+
+def test_dedup_ingest_batch_replay_idempotent(spark, monkeypatch):
+    """foreachBatch is at-least-once: replaying a batch — fully committed
+    OR crashed between the target append and the companion writes — must
+    neither duplicate target rows nor lose companion state (ADVICE r7:
+    the old order appended fps last with no replay guard, so a crash
+    re-appended duplicates on retry)."""
+    import uuid
+
+    import pytest
+
+    from dbt_analytics_spark.operators import dedup as dd
+    from dbt_analytics_spark.streaming.incremental import _dedup_ingest_batch
+
+    tbl = f"ingest_rp_{uuid.uuid4().hex[:8]}"
+    base = "the quick brown fox jumps over the lazy dog again today " * 4
+    other = "tokenizer corpora need unique vocabulary spread wide apart " * 4
+    fresh = "astronomy telescopes galaxies spectra and deep sky surveys " * 4
+
+    def target_ids():
+        spark.catalog.refreshTable(tbl)
+        return sorted(r["doc_id"] for r in spark.table(tbl).collect())
+
+    def index_docs():
+        return {
+            r["doc"]
+            for r in spark.table(f"{tbl}__lsh_bands").select("doc").distinct().collect()
+        }
+
+    b0 = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
+    _dedup_ingest_batch(b0, 0, tbl, threshold=0.4)
+    assert target_ids() == [1, 2]
+    assert index_docs() == {1, 2}
+
+    # Pure replay of a fully committed batch: the commit marker
+    # short-circuits before any write.
+    _dedup_ingest_batch(b0, 0, tbl, threshold=0.4)
+    assert target_ids() == [1, 2]
+    assert spark.table(f"{tbl}__dedup_fps").count() == 2
+    assert spark.table(f"{tbl}__lsh_bands").count() == len(index_docs()) * 8
+
+    # Crash mid-batch: the target append commits, then the run dies before
+    # any companion write (injected failure in build_lsh_index).
+    b1 = spark.createDataFrame([(3, fresh)], ["doc_id", "text"])
+    orig_build = dd.build_lsh_index
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash after target append")
+
+    monkeypatch.setattr(dd, "build_lsh_index", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        _dedup_ingest_batch(b1, 1, tbl, threshold=0.4)
+    monkeypatch.setattr(dd, "build_lsh_index", orig_build)
+
+    assert target_ids() == [1, 2, 3]  # target committed
+    assert index_docs() == {1, 2}  # companions did not
+    assert spark.table(f"{tbl}__dedup_fps").count() == 2
+    marks = sorted(r["batch_id"] for r in spark.table(f"{tbl}__stream_commits").collect())
+    assert marks == [0]  # batch 1 not certified
+
+    # Replay of the crashed batch: heals the companions, no target dup.
+    _dedup_ingest_batch(b1, 1, tbl, threshold=0.4)
+    assert target_ids() == [1, 2, 3]
+    assert index_docs() == {1, 2, 3}
+    assert spark.table(f"{tbl}__dedup_fps").count() == 3
+    marks = sorted(r["batch_id"] for r in spark.table(f"{tbl}__stream_commits").collect())
+    assert marks == [0, 1]
+
+    # The healed corpus still suppresses dups: an exact dup of doc 3 and a
+    # near-dup of doc 1 are both dropped by the next batch.
+    near = base.replace("lazy", "sleepy")
+    b2 = spark.createDataFrame([(4, fresh), (5, near)], ["doc_id", "text"])
+    _dedup_ingest_batch(b2, 2, tbl, threshold=0.4)
+    assert target_ids() == [1, 2, 3]

@@ -223,3 +223,49 @@ def test_map_one_deterministic(built, spark):
     )
     assert picked.groupBy("merchant_key").count().filter(F.col("count") > 1).count() == 0
     assert picked.count() == mam.select("merchant_key").distinct().count()
+
+
+def test_lateral_top1_empty_dim_left_outer(spark):
+    """An empty pattern dim honors the left-outer contract: every left row
+    survives with NULL payloads typed from the dim schema (ADVICE r7: the
+    CASE variant raised AttributeError on an empty dim)."""
+    from dbt_analytics_spark.operators.top1 import lateral_top1_case
+
+    left = spark.createDataFrame([(1, "abc"), (2, "def")], ["id", "descr"])
+    dim = spark.createDataFrame(
+        [], "pattern string, label string, priority int"
+    )
+    out = lateral_top1_case(
+        left,
+        dim,
+        text_cols=["descr"],
+        order_by=[F.col("priority")],
+        pattern_col="pattern",
+        payload_cols=["label", "priority"],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["label"] is None and rows[1]["priority"] is None
+    assert dict(out.dtypes)["priority"] == "int"
+
+
+def test_lateral_top1_udf_rejects_java_only_pattern(spark):
+    """The Arrow matcher runs Python re — Java-only constructs in the
+    user-editable pattern seed must fail fast on the DRIVER with the
+    offending pattern named, not as an opaque executor traceback
+    (ADVICE r7)."""
+    from dbt_analytics_spark.operators.top1 import lateral_top1_udf
+
+    left = spark.createDataFrame([(1, "ABC")], ["id", "descr"])
+    dim = spark.createDataFrame(
+        [(r"\p{Lu}+", "upper", 1)], ["pattern", "label", "priority"]
+    )
+    with pytest.raises(ValueError, match=r"\\p\{Lu\}"):
+        lateral_top1_udf(
+            left,
+            dim,
+            text_cols=["descr"],
+            order_by=[F.col("priority")],
+            pattern_col="pattern",
+            payload_cols=["label"],
+        )
