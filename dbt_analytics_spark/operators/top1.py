@@ -185,6 +185,16 @@ def lateral_top1_udf(
     import pandas as pd
 
     rows = _collect_ranked_dim(dim, order_by)
+    if not rows:
+        # Empty pattern dim: same left-outer contract as lateral_top1_case —
+        # every left row survives with NULL payloads typed from the dim's
+        # schema. Without the cast the literal-NULL payloads come out as
+        # void/NullType, diverging from the CASE matcher and breaking
+        # downstream unionByName/parquet writes against typed columns.
+        types = {f.name: f.dataType for f in dim.schema.fields}
+        return left.select(
+            "*", *[F.lit(None).cast(types[p]).alias(p) for p in payload_cols]
+        )
     patterns = [r[pattern_col] for r in rows]
     flags_ci = case_insensitive
     for p in patterns:

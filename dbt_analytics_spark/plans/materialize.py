@@ -296,9 +296,61 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
         spark = project.spark
         fp = F.md5(F.col(text_col))
         fp_tbl = project.qualified(f"{node.name}__dedup_fps")
+        sh_tbl = project.qualified(f"{node.name}__lsh_shingles")
+        bd_tbl = project.qualified(f"{node.name}__lsh_bands")
+        kw = dict(node.dedup_kwargs or {})
+        idx_kw = {
+            k: kw[k]
+            for k in ("shingle_k", "num_hashes", "bands")
+            if k in kw
+        }
+
+        # Start-of-run heal: a prior run may have crashed between the
+        # target commit and _commit_companions() — target rows then exist
+        # that no companion knows about, and since the companions are
+        # append-only once bootstrapped, every exact/near dup of those
+        # rows would be admitted FOREVER without repair (the bootstrap
+        # path only runs when a table is missing, never when it is merely
+        # stale). Derive each companion's gap from target-minus-companion
+        # keys and append it BEFORE reading companion state below. Cost:
+        # one skinny-column anti-join per companion per run — the batch
+        # path runs per pipeline invocation, not per micro-batch.
+        if spark.catalog.tableExists(fp_tbl):
+            missing_fps = (
+                existing.select(fp.alias("__fp"))
+                .distinct()
+                .join(spark.table(fp_tbl), "__fp", "left_anti")
+                # reads fp_tbl and appends to it — cut lineage first
+                .localCheckpoint(eager=True)
+            )
+            if not missing_fps.isEmpty():
+                missing_fps.write.mode("append").format(
+                    node.file_format
+                ).saveAsTable(fp_tbl)
+        for comp_tbl in (sh_tbl, bd_tbl):
+            if not spark.catalog.tableExists(comp_tbl):
+                continue
+            uncovered = existing.join(
+                spark.table(comp_tbl)
+                .select(F.col("doc").alias(node.unique_key))
+                .distinct(),
+                node.unique_key,
+                "left_anti",
+            )
+            if uncovered.isEmpty():
+                continue
+            heal_sh, heal_bd = _dedup.build_lsh_index(
+                uncovered, node.unique_key, text_col, **idx_kw
+            )
+            heal_part = heal_sh if comp_tbl == sh_tbl else heal_bd
+            heal_part.localCheckpoint(eager=True).write.mode("append").format(
+                node.file_format
+            ).saveAsTable(comp_tbl)
+
         if spark.catalog.tableExists(fp_tbl):
             # Fingerprint companion table: the exact-dup anti-join probes
             # stored md5s instead of re-scanning the corpus text column.
+            spark.catalog.refreshTable(fp_tbl)
             seen = spark.table(fp_tbl)
         else:
             seen = existing.select(fp.alias("__fp")).distinct()
@@ -312,6 +364,11 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
             .drop("__rn")
             .join(seen, "__fp", "left_anti")
             .drop("__fp")
+            # Retry guard: a re-emitted batch whose rows already committed
+            # to the target (crash after target write) must not re-insert —
+            # `combined` below unions survivors with existing, so an
+            # existing id reaching survivors would duplicate the row.
+            .join(existing.select(node.unique_key), node.unique_key, "left_anti")
         )
         # Persistent banded index: without it every batch re-bands the
         # ENTIRE corpus (measured: 62 s against a 500k-doc corpus for an
@@ -324,16 +381,10 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
         # requires a full refresh — they are part of the node's
         # state:modified fingerprint, so dbt-style state selection flags
         # exactly that.
-        kw = dict(node.dedup_kwargs or {})
-        idx_kw = {
-            k: kw[k]
-            for k in ("shingle_k", "num_hashes", "bands")
-            if k in kw
-        }
-        spark = project.spark
-        sh_tbl = project.qualified(f"{node.name}__lsh_shingles")
-        bd_tbl = project.qualified(f"{node.name}__lsh_bands")
         have_index = spark.catalog.tableExists(sh_tbl) and spark.catalog.tableExists(bd_tbl)
+        if have_index:
+            spark.catalog.refreshTable(sh_tbl)
+            spark.catalog.refreshTable(bd_tbl)
         if have_index:
             kw["corpus_index"] = (spark.table(sh_tbl), spark.table(bd_tbl))
         survivors = _dedup.dedup_against_corpus(
@@ -360,9 +411,11 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
             # ghost docs in the index suppressing future legitimate
             # near-dups. After a committed target, a crash before/inside
             # this function leaves companions BEHIND the corpus — the safe
-            # side: the next run re-derives nothing wrong, it only pays an
-            # extra near-dup check until the companions catch up, and the
-            # bootstrap path below rebuilds them from the target itself.
+            # side, because the start-of-run heal above repairs exactly
+            # this state on the next invocation (append the
+            # target-minus-companion keys before any companion is read),
+            # and the retry id-guard on `fresh` keeps the re-emitted batch
+            # from double-inserting meanwhile.
             if have_index:
                 surv_sh, surv_bd = _dedup.build_lsh_index(
                     survivors, node.unique_key, text_col, **idx_kw

@@ -452,7 +452,14 @@ def stream_dedup_ingest(
     table writes, so the per-batch pipeline is made IDEMPOTENT instead:
 
     - a ``{target}__stream_commits`` marker (appended LAST) skips batches
-      whose full pipeline already committed — the cheap fast path;
+      whose full pipeline already committed — the cheap fast path. The
+      marker is keyed on ``(query_id, batch_id)``, where ``query_id`` is
+      the streaming query's durable id read from ``<checkpoint>/metadata``:
+      batch ids are scoped to a checkpoint, so after a checkpoint
+      delete/move they restart at 0 and a marker keyed on batch_id alone
+      would silently skip the re-numbered batches (data loss). A fresh
+      checkpoint gets a fresh query id, so its batches never match stale
+      markers;
     - every data write is individually replay-safe for a crash mid-batch:
       the target append anti-joins on ``id_col`` against the target, the
       LSH appends anti-join on doc id against the stored index, and the
@@ -466,13 +473,42 @@ def stream_dedup_ingest(
     Scale shape: identical to the batch dedup_insert strategy — the
     companion tables ``{target}__lsh_shingles`` / ``__lsh_bands`` /
     ``__dedup_fps`` are bootstrapped on the first batch and appended per
-    batch, so every micro-batch's cost scales with the batch, never the
-    corpus (the idempotence anti-joins probe stored keys, also
-    batch-scaled).
+    batch, so every micro-batch's DEDUP cost scales with the batch, never
+    the corpus. The replay guards broadcast the batch's keys into a
+    map-side filter over one skinny stored-key column each — no corpus
+    shuffle; their residual cost is that columnar key scan per batch
+    (storage-pruned, not O(corpus) network).
     """
+    import json as _json
+    import os as _os
+
+    qid_cache: dict[str, str | None] = {}
+
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        if "qid" not in qid_cache:
+            # Structured Streaming persists the query's durable id in
+            # <checkpoint>/metadata before batch 0 runs; read it through
+            # the engine (spark.read.text) so any checkpoint filesystem
+            # works. Missing/unreadable metadata degrades to query_id=None
+            # — the marker fast path is skipped and the per-write guards
+            # carry idempotence alone (safe, just slower on replay).
+            try:
+                line = (
+                    batch.sparkSession.read.text(
+                        _os.path.join(checkpoint_dir, "metadata")
+                    ).collect()[0][0]
+                )
+                qid_cache["qid"] = str(_json.loads(line)["id"])
+            except Exception:
+                qid_cache["qid"] = None
         _dedup_ingest_batch(
-            batch, batch_id, target_table, id_col, text_col, **lsh_kwargs
+            batch,
+            batch_id,
+            target_table,
+            id_col,
+            text_col,
+            query_id=qid_cache["qid"],
+            **lsh_kwargs,
         )
 
     q = (
@@ -495,19 +531,44 @@ def stream_dedup_ingest(
             spark.catalog.refreshTable(t)
 
 
+def _stored_keys_overlapping(
+    stored: DataFrame, key: str, batch_keys: DataFrame
+) -> DataFrame:
+    """The stored table's ``key`` column restricted to keys present in the
+    (micro-batch-sized) ``batch_keys`` — the replay-guard probe shape.
+
+    Broadcasting the batch's key set into a left-semi turns the guard into
+    a map-side filter over ONE skinny stored column: no corpus-sized
+    shuffle, and the anti-join that consumes the result sees a
+    broadcast-sized right side. The residual cost is the columnar key scan
+    of the stored table (unavoidable without a key index), not O(corpus)
+    network."""
+    return (
+        stored.select(key)
+        .join(F.broadcast(batch_keys.select(key).distinct()), key, "left_semi")
+        .distinct()
+    )
+
+
 def _dedup_ingest_batch(
     batch: DataFrame,
     batch_id: int,
     target_table: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    query_id: str | None = None,
     **lsh_kwargs,
 ) -> None:
     """One idempotent micro-batch of the dedup ingest pipeline (module-level
     so crash/replay scenarios are directly testable — see
     tests/test_streaming.py). Safe to call more than once with the same
     ``batch_id``/rows: see stream_dedup_ingest's docstring for the write
-    order and per-write replay guards."""
+    order and per-write replay guards.
+
+    ``query_id`` keys the commit marker to the streaming query identity
+    (checkpoint-scoped): without it the marker fast path is skipped —
+    batch ids alone are NOT a durable identity across checkpoint
+    recreation — and the per-write guards carry idempotence."""
     from pyspark.sql import functions as F
 
     from ..operators import dedup as _dedup
@@ -523,15 +584,27 @@ def _dedup_ingest_batch(
     }
 
     s = batch.sparkSession
+    marker_legacy = False
     if s.catalog.tableExists(commit_tbl):
-        done = (
-            s.table(commit_tbl)
-            .filter(F.col("batch_id") == F.lit(int(batch_id)))
-            .limit(1)
-            .count()
-        )
-        if done:
-            return  # full pipeline already committed; pure replay
+        marker = s.table(commit_tbl)
+        if "query_id" not in marker.columns:
+            # Pre-r9 marker keyed on batch_id alone: not trustworthy across
+            # checkpoint recreation (ids restart at 0), so never fast-path
+            # on it; the table is migrated (overwritten) at this batch's
+            # commit. Markers are purely an optimization — dropping the old
+            # rows only means replays of old batches take the guarded path.
+            marker_legacy = True
+        elif query_id is not None:
+            done = (
+                marker.filter(
+                    (F.col("query_id") == F.lit(query_id))
+                    & (F.col("batch_id") == F.lit(int(batch_id)))
+                )
+                .limit(1)
+                .count()
+            )
+            if done:
+                return  # full pipeline already committed; pure replay
     fp = F.md5(F.col(text_col))
     w_fp = Window.partitionBy("__fp").orderBy(F.col(id_col))
     batch = (
@@ -566,14 +639,18 @@ def _dedup_ingest_batch(
         # Replay guard: rows whose target append already committed in
         # a crashed attempt must not double-append, but they DO flow
         # into the companion writes below (which have their own
-        # guards), healing a partially-committed batch.
+        # guards), healing a partially-committed batch. The probe is
+        # batch-scaled: broadcast the survivors' ids into the target
+        # key scan (no corpus shuffle).
         survivors.join(
-            existing.select(id_col), id_col, "left_anti"
+            _stored_keys_overlapping(existing, id_col, survivors),
+            id_col,
+            "left_anti",
         ).write.mode("append").saveAsTable(target_table)
     if s.catalog.tableExists(sh_tbl) and s.catalog.tableExists(bd_tbl):
         sh, bd = _dedup.build_lsh_index(survivors, id_col, text_col, **idx_kw)
-        sh = sh.join(s.table(sh_tbl).select("doc").distinct(), "doc", "left_anti")
-        bd = bd.join(s.table(bd_tbl).select("doc").distinct(), "doc", "left_anti")
+        sh = sh.join(_stored_keys_overlapping(s.table(sh_tbl), "doc", sh), "doc", "left_anti")
+        bd = bd.join(_stored_keys_overlapping(s.table(bd_tbl), "doc", bd), "doc", "left_anti")
         sh = sh.localCheckpoint(eager=True)  # reads sh_tbl, then appends to it
         bd = bd.localCheckpoint(eager=True)
         sh.write.mode("append").saveAsTable(sh_tbl)
@@ -590,7 +667,11 @@ def _dedup_ingest_batch(
         bd.write.mode("overwrite").saveAsTable(bd_tbl)
     if s.catalog.tableExists(fp_tbl):
         fps = survivors.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
-        fps = fps.join(s.table(fp_tbl), "__fp", "left_anti")
+        fps = fps.join(
+            _stored_keys_overlapping(s.table(fp_tbl), "__fp", fps),
+            "__fp",
+            "left_anti",
+        )
         fps = fps.localCheckpoint(eager=True)
         fps.write.mode("append").saveAsTable(fp_tbl)
     else:
@@ -599,6 +680,9 @@ def _dedup_ingest_batch(
             F.md5(F.col(text_col)).alias("__fp")
         ).distinct().write.mode("overwrite").saveAsTable(fp_tbl)
     # Marker LAST: its presence certifies every write above committed.
-    s.createDataFrame(
-        [(int(batch_id),)], "batch_id long"
-    ).write.mode("append").saveAsTable(commit_tbl)
+    # No durable query identity → no marker (guards alone carry replays).
+    if query_id is not None:
+        mode = "overwrite" if marker_legacy else "append"  # legacy migration
+        s.createDataFrame(
+            [(str(query_id), int(batch_id))], "query_id string, batch_id long"
+        ).write.mode(mode).saveAsTable(commit_tbl)

@@ -1311,3 +1311,97 @@ def test_dedup_insert_companions_commit_after_target(spark, monkeypatch):
         for r in spark.table("corpus_fail_t__lsh_bands").select("doc").distinct().collect()
     }
     assert idx_docs == {1, 2, 3}
+
+
+def test_dedup_insert_heals_crash_between_target_and_companions(spark, monkeypatch):
+    """VERDICT r8 (new finding): a crash BETWEEN the target commit and the
+    companion commit left companions stale forever — the bootstrap path
+    only runs when a companion table is missing, never when it is merely
+    behind, so exact/near dups of the crashed batch's rows were admitted
+    on every later run. The start-of-run heal appends target-minus-
+    companion keys before any companion is read, and the retry id-guard
+    keeps the re-emitted batch from double-inserting."""
+    import pyspark.sql.readwriter as _rw
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+    ) * 4
+    fresh1 = (
+        "entirely fresh subject matter with no overlap whatsoever "
+        "covering astronomy telescopes galaxies and spectral lines "
+    ) * 3
+    ocean = (
+        "totally novel corpus slice regarding oceanography currents "
+        "salinity thermoclines and deep trenches measurements "
+    ) * 3
+    p = Project(spark, name="ddheal")
+    state = {"rows": [(1, base)]}
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="dedup_insert",
+        unique_key="doc_id",
+        dedup_text_col="body",
+        dedup_kwargs={"threshold": 0.4},
+        name="corpus_heal_t",
+    )
+    def corpus_heal_t(ctx):
+        return ctx.spark.createDataFrame(state["rows"], ["doc_id", "body"])
+
+    def rerun(rows):
+        state["rows"] = rows
+        pn = Project(spark, name="ddheal")
+        pn.nodes = p.nodes
+        return {r.node: r for r in pn.run(select="corpus_heal_t")}
+
+    assert rerun([(1, base)])["corpus_heal_t"].status == "success"
+    # bootstrap companions on the first incremental apply
+    assert rerun([(2, fresh1)])["corpus_heal_t"].status == "success"
+    assert spark.catalog.tableExists("corpus_heal_t__lsh_bands")
+
+    # Batch 3: the TARGET write commits, then the first companion append
+    # (…__lsh_shingles) fails — the exact crash window in question.
+    orig = _rw.DataFrameWriter.saveAsTable
+
+    def failing(self, name, *a, **kw):
+        if name == "corpus_heal_t__lsh_shingles":
+            raise RuntimeError("injected companion-write failure")
+        return orig(self, name, *a, **kw)
+
+    monkeypatch.setattr(_rw.DataFrameWriter, "saveAsTable", failing)
+    res = rerun([(3, ocean)])
+    assert res["corpus_heal_t"].status == "error"
+    monkeypatch.setattr(_rw.DataFrameWriter, "saveAsTable", orig)
+
+    # Target holds doc 3; companions do not know it.
+    spark.catalog.refreshTable("corpus_heal_t")
+    assert sorted(r["doc_id"] for r in spark.table("corpus_heal_t").collect()) == [1, 2, 3]
+    idx_docs = {
+        r["doc"]
+        for r in spark.table("corpus_heal_t__lsh_bands").select("doc").distinct().collect()
+    }
+    assert idx_docs == {1, 2}
+
+    # Retry of the SAME batch (standard pipeline retry): the id-guard must
+    # not double-insert doc 3, and the start-of-run heal must register its
+    # fp + bands even though the batch contributes no new survivors.
+    res = rerun([(3, ocean)])
+    assert res["corpus_heal_t"].status == "success"
+    rows = spark.table("corpus_heal_t").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]  # no dup row
+    idx_docs = {
+        r["doc"]
+        for r in spark.table("corpus_heal_t__lsh_bands").select("doc").distinct().collect()
+    }
+    assert idx_docs == {1, 2, 3}  # healed
+    assert spark.table("corpus_heal_t__dedup_fps").count() == 3
+
+    # The healed companions now suppress dups of the crashed batch's rows:
+    # an exact dup and a near-dup of doc 3 are dropped; a fresh doc lands.
+    fresh2 = (
+        "high energy particle physics detectors calorimeters and muon "
+        "chambers recording collision events at luminosity frontiers "
+    ) * 3
+    res = rerun([(4, ocean), (5, ocean.replace("deep", "shallow")), (6, fresh2)])
+    assert res["corpus_heal_t"].status == "success"
+    assert sorted(r["doc_id"] for r in spark.table("corpus_heal_t").collect()) == [1, 2, 3, 6]

@@ -691,13 +691,13 @@ def test_dedup_ingest_batch_replay_idempotent(spark, monkeypatch):
         }
 
     b0 = spark.createDataFrame([(1, base), (2, other)], ["doc_id", "text"])
-    _dedup_ingest_batch(b0, 0, tbl, threshold=0.4)
+    _dedup_ingest_batch(b0, 0, tbl, query_id="q-test", threshold=0.4)
     assert target_ids() == [1, 2]
     assert index_docs() == {1, 2}
 
     # Pure replay of a fully committed batch: the commit marker
     # short-circuits before any write.
-    _dedup_ingest_batch(b0, 0, tbl, threshold=0.4)
+    _dedup_ingest_batch(b0, 0, tbl, query_id="q-test", threshold=0.4)
     assert target_ids() == [1, 2]
     assert spark.table(f"{tbl}__dedup_fps").count() == 2
     assert spark.table(f"{tbl}__lsh_bands").count() == len(index_docs()) * 8
@@ -712,7 +712,7 @@ def test_dedup_ingest_batch_replay_idempotent(spark, monkeypatch):
 
     monkeypatch.setattr(dd, "build_lsh_index", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
-        _dedup_ingest_batch(b1, 1, tbl, threshold=0.4)
+        _dedup_ingest_batch(b1, 1, tbl, query_id="q-test", threshold=0.4)
     monkeypatch.setattr(dd, "build_lsh_index", orig_build)
 
     assert target_ids() == [1, 2, 3]  # target committed
@@ -722,7 +722,7 @@ def test_dedup_ingest_batch_replay_idempotent(spark, monkeypatch):
     assert marks == [0]  # batch 1 not certified
 
     # Replay of the crashed batch: heals the companions, no target dup.
-    _dedup_ingest_batch(b1, 1, tbl, threshold=0.4)
+    _dedup_ingest_batch(b1, 1, tbl, query_id="q-test", threshold=0.4)
     assert target_ids() == [1, 2, 3]
     assert index_docs() == {1, 2, 3}
     assert spark.table(f"{tbl}__dedup_fps").count() == 3
@@ -733,5 +733,95 @@ def test_dedup_ingest_batch_replay_idempotent(spark, monkeypatch):
     # near-dup of doc 1 are both dropped by the next batch.
     near = base.replace("lazy", "sleepy")
     b2 = spark.createDataFrame([(4, fresh), (5, near)], ["doc_id", "text"])
-    _dedup_ingest_batch(b2, 2, tbl, threshold=0.4)
+    _dedup_ingest_batch(b2, 2, tbl, query_id="q-test", threshold=0.4)
     assert target_ids() == [1, 2, 3]
+
+
+def test_dedup_ingest_marker_keyed_on_query_identity(spark):
+    """ADVICE r8 (medium): batch ids are scoped to a checkpoint — after a
+    checkpoint delete/recreate they restart at 0. A commit marker keyed on
+    batch_id alone would short-circuit the re-numbered batches before any
+    write (silent data loss). The marker is now keyed on (query_id,
+    batch_id): a new query identity never matches old markers, while the
+    same identity still gets the fast path."""
+    import uuid
+
+    from dbt_analytics_spark.streaming.incremental import _dedup_ingest_batch
+
+    tbl = f"ingest_qid_{uuid.uuid4().hex[:8]}"
+    doc_a = "the quick brown fox jumps over the lazy dog again today " * 4
+    doc_b = "tokenizer corpora need unique vocabulary spread wide apart " * 4
+
+    def target_ids():
+        spark.catalog.refreshTable(tbl)
+        return sorted(r["doc_id"] for r in spark.table(tbl).collect())
+
+    b0 = spark.createDataFrame([(1, doc_a)], ["doc_id", "text"])
+    _dedup_ingest_batch(b0, 0, tbl, query_id="ckpt-1", threshold=0.4)
+    assert target_ids() == [1]
+
+    # "Checkpoint recreated": new query identity, batch ids restart at 0,
+    # and the batch carries genuinely NEW data. The old marker (batch 0)
+    # must NOT short-circuit it.
+    b0_new = spark.createDataFrame([(2, doc_b)], ["doc_id", "text"])
+    _dedup_ingest_batch(b0_new, 0, tbl, query_id="ckpt-2", threshold=0.4)
+    assert target_ids() == [1, 2]
+
+    # Same identity + batch id = genuine replay: fast path skips (doc 3
+    # would otherwise be admitted — proves the marker, not the dedup,
+    # stopped it).
+    fresh = "astronomy telescopes galaxies spectra and deep sky surveys " * 4
+    b0_replay = spark.createDataFrame([(3, fresh)], ["doc_id", "text"])
+    _dedup_ingest_batch(b0_replay, 0, tbl, query_id="ckpt-2", threshold=0.4)
+    assert target_ids() == [1, 2]
+
+    marks = sorted(
+        (r["query_id"], r["batch_id"])
+        for r in spark.table(f"{tbl}__stream_commits").collect()
+    )
+    assert marks == [("ckpt-1", 0), ("ckpt-2", 0)]
+
+    # No durable identity (query_id=None): marker fast path and marker
+    # writes are both skipped — the per-write guards alone carry replays.
+    b1 = spark.createDataFrame([(4, fresh)], ["doc_id", "text"])
+    _dedup_ingest_batch(b1, 99, tbl, query_id=None, threshold=0.4)
+    _dedup_ingest_batch(b1, 99, tbl, query_id=None, threshold=0.4)  # replay
+    assert target_ids() == [1, 2, 4]
+    assert spark.table(f"{tbl}__stream_commits").count() == 2
+
+
+def test_dedup_ingest_legacy_marker_migrates(spark):
+    """A pre-r9 marker table (batch_id only) must never satisfy the fast
+    path — its ids are not durable across checkpoint recreation — and is
+    migrated to the keyed schema at the next commit."""
+    import uuid
+
+    from dbt_analytics_spark.streaming.incremental import _dedup_ingest_batch
+
+    tbl = f"ingest_leg_{uuid.uuid4().hex[:8]}"
+    doc_a = "the quick brown fox jumps over the lazy dog again today " * 4
+    doc_b = "tokenizer corpora need unique vocabulary spread wide apart " * 4
+
+    b0 = spark.createDataFrame([(1, doc_a)], ["doc_id", "text"])
+    _dedup_ingest_batch(b0, 0, tbl, query_id="ckpt-1", threshold=0.4)
+
+    # Simulate the legacy marker layout.
+    spark.createDataFrame([(0,), (1,)], "batch_id long").write.mode(
+        "overwrite"
+    ).saveAsTable(f"{tbl}__stream_commits")
+
+    # batch_id 1 is "marked" in the legacy table, but the legacy mark is
+    # untrusted: the batch must still process (new doc admitted).
+    b1 = spark.createDataFrame([(2, doc_b)], ["doc_id", "text"])
+    _dedup_ingest_batch(b1, 1, tbl, query_id="ckpt-1", threshold=0.4)
+    spark.catalog.refreshTable(tbl)
+    assert sorted(r["doc_id"] for r in spark.table(tbl).collect()) == [1, 2]
+
+    # Marker table migrated: keyed schema, legacy rows dropped (markers
+    # are an optimization — replays of old batches take the guarded path).
+    spark.catalog.refreshTable(f"{tbl}__stream_commits")
+    marker = spark.table(f"{tbl}__stream_commits")
+    assert set(marker.columns) == {"query_id", "batch_id"}
+    assert [(r["query_id"], r["batch_id"]) for r in marker.collect()] == [
+        ("ckpt-1", 1)
+    ]

@@ -226,27 +226,36 @@ def test_map_one_deterministic(built, spark):
 
 
 def test_lateral_top1_empty_dim_left_outer(spark):
-    """An empty pattern dim honors the left-outer contract: every left row
-    survives with NULL payloads typed from the dim schema (ADVICE r7: the
-    CASE variant raised AttributeError on an empty dim)."""
-    from dbt_analytics_spark.operators.top1 import lateral_top1_case
+    """An empty pattern dim honors the left-outer contract in BOTH
+    matchers: every left row survives with NULL payloads typed from the
+    dim schema (ADVICE r7: the CASE variant raised AttributeError;
+    ADVICE r8: the UDF variant emitted void/NullType payload columns,
+    diverging from the CASE matcher and breaking downstream unionByName/
+    parquet writes against typed columns)."""
+    from dbt_analytics_spark.operators.top1 import (
+        lateral_top1_case,
+        lateral_top1_udf,
+    )
 
     left = spark.createDataFrame([(1, "abc"), (2, "def")], ["id", "descr"])
     dim = spark.createDataFrame(
         [], "pattern string, label string, priority int"
     )
-    out = lateral_top1_case(
-        left,
-        dim,
-        text_cols=["descr"],
-        order_by=[F.col("priority")],
-        pattern_col="pattern",
-        payload_cols=["label", "priority"],
-    )
-    rows = {r["id"]: r for r in out.collect()}
-    assert set(rows) == {1, 2}
-    assert rows[1]["label"] is None and rows[1]["priority"] is None
-    assert dict(out.dtypes)["priority"] == "int"
+    for matcher in (lateral_top1_case, lateral_top1_udf):
+        out = matcher(
+            left,
+            dim,
+            text_cols=["descr"],
+            order_by=[F.col("priority")],
+            pattern_col="pattern",
+            payload_cols=["label", "priority"],
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["label"] is None and rows[1]["priority"] is None
+        # typed, not void — the two matchers must agree schema-for-schema
+        assert dict(out.dtypes)["priority"] == "int", matcher.__name__
+        assert dict(out.dtypes)["label"] == "string", matcher.__name__
 
 
 def test_lateral_top1_udf_rejects_java_only_pattern(spark):
