@@ -158,10 +158,8 @@ _BEYOND_DRIVER_CAP = [
     "sim5b_kmeans_assign",
     # sim3b (round 7): IVF probing all cells == exact top-k, so the whole
     # inverted-file pipeline hash-checks against SIM1's SQL oracle.
-    "sim3b_ivf_exact",
     # sim2b (round 7): hyperplane LSH with zero planes == brute force, so
     # the bucket machinery hash-checks against the sim1-style oracle.
-    "sim2b_lsh_exact",
     # q6/q10/q14/q18 (round 7): TPC-H breadth batch, all exact oracles.
     # Past the cap like q3/q5 — their §2a operator IDs (S1/P2/A2/A3/J1/
     # SO1) are driver-evidenced by existing prefix rows; scan-pushdown,
@@ -173,43 +171,80 @@ _BEYOND_DRIVER_CAP = [
     "q18_large_orders",
     # Second batch: bilateral nation-pair rollup (q7), 6-table
     # market-share star (q8), scalar-subquery-on-aggregate (q15).
-    "q7_volume_shipping",
-    "q8_market_share",
     "q15_top_supplier",
     # Third batch: zero-preserving count histogram (q13), decorrelated
     # avg-quantity subquery with integer cross-multiplied boundary (q17).
-    "q13_custdist",
-    "q17_small_qty_revenue",
     # dd11 (round 7): SemDeDup cluster-bounded semantic dedup — the
     # composition of sim5b's pinned-centroid assignment and within-cell
     # rounded-cosine pair flags, fully SQL-oracled. The near-dup family
     # keeps its driver rows via dd3/dd5/dd10.
-    "dd11_semdedup",
     # smp5 (round 7): fixed-k stratified sampling on the salted two-phase
     # top-k window (sampling family driver-evidenced by smp4's row).
     # f7 (round 7): PSI distribution-drift monitor (sketch/profile family
     # driver-evidenced by f6's row).
-    "smp5_fixed_k_sample",
-    "f7_drift_psi",
     # txt16/txt16b (round 7): learned logreg quality classifier — training
     # rows-only (iterative GD, tests/test_classifier.py); scoring with
     # pinned weights exact-oracled (classifier family driver-evidenced by
     # txt14_nb_langid's row).
     "txt16_logreg_quality",
-    "txt16b_logreg_score",
     # f8 (round 7): Count-Min sketch with a portable md5-string bucket —
     # build AND probe SQL-expressible, so the approximate estimates
     # hash-check exactly (sketch family driver-evidenced by f6's row).
-    "f8_cms_counts",
     # ev7 (round 7): first-order Markov transition matrix over user event
     # streams (event family driver-evidenced by ev1/ev2/ev3/ev4 rows).
-    "ev7_event_transitions",
     # w7 (round 7): percent_rank/cume_dist/nth_value analytic suite
     # (window family driver-evidenced by w1/w2/w3 rows).
-    "w7_analytic_suite",
-    # a6 (round 7): explicit GROUPING SETS — the grouping-set family's
-    # last member beside a1 (manual grains), a2 (ROLLUP), a5 (CUBE).
-    "a6_grouping_sets",
+    # ------------------------------------------------------------------
+    # Round-9 rotation (VERDICT r8 item 2): the 14 round-7 session-2
+    # operators with only local-gate evidence move INTO the 50-prefix —
+    # q7/q8/q13/q17 (the measured join-order and semi-join-first TPC-H
+    # shapes), a6 (GROUPING SETS), w7 (percent_rank/cume_dist/nth_value),
+    # dd11 (SemDeDup), smp5 (fixed-k sampling), f7 (PSI drift), f8
+    # (portable CMS), ev7 (Markov transitions), txt16b (pinned-weight
+    # logreg scoring), and sim2b/sim3b (the LSH/IVF pipelines in their
+    # EXACT regimes, giving the ANN machinery hash-checked driver rows
+    # beside sim2/sim3's rows-only ones). Displaced in exchange — every
+    # one stays hash-green in the all-registry local gate
+    # (CORRECTNESS_LOCAL_r09) and parity suite, with sibling evidence:
+    #   w2_first_value — W2's analytic shape driver-evidenced by
+    #     w7_analytic_suite's entering row (nth_value/first-in-window).
+    #   u2_union_all_dim — U-family keeps u1_union_dedup's row; u2 is the
+    #     trivial literal-dim UNION ALL.
+    #   d2_extract / d3_interval_arith — date family keeps d1_date_trunc
+    #     and g1_date_spine (interval arithmetic inside the spine).
+    #   t4_string_fns — string scalars appear inside t2/t3/txt1 prefix
+    #     rows; the judge's r8 displacement shortlist named d3/t4.
+    #   ev5_funnel — event family keeps ev1/ev2/ev3/ev4 + entering ev7;
+    #     the generalized funnel stays local-gated (ev5b).
+    #   ev1c_session_window — sibling of ev1_sessionize's row (same
+    #     sessionizer, built-in session_window variant).
+    #   dd5_embedding_neardup — superseded in evidence by dd11_semdedup's
+    #     entering row (same cosine near-dup surface, cluster-bounded).
+    #   dd7_cluster_dedup — CC-dedup stays pytest-pinned
+    #     (tests/test_graph.py); dedup family keeps dd1/dd3/dd6/dd10.
+    #   txt4_fingerprint / txt10_repetition — text-metrics family keeps
+    #     txt1/txt2's rows; both fully oracled in the local gate.
+    #   txt13_lm_score — scoring family evidenced by txt14_nb_langid
+    #     (stays) + txt16b_logreg_score (enters).
+    #   smp4_temperature_mixture — sampling family evidenced by
+    #     smp5_fixed_k_sample's entering row (same md5-draw mechanism).
+    #   f6_histogram — sketch/profile family evidenced by entering
+    #     f7_drift_psi (whose PSI is built on the same fixed-bin
+    #     histogram) and f8_cms_counts.
+    "w2_first_value",
+    "u2_union_all_dim",
+    "d2_extract",
+    "d3_interval_arith",
+    "t4_string_fns",
+    "ev5_funnel",
+    "ev1c_session_window",
+    "dd5_embedding_neardup",
+    "dd7_cluster_dedup",
+    "txt4_fingerprint",
+    "txt10_repetition",
+    "txt13_lm_score",
+    "smp4_temperature_mixture",
+    "f6_histogram",
 ]
 
 _ALL: dict = {}

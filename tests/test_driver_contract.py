@@ -57,30 +57,38 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-6 prefix so an accidental
+    # queries/__init__.py). Freeze the round-9 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-7 rotation: txt14/ev6/dd10/ev1c/smp4/f6
-    # in, mm2/txt3/txt5/dd2/smp2/f1 out — see queries/__init__.py for the
-    # per-query sibling-evidence rationale).
+    # list in the same commit (round-9 rotation: q7/q8/q13/q17, a6, w7,
+    # dd11, smp5, f7, f8, ev7, txt16b, sim2b/sim3b in; w2/u2/d2/d3/t4/
+    # ev5/ev1c/dd5/dd7/txt4/txt10/txt13/smp4/f6 out — see
+    # queries/__init__.py for the per-query sibling-evidence rationale).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
-        "q1_pricing_summary", "p1_projection_cast", "p2_filter_ilike",
-        "p3_case_classify", "p5_coalesce", "j1_join_agg", "j2_left_join",
-        "j3b_regex_lateral_top1", "j4_lateral_expr", "j5_explode_split",
-        "a1_multi_grain_rollup", "a3_conditional_agg", "a4_count_distinct",
-        "w1_dedup_rank", "w2_first_value", "w3_pct_of_total",
-        "u1_union_dedup", "u2_union_all_dim", "g1_date_spine",
-        "d1_date_trunc", "d2_extract", "d3_interval_arith", "t2_regex_match",
-        "t4_string_fns", "t3_normalize", "so1_order_limit", "ev1_sessionize",
-        "ev2_json_extract", "ev3_asof_join", "ev4_range_join", "ev5_funnel",
-        "ev6_retention_cohorts", "ev1c_session_window", "dd1_exact_dedup",
-        "dd3_minhash_lsh", "dd5_embedding_neardup", "sim1_cosine_topk",
-        "sim3_ivf_topk", "txt1_token_stats", "txt2_quality",
-        "txt4_fingerprint", "mm1_features", "dd6_decontaminate",
-        "dd7_cluster_dedup", "txt10_repetition", "txt13_lm_score",
-        "dd10_exact_substring", "smp4_temperature_mixture", "f6_histogram",
-        "txt14_nb_langid",
+        "q1_pricing_summary", "q7_volume_shipping", "q8_market_share",
+        "q13_custdist", "q17_small_qty_revenue", "p1_projection_cast",
+        "p2_filter_ilike", "p3_case_classify", "p5_coalesce", "j1_join_agg",
+        "j2_left_join", "j3b_regex_lateral_top1", "j4_lateral_expr",
+        "j5_explode_split", "a1_multi_grain_rollup", "a3_conditional_agg",
+        "a4_count_distinct", "w1_dedup_rank", "w3_pct_of_total",
+        "u1_union_dedup", "g1_date_spine", "d1_date_trunc", "t2_regex_match",
+        "t3_normalize", "so1_order_limit", "ev1_sessionize",
+        "ev2_json_extract", "ev3_asof_join", "ev4_range_join",
+        "ev6_retention_cohorts", "ev7_event_transitions", "a6_grouping_sets",
+        "w7_analytic_suite", "dd1_exact_dedup", "dd3_minhash_lsh",
+        "sim1_cosine_topk", "sim3_ivf_topk", "txt1_token_stats",
+        "txt2_quality", "mm1_features", "dd6_decontaminate",
+        "sim3b_ivf_exact", "sim2b_lsh_exact", "dd10_exact_substring",
+        "txt14_nb_langid", "dd11_semdedup", "smp5_fixed_k_sample",
+        "f8_cms_counts", "txt16b_logreg_score", "f7_drift_psi",
     ]
     assert list(q.queries())[:50] == expected_prefix
+    # The only prefix rows without a DuckDB oracle are the two
+    # rows-only-by-design sketch ops (their exact-regime siblings sim2b/
+    # sim3b hold hash-checked prefix rows of their own).
+    oracles = set(q.oracle_sql())
+    assert [n for n in expected_prefix if n not in oracles] == [
+        "dd3_minhash_lsh", "sim3_ivf_topk",
+    ]
