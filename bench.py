@@ -30,9 +30,14 @@ from dbt_analytics_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "j1_join_agg",
+    # the same star join on the engine-owned bucketed layout (one-time
+    # build cost paid in the untimed warmup, like a real warehouse): the
+    # ad-hoc j1/w3 rows stay benched beside these for honesty.
+    "j1b_join_agg_bucketed",
     "j3_top1_per_group",
     "j3b_regex_lateral_top1",
     "w3_pct_of_total",
+    "w3b_pct_of_total_bucketed",
     "g1_date_spine",
     "u1_union_dedup",
     "ev1_sessionize",
@@ -57,6 +62,33 @@ def main() -> None:
         headline = [n.strip() for n in subset.split(",") if n.strip()]
         unknown = [n for n in headline if n not in REGISTRY]
         assert not unknown, f"unknown bench queries: {unknown}"
+    # Load gate (VERDICT r8): BENCH_r08's headline number was pure host
+    # contention (loadavg 7.1 → +35% on byte-identical queries). Timings
+    # here swing 3-10x with co-tenant load, so a number taken on a busy
+    # host is noise, not signal: wait (bounded) for the 1-min loadavg to
+    # drop below the gate before measuring, and LOUDLY annotate the JSON
+    # when the wait times out so a noisy run can't masquerade as a
+    # regression. Tunables: SPARK_GRAFT_BENCH_LOAD_MAX (default 4.0),
+    # SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 240; 0 disables).
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "240"))
+    gate_deadline = time.monotonic() + load_wait
+    load_gate = "ok"
+    while os.getloadavg()[0] > load_max:
+        if time.monotonic() >= gate_deadline:
+            load_gate = (
+                f"TIMEOUT: started at loadavg {os.getloadavg()[0]:.1f} > "
+                f"{load_max} after waiting {load_wait:.0f}s — timings below "
+                "are contention-suspect"
+            )
+            print(f"# load gate {load_gate}", file=sys.stderr)
+            break
+        print(
+            f"# load gate: 1-min loadavg {os.getloadavg()[0]:.1f} > "
+            f"{load_max}, waiting for a quiet host...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
     spark = get_spark("bench")
     # Warm the session once so per-query times measure the queries, not
     # startup: JVM + parquet footers, whole-stage-codegen JIT for the
@@ -185,6 +217,7 @@ def main() -> None:
                 # swing 3-10x with host load (BENCH_NOTES.md); a regression
                 # claim needs loadavg < ~4 to be believable.
                 "raw_times": raw,
+                "load_gate": load_gate,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
             }

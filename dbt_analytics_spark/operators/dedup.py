@@ -628,14 +628,31 @@ def decontaminate(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_votes(col: Column | str, bits: int = 63) -> Column:
+def portable_token_hash(t: Column) -> Column:
+    """60-bit token hash computable identically in Spark and DuckDB:
+    the first 15 hex digits of md5, parsed as an integer (Spark:
+    ``conv(substr(md5(x),1,15),16,10)``; DuckDB:
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` — verified value-identical).
+    The round-7 portable-hash rule (md5 ports across engines, xxhash64
+    does not) extended from string bucket keys to numeric bit patterns."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_votes(
+    col: Column | str, bits: int = 63, hash_fn=None
+) -> Column:
     """Per-bit SimHash vote vector: ONE fold over the token hashes maintains
     all ``bits`` counters — each step zips the accumulator with the bit
     positions and adds ±1 per slot. (The naive per-bit formulation re-scans
     the token array ``bits`` times — 63 interpreted passes instead of one.)
+
+    ``hash_fn`` supplies the per-token hash (default xxhash64 — fastest,
+    JVM built-in; pass ``portable_token_hash`` with ``bits<=60`` for the
+    cross-engine-reproducible signature the exact-regime oracle needs).
     """
     toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hfn = hash_fn or F.xxhash64
+    hashes = F.transform(toks, lambda t: hfn(t))
     positions = F.sequence(F.lit(0), F.lit(bits - 1))
     return F.aggregate(
         hashes,
@@ -721,6 +738,93 @@ def simhash_pairs(
         # hamming is pair-intrinsic. Past ~50M docs the 16-bit chunk key
         # space itself saturates; that regime needs permuted-prefix
         # multi-index banding (wider keys), not a bigger shuffle.
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc1", "doc2"])
+    )
+
+
+def simhash_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bits: int = 60,
+) -> DataFrame:
+    """``simhash_pairs`` in its PROVABLY exact regime, oracle-checkable.
+
+    Two deviations from the probabilistic operator, each buying a proof:
+
+    - **Pigeonhole banding**: the signature is partitioned into
+      ``max_hamming + 1`` disjoint chunks (not 4 fixed 16-bit ones). A
+      pair within Hamming distance ``max_hamming`` differs in at most
+      ``max_hamming`` chunks, so at least one chunk is bit-identical →
+      every qualifying pair is a candidate (recall exactly 1.0, no
+      "probabilistically found" remainder). The Hamming verify then makes
+      precision 1.0, so the output EQUALS the brute-force all-pairs
+      xor/bit_count answer.
+    - **Portable signature**: per-token hashes come from
+      ``portable_token_hash`` (md5-derived, engine-portable), so a DuckDB
+      oracle can rebuild the very same signatures and brute-force the
+      pair set in SQL — the sibling pattern that made f5b/sim3b/sim2b
+      hash-checkable.
+
+    Same scale shape as ``simhash_pairs`` (skinny (doc, chunk, key)
+    shuffle, Hamming filter before pair dedup); the chunk count rises
+    with ``max_hamming``, trading shuffle rows for guaranteed recall.
+    """
+    if not 0 <= max_hamming < bits:
+        raise ValueError(
+            f"simhash_pairs_exact: need 0 <= max_hamming < bits, got "
+            f"{max_hamming}/{bits}"
+        )
+    n_chunks = max_hamming + 1
+    base, extra = divmod(bits, n_chunks)
+    widths = [base + 1 if i < extra else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    sigs = (
+        _non_blank(fan_out(df), text_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            simhash_votes(
+                text_col, bits=bits, hash_fn=portable_token_hash
+            ).alias("__votes"),
+        )
+        .select(
+            "doc", simhash_from_votes(F.col("__votes"), bits=bits).alias("sig")
+        )
+    )
+    chunks = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        "doc", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    a, b = chunks.alias("a"), chunks.alias("r")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("r.chunk"))
+            & (F.col("a.key") == F.col("r.key")),
+        )
+        .filter(F.col("a.doc") < F.col("r.doc"))
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("r.doc").alias("doc2"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc1", "doc2"])
     )

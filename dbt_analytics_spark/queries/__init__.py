@@ -231,6 +231,28 @@ _BEYOND_DRIVER_CAP = [
     #   f6_histogram — sketch/profile family evidenced by entering
     #     f7_drift_psi (whose PSI is built on the same fixed-bin
     #     histogram) and f8_cms_counts.
+    # j1b/w3b (round 9): j1/w3 on the engine-owned bucketed star layout
+    # (plans/star_layout.py) — identical oracles to j1/w3, exchange-free
+    # join physical contract; benched beside the raw-parquet rows.
+    "j1b_join_agg_bucketed",
+    "w3b_pct_of_total_bucketed",
+    # Round-9 exact-regime siblings (VERDICT r8 item 4): each rows-only
+    # sketch/procedural op now has a PROVABLY exact regime with a full
+    # DuckDB oracle — dd3b/dd9b (threshold=1.0 ⇒ banding recall exactly
+    # 1), dd4b (pigeonhole chunks + portable md5 signature), smp3b
+    # (sub-minimum capacity ⇒ closed-form singleton packing), txt15b
+    # (first BPE merge is a closed-form weighted argmax), f2b/f3b
+    # (sketches asserted inside their documented error envelopes, with
+    # the bound verdict itself oracle-hash-checked). The probabilistic
+    # originals keep their rows-only entries; sibling evidence rides the
+    # local gate like f5b/sim5b/sim2b/sim3b before them.
+    "dd3b_minhash_lsh_exact",
+    "dd9b_cross_dedup_exact",
+    "dd4b_simhash_exact",
+    "smp3b_pack_identity",
+    "txt15b_bpe_first_merge",
+    "f2b_approx_distinct_bounded",
+    "f3b_approx_percentiles_bounded",
     "w2_first_value",
     "u2_union_all_dim",
     "d2_extract",

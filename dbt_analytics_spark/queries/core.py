@@ -271,6 +271,72 @@ GROUP BY 1, 2
 """
 
 
+def j1b_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 on the ENGINE-OWNED bucketed star layout (plans/star_layout.py).
+
+    Same answer as j1_join_agg (same DuckDB oracle), different physical
+    contract: both join sides are bucketed+sorted on the customer key, so
+    the fact⋈dim join runs with ZERO exchanges and no per-query broadcast
+    build — the measured residual that kept the ad-hoc j1 at ~10x DuckDB
+    at sf10. The shuffle_hash hint pins a bucket-local hash join (each
+    task builds from its own co-bucketed dim bucket — measured 0.62 s vs
+    0.73 s bucketed SMJ at sf10); Catalyst cannot re-introduce a
+    broadcast build. The aggregation sums the layout's exact-cents long
+    column (see star_layout: sum(o_cents)/100 == the decimal-cast sum
+    bit-for-bit, minus the per-row decimal cast and 128-bit accumulation
+    the measured scan floor was paying). The raw-parquet j1 row stays
+    benched beside this one: this row prices the layout-amortized steady
+    state, that one the cold ad-hoc shape.
+    """
+    from ..plans.star_layout import ensure_star_layout
+
+    orders_tbl, custmap_tbl = ensure_star_layout(spark, sf_dir)
+    o = spark.table(orders_tbl)
+    c = spark.table(custmap_tbl).hint("shuffle_hash")
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("o_cents").cast("decimal(38,0)") / F.lit(100))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+def w3b_pct_of_total_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 on the engine-owned bucketed star layout — see j1b. The
+    percent-of-total window runs over the 25-row nation aggregate, so the
+    only nontrivial physical work is the exchange-free bucketed join.
+    Cents arithmetic: nation and total spends are exact integer cent
+    sums; /100 through decimal reproduces the oracle's decimal values
+    bit-for-bit before the final double casts."""
+    from ..plans.star_layout import ensure_star_layout
+
+    orders_tbl, custmap_tbl = ensure_star_layout(spark, sf_dir)
+    o = spark.table(orders_tbl)
+    c = spark.table(custmap_tbl).hint("shuffle_hash")
+    per_nation = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum("o_cents").alias("spend_cents"))
+    )
+    w = Window.partitionBy()
+    as_spend = lambda col: (col.cast("decimal(38,0)") / F.lit(100)).cast("double")  # noqa: E731
+    return per_nation.select(
+        "nation_name",
+        as_spend(F.col("spend_cents")).alias("nation_spend"),
+        (
+            as_spend(F.col("spend_cents"))
+            / as_spend(F.sum("spend_cents").over(w))
+        ).alias("pct_of_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # J2 — left outer join with null-filling
 # (reference: models/metrics_monthly.sql:120-130 spine joins;
@@ -2541,6 +2607,10 @@ REGISTRY = {
     "p3_case_classify": (p3_case_classify, P3_SQL),
     "p5_coalesce": (p5_coalesce, P5_SQL),
     "j1_join_agg": (j1_join_agg, J1_SQL),
+    # Engine-owned bucketed-layout variants (plans/star_layout.py): same
+    # oracles as j1/w3, exchange-free join physical contract.
+    "j1b_join_agg_bucketed": (j1b_join_agg_bucketed, J1_SQL),
+    "w3b_pct_of_total_bucketed": (w3b_pct_of_total_bucketed, W3_SQL),
     "j2_left_join": (j2_left_join, J2_SQL),
     "j3_top1_per_group": (j3_top1_per_group, J3_SQL),
     "j3b_regex_lateral_top1": (j3b_regex_lateral_top1, J3B_SQL),

@@ -127,6 +127,164 @@ def dd4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DD3B / DD9B / DD4B — the near-dup sketch operators in their PROVABLY
+# exact regimes (VERDICT r8 item 4: finish the exact-regime sibling set).
+#
+# The natural corpus has no exact duplicates (verified per-sf), so each
+# sibling unions the documents table with an id-offset clone set — the
+# regime stays non-vacuous AND the expected answer is computed by the
+# oracle, not assumed.
+#
+# dd3b/dd9b exactness: at threshold=1.0, a qualifying pair has identical
+# shingle SETS, hence identical minhash signatures (min over the same
+# set), hence identical band buckets in EVERY band — banding recall is
+# exactly 1.0, not probabilistic; the in-plan Jaccard verify then gives
+# precision 1.0. So the output equals the brute-force shingle-set Jaccard
+# pair set, which the DuckDB oracle computes from scratch in SQL.
+# ---------------------------------------------------------------------------
+
+_CLONE_OFFSET = 1_000_000
+
+# k=3 word shingles in SQL, mirroring operators/dedup.py shingles():
+# >= 3 tokens -> distinct sliding 3-grams; shorter docs -> one whole-doc
+# shingle. (Same list-comprehension pattern as the dd6 gram SQL.)
+_SH3_SQL = """
+  sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    FOR i IN range(1, len(toks) - 1)])
+                ELSE [array_to_string(toks, ' ')]
+           END AS sh
+    FROM toks
+  ),
+  shw AS (SELECT DISTINCT doc_id, s.s AS s FROM sh, UNNEST(sh.sh) AS s(s)),
+  ssz AS (SELECT doc_id, COUNT(*) AS set_size FROM shw GROUP BY 1)
+"""
+
+
+def dd3b_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "text")
+    clones = docs.select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return dedup.minhash_lsh_pairs(
+        docs.unionByName(clones),
+        "doc_id",
+        "text",
+        shingle_k=3,
+        num_hashes=32,
+        bands=8,
+        threshold=1.0,
+    )
+
+
+DD3B_SQL = f"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CLONE_OFFSET} AS doc_id, text FROM documents
+), toks AS (
+  SELECT doc_id, {_SPLIT} AS toks FROM both_docs WHERE TRIM(text) <> ''
+),
+{_SH3_SQL},
+inter AS (
+  SELECT a.doc_id AS doc1, r.doc_id AS doc2, COUNT(*) AS n_common
+  FROM shw a JOIN shw r ON a.s = r.s AND a.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       CAST(n_common AS DOUBLE)
+         / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN ssz s1 ON s1.doc_id = doc1
+JOIN ssz s2 ON s2.doc_id = doc2
+WHERE n_common = s1.set_size AND n_common = s2.set_size
+"""
+
+
+def dd9b_cross_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd9's cross-corpus banding (minhash_lsh_pairs_cross) in the exact
+    regime: the clone set as the NEW batch against the natural corpus —
+    every new doc has exactly one J=1.0 corpus partner, found with
+    provably-1.0 banding recall (see dd3b block comment)."""
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "text")
+    clones = docs.select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return dedup.minhash_lsh_pairs_cross(
+        clones, docs, "doc_id", "text", threshold=1.0
+    )
+
+
+DD9B_SQL = f"""
+WITH toks_new AS (
+  SELECT doc_id + {_CLONE_OFFSET} AS doc_id, {_SPLIT} AS toks
+  FROM documents WHERE TRIM(text) <> ''
+), toks_cor AS (
+  SELECT doc_id, {_SPLIT} AS toks FROM documents WHERE TRIM(text) <> ''
+), toks AS (
+  SELECT * FROM toks_new UNION ALL SELECT * FROM toks_cor
+),
+{_SH3_SQL},
+inter AS (
+  SELECT a.doc_id AS new_doc, r.doc_id AS corpus_doc, COUNT(*) AS n_common
+  FROM shw a JOIN shw r ON a.s = r.s
+  WHERE a.doc_id >= {_CLONE_OFFSET} AND r.doc_id < {_CLONE_OFFSET}
+  GROUP BY 1, 2
+)
+SELECT new_doc, corpus_doc,
+       CAST(n_common AS DOUBLE)
+         / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN ssz s1 ON s1.doc_id = new_doc
+JOIN ssz s2 ON s2.doc_id = corpus_doc
+WHERE n_common = s1.set_size AND n_common = s2.set_size
+"""
+
+
+def dd4b_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd4's SimHash machinery in its provably exact regime
+    (operators/dedup.py simhash_pairs_exact): pigeonhole banding into
+    max_hamming+1 chunks (recall exactly 1.0 for Hamming <= 8) over a
+    PORTABLE md5-derived 60-bit signature the DuckDB oracle rebuilds
+    bit-for-bit, then brute-forces with xor/bit_count."""
+    docs = load_testdata(spark, sf_dir)["documents"].select("doc_id", "text")
+    clones = docs.select(
+        (F.col("doc_id") + _CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return dedup.simhash_pairs_exact(
+        docs.unionByName(clones), "doc_id", "text", max_hamming=8, bits=60
+    ).select("doc1", "doc2", F.col("hamming").cast("int").alias("hamming"))
+
+
+DD4B_SQL = f"""
+WITH both_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CLONE_OFFSET} AS doc_id, text FROM documents
+), tok AS (
+  SELECT doc_id, unnest({_SPLIT}) AS t FROM both_docs WHERE TRIM(text) <> ''
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id, b.i AS i,
+         SUM(CASE WHEN (h >> CAST(b.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i) b
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS doc1, r.doc_id AS doc2,
+       CAST(bit_count(xor(a.sig, r.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs r ON a.doc_id < r.doc_id
+WHERE bit_count(xor(a.sig, r.sig)) <= 8
+"""
+
+
+# ---------------------------------------------------------------------------
 # DD5 — embedding-cosine near-dup: nearest neighbor per sampled vector +
 # duplicate-threshold flag (exact baseline; sim2's LSH buckets are the
 # 100 TB path for the same semantics)
@@ -577,6 +735,43 @@ def f2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+def f2b_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f2's HLL++ sketch under a GATE-LEVEL error-bound assertion
+    (VERDICT r8 item 4): the sketch estimate itself is engine-specific,
+    but |approx − exact| ≤ 4·rsd·exact is a documented accuracy contract
+    (HLL++ rsd=0.02 ⇒ 4σ = 8%; exceedance ~6e-5, and deterministic for a
+    fixed dataset+sketch implementation). The query returns the exact
+    count plus the bound VERDICT as a column, so the DuckDB oracle —
+    exact counts, within_bound literally TRUE — hash-fails the moment
+    the sketch strays beyond its contract. The raw estimates stay
+    observable via f2 (rows-only)."""
+    ev = load_testdata(spark, sf_dir)["events"]
+    rsd = 0.02
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.lit(4 * rsd) * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
+F2B_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1149,6 +1344,34 @@ def smp3_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(packed, max_tokens=512).orderBy("pack_id")
 
 
+def smp3b_pack_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """smp3's packer in its exact regime: capacity below every document's
+    token count (corpus min is 10 tokens at every sf, asserted by the
+    oracle being non-vacuous), one hash group. Every doc then takes the
+    oversize-singleton branch, so the full applyInPandas pipeline —
+    token counting, the FFD (n_tokens desc, doc_id asc) ordering, pack-id
+    sequencing, the oversize flag — must reproduce a closed-form answer:
+    pack_id = position in FFD order, oversize = true. SQL-expressible,
+    hence oracle-hash-checked; smp3 remains the general (procedural,
+    rows-only) path."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return pack_sequences(docs, max_tokens=1, n_groups=1)
+
+
+SMP3B_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SPLIT}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS BIGINT)
+         AS pack_id,
+       TRUE AS oversize
+FROM t
+"""
+
+
 def txt12_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir)["documents"]
     return bm25_topk(docs, _BM25_TERMS, k=20)
@@ -1209,6 +1432,53 @@ def f3_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f3b_approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f3's GK sketch (percentile_approx) under a gate-level rank-error
+    bound: with accuracy a, the returned value's rank is within ±n/a of
+    the target rank, so it must lie between the EXACT discrete
+    percentiles at q ∓ 2/a (factor-2 slack absorbs rank rounding at
+    group boundaries). percentile_disc values are actual data elements —
+    cross-engine exact (the f1 pattern) — so the oracle returns the
+    exact envelope columns plus within_bound=TRUE and hash-fails if the
+    sketch ever leaves its documented envelope."""
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    qs = [0.5, 0.9, 0.99]
+    acc = 10_000
+    eps = 2.0 / acc
+    lo = [max(0.0, q - eps) for q in qs]
+    hi = [min(1.0, q + eps) for q in qs]
+    disc = lambda q: F.expr(  # noqa: E731
+        f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY l_extendedprice)"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, acc).alias("__approx"),
+        *[disc(lo[i]).alias(f"__lo{i}") for i in range(len(qs))],
+        *[disc(hi[i]).alias(f"__hi{i}") for i in range(len(qs))],
+        *[disc(q).alias(f"exact_p{int(q * 100)}") for q in qs],
+    )
+    bound = None
+    for i in range(len(qs)):
+        ok = (F.col("__approx")[i] >= F.col(f"__lo{i}")) & (
+            F.col("__approx")[i] <= F.col(f"__hi{i}")
+        )
+        bound = ok if bound is None else (bound & ok)
+    return agg.select(
+        "l_returnflag",
+        *[f"exact_p{int(q * 100)}" for q in qs],
+        bound.alias("within_bound"),
+    )
+
+
+F3B_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.5) AS exact_p50,
+       quantile_disc(l_extendedprice, 0.9) AS exact_p90,
+       quantile_disc(l_extendedprice, 0.99) AS exact_p99,
+       TRUE AS within_bound
+FROM lineitem GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # F6 — fixed-width histogram of document lengths: the basic distribution
 # primitive beside exact (f1) and sketched (f3) percentiles. Fixed width
@@ -1262,6 +1532,48 @@ def txt15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(docs, merges).select(
         F.col("id").alias("doc_id"), "n_words", "n_bpe_tokens"
     )
+
+
+def txt15b_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txt15's trainer in its exact regime: n_merges=1. The first BPE
+    merge is a closed-form function of the corpus — argmax over
+    freq-weighted adjacent single-char symbol pair counts with the
+    (count desc, left asc, right asc) tie-break — so the whole
+    distributed round (word-frequency shuffle, char splitting + EOW,
+    posexplode/lead pair counting, weighted argmax) hash-checks against
+    a from-scratch SQL oracle. Later merges depend procedurally on
+    earlier rewrites (txt15 stays rows-only, pinned to a pure-Python
+    reference in tests/test_bpe.py)."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    (lhs, rhs, n) = bpe_train(docs, n_merges=1)[0]
+    return spark.createDataFrame(
+        [(lhs, rhs, int(n))], "lhs string, rhs string, pair_count long"
+    )
+
+
+TXT15B_SQL = f"""
+WITH w AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY 1
+), sy AS (
+  SELECT freq,
+         list_append([substr(word, CAST(i AS INTEGER), 1)
+                      FOR i IN range(1, len(word) + 1)], '</w>') AS syms
+  FROM w WHERE len(word) <= 256
+), pr AS (
+  SELECT unnest([{{'l': syms[CAST(i AS INTEGER)], 'r': syms[CAST(i AS INTEGER) + 1]}}
+                 FOR i IN range(1, len(syms))]) AS p,
+         freq
+  FROM sy
+)
+SELECT p.l AS lhs, p.r AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pr GROUP BY 1, 2
+ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1871,6 +2183,11 @@ REGISTRY = {
     "dd3_minhash_lsh": (dd3_minhash_lsh, None),
     "dd9_cross_dedup": (dd9_cross_dedup, None),
     "dd4_simhash_pairs": (dd4_simhash_pairs, None),
+    # Round-9 exact-regime siblings (VERDICT r8 item 4): the sketch
+    # machinery in regimes where recall is PROVABLY 1.0, hash-checked.
+    "dd3b_minhash_lsh_exact": (dd3b_minhash_lsh_exact, DD3B_SQL),
+    "dd9b_cross_dedup_exact": (dd9b_cross_dedup_exact, DD9B_SQL),
+    "dd4b_simhash_exact": (dd4b_simhash_exact, DD4B_SQL),
     "dd5_embedding_neardup": (dd5_embedding_neardup, DD5_SQL),
     "sim1_cosine_topk": (sim1_cosine_topk, SIM1_SQL),
     "sim2_lsh_topk": (sim2_lsh_topk, None),
@@ -1881,6 +2198,7 @@ REGISTRY = {
     "txt4_fingerprint": (txt4_fingerprint, TXT4_SQL),
     "txt5_bpe_token_stats": (txt5_bpe_token_stats, TXT5_SQL),
     "f2_approx_distinct": (f2_approx_distinct, None),
+    "f2b_approx_distinct_bounded": (f2b_approx_distinct_bounded, F2B_SQL),
     "mm1_features": (mm1_features, MM1_SQL),
     "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
     "dd6_decontaminate": (dd6_decontaminate, DD6_SQL),
@@ -1895,6 +2213,7 @@ REGISTRY = {
     "txt10_repetition": (txt10_repetition, TXT10_SQL),
     "smp2_weighted_sample": (smp2_weighted_sample, SMP2_SQL),
     "smp3_pack_sequences": (smp3_pack_sequences, None),
+    "smp3b_pack_identity": (smp3b_pack_identity, SMP3B_SQL),
     "txt11_vocab": (txt11_vocab, TXT11_SQL),
     "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
     "txt13_lm_score": (txt13_lm_score, TXT13_SQL),
@@ -1907,9 +2226,11 @@ REGISTRY = {
     "f5b_heavy_hitters_exact": (f5b_heavy_hitters_exact, F5B_SQL),
     "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),
     "txt15_bpe_train": (txt15_bpe_train, None),
+    "txt15b_bpe_first_merge": (txt15b_bpe_first_merge, TXT15B_SQL),
     "f6_histogram": (f6_histogram, F6_SQL),
     "txt14_nb_langid": (txt14_nb_langid, TXT14_SQL),
     "f3_approx_percentiles": (f3_approx_percentiles, None),
+    "f3b_approx_percentiles_bounded": (f3b_approx_percentiles_bounded, F3B_SQL),
     "dd11_semdedup": (dd11_semdedup, DD11_SQL),
     "smp5_fixed_k_sample": (smp5_fixed_k_sample, SMP5_SQL),
     "f8_cms_counts": (f8_cms_counts, F8_SQL),

