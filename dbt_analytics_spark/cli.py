@@ -1,0 +1,521 @@
+"""Command-line interface: the dbt CLI surface over a project directory.
+
+The reference's primary UX is the ``dbt`` command line (Click group at
+SP/dbt/cli/main.py:155-164 — ``run`` :171-200, ``compile`` :313-336,
+``seed``, ``test``, ``show`` :353+, ``ls``, ``docs``, ``retry``,
+``clone``). This module exposes the same surface natively on Spark:
+
+    python -m dbt_analytics_spark run   --project-dir my_proj --select +spend_monthly
+    python -m dbt_analytics_spark build --project-dir my_proj
+    python -m dbt_analytics_spark ls    --select tag:finance --output json
+    python -m dbt_analytics_spark show  spend_monthly -n 10
+    python -m dbt_analytics_spark docs generate
+
+A project directory follows dbt's layout (reference: dbt_project.yml:1-16
+``model-paths: ["models"]``, ``seed-paths: ["seeds"]``):
+
+    my_proj/
+      dbt_project.yml      # name / vars / model-paths / seed-paths / sources
+      models/**/*.sql      # Jinja-SQL models (plans/sql_models.py surface)
+      models/**/*.yml      # schema files: column tests (unique/not_null/...)
+      seeds/*.csv          # seeds (agate-style typed CSV)
+      selectors.yml        # named YAML selectors (plans/selectors_yaml.py)
+
+``dbt_project.yml`` keys honored: ``name``, ``vars``, ``model-paths``,
+``seed-paths``, ``database``, plus the engine extension ``sources:`` —
+raw input tables bound to files (the reference reads pre-existing
+warehouse tables like ``public.card_transactions`` by name; a standalone
+Spark engine must be told where those live):
+
+    sources:
+      card_transactions: data/card_transactions.parquet
+      events: {path: data/events.csv, format: csv,
+               options: {header: true, inferSchema: true}}
+
+Artifacts land in ``<project>/target/`` exactly like dbt: manifest.json
+(write_manifest), run_results.json (write_run_results), catalog.json +
+index.html under ``docs generate``. ``--state DIR`` loads a previous
+target dir for ``state:modified`` / ``result:`` selection; ``retry``
+replays the failed/skipped nodes of the last run_results.json.
+
+Python models are the library surface (``Project.model`` decorator) —
+a CLI project is the SQL-authoring surface, mirroring how the reference
+project itself is pure SQL (27 models, 0 Python).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import re
+import sys
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import SparkSession
+
+    from .plans.registry import Project, RunResult
+
+_STATUS_ICON = {"success": "OK", "warn": "WARN", "error": "ERROR", "skipped": "SKIP"}
+
+
+# ---------------------------------------------------------------------------
+# Project loading
+# ---------------------------------------------------------------------------
+
+
+def _read_yaml(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return data or {}
+
+
+def _bind_sources(project: "Project", spec: dict, project_dir: str) -> None:
+    """Register raw input tables from the ``sources:`` section. Values are
+    a path string (format inferred from the extension) or a dict with
+    ``path`` / ``format`` / ``options``. Reads are lazy DataFrames — at
+    100 TB a source is a parquet scan with pushdown, never an eager load."""
+    for name, val in spec.items():
+        if isinstance(val, str):
+            val = {"path": val}
+        path = val["path"]
+        if not os.path.isabs(path):
+            path = os.path.join(project_dir, path)
+        fmt = val.get("format") or (
+            "csv" if path.endswith(".csv") else "parquet"
+        )
+        options = {str(k): str(v) for k, v in (val.get("options") or {}).items()}
+        reader = project.spark.read.format(fmt).options(**options)
+        project.source_table(name, reader.load(path))
+
+
+_TEST_BUILDERS = ("unique", "not_null", "accepted_values", "relationships")
+_REF_IN_TO = re.compile(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+
+
+def _attach_schema_tests(project: "Project", doc: dict) -> int:
+    """Register column tests from one schema-file document (reference:
+    dbt schema.yml — SP/dbt/parser/schemas.py; each test compiles to a
+    violations SELECT, SP/.../generic_test_sql/*.sql). Supports the
+    ``tests:`` and ``data_tests:`` (dbt >= 1.8) keys, string and
+    single-key-dict forms, and per-test ``config`` with ``severity:
+    warn``, ``store_failures``, and ``where``."""
+    from .plans import testing
+
+    n = 0
+    for model in doc.get("models", []) or []:
+        mname = model.get("name")
+        if not mname:
+            continue
+        for column in model.get("columns", []) or []:
+            cname = column.get("name")
+            specs = column.get("data_tests") or column.get("tests") or []
+            for spec in specs:
+                if isinstance(spec, str):
+                    kind, args = spec, {}
+                elif isinstance(spec, dict) and len(spec) == 1:
+                    kind, args = next(iter(spec.items()))
+                    args = dict(args or {})
+                else:
+                    raise ValueError(
+                        f"unsupported test spec {spec!r} on {mname}.{cname}"
+                    )
+                if kind not in _TEST_BUILDERS:
+                    raise ValueError(
+                        f"unknown generic test {kind!r} on {mname}.{cname} "
+                        f"(supported: {', '.join(_TEST_BUILDERS)})"
+                    )
+                cfg = dict(args.pop("config", {}) or {})
+                where = cfg.pop("where", None)
+                if kind == "unique":
+                    fn = testing.unique(cname)
+                elif kind == "not_null":
+                    fn = testing.not_null(cname)
+                elif kind == "accepted_values":
+                    fn = testing.accepted_values(cname, list(args["values"]))
+                else:  # relationships
+                    to = args["to"]
+                    m = _REF_IN_TO.search(str(to))
+                    target = m.group(1) if m else str(to)
+                    fn = testing.relationships(
+                        cname,
+                        # Late-bound: read the materialized parent at test
+                        # time (dbt semantics), not a recompute.
+                        lambda _t=target: project._resolve_for_adhoc(_t),
+                        args["field"],
+                    )
+                if where is not None:
+                    inner = fn
+
+                    def fn(df, _inner=inner, _w=where):
+                        return _inner(df.filter(_w))
+
+                config: dict[str, Any] = {}
+                if cfg.pop("severity", "error") == "warn":
+                    config["error_if"] = lambda _n: False
+                    config["warn_if"] = lambda n: n != 0
+                if cfg.pop("store_failures", False):
+                    config["store_failures"] = True
+                project.test(mname, f"{kind}_{mname}_{cname}", fn, **config)
+                n += 1
+    return n
+
+
+def load_project(
+    spark: "SparkSession",
+    project_dir: str,
+    *,
+    vars_override: dict | None = None,
+    threads: int | None = None,
+    full_refresh: bool = False,
+    run_date: dt.date | None = None,
+    database: str | None = None,
+) -> "Project":
+    """Load a dbt-style project directory into a :class:`Project`:
+    dbt_project.yml → config, ``sources:`` → source tables, seed-paths →
+    seeds, model-paths → SQL models + schema-file tests, selectors.yml →
+    named selectors. Mirrors ManifestLoader.load (SP/dbt/parser/
+    manifest.py:334) minus partial parsing — registry loading is
+    milliseconds of Python, not a msgpack cache problem."""
+    from .plans.registry import Project
+    from .plans.sql_models import load_sql_models_dir
+
+    cfg_path = os.path.join(project_dir, "dbt_project.yml")
+    cfg = _read_yaml(cfg_path) if os.path.exists(cfg_path) else {}
+    vars_merged = dict(cfg.get("vars") or {})
+    vars_merged.update(vars_override or {})
+    project = Project(
+        spark,
+        name=cfg.get("name") or os.path.basename(os.path.abspath(project_dir)),
+        database=database or cfg.get("database"),
+        run_date=run_date,
+        threads=threads or int(cfg.get("threads", 8)),
+        full_refresh=full_refresh,
+        vars=vars_merged,
+    )
+
+    _bind_sources(project, cfg.get("sources") or {}, project_dir)
+
+    for seed_dir in cfg.get("seed-paths", ["seeds"]):
+        sdir = os.path.join(project_dir, seed_dir)
+        if not os.path.isdir(sdir):
+            continue
+        for f in sorted(os.listdir(sdir)):
+            if f.endswith(".csv"):
+                project.seed(f[: -len(".csv")], os.path.join(sdir, f))
+
+    n_tests = 0
+    for model_dir in cfg.get("model-paths", ["models"]):
+        mdir = os.path.join(project_dir, model_dir)
+        if not os.path.isdir(mdir):
+            continue
+        load_sql_models_dir(project, mdir)
+        for root, _dirs, files in sorted(os.walk(mdir)):
+            for f in sorted(files):
+                if f.endswith((".yml", ".yaml")):
+                    n_tests += _attach_schema_tests(
+                        project, _read_yaml(os.path.join(root, f))
+                    )
+
+    sel_path = os.path.join(project_dir, "selectors.yml")
+    if os.path.exists(sel_path):
+        project.load_selectors(sel_path)
+    return project
+
+
+# ---------------------------------------------------------------------------
+# Command implementations
+# ---------------------------------------------------------------------------
+
+
+def _combine_select(select: list[str], exclude: list[str]) -> str | None:
+    """dbt --select/--exclude → one DSL string (exclusion is the DSL's
+    leading-``!`` form; reference: SP/dbt/graph/cli.py:27-166)."""
+    tokens = list(select) + [f"!{t}" for t in exclude]
+    return " ".join(tokens) if tokens else None
+
+
+def _restrict_kind(select: str | None, kind: str) -> str:
+    """Intersect a selection with a node kind (``dbt seed --select x`` runs
+    only seeds matching x; comma is the DSL's intersection operator)."""
+    base = f"config.kind:{kind}"
+    if not select:
+        return base
+    out = []
+    for tok in select.split():
+        out.append(tok if tok.startswith("!") else f"{base},{tok}")
+    return " ".join(out) or base
+
+
+def _print_results(results: list["RunResult"], out=sys.stdout) -> int:
+    total = len(results)
+    for i, r in enumerate(results, 1):
+        icon = _STATUS_ICON.get(r.status, r.status.upper())
+        line = f"{i} of {total} {icon} {r.node} "
+        line += f"[{r.status.upper()} in {r.execution_time:.2f}s]"
+        if r.message:
+            line += f" {r.message}"
+        print(line, file=out)
+    n_err = sum(1 for r in results if r.status == "error")
+    n_warn = sum(1 for r in results if r.status == "warn")
+    n_skip = sum(1 for r in results if r.status == "skipped")
+    n_ok = total - n_err - n_warn - n_skip
+    print(
+        f"Done. PASS={n_ok} WARN={n_warn} ERROR={n_err} SKIP={n_skip} TOTAL={total}",
+        file=out,
+    )
+    return 1 if n_err else 0
+
+
+def _write_artifacts(project: "Project", target_dir: str) -> None:
+    os.makedirs(target_dir, exist_ok=True)
+    project.write_manifest(os.path.join(target_dir, "manifest.json"))
+    project.write_run_results(os.path.join(target_dir, "run_results.json"))
+
+
+def _maybe_load_state(project: "Project", state_dir: str | None) -> None:
+    if not state_dir:
+        return
+    manifest = os.path.join(state_dir, "manifest.json")
+    run_results = os.path.join(state_dir, "run_results.json")
+    project.load_state(
+        manifest, run_results if os.path.exists(run_results) else None
+    )
+
+
+def _cmd_run(project: "Project", args, target_dir: str, with_tests: bool) -> int:
+    select = _combine_select(args.select, args.exclude)
+    results = project.run(
+        select=select, selector=args.selector, with_tests=with_tests
+    )
+    _write_artifacts(project, target_dir)
+    return _print_results(results)
+
+
+def _cmd_seed_or_snapshot(project: "Project", args, target_dir: str, kind: str) -> int:
+    select = _restrict_kind(_combine_select(args.select, args.exclude), kind)
+    results = project.run(select=select)
+    _write_artifacts(project, target_dir)
+    return _print_results(results)
+
+
+def _cmd_test(project: "Project", args, target_dir: str) -> int:
+    select = _combine_select(args.select, args.exclude)
+    if select or args.selector:
+        from .plans.selection import select_nodes
+
+        selected = (
+            project.select_by_selector(args.selector)
+            if args.selector
+            else select_nodes(project, select)
+        )
+        project.tests = [t for t in project.tests if t[0] in selected]
+    project.compile()
+    results = project.run_tests()
+    project.results = results
+    _write_artifacts(project, target_dir)
+    return _print_results(results)
+
+
+def _cmd_ls(project: "Project", args) -> int:
+    select = _combine_select(args.select, args.exclude)
+    # DAG edges for SQL models are recorded when refs render — compile
+    # first so topological order and state:/graph selection see them
+    # (dbt ls parses AND compiles; SP/dbt/task/list.py).
+    project.compile()
+    rows = project.list(select=select, selector=args.selector)
+    for row in rows:
+        if args.output == "json":
+            print(json.dumps(row))
+        else:
+            print(row["name"])
+    return 0
+
+
+def _cmd_compile(project: "Project", args, target_dir: str) -> int:
+    select = _combine_select(args.select, args.exclude)
+    project.compile()
+    os.makedirs(target_dir, exist_ok=True)
+    project.write_manifest(os.path.join(target_dir, "manifest.json"))
+    errs = dict(project._compile_errors)
+    if select:
+        from .plans.selection import select_nodes
+
+        keep = select_nodes(project, select)
+        errs = {k: v for k, v in errs.items() if k in keep}
+    for name, msg in errs.items():
+        print(f"ERROR compiling {name}: {msg}")
+    n = len(project.nodes)
+    print(f"Compiled {n - len(errs)} of {n} nodes")
+    return 1 if errs else 0
+
+
+def _cmd_show(project: "Project", args) -> int:
+    if args.inline:
+        project.query(args.inline).limit(args.limit).show(truncate=False)
+        return 0
+    if not args.node:
+        print("show: pass a node name or --inline SQL", file=sys.stderr)
+        return 2
+    project.show(args.node, n=args.limit)
+    return 0
+
+
+def _cmd_docs(project: "Project", args, target_dir: str) -> int:
+    from .plans.docs_site import write_docs_site
+
+    project.compile()
+    os.makedirs(target_dir, exist_ok=True)
+    project.write_manifest(os.path.join(target_dir, "manifest.json"))
+    project.write_catalog(os.path.join(target_dir, "catalog.json"))
+    index = write_docs_site(project, target_dir)
+    print(f"Docs generated at {index}")
+    return 0
+
+
+def _cmd_retry(project: "Project", target_dir: str) -> int:
+    """Replay the failed/skipped nodes of the previous run_results.json
+    (reference: SP/dbt/task/retry.py — cross-invocation, artifact-driven)."""
+    rr_path = os.path.join(target_dir, "run_results.json")
+    if not os.path.exists(rr_path):
+        print(f"retry: no previous run_results.json in {target_dir}", file=sys.stderr)
+        return 2
+    with open(rr_path) as f:
+        prev = json.load(f)
+    # Tests appear in run_results as <test>__<model> and are not nodes —
+    # a retried model re-runs its tests via build anyway.
+    failed = sorted(
+        {
+            r["unique_id"]
+            for r in prev.get("results", [])
+            if r["status"] in ("error", "skipped")
+        }
+        & set(project.nodes)
+    )
+    if not failed:
+        print("Nothing to retry — previous run was clean.")
+        return 0
+    results = project.run(select=" ".join(failed))
+    _write_artifacts(project, target_dir)
+    return _print_results(results)
+
+
+# ---------------------------------------------------------------------------
+# Argument parsing / entry point
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--project-dir", default=".", help="project directory")
+    common.add_argument(
+        "--target-dir", default=None, help="artifact directory (default <project>/target)"
+    )
+    common.add_argument("--vars", default=None, help="YAML/JSON dict of project vars")
+    common.add_argument("--threads", type=int, default=None)
+    common.add_argument("--full-refresh", action="store_true")
+    common.add_argument(
+        "--run-date", default=None, help="pin the logical run date (YYYY-MM-DD)"
+    )
+    common.add_argument("--database", default=None, help="target database/schema")
+    common.add_argument(
+        "--state", default=None, help="previous target dir for state:/result: selection"
+    )
+
+    sel = argparse.ArgumentParser(add_help=False)
+    sel.add_argument("--select", "-s", action="append", default=[])
+    sel.add_argument("--exclude", action="append", default=[])
+    sel.add_argument("--selector", default=None, help="named selector from selectors.yml")
+
+    p = argparse.ArgumentParser(
+        prog="dbt_analytics_spark",
+        description="PySpark-native analytics engine: dbt CLI surface",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+    sub.add_parser("run", parents=[common, sel], help="materialize selected models")
+    sub.add_parser("build", parents=[common, sel], help="run models + their tests, DAG-ordered")
+    sub.add_parser("seed", parents=[common, sel], help="load seed CSVs")
+    sub.add_parser("snapshot", parents=[common, sel], help="run snapshot nodes")
+    sub.add_parser("test", parents=[common, sel], help="run data tests")
+    ls = sub.add_parser("ls", parents=[common, sel], aliases=["list"], help="list selected nodes")
+    ls.add_argument("--output", choices=["name", "json"], default="name")
+    sub.add_parser("compile", parents=[common, sel], help="compile the DAG, write manifest")
+    show = sub.add_parser("show", parents=[common], help="preview a node or inline SQL")
+    show.add_argument("node", nargs="?", default=None)
+    show.add_argument("-n", "--limit", type=int, default=5)
+    show.add_argument("--inline", default=None, help="ad-hoc Jinja-SQL to preview")
+    docs = sub.add_parser("docs", parents=[common], help="generate docs artifacts")
+    docs.add_argument("action", choices=["generate"])
+    sub.add_parser("retry", parents=[common], help="re-run failures from last run_results.json")
+    clone = sub.add_parser("clone", parents=[common], help="clone a materialized relation")
+    clone.add_argument("node")
+    clone.add_argument("new_name")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> int:
+    args = build_parser().parse_args(argv)
+    import yaml
+
+    vars_override = yaml.safe_load(args.vars) if getattr(args, "vars", None) else None
+    if vars_override is not None and not isinstance(vars_override, dict):
+        print("--vars must be a YAML/JSON mapping", file=sys.stderr)
+        return 2
+    run_date = (
+        dt.date.fromisoformat(args.run_date) if getattr(args, "run_date", None) else None
+    )
+    project_dir = args.project_dir
+    target_dir = args.target_dir or os.path.join(project_dir, "target")
+
+    owns_spark = spark is None
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("dbt-analytics-spark-cli")
+    try:
+        project = load_project(
+            spark,
+            project_dir,
+            vars_override=vars_override,
+            threads=args.threads,
+            full_refresh=args.full_refresh,
+            run_date=run_date,
+            database=args.database,
+        )
+        _maybe_load_state(project, args.state)
+        cmd = args.command
+        if cmd == "run":
+            return _cmd_run(project, args, target_dir, with_tests=False)
+        if cmd == "build":
+            return _cmd_run(project, args, target_dir, with_tests=True)
+        if cmd == "seed":
+            return _cmd_seed_or_snapshot(project, args, target_dir, "seed")
+        if cmd == "snapshot":
+            return _cmd_seed_or_snapshot(project, args, target_dir, "snapshot")
+        if cmd == "test":
+            return _cmd_test(project, args, target_dir)
+        if cmd in ("ls", "list"):
+            return _cmd_ls(project, args)
+        if cmd == "compile":
+            return _cmd_compile(project, args, target_dir)
+        if cmd == "show":
+            return _cmd_show(project, args)
+        if cmd == "docs":
+            return _cmd_docs(project, args, target_dir)
+        if cmd == "retry":
+            return _cmd_retry(project, target_dir)
+        if cmd == "clone":
+            project.compile()
+            project.run(select=args.node)
+            project.clone(args.node, args.new_name)
+            print(f"Cloned {args.node} -> {args.new_name}")
+            return 0
+        print(f"unknown command {cmd!r}", file=sys.stderr)
+        return 2
+    finally:
+        if owns_spark:
+            spark.stop()

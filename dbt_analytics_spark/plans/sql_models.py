@@ -28,6 +28,7 @@ that authoring surface on Spark without dbt's Jinja machinery:
 from __future__ import annotations
 
 import ast
+import hashlib
 import re
 from typing import TYPE_CHECKING, Any
 
@@ -178,6 +179,12 @@ def register_sql_model(
     fn.__name__ = name
     fn.__doc__ = cfg.pop("description", None)
     project.model(name=name, tags=tuple(tags), **cfg)(fn)
+    # The registered checksum must track the SQL TEXT, not the (identical
+    # for every SQL model) inner closure source — otherwise state:modified
+    # can never see a SQL edit (dbt checksums the raw file:
+    # SP/dbt/parser/read_files.py FileHash). Config changes are detected
+    # separately via config_fingerprint, so the body alone is right here.
+    project.nodes[name].checksum = hashlib.md5(body.encode()).hexdigest()
     return name
 
 
@@ -199,7 +206,8 @@ def load_sql_models_dir(project: "Project", path: str) -> list[str]:
             if not f.endswith(".sql"):
                 continue
             name = f[: -len(".sql")]
-            with open(os.path.join(root, f)) as fh:
+            fpath = os.path.join(root, f)
+            with open(fpath) as fh:
                 sql = fh.read()
             cfg, _ = parse_config(sql)
             tags = cfg.get("tags", ())
@@ -210,4 +218,8 @@ def load_sql_models_dir(project: "Project", path: str) -> list[str]:
                     project, sql, name, tags=tuple(tags) + folder_tags
                 )
             )
+            # path: selection should match the MODEL FILE (dbt's
+            # PathSelectorMethod), not plans/sql_models.py where the
+            # wrapper closure happens to be defined.
+            project.nodes[name].path = fpath
     return names

@@ -253,6 +253,12 @@ _BEYOND_DRIVER_CAP = [
     "txt15b_bpe_first_merge",
     "f2b_approx_distinct_bounded",
     "f3b_approx_percentiles_bounded",
+    # sim4b (round 9, session 2): PQ with refine covering every batch ⇒
+    # the ADC preselection prunes nothing and the exact re-rank IS brute
+    # force — the last rows-only ANN op gains an exact-regime sibling
+    # under SIM1's oracle (completes the b-sibling set: every rows-only
+    # sketch/procedural op now has one).
+    "sim4b_pq_exact",
     "w2_first_value",
     "u2_union_all_dim",
     "d2_extract",

@@ -478,6 +478,56 @@ def sim4_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SIM4B — product quantization in its EXACT regime (the sim3b pattern):
+# ``refine`` large enough that the ADC candidate cut covers every corpus
+# row in a batch, so the quantized preselection no longer prunes anything
+# and the exact-cosine re-rank reproduces brute-force top-k regardless of
+# codebook quality. This hash-checks the ENTIRE PQ pipeline — codebook
+# training (Lloyd partials over mapInPandas), per-row encoding, the
+# per-query ADC lookup tables, candidate selection, exact re-rank, and
+# the global top-k merge window — against SIM1's plain SQL oracle; only
+# the *pruning effect* of quantization is disabled, exactly as sim3b
+# probes all IVF cells and sim2b uses zero cutting planes. Re-rank
+# scores come from normalize-then-BLAS-matmul (the fast path), so like
+# sim3b they are reported under the rounded-score convention while
+# ranking stays on the unrounded values.
+# ---------------------------------------------------------------------------
+
+def sim4b_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.pq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=3, n_subspaces=8, n_codes=16, kmeans_iters=1, refine=10_000_000,
+    )
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round("cosine_sim", 6).alias("cosine_sim_r"),
+        "rank",
+    )
+
+
+SIM4B_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM c WHERE vec_id < 20
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         list_inner_product(q.v, c.v)
+           / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cosine_sim
+  FROM q JOIN c ON c.vec_id != q.vec_id
+)
+SELECT query_id, corpus_id, round(cosine_sim, 6) AS cosine_sim_r, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, corpus_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # TXT1 — token statistics per language
 # ---------------------------------------------------------------------------
 
@@ -2208,6 +2258,7 @@ REGISTRY = {
     "dd8_clean_corpus": (dd8_clean_corpus, DD8_SQL),
     "txt7_training_filter": (txt7_training_filter, _txt7_sql()),
     "sim4_pq_topk": (sim4_pq_topk, None),
+    "sim4b_pq_exact": (sim4b_pq_exact, SIM4B_SQL),
     "txt8_pii_redact": (txt8_pii_redact, _txt8_sql()),
     "txt9_chunk": (txt9_chunk, TXT9_SQL),
     "txt10_repetition": (txt10_repetition, TXT10_SQL),

@@ -1,0 +1,288 @@
+"""CLI surface (dbt_analytics_spark/cli.py): dbt's command line —
+run/build/seed/test/ls/compile/show/docs/retry — over a dbt-style
+project DIRECTORY (dbt_project.yml + models/ + seeds/ + schema files).
+Reference: SP/dbt/cli/main.py:155-164 command group; project layout
+dbt_project.yml:1-16 (model-paths/seed-paths).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from dbt_analytics_spark.cli import main
+
+
+def _write(path: str, text: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+@pytest.fixture()
+def project_dir(tmp_path, spark):
+    """A small but structurally complete project: one parquet source, one
+    seed, a staging model, a mart joining both, schema tests, a selector."""
+    d = str(tmp_path / "proj")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "c", 7.0)],
+        ["txn_id", "seg", "amount"],
+    ).write.mode("overwrite").parquet(os.path.join(d, "data", "raw_txns"))
+    _write(
+        os.path.join(d, "dbt_project.yml"),
+        """
+name: cli_proj
+vars:
+  min_amount: 6
+sources:
+  raw_txns: data/raw_txns
+seed-paths: [seeds]
+model-paths: [models]
+""",
+    )
+    _write(
+        os.path.join(d, "seeds", "seg_names.csv"),
+        "seg,seg_name\na,Alpha\nb,Beta\nc,Gamma\n",
+    )
+    _write(
+        os.path.join(d, "models", "staging", "stg_txns.sql"),
+        """
+{{ config(materialized='table') }}
+SELECT txn_id, seg, amount
+FROM {{ source('raw', 'raw_txns') }}
+WHERE amount >= {{ var('min_amount') }}
+""",
+    )
+    _write(
+        os.path.join(d, "models", "marts", "seg_spend.sql"),
+        """
+SELECT s.seg, n.seg_name, SUM(s.amount) AS total
+FROM {{ ref('stg_txns') }} s
+JOIN {{ ref('seg_names') }} n ON n.seg = s.seg
+GROUP BY s.seg, n.seg_name
+""",
+    )
+    _write(
+        os.path.join(d, "models", "schema.yml"),
+        """
+models:
+  - name: stg_txns
+    columns:
+      - name: txn_id
+        tests: [unique, not_null]
+      - name: seg
+        data_tests:
+          - relationships: {to: "ref('seg_names')", field: seg}
+  - name: seg_spend
+    columns:
+      - name: seg
+        tests:
+          - accepted_values: {values: [a, b, c]}
+""",
+    )
+    _write(
+        os.path.join(d, "selectors.yml"),
+        """
+selectors:
+  - name: marts_only
+    definition: {tag: marts}
+""",
+    )
+    return d
+
+
+def _run(spark, argv, db):
+    return main(argv + ["--database", db], spark=spark)
+
+
+def test_cli_run_end_to_end(project_dir, spark):
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_run")
+    assert rc == 0
+    spend = {
+        r["seg"]: (r["seg_name"], r["total"])
+        for r in spark.table("cli_run.seg_spend").collect()
+    }
+    # min_amount=6 drops the 5.0 row; seg b disappears entirely.
+    assert spend == {"a": ("Alpha", 30.0), "c": ("Gamma", 7.0)}
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    statuses = {r["unique_id"]: r["status"] for r in rr["results"]}
+    assert statuses["stg_txns"] == "success"
+    assert statuses["seg_spend"] == "success"
+    assert statuses["seg_names"] == "success"
+    assert os.path.exists(os.path.join(project_dir, "target", "manifest.json"))
+
+
+def test_cli_vars_override(project_dir, spark):
+    rc = _run(
+        spark,
+        ["run", "--project-dir", project_dir, "--vars", "{min_amount: 0}"],
+        "cli_vars",
+    )
+    assert rc == 0
+    # With the override nothing is filtered: seg b's 5.0 row survives.
+    rows = spark.table("cli_vars.stg_txns").count()
+    assert rows == 4
+
+
+def test_cli_ls_topo_and_selection(project_dir, spark, capsys):
+    rc = _run(spark, ["ls", "--project-dir", project_dir, "--output", "json"], "cli_ls")
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    names = [r["name"] for r in rows]
+    assert names.index("stg_txns") < names.index("seg_spend")
+    assert names.index("seg_names") < names.index("seg_spend")
+    # Folder names become tags (dbt folder-scoped selection).
+    by_name = {r["name"]: r for r in rows}
+    assert "marts" in by_name["seg_spend"]["tags"]
+
+    rc = _run(
+        spark,
+        ["ls", "--project-dir", project_dir, "--select", "tag:staging"],
+        "cli_ls",
+    )
+    assert capsys.readouterr().out.split() == ["stg_txns"]
+    assert rc == 0
+
+    # Named YAML selector from selectors.yml.
+    rc = _run(
+        spark,
+        ["ls", "--project-dir", project_dir, "--selector", "marts_only"],
+        "cli_ls",
+    )
+    assert capsys.readouterr().out.split() == ["seg_spend"]
+    assert rc == 0
+
+
+def test_cli_seed_runs_only_seeds(project_dir, spark):
+    rc = _run(spark, ["seed", "--project-dir", project_dir], "cli_seed")
+    assert rc == 0
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    assert [r["unique_id"] for r in rr["results"]] == ["seg_names"]
+    assert spark.table("cli_seed.seg_names").count() == 3
+
+
+def test_cli_build_and_test(project_dir, spark):
+    rc = _run(spark, ["build", "--project-dir", project_dir], "cli_build")
+    assert rc == 0
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    statuses = {r["unique_id"]: r["status"] for r in rr["results"]}
+    assert statuses["unique_stg_txns_txn_id__stg_txns"] == "success"
+    assert statuses["relationships_stg_txns_seg__stg_txns"] == "success"
+
+    # Standalone `test` against the already-built relations.
+    rc = _run(spark, ["test", "--project-dir", project_dir], "cli_build")
+    assert rc == 0
+
+
+def test_cli_build_failing_test_skips_downstream(project_dir, spark):
+    # A duplicate txn_id breaks the unique test; the mart must SKIP (bad
+    # data never propagates — the dbt build gating contract).
+    _write(
+        os.path.join(project_dir, "models", "staging", "stg_txns.sql"),
+        """
+{{ config(materialized='table') }}
+SELECT txn_id, seg, amount FROM {{ source('raw', 'raw_txns') }}
+UNION ALL
+SELECT txn_id, seg, amount FROM {{ source('raw', 'raw_txns') }}
+""",
+    )
+    rc = _run(spark, ["build", "--project-dir", project_dir], "cli_fail")
+    assert rc == 1
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    statuses = {r["unique_id"]: r["status"] for r in rr["results"]}
+    assert statuses["unique_stg_txns_txn_id__stg_txns"] == "error"
+    assert statuses["seg_spend"] == "skipped"
+
+
+def test_cli_retry_reruns_only_failures(project_dir, spark):
+    # Break the staging model with a SQL error, run (fails), fix the file,
+    # retry — only the failed/skipped nodes re-run (SP/dbt/task/retry.py).
+    good = open(os.path.join(project_dir, "models", "staging", "stg_txns.sql")).read()
+    _write(
+        os.path.join(project_dir, "models", "staging", "stg_txns.sql"),
+        "SELECT nonexistent_col FROM {{ source('raw', 'raw_txns') }}",
+    )
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_retry")
+    assert rc == 1
+    _write(os.path.join(project_dir, "models", "staging", "stg_txns.sql"), good)
+    rc = _run(spark, ["retry", "--project-dir", project_dir], "cli_retry")
+    assert rc == 0
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    rerun = {r["unique_id"] for r in rr["results"]}
+    assert rerun == {"stg_txns", "seg_spend"}  # seed was fine; not re-run
+
+    rc = _run(spark, ["retry", "--project-dir", project_dir], "cli_retry")
+    assert rc == 0  # clean previous run -> nothing to retry
+
+
+def test_cli_state_modified_selection(project_dir, spark, capsys):
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_state")
+    assert rc == 0
+    capsys.readouterr()
+    # Edit the mart's SQL text: state:modified must see it — checksums
+    # track the SQL body, not the (shared) wrapper closure source.
+    path = os.path.join(project_dir, "models", "marts", "seg_spend.sql")
+    _write(path, open(path).read() + "\n-- comment changes the checksum\n")
+    rc = _run(
+        spark,
+        [
+            "ls",
+            "--project-dir",
+            project_dir,
+            "--select",
+            "state:modified",
+            "--state",
+            os.path.join(project_dir, "target"),
+        ],
+        "cli_state",
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.split() == ["seg_spend"]
+
+
+def test_cli_show_inline_and_node(project_dir, spark, capsys):
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_show")
+    capsys.readouterr()
+    rc = _run(
+        spark,
+        [
+            "show",
+            "--project-dir",
+            project_dir,
+            "--inline",
+            "SELECT COUNT(*) AS n FROM {{ ref('seg_spend') }}",
+        ],
+        "cli_show",
+    )
+    assert rc == 0
+    assert "n" in capsys.readouterr().out
+    rc = _run(spark, ["show", "seg_spend", "--project-dir", project_dir], "cli_show")
+    assert rc == 0
+    assert "seg_name" in capsys.readouterr().out
+    # No node and no --inline is a usage error.
+    rc = _run(spark, ["show", "--project-dir", project_dir], "cli_show")
+    assert rc == 2
+
+
+def test_cli_docs_generate(project_dir, spark):
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_docs")
+    rc = _run(spark, ["docs", "generate", "--project-dir", project_dir], "cli_docs")
+    assert rc == 0
+    target = os.path.join(project_dir, "target")
+    manifest = json.load(open(os.path.join(target, "manifest.json")))
+    assert any(k.endswith("seg_spend") for k in manifest["nodes"])
+    assert os.path.exists(os.path.join(target, "catalog.json"))
+    assert os.path.exists(os.path.join(target, "index.html"))
+
+
+def test_cli_compile_reports_errors(project_dir, spark, capsys):
+    _write(
+        os.path.join(project_dir, "models", "broken.sql"),
+        "SELECT * FROM {{ ref('does_not_exist') }}",
+    )
+    rc = _run(spark, ["compile", "--project-dir", project_dir], "cli_compile")
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "broken" in out
