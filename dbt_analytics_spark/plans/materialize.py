@@ -223,13 +223,124 @@ def _apply_microbatch(project: "Project", node: "Node", df: DataFrame) -> int:
     return total
 
 
+def _precedence_merge(
+    node: "Node", existing: DataFrame, new_rows: DataFrame
+) -> DataFrame:
+    """New rows win over existing rows with the same key — exactly
+    MERGE ... WHEN MATCHED UPDATE / delete+insert semantics
+    (SP/.../incremental/merge.sql:1-96) via a precedence window.
+
+    ``node.incremental_predicates`` (dbt's merge.sql predicates arm:
+    extra conjuncts AND'd into the MERGE ON clause) scope which EXISTING
+    rows participate in key matching: rows outside the predicates bypass
+    the window entirely and pass through unchanged — pruning the
+    match-side shuffle to the predicate window. Same documented tradeoff
+    as dbt: a batch key whose only existing row lives OUTSIDE the window
+    inserts a duplicate; the user asserts that cannot happen.
+    """
+    scoped_old, bystander_old = existing, None
+    if node.incremental_predicates:
+        cond = F.expr(
+            " AND ".join(f"({p})" for p in node.incremental_predicates)
+        )
+        scoped_old = existing.filter(cond)
+        bystander_old = existing.filter(~F.coalesce(cond, F.lit(False)))
+    tagged_new = new_rows.withColumn("__src", F.lit(1))
+    tagged_old = scoped_old.withColumn("__src", F.lit(0))
+    w = Window.partitionBy(node.unique_key).orderBy(F.desc("__src"))
+    merged = (
+        tagged_new.unionByName(tagged_old)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__src", "__rn")
+    )
+    if bystander_old is not None:
+        merged = merged.unionByName(bystander_old)
+    return merged
+
+
+def _apply_partition_pruned_merge(
+    project: "Project", node: "Node", existing: DataFrame, new_rows: DataFrame
+) -> int:
+    """MERGE whose WRITE cost scales with the affected partitions, not the
+    table — the 100 TB merge shape (reference: dbt's merge strategy,
+    SP/.../incremental/merge.sql; on lake warehouses dbt prunes the
+    target scan via incremental_predicates — here the pruning is derived
+    automatically from the partition layout, and predicates additionally
+    scope matching inside the hot slice via ``_precedence_merge``).
+
+    Affected partitions = partitions receiving batch rows ∪ partitions
+    holding an existing row of a batch key (found with a column-pruned
+    scan of only (key, partition-cols) — parquet reads two skinny columns,
+    not the table). Rows of affected partitions run the precedence window
+    with the batch; every other partition is untouched on disk (no
+    staging rewrite of the full table). A key that MOVES partitions is
+    handled: its old partition is affected via the semi-join, so the old
+    row is dropped there while the new row lands in its new partition. A
+    partition emptied entirely by such moves is dropped via ALTER TABLE.
+
+    Caveat (documented divergence): a NULL partition value routes rows to
+    Hive's default partition; keep partition columns non-null (true of
+    every date/grain partitioning this engine emits).
+    """
+    spark = project.spark
+    target = project.qualified(node.name)
+    parts = list(node.partition_by)
+    key = node.unique_key
+
+    batch_keys = new_rows.select(key).distinct()
+    affected = (
+        new_rows.select(*parts)
+        .unionByName(
+            existing.join(batch_keys, key, "leftsemi").select(*parts)
+        )
+        .distinct()
+        # The plan reads the target; the write below overwrites its
+        # partitions — cut lineage so the overwrite cannot invalidate it.
+        .localCheckpoint(eager=True)
+    )
+    hot_old = existing.join(F.broadcast(affected), parts, "leftsemi")
+    merged = _precedence_merge(node, hot_old, new_rows).localCheckpoint(
+        eager=True
+    )
+
+    cols = spark.table(target).columns
+    with _PARTITION_OVERWRITE_LOCK:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.select(*cols).write.mode("overwrite").insertInto(target)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # Partitions whose every row was an old version of a key that moved
+    # away produce no merged rows, so dynamic overwrite never touches
+    # them — drop explicitly (bounded: ≤ affected partition count).
+    emptied = affected.join(
+        merged.select(*parts).distinct(), parts, "left_anti"
+    ).collect()
+    for row in emptied:
+        spec = ", ".join(f"{c} = '{row[c]}'" for c in parts)
+        spark.sql(f"ALTER TABLE {target} DROP IF EXISTS PARTITION ({spec})")
+    spark.catalog.refreshTable(target)
+    return spark.table(target).count()
+
+
 def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) -> int:
     target = project.qualified(node.name)
     existing = project.read_relation(node.name)
     strategy = node.incremental_strategy
     post_commit = None  # dedup_insert defers companion-table writes here
 
-    if strategy != "insert_overwrite":
+    # Partition-pruned merge (below) also publishes via insertInto, which
+    # is positional against the STORED table schema — same constraint as
+    # insert_overwrite.
+    pruned_merge = strategy in ("merge", "delete+insert") and bool(
+        node.partition_by
+    )
+    if strategy != "insert_overwrite" and not pruned_merge:
         existing, new_rows = _align_schema_drift(node, existing, new_rows)
     elif set(existing.columns) != set(new_rows.columns):
         if node.on_schema_change == "fail":
@@ -240,6 +351,9 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
         existing, new_rows = _align_schema_drift(
             node, existing, new_rows, policy="ignore"
         )
+
+    if pruned_merge:
+        return _apply_partition_pruned_merge(project, node, existing, new_rows)
 
     if strategy == "insert_overwrite":
         # Partition-granular replacement (SP/.../incremental/strategies.sql:
@@ -448,18 +562,7 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
     elif strategy in ("merge", "delete+insert"):
         if not node.unique_key:
             raise ValueError(f"{strategy} strategy requires unique_key on {node.name}")
-        # New rows win over existing rows with the same key — exactly
-        # MERGE ... WHEN MATCHED UPDATE / delete+insert semantics
-        # (SP/.../incremental/merge.sql:1-96) via a precedence window.
-        tagged_new = new_rows.withColumn("__src", F.lit(1))
-        tagged_old = existing.withColumn("__src", F.lit(0))
-        w = Window.partitionBy(node.unique_key).orderBy(F.desc("__src"))
-        combined = (
-            tagged_new.unionByName(tagged_old)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__src", "__rn")
-        )
+        combined = _precedence_merge(node, existing, new_rows)
     else:
         raise ValueError(f"unknown incremental strategy {strategy!r}")
 

@@ -69,6 +69,13 @@ class Node:
     checksum: str = ""
     unique_key: str | None = None
     incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite | dedup_insert
+    #: dbt incremental_predicates (SP/.../incremental/merge.sql:1-96 —
+    #: extra conjuncts AND'd into the MERGE ON clause): SQL predicates
+    #: over target columns that scope which EXISTING rows participate in
+    #: key matching. Rows outside the predicates pass through unchanged;
+    #: the user asserts merged keys never live outside the window, buying
+    #: a pruned target scan (the dbt-documented tradeoff).
+    incremental_predicates: tuple[str, ...] = ()
     #: dedup_insert strategy: text column near-dupped against the existing
     #: corpus (MinHash-LSH banding) before the batch appends; extra kwargs
     #: forwarded to operators/dedup.py:dedup_against_corpus.
@@ -110,6 +117,7 @@ class Node:
             "materialized": self.materialized,
             "unique_key": self.unique_key,
             "incremental_strategy": self.incremental_strategy,
+            "incremental_predicates": list(self.incremental_predicates),
             "dedup_text_col": self.dedup_text_col,
             "dedup_kwargs": dict(self.dedup_kwargs) if self.dedup_kwargs else None,
             "on_schema_change": self.on_schema_change,
@@ -391,6 +399,7 @@ class Project:
         tags: tuple[str, ...] = (),
         unique_key: str | None = None,
         incremental_strategy: str = "merge",
+        incremental_predicates: tuple[str, ...] = (),
         dedup_text_col: str = "text",
         dedup_kwargs: dict | None = None,
         on_schema_change: str = "ignore",
@@ -436,6 +445,7 @@ class Project:
                 checksum=checksum,
                 unique_key=unique_key,
                 incremental_strategy=incremental_strategy,
+                incremental_predicates=tuple(incremental_predicates),
                 dedup_text_col=dedup_text_col,
                 dedup_kwargs=dict(dedup_kwargs) if dedup_kwargs else None,
                 on_schema_change=on_schema_change,

@@ -103,29 +103,26 @@ def _clean_type_sql(extra_markers: bool = False) -> str:
       ELSE 'Sale' END"""
 
 
-def register_sql_dag(
-    p,
+def sql_model_bodies(
+    spark,
     run_date: dt.date = dt.date(2025, 8, 31),
     suffix: str = "_sql",
     merchant_case_arms: int | None = None,
-) -> list[str]:
-    """Register all 27 reference models as SQL-string models named
-    ``<model><suffix>`` on an existing Project (which must already carry
-    the raw sources and the four seeds — ``workload.build_project`` does).
-    Returns the registered names."""
-    spark = p.spark
+) -> dict[str, str]:
+    """Author all 27 reference models as Jinja-SQL body strings, keyed by
+    ``<model><suffix>`` in dependency-safe order. The bodies are plain
+    text with ``{{ ref(...) }}`` / ``{{ source(...) }}`` templates — the
+    same artifact a dbt user keeps in ``models/*.sql`` files — so they
+    can be registered on a Project (``register_sql_dag``) OR exported as
+    an on-disk CLI project tree (tests/test_cli_reference_project.py)."""
 
     def R(name: str) -> str:  # intra-DAG ref (suffixed)
         return f"{{{{ ref('{name}{suffix}') }}}}"
 
-    registered: list[str] = []
+    bodies: dict[str, str] = {}
 
     def m(name: str, sql: str) -> None:
-        p.sql_model(
-            f"{{{{ config(materialized='table') }}}}\n{sql}",
-            name=f"{name}{suffix}",
-        )
-        registered.append(f"{name}{suffix}")
+        bodies[f"{name}{suffix}"] = sql
 
     # -- card_transactions_model (card_transactions_model.sql:1-23) -----
     m(
@@ -571,7 +568,28 @@ WHERE s.{label}_start <= DATE'{rd}'
 """,
         )
 
-    assert sorted(n[: -len(suffix)] for n in registered) == sorted(
-        SQL_MODEL_NAMES
+    assert sorted(
+        n[: -len(suffix)] if suffix else n for n in bodies
+    ) == sorted(SQL_MODEL_NAMES)
+    return bodies
+
+
+def register_sql_dag(
+    p,
+    run_date: dt.date = dt.date(2025, 8, 31),
+    suffix: str = "_sql",
+    merchant_case_arms: int | None = None,
+) -> list[str]:
+    """Register all 27 reference models as SQL-string models named
+    ``<model><suffix>`` on an existing Project (which must already carry
+    the raw sources and the four seeds — ``workload.build_project`` does).
+    Returns the registered names."""
+    bodies = sql_model_bodies(
+        p.spark, run_date=run_date, suffix=suffix,
+        merchant_case_arms=merchant_case_arms,
     )
-    return registered
+    for name, sql in bodies.items():
+        p.sql_model(
+            f"{{{{ config(materialized='table') }}}}\n{sql}", name=name
+        )
+    return list(bodies)
