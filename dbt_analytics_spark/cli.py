@@ -111,6 +111,27 @@ def _attach_schema_tests(project: "Project", doc: dict) -> int:
         mname = model.get("name")
         if not mname:
             continue
+        # Enforced model contracts (reference: dbt contracts —
+        # SP/.../relations/column/columns_spec_ddl.sql
+        # assert_columns_equivalent): config.contract.enforced +
+        # per-column data_type (+ not_null constraints) populate
+        # Node.contract, validated by enforce_contract BEFORE
+        # materialization.
+        mcfg = model.get("config") or {}
+        if (mcfg.get("contract") or {}).get("enforced") and mname in project.nodes:
+            contract: dict[str, str] = {}
+            for column in model.get("columns", []) or []:
+                dt = column.get("data_type")
+                if not dt:
+                    continue
+                cons = column.get("constraints") or []
+                not_null = any(
+                    (c.get("type") if isinstance(c, dict) else c) == "not_null"
+                    for c in cons
+                )
+                contract[column["name"]] = f"{dt} not null" if not_null else str(dt)
+            if contract:
+                project.nodes[mname].contract = contract
         for column in model.get("columns", []) or []:
             cname = column.get("name")
             specs = column.get("data_tests") or column.get("tests") or []
@@ -208,7 +229,7 @@ def load_project(
             if f.endswith(".csv"):
                 project.seed(f[: -len(".csv")], os.path.join(sdir, f))
 
-    n_tests = 0
+    schema_docs: list[dict] = []
     for model_dir in cfg.get("model-paths", ["models"]):
         mdir = os.path.join(project_dir, model_dir)
         if not os.path.isdir(mdir):
@@ -217,9 +238,11 @@ def load_project(
         for root, _dirs, files in sorted(os.walk(mdir)):
             for f in sorted(files):
                 if f.endswith((".yml", ".yaml")):
-                    n_tests += _attach_schema_tests(
-                        project, _read_yaml(os.path.join(root, f))
-                    )
+                    schema_docs.append(_read_yaml(os.path.join(root, f)))
+    # Attach AFTER every model dir has loaded, so a schema file may
+    # describe models from any model-path (dbt allows cross-dir YAML).
+    for doc in schema_docs:
+        _attach_schema_tests(project, doc)
 
     sel_path = os.path.join(project_dir, "selectors.yml")
     if os.path.exists(sel_path):

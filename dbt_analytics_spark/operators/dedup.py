@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import exact_fingerprint, tokens
@@ -896,4 +896,103 @@ def exact_substring_pairs(
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 0,
+    sep_regex: str = r"\n{2,}",
+    join_sep: str = " ",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL — the RefinedWeb / MassiveText
+    line-and-paragraph dedup step (keep each distinct span's first
+    occurrence, cut every later copy, rebuild the documents): unlike
+    exact-substring PAIR detection (``exact_substring_pairs``), this
+    rewrites the corpus, which is what a pretraining pipeline actually
+    applies before training.
+
+    Span unit: paragraphs split on ``sep_regex`` (default blank lines),
+    or — for single-line corpora — fixed non-overlapping windows of
+    ``span_tokens`` whitespace tokens when ``span_tokens > 0`` (the
+    paragraph filter ``min_chars`` is bypassed in token mode: windows of
+    a non-empty token stream are never blank, and the empty-text edge
+    must stay engine-comparable).
+
+    First-occurrence winner: lowest ``(id, pos)`` per distinct span text
+    — deterministic, engine-neutral.
+
+    Returns one row per input document: ``(id, n_spans, n_kept,
+    clean_text)`` with ``clean_text`` the surviving spans joined by
+    ``join_sep`` in original order ('' when every span was cut).
+
+    Scale shape: one explode; ONE corpus-text shuffle for the
+    first-occurrence window, keyed on the span md5 (the span text rides
+    its own row — no second join to re-attach payloads); one per-doc
+    regroup for the rebuild. Identical twins collapse under the md5 key
+    with a streaming row_number (no buffering beyond the frame), and the
+    rebuild is keyed on the document id, so skew is bounded by the
+    hottest single document, not the hottest span.
+    """
+    spans: DataFrame
+    if span_tokens > 0:
+        k = int(span_tokens)
+        base = docs.select(
+            F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+        ).withColumn(
+            "__n", F.ceil(F.size("__toks") / F.lit(float(k))).cast("int")
+        )
+        spans = base.select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, __n - 1),"
+                    f" i -> concat_ws(' ', slice(__toks, i * {k} + 1, {k})))"
+                )
+            ).alias("__pos", "__span"),
+        )
+    else:
+        spans = (
+            docs.select(
+                F.col(id_col).alias("__id"),
+                F.posexplode(F.split(F.col(text_col), sep_regex)).alias(
+                    "__pos", "__span"
+                ),
+            )
+            .withColumn("__span", F.trim("__span"))
+            .filter(F.length("__span") >= min_chars)
+        )
+
+    w = Window.partitionBy(F.md5("__span")).orderBy("__id", "__pos")
+    kept = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    totals = spans.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans")
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            join_sep,
+            F.expr(
+                "transform(array_sort(collect_list(struct(__pos, __span))),"
+                " s -> s.__span)"
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(totals, "__id", "left")
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

@@ -253,12 +253,22 @@ _BEYOND_DRIVER_CAP = [
     "txt15b_bpe_first_merge",
     "f2b_approx_distinct_bounded",
     "f3b_approx_percentiles_bounded",
+    # q13b (round 9, session 2): q13 on the bucketed star layout — the
+    # per-customer COUNT runs bucket-local and the zero-preserving left
+    # join is an exchange-free SHJ (plan-pinned in test_plan_quality.py);
+    # same oracle as q13.
+    "q13b_custdist_bucketed",
     # sim4b (round 9, session 2): PQ with refine covering every batch ⇒
     # the ADC preselection prunes nothing and the exact re-rank IS brute
     # force — the last rows-only ANN op gains an exact-regime sibling
     # under SIM1's oracle (completes the b-sibling set: every rows-only
     # sketch/procedural op now has one).
     "sim4b_pq_exact",
+    # dd12 (round 9, session 2): duplicated-span REMOVAL — the
+    # corpus-rewrite sibling of dd10's pair detection (RefinedWeb
+    # paragraph dedup; token-window unit on this single-line corpus),
+    # fully SQL-oracled.
+    "dd12_span_dedup",
     "w2_first_value",
     "u2_union_all_dim",
     "d2_extract",

@@ -2257,6 +2257,38 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q13b_custdist_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 on the engine-owned bucketed star layout — the remaining
+    member of j1's "fact-agg exchange class" (the 1.5M-key per-customer
+    COUNT was the measured cost at sf10: 1.7-2.0 s vs DuckDB 0.11). Both
+    the orders table and the customer map are bucketed+sorted on the
+    customer key (plans/star_layout.py), so the per-customer COUNT is
+    bucket-local (HashAggregate directly over the bucketed scan, no
+    exchange) and the zero-preserving left join to customers is a
+    bucket-local SHJ — the only exchanges left are the tiny c_count
+    histogram grain and the final sort. Same DuckDB oracle as q13.
+    """
+    from ..plans.star_layout import ensure_star_layout
+
+    orders_tbl, custmap_tbl = ensure_star_layout(spark, sf_dir)
+    per_cust = (
+        spark.table(orders_tbl)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+        .hint("shuffle_hash")
+    )
+    counts = (
+        spark.table(custmap_tbl)
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q17-shape — small-quantity-order revenue: a correlated AVG subquery
 # (l_quantity < 0.5 * avg(l_quantity) per part) decorrelated into a
@@ -2596,6 +2628,7 @@ REGISTRY = {
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q13_custdist": (q13_custdist, Q13_SQL),
+    "q13b_custdist_bucketed": (q13b_custdist_bucketed, Q13_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),

@@ -528,6 +528,53 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# DD12 — duplicated-span REMOVAL (RefinedWeb/MassiveText paragraph dedup,
+# token-window unit for this single-line corpus): every 12-token span that
+# repeats anywhere in the corpus keeps only its first (doc, pos)
+# occurrence; documents are rebuilt from their surviving spans. The
+# corpus-rewrite sibling of dd10's pair DETECTION. Fully SQL-expressible
+# → exact oracle.
+# ---------------------------------------------------------------------------
+
+def dd12_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return dedup.span_dedup(docs, "doc_id", "text", span_tokens=12)
+
+
+DD12_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SPLIT} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         CAST(ceil(len(toks) / 12.0) AS BIGINT) AS n_chunks
+  FROM t
+), spans AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(toks[i * 12 + 1 : i * 12 + 12], ' ') AS span
+  FROM s, UNNEST(range(0, n_chunks)) AS g(i)
+), flagged AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY md5(span) ORDER BY doc_id, pos
+  ) AS rn
+  FROM spans
+)
+SELECT d.doc_id,
+       CAST(COALESCE(tt.n_spans, 0) AS INTEGER) AS n_spans,
+       CAST(COALESCE(k.n_kept, 0) AS INTEGER) AS n_kept,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+) tt ON d.doc_id = tt.doc_id
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS clean_text
+  FROM flagged WHERE rn = 1 GROUP BY doc_id
+) k ON d.doc_id = k.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # TXT1 — token statistics per language
 # ---------------------------------------------------------------------------
 
@@ -2273,6 +2320,7 @@ REGISTRY = {
     "sim3b_ivf_exact": (sim3b_ivf_exact, SIM3B_SQL),
     "sim2b_lsh_exact": (sim2b_lsh_exact, SIM2B_SQL),
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
+    "dd12_span_dedup": (dd12_span_dedup, DD12_SQL),
     "f5_heavy_hitters": (f5_heavy_hitters, None),
     "f5b_heavy_hitters_exact": (f5b_heavy_hitters_exact, F5B_SQL),
     "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),

@@ -286,3 +286,50 @@ def test_cli_compile_reports_errors(project_dir, spark, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "broken" in out
+
+
+def test_cli_model_contract_enforced(project_dir, spark):
+    # Enforced contract from the schema file: matching schema passes;
+    # a violated data_type fails the node BEFORE materialization.
+    _write(
+        os.path.join(project_dir, "models", "contracted.sql"),
+        "SELECT CAST(1 AS BIGINT) AS id, 'x' AS name",
+    )
+    _write(
+        os.path.join(project_dir, "models", "contract_schema.yml"),
+        """
+models:
+  - name: contracted
+    config:
+      contract: {enforced: true}
+    columns:
+      - name: id
+        data_type: bigint
+        constraints: [{type: not_null}]
+      - name: name
+        data_type: string
+""",
+    )
+    rc = _run(
+        spark,
+        ["run", "--project-dir", project_dir, "--select", "contracted"],
+        "cli_contract",
+    )
+    assert rc == 0
+    assert spark.table("cli_contract.contracted").count() == 1
+
+    # Break the contract: id becomes a string.
+    _write(
+        os.path.join(project_dir, "models", "contracted.sql"),
+        "SELECT 'oops' AS id, 'x' AS name",
+    )
+    rc = _run(
+        spark,
+        ["run", "--project-dir", project_dir, "--select", "contracted"],
+        "cli_contract",
+    )
+    assert rc == 1
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    msg = [r for r in rr["results"] if r["unique_id"] == "contracted"][0]
+    assert msg["status"] == "error"
+    assert "contract" in msg["message"]

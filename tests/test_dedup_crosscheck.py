@@ -483,3 +483,30 @@ def test_simhash_pairs_exact_validates_args(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs_exact(df, "doc_id", "text", max_hamming=60, bits=60)
+
+
+def test_span_dedup_paragraph_mode(spark):
+    """span_dedup (operators/dedup.py): blank-line paragraph unit —
+    corpus-wide first-occurrence keep, in-order rebuild, all-cut and
+    blank-paragraph edges."""
+    from dbt_analytics_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared para\n\ngamma"),
+            (2, "shared para\n\ndelta"),      # loses its copy of the dup
+            (3, "shared para"),               # everything cut -> ''
+            (4, "  \n\nepsilon\n\n\n\nzeta"), # blank paragraphs dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in span_dedup(
+            docs, "doc_id", "text", join_sep="\n\n"
+        ).collect()
+    }
+    assert out[1] == (3, 3, "alpha beta\n\nshared para\n\ngamma")
+    assert out[2] == (2, 1, "delta")
+    assert out[3] == (1, 0, "")
+    assert out[4] == (2, 2, "epsilon\n\nzeta")

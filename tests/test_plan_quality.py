@@ -378,3 +378,22 @@ def test_bucketed_star_layout_join_exchange_free(spark):
         for r in j1b.collect()
     }
     assert raw == buck
+
+
+def test_bucketed_custdist_exchange_free_agg_and_join(spark):
+    """q13b (queries/core.py): the per-customer COUNT must aggregate
+    DIRECTLY over the bucketed orders scan (no exchange feeding the
+    customer-grain HashAggregate) and the zero-preserving left join must
+    be a bucket-local SHJ — the exchanges left are the tiny c_count
+    histogram and the final sort's range partitioning. Row-identical to
+    the raw-parquet q13 (same DuckDB oracle in the registry)."""
+    q13b = REGISTRY["q13b_custdist_bucketed"][0](spark, SF)
+    plan = q13b._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # histogram groupBy + orderBy range exchange, nothing else
+    assert plan.count("Exchange") == 2, plan
+
+    raw = [tuple(r) for r in REGISTRY["q13_custdist"][0](spark, SF).collect()]
+    buck = [tuple(r) for r in q13b.collect()]
+    assert raw == buck
