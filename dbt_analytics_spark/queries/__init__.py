@@ -269,6 +269,10 @@ _BEYOND_DRIVER_CAP = [
     # paragraph dedup; token-window unit on this single-line corpus),
     # fully SQL-oracled.
     "dd12_span_dedup",
+    # smp6 (round 9, session 2): token-BUDGET sampling via the two-phase
+    # distributed prefix sum (operators/sampling.py) — exact oracle
+    # against the single-window formulation.
+    "smp6_token_budget_sample",
     "w2_first_value",
     "u2_union_all_dim",
     "d2_extract",

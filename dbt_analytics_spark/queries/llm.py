@@ -1749,6 +1749,40 @@ WHERE k.draw < CAST(floor(m.rate * 4294967296.0) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# SMP6 — token-budget sampling (operators/sampling.py): fill each
+# source's TOKEN budget (not an expected keep-rate) by walking documents
+# in deterministic draw order and keeping the prefix whose running token
+# total stays within budget. Computed with the two-phase distributed
+# prefix sum (draw-range buckets + tiny offset frame), bit-identical to
+# the oracle's single window.
+# ---------------------------------------------------------------------------
+
+def smp6_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    return token_budget_sample(docs, ["source"], budget=700)
+
+
+SMP6_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_SPLIT}) AS BIGINT) AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS draw
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tok,
+         SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY draw, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tok
+  FROM t
+)
+SELECT source, doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= 700
+"""
+
+
+# ---------------------------------------------------------------------------
 # F5 — approximate heavy hitters (operators/text.py:heavy_hitters):
 # per-partition SpaceSaving sketches, merged — the map-side-bounded
 # top-terms path for vocabularies too large to shuffle (txt11 is the
@@ -2324,6 +2358,7 @@ REGISTRY = {
     "f5_heavy_hitters": (f5_heavy_hitters, None),
     "f5b_heavy_hitters_exact": (f5b_heavy_hitters_exact, F5B_SQL),
     "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),
+    "smp6_token_budget_sample": (smp6_token_budget_sample, SMP6_SQL),
     "txt15_bpe_train": (txt15_bpe_train, None),
     "txt15b_bpe_first_merge": (txt15b_bpe_first_merge, TXT15B_SQL),
     "f6_histogram": (f6_histogram, F6_SQL),

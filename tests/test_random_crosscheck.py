@@ -84,3 +84,39 @@ def test_interval_join_matches_bruteforce(spark):
         if i.lo <= p.v < i.hi
     }
     assert got == expect
+
+
+def test_token_budget_sample_bucket_invariance_and_edges(spark):
+    """token_budget_sample (operators/sampling.py): the two-phase
+    distributed prefix sum must be row-identical to the single-window
+    formulation for ANY bucket count (buckets only slice the draw
+    range), the budget-crossing document is excluded (hard cap), and a
+    single document larger than the whole budget is excluded."""
+    from dbt_analytics_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, "g" + str(i % 2), " ".join(["w"] * (5 + i % 7)))
+            for i in range(200)
+        ]
+        + [(999, "g_big", " ".join(["w"] * 500))],  # oversized single doc
+        ["doc_id", "source", "text"],
+    )
+    runs = {
+        n: sorted(
+            map(
+                tuple,
+                token_budget_sample(
+                    docs, ["source"], budget=300, n_buckets=n
+                ).collect(),
+            )
+        )
+        for n in (1, 4, 256)
+    }
+    assert runs[1] == runs[4] == runs[256]
+    rows = runs[256]
+    assert rows, "budget 300 must keep a nonempty prefix"
+    # Hard cap: every kept cum_tok <= budget, and no group overshoots.
+    assert all(r[3] <= 300 for r in rows)
+    # The oversized doc's group keeps nothing.
+    assert not [r for r in rows if r[0] == "g_big"]
