@@ -74,11 +74,25 @@ def _read_yaml(path: str) -> dict:
     return data or {}
 
 
+def _parse_after(spec: dict | None):
+    """dbt freshness threshold: {count: N, period: minute|hour|day}."""
+    import datetime as _dt
+
+    if not spec:
+        return None
+    seconds = {"minute": 60, "hour": 3600, "day": 86400}[spec["period"]]
+    return _dt.timedelta(seconds=int(spec["count"]) * seconds)
+
+
 def _bind_sources(project: "Project", spec: dict, project_dir: str) -> None:
     """Register raw input tables from the ``sources:`` section. Values are
     a path string (format inferred from the extension) or a dict with
-    ``path`` / ``format`` / ``options``. Reads are lazy DataFrames — at
-    100 TB a source is a parquet scan with pushdown, never an eager load."""
+    ``path`` / ``format`` / ``options`` — plus dbt's freshness surface
+    (``loaded_at_field`` + ``freshness: {warn_after/error_after:
+    {count, period}}``; reference: dbt sources YAML,
+    SP/dbt/task/freshness.py). Reads are lazy DataFrames — at 100 TB a
+    source is a parquet scan with pushdown, never an eager load."""
+    project.source_freshness = {}
     for name, val in spec.items():
         if isinstance(val, str):
             val = {"path": val}
@@ -90,7 +104,16 @@ def _bind_sources(project: "Project", spec: dict, project_dir: str) -> None:
         )
         options = {str(k): str(v) for k, v in (val.get("options") or {}).items()}
         reader = project.spark.read.format(fmt).options(**options)
-        project.source_table(name, reader.load(path))
+        df = reader.load(path)
+        project.source_table(name, df)
+        if val.get("loaded_at_field"):
+            fr = val.get("freshness") or {}
+            project.source_freshness[name] = (
+                df,
+                val["loaded_at_field"],
+                _parse_after(fr.get("warn_after")),
+                _parse_after(fr.get("error_after")),
+            )
 
 
 _TEST_BUILDERS = ("unique", "not_null", "accepted_values", "relationships")
@@ -400,6 +423,49 @@ def _cmd_docs(project: "Project", args, target_dir: str) -> int:
     return 0
 
 
+def _cmd_source_freshness(project: "Project", args, target_dir: str) -> int:
+    """dbt source freshness: max(loaded_at_field) age vs thresholds per
+    configured source (plans/freshness.py; reference: SP/dbt/task/
+    freshness.py — artifact written as target/sources.json). ``--run-date``
+    pins 'now' to that date's midnight UTC for deterministic checks."""
+    import datetime as _dt
+
+    from .plans.freshness import check_freshness
+
+    now = None
+    if getattr(args, "run_date", None):
+        now = _dt.datetime.combine(
+            _dt.date.fromisoformat(args.run_date),
+            _dt.time(0, 0),
+            tzinfo=_dt.timezone.utc,
+        )
+    configured = getattr(project, "source_freshness", {})
+    if not configured:
+        print("No sources configured with loaded_at_field.")
+        return 0
+    results = []
+    worst = 0
+    for name, (df, col, warn_after, error_after) in sorted(configured.items()):
+        r = check_freshness(
+            df, col, warn_after=warn_after, error_after=error_after, now=now
+        )
+        age_s = r.age.total_seconds() if r.age is not None else None
+        results.append(
+            {
+                "unique_id": name,
+                "status": r.status,
+                "max_loaded_at": str(r.max_loaded_at) if r.max_loaded_at else None,
+                "age_seconds": age_s,
+            }
+        )
+        print(f"{r.status.upper():5s} {name} (age: {r.age})")
+        worst = max(worst, {"pass": 0, "warn": 0, "error": 1}[r.status])
+    os.makedirs(target_dir, exist_ok=True)
+    with open(os.path.join(target_dir, "sources.json"), "w") as f:
+        json.dump({"results": results}, f, indent=2)
+    return worst
+
+
 def _cmd_retry(project: "Project", target_dir: str) -> int:
     """Replay the failed/skipped nodes of the previous run_results.json
     (reference: SP/dbt/task/retry.py — cross-invocation, artifact-driven)."""
@@ -473,6 +539,8 @@ def build_parser() -> argparse.ArgumentParser:
     show.add_argument("--inline", default=None, help="ad-hoc Jinja-SQL to preview")
     docs = sub.add_parser("docs", parents=[common], help="generate docs artifacts")
     docs.add_argument("action", choices=["generate"])
+    src = sub.add_parser("source", parents=[common], help="source subcommands")
+    src.add_argument("action", choices=["freshness"])
     sub.add_parser("retry", parents=[common], help="re-run failures from last run_results.json")
     clone = sub.add_parser("clone", parents=[common], help="clone a materialized relation")
     clone.add_argument("node")
@@ -529,6 +597,8 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
             return _cmd_show(project, args)
         if cmd == "docs":
             return _cmd_docs(project, args, target_dir)
+        if cmd == "source":
+            return _cmd_source_freshness(project, args, target_dir)
         if cmd == "retry":
             return _cmd_retry(project, target_dir)
         if cmd == "clone":

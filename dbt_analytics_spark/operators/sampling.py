@@ -71,6 +71,13 @@ def token_budget_sample(
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tok"),
         _draw(id_col).alias("__draw"),
     ).withColumn("__bucket", F.shiftrightunsigned("__draw", shift))
+    # Both phases consume this projection (the offsets aggregate AND the
+    # final join); without a checkpoint Catalyst recomputes the lineage —
+    # i.e. re-scans and RE-TOKENIZES the corpus text — once per branch
+    # (measured 2x at 500k docs). The checkpointed frame is the SKINNY
+    # one (group keys + three ints per doc, no text), so materializing it
+    # costs a tiny fraction of the tokenize pass it deduplicates.
+    base = base.localCheckpoint(eager=False)
 
     # Phase 1: per-(group, bucket) token sums — a groups×buckets frame —
     # then each bucket's starting offset from a window over that tiny

@@ -333,3 +333,47 @@ models:
     msg = [r for r in rr["results"] if r["unique_id"] == "contracted"][0]
     assert msg["status"] == "error"
     assert "contract" in msg["message"]
+
+
+def test_cli_source_freshness(tmp_path, spark, capsys):
+    d = str(tmp_path / "fresh_proj")
+    spark.createDataFrame(
+        [(1, "2025-08-30 12:00:00"), (2, "2025-08-25 00:00:00")],
+        ["id", "loaded_at"],
+    ).selectExpr("id", "CAST(loaded_at AS TIMESTAMP) AS loaded_at").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "data", "events_raw"))
+    _write(
+        os.path.join(d, "dbt_project.yml"),
+        """
+name: fresh_proj
+sources:
+  events_raw:
+    path: data/events_raw
+    loaded_at_field: loaded_at
+    freshness:
+      warn_after: {count: 12, period: hour}
+      error_after: {count: 7, period: day}
+""",
+    )
+    # Pinned 'now' = 2025-08-31T00:00Z: newest row is 12h old on the nose
+    # (not > 12h, so PASS), far from the 7-day error bar.
+    rc = main(
+        ["source", "freshness", "--project-dir", d, "--run-date", "2025-08-31"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out
+    srcs = json.load(open(os.path.join(d, "target", "sources.json")))
+    assert srcs["results"][0]["status"] == "pass"
+    assert srcs["results"][0]["age_seconds"] == 12 * 3600
+
+    # A week later the source has gone stale past the error bar.
+    rc = main(
+        ["source", "freshness", "--project-dir", d, "--run-date", "2025-09-08"],
+        spark=spark,
+    )
+    assert rc == 1
+    srcs = json.load(open(os.path.join(d, "target", "sources.json")))
+    assert srcs["results"][0]["status"] == "error"
