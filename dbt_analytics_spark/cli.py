@@ -118,6 +118,93 @@ def _bind_sources(project: "Project", spec: dict, project_dir: str) -> None:
 
 _TEST_BUILDERS = ("unique", "not_null", "accepted_values", "relationships")
 _REF_IN_TO = re.compile(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+_INPUT_NAME = re.compile(r"(?:ref|source)\(\s*['\"]([^'\"]+)['\"][^)]*\)")
+
+
+def _collect_unit_tests(project: "Project", doc: dict) -> int:
+    """Parse dbt ``unit_tests:`` blocks (dbt >= 1.8 YAML unit tests —
+    reference: SP/.../materializations/tests/unit.sql:1-30, fixture CTEs
+    + EXCEPT diff) into specs the ``test`` command evaluates via
+    Project.run_unit_test. ``given[].input`` accepts ``ref('x')`` /
+    ``source('x')`` strings; rows are lists of column dicts."""
+    specs = getattr(project, "yaml_unit_tests", None)
+    if specs is None:
+        specs = project.yaml_unit_tests = []
+    n = 0
+    for ut in doc.get("unit_tests", []) or []:
+        name, model = ut.get("name"), ut.get("model")
+        if not name or not model:
+            raise ValueError("unit test needs both 'name' and 'model'")
+        given = {}
+        for g in ut.get("given", []) or []:
+            m = _INPUT_NAME.search(str(g["input"]))
+            given[m.group(1) if m else str(g["input"])] = list(g.get("rows") or [])
+        expect = list((ut.get("expect") or {}).get("rows") or [])
+        specs.append({"name": name, "model": model, "given": given, "expect": expect})
+        n += 1
+    return n
+
+
+def _collect_exposures(project: "Project", doc: dict) -> int:
+    """dbt ``exposures:`` blocks (dashboards/jobs that depend on models;
+    reference: SP/dbt/contracts/graph/nodes.py Exposure): lineage-only
+    nodes — ``+exposure`` selection builds everything they need, and docs
+    show them downstream."""
+    n = 0
+    for ex in doc.get("exposures", []) or []:
+        deps = []
+        for d in ex.get("depends_on", []) or []:
+            m = _INPUT_NAME.search(str(d))
+            deps.append(m.group(1) if m else str(d))
+        owner = ex.get("owner") or {}
+        project.exposure(
+            ex["name"],
+            depends_on=tuple(deps),
+            owner=str(owner.get("name", owner) or ""),
+            url=ex.get("url", ""),
+            description=ex.get("description", ""),
+        )
+        n += 1
+    return n
+
+
+def _run_yaml_unit_tests(project: "Project") -> "list[RunResult]":
+    import time as _time
+
+    import pandas as pd
+
+    from .plans.registry import RunResult
+
+    results = []
+    for spec in getattr(project, "yaml_unit_tests", []):
+        t0 = _time.perf_counter()
+        label = f"unit_{spec['name']}__{spec['model']}"
+        try:
+            given = {
+                name: project.spark.createDataFrame(pd.DataFrame(rows))
+                for name, rows in spec["given"].items()
+            }
+            expect = project.spark.createDataFrame(pd.DataFrame(spec["expect"]))
+            passed, missing, unexpected = project.run_unit_test(
+                spec["model"], given, expect
+            )
+            if passed:
+                results.append(
+                    RunResult(label, "success", _time.perf_counter() - t0, "")
+                )
+            else:
+                msg = (
+                    f"{missing.count()} expected rows missing, "
+                    f"{unexpected.count()} unexpected rows"
+                )
+                results.append(
+                    RunResult(label, "error", _time.perf_counter() - t0, msg)
+                )
+        except Exception as exc:  # noqa: BLE001
+            results.append(
+                RunResult(label, "error", _time.perf_counter() - t0, str(exc))
+            )
+    return results
 
 
 def _attach_schema_tests(project: "Project", doc: dict) -> int:
@@ -252,6 +339,13 @@ def load_project(
             if f.endswith(".csv"):
                 project.seed(f[: -len(".csv")], os.path.join(sdir, f))
 
+    from .plans.sql_models import load_sql_snapshots_dir
+
+    for snap_dir in cfg.get("snapshot-paths", ["snapshots"]):
+        sdir = os.path.join(project_dir, snap_dir)
+        if os.path.isdir(sdir):
+            load_sql_snapshots_dir(project, sdir)
+
     schema_docs: list[dict] = []
     for model_dir in cfg.get("model-paths", ["models"]):
         mdir = os.path.join(project_dir, model_dir)
@@ -266,6 +360,8 @@ def load_project(
     # describe models from any model-path (dbt allows cross-dir YAML).
     for doc in schema_docs:
         _attach_schema_tests(project, doc)
+        _collect_unit_tests(project, doc)
+        _collect_exposures(project, doc)
 
     sel_path = os.path.join(project_dir, "selectors.yml")
     if os.path.exists(sel_path):
@@ -362,6 +458,7 @@ def _cmd_test(project: "Project", args, target_dir: str) -> int:
         project.tests = [t for t in project.tests if t[0] in selected]
     project.compile()
     results = project.run_tests()
+    results += _run_yaml_unit_tests(project)
     project.results = results
     _write_artifacts(project, target_dir)
     return _print_results(results)

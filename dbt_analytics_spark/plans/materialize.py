@@ -36,6 +36,30 @@ _PARTITION_OVERWRITE_LOCK = threading.Lock()
 
 
 def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
+    if node.kind == "snapshot":
+        # One SCD-2 pass per run against the stored snapshot table
+        # (plans/snapshot.py), stamped deterministically at the project's
+        # pinned run date (the engine-wide injectable-clock rule).
+        import datetime as _dt
+
+        from .snapshot import snapshot as _run_snapshot
+
+        out = _run_snapshot(
+            project,
+            node.name,
+            df,
+            unique_key=node.unique_key,
+            strategy=node.snapshot_strategy,
+            updated_at=node.updated_at,
+            check_cols=(
+                node.check_cols
+                if isinstance(node.check_cols, str)
+                else list(node.check_cols)
+            ),
+            at=_dt.datetime.combine(project.run_date, _dt.time(0, 0)),
+            hard_deletes=node.hard_deletes,
+        )
+        return out.count()
     kind = node.materialized
     target = project.qualified(node.name)
     # materialized_view: Spark has no native MV object, so the storage shape

@@ -76,6 +76,15 @@ class Node:
     #: the user asserts merged keys never live outside the window, buying
     #: a pruned target scan (the dbt-documented tradeoff).
     incremental_predicates: tuple[str, ...] = ()
+    #: Snapshot-node config (kind == "snapshot"; reference: dbt snapshot
+    #: blocks — SP/.../materializations/snapshots/snapshot.sql:1-109,
+    #: strategies.sql:38-142). The node's fn produces the SOURCE query;
+    #: each run applies one SCD-2 pass (plans/snapshot.py) at the
+    #: project's pinned run date.
+    snapshot_strategy: str = "timestamp"  # timestamp | check
+    updated_at: str | None = None
+    check_cols: tuple[str, ...] | str = "all"
+    hard_deletes: str = "ignore"  # ignore | invalidate | new_record
     #: dedup_insert strategy: text column near-dupped against the existing
     #: corpus (MinHash-LSH banding) before the batch appends; extra kwargs
     #: forwarded to operators/dedup.py:dedup_against_corpus.
@@ -118,6 +127,14 @@ class Node:
             "unique_key": self.unique_key,
             "incremental_strategy": self.incremental_strategy,
             "incremental_predicates": list(self.incremental_predicates),
+            "snapshot_strategy": self.snapshot_strategy,
+            "updated_at": self.updated_at,
+            "check_cols": (
+                list(self.check_cols)
+                if not isinstance(self.check_cols, str)
+                else self.check_cols
+            ),
+            "hard_deletes": self.hard_deletes,
             "dedup_text_col": self.dedup_text_col,
             "dedup_kwargs": dict(self.dedup_kwargs) if self.dedup_kwargs else None,
             "on_schema_change": self.on_schema_change,
@@ -466,6 +483,40 @@ class Project:
                 group=group,
                 access=access,
             )
+            return fn
+
+        return wrap
+
+    def snapshot_model(
+        self,
+        name: str | None = None,
+        *,
+        unique_key: str,
+        strategy: str = "timestamp",
+        updated_at: str | None = None,
+        check_cols: "tuple[str, ...] | str" = "all",
+        hard_deletes: str = "ignore",
+        tags: tuple[str, ...] = (),
+    ):
+        """Decorator registering a SNAPSHOT node: ``fn(ctx) -> DataFrame``
+        produces the source query; every run of the node applies one
+        SCD-2 pass against the stored snapshot table (plans/snapshot.py),
+        stamped at the project's pinned run date — dbt's snapshot blocks
+        as first-class DAG nodes (reference: snapshot.sql:1-109). Models
+        may ``ref()`` a snapshot; selection reaches them via
+        ``config.kind:snapshot`` (the CLI ``snapshot`` command)."""
+
+        def wrap(fn: Callable[["ModelContext"], DataFrame]):
+            node_name = name or fn.__name__
+            self.model(name=node_name, tags=tags, unique_key=unique_key)(fn)
+            node = self.nodes[node_name]
+            node.kind = "snapshot"
+            node.snapshot_strategy = strategy
+            node.updated_at = updated_at
+            node.check_cols = (
+                check_cols if isinstance(check_cols, str) else tuple(check_cols)
+            )
+            node.hard_deletes = hard_deletes
             return fn
 
         return wrap

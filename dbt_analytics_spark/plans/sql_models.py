@@ -188,6 +188,60 @@ def register_sql_model(
     return name
 
 
+def register_sql_snapshot(
+    project: "Project", sql: str, name: str, **config_overrides
+) -> str:
+    """Register a Jinja-SQL SNAPSHOT (dbt's ``snapshots/*.sql`` blocks —
+    snapshot.sql:1-109): the config header carries ``unique_key`` +
+    ``strategy`` (timestamp/check) with ``updated_at`` / ``check_cols`` /
+    ``hard_deletes``; the body is the source SELECT, rendered like any
+    SQL model. Each run applies one SCD-2 pass via plans/snapshot.py."""
+    cfg, body = parse_config(sql)
+    cfg.update(config_overrides)
+    body = body.strip().rstrip(";")
+    if not body:
+        raise ValueError(f"sql snapshot {name!r}: empty body")
+    tags = cfg.pop("tags", ())
+    if isinstance(tags, str):
+        tags = (tags,)
+    cfg.pop("materialized", None)  # snapshots own their write path
+
+    def fn(ctx: "ModelContext") -> DataFrame:
+        return ctx.spark.sql(render(ctx, name, body))
+
+    fn.__name__ = name
+    project.snapshot_model(
+        name=name,
+        unique_key=cfg.pop("unique_key"),
+        strategy=cfg.pop("strategy", "timestamp"),
+        updated_at=cfg.pop("updated_at", None),
+        check_cols=cfg.pop("check_cols", "all"),
+        hard_deletes=cfg.pop("hard_deletes", "ignore"),
+        tags=tuple(tags),
+    )(fn)
+    project.nodes[name].checksum = hashlib.md5(body.encode()).hexdigest()
+    return name
+
+
+def load_sql_snapshots_dir(project: "Project", path: str) -> list[str]:
+    """Register every ``*.sql`` under ``path`` as a snapshot — the dbt
+    ``snapshots/`` directory layout."""
+    import os
+
+    names: list[str] = []
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if not f.endswith(".sql"):
+                continue
+            name = f[: -len(".sql")]
+            fpath = os.path.join(root, f)
+            with open(fpath) as fh:
+                sql = fh.read()
+            names.append(register_sql_snapshot(project, sql, name))
+            project.nodes[name].path = fpath
+    return names
+
+
 def load_sql_models_dir(project: "Project", path: str) -> list[str]:
     """Register every ``*.sql`` file under ``path`` (recursively) as a SQL
     model named after its filename — the dbt ``models/`` directory layout,

@@ -377,3 +377,128 @@ sources:
     assert rc == 1
     srcs = json.load(open(os.path.join(d, "target", "sources.json")))
     assert srcs["results"][0]["status"] == "error"
+
+
+def test_cli_snapshot_scd2_across_invocations(tmp_path, spark):
+    # dbt snapshots/ surface: a timestamp-strategy snapshot run twice via
+    # the CLI, with the source changing between invocations — the second
+    # pass closes the old version and opens the new one (SCD-2).
+    d = str(tmp_path / "snap_proj")
+    src = os.path.join(d, "data", "people")
+
+    def write_src(rows):
+        spark.createDataFrame(rows, ["id", "name", "updated_at"]).selectExpr(
+            "id", "name", "CAST(updated_at AS TIMESTAMP) AS updated_at"
+        ).write.mode("overwrite").parquet(src)
+
+    write_src([(1, "alice", "2025-01-01 00:00:00"), (2, "bob", "2025-01-01 00:00:00")])
+    _write(
+        os.path.join(d, "dbt_project.yml"),
+        "name: snap_proj\nsources:\n  people: data/people\n",
+    )
+    _write(
+        os.path.join(d, "snapshots", "people_snap.sql"),
+        """
+{{ config(unique_key='id', strategy='timestamp', updated_at='updated_at') }}
+SELECT id, name, updated_at FROM {{ source('people') }}
+""",
+    )
+    rc = main(
+        ["snapshot", "--project-dir", d, "--database", "cli_snap"], spark=spark
+    )
+    assert rc == 0
+    t = spark.table("cli_snap.people_snap")
+    assert t.count() == 2
+    assert t.filter("dbt_valid_to IS NULL").count() == 2
+
+    # v2: alice renamed; bob unchanged.
+    write_src([(1, "alicia", "2025-02-01 00:00:00"), (2, "bob", "2025-01-01 00:00:00")])
+    rc = main(
+        ["snapshot", "--project-dir", d, "--database", "cli_snap"], spark=spark
+    )
+    assert rc == 0
+    t = spark.table("cli_snap.people_snap")
+    assert t.count() == 3
+    cur = {r["id"]: r["name"] for r in t.filter("dbt_valid_to IS NULL").collect()}
+    assert cur == {1: "alicia", 2: "bob"}
+    closed = t.filter("dbt_valid_to IS NOT NULL").collect()
+    assert len(closed) == 1 and closed[0]["name"] == "alice"
+
+    # Snapshot nodes are selectable DAG members (config.kind:snapshot).
+    rr = json.load(open(os.path.join(d, "target", "run_results.json")))
+    assert [r["unique_id"] for r in rr["results"]] == ["people_snap"]
+
+
+def test_cli_yaml_unit_tests(project_dir, spark):
+    # dbt >= 1.8 YAML unit tests: mocked refs, EXCEPT-style diff. One
+    # passing and one failing spec; the test command reports both.
+    _write(
+        os.path.join(project_dir, "models", "unit_tests.yml"),
+        """
+unit_tests:
+  - name: agg_is_right
+    model: seg_spend
+    given:
+      - input: ref('stg_txns')
+        rows:
+          - {txn_id: 1, seg: a, amount: 10.0}
+          - {txn_id: 2, seg: a, amount: 5.0}
+      - input: ref('seg_names')
+        rows:
+          - {seg: a, seg_name: Alpha}
+    expect:
+      rows:
+        - {seg: a, seg_name: Alpha, total: 15.0}
+  - name: agg_is_wrong
+    model: seg_spend
+    given:
+      - input: ref('stg_txns')
+        rows:
+          - {txn_id: 1, seg: a, amount: 10.0}
+      - input: ref('seg_names')
+        rows:
+          - {seg: a, seg_name: Alpha}
+    expect:
+      rows:
+        - {seg: a, seg_name: Alpha, total: 999.0}
+""",
+    )
+    rc = _run(spark, ["test", "--project-dir", project_dir], "cli_unit")
+    assert rc == 1  # the wrong expectation fails
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    statuses = {r["unique_id"]: r["status"] for r in rr["results"]}
+    assert statuses["unit_agg_is_right__seg_spend"] == "success"
+    assert statuses["unit_agg_is_wrong__seg_spend"] == "error"
+
+
+def test_cli_exposures_lineage_selection(project_dir, spark, capsys):
+    _write(
+        os.path.join(project_dir, "models", "exposures.yml"),
+        """
+exposures:
+  - name: spend_dashboard
+    depends_on: [ref('seg_spend')]
+    owner: {name: data-team}
+    url: https://dash.example/spend
+""",
+    )
+    # +exposure selects its full upstream closure (lineage-only node).
+    rc = _run(
+        spark,
+        ["ls", "--project-dir", project_dir, "--select", "+spend_dashboard"],
+        "cli_expo",
+    )
+    assert rc == 0
+    names = set(capsys.readouterr().out.split())
+    assert {"spend_dashboard", "seg_spend", "stg_txns", "seg_names"} <= names
+
+    # run on the exposure materializes the models but not the exposure.
+    rc = _run(
+        spark,
+        ["run", "--project-dir", project_dir, "--select", "+spend_dashboard"],
+        "cli_expo",
+    )
+    assert rc == 0
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    ids = {r["unique_id"] for r in rr["results"]}
+    assert "seg_spend" in ids and "spend_dashboard" not in ids
