@@ -84,6 +84,45 @@ def _parse_after(spec: dict | None):
     return _dt.timedelta(seconds=int(spec["count"]) * seconds)
 
 
+def _config_tree_resolver(tree: dict, project_name: str):
+    """dbt_project.yml ``models:`` config hierarchy (reference:
+    dbt_project.yml:14-16 ``models: my_project: +materialized: table``;
+    SP/dbt/config/project.py): ``+key`` entries apply to everything at
+    and below their level, deeper levels win, ``+tags`` ACCUMULATE. The
+    returned fn maps a model's folder path-parts to its defaults."""
+    root = tree or {}
+    start = root.get(project_name, root)
+
+    def defaults_for(parts: tuple[str, ...]) -> dict:
+        acc: dict = {}
+
+        def absorb(level: dict) -> None:
+            for k, v in level.items():
+                if not k.startswith("+"):
+                    continue
+                key = k[1:]
+                if key == "tags":
+                    vals = v if isinstance(v, (list, tuple)) else [v]
+                    acc["tags"] = tuple(acc.get("tags", ())) + tuple(vals)
+                else:
+                    acc[key] = v
+
+        # Root-level +keys (outside the project-name scope) apply too.
+        if start is not root:
+            absorb(root)
+        absorb(start)
+        level = start
+        for p in parts:
+            nxt = level.get(p)
+            if not isinstance(nxt, dict):
+                break
+            absorb(nxt)
+            level = nxt
+        return acc
+
+    return defaults_for
+
+
 def _bind_sources(project: "Project", spec: dict, project_dir: str) -> None:
     """Register raw input tables from the ``sources:`` section. Values are
     a path string (format inferred from the extension) or a dict with
@@ -346,12 +385,13 @@ def load_project(
         if os.path.isdir(sdir):
             load_sql_snapshots_dir(project, sdir)
 
+    defaults_fn = _config_tree_resolver(cfg.get("models") or {}, project.name)
     schema_docs: list[dict] = []
     for model_dir in cfg.get("model-paths", ["models"]):
         mdir = os.path.join(project_dir, model_dir)
         if not os.path.isdir(mdir):
             continue
-        load_sql_models_dir(project, mdir)
+        load_sql_models_dir(project, mdir, config_defaults_fn=defaults_fn)
         for root, _dirs, files in sorted(os.walk(mdir)):
             for f in sorted(files):
                 if f.endswith((".yml", ".yaml")):
@@ -432,7 +472,10 @@ def _maybe_load_state(project: "Project", state_dir: str | None) -> None:
 def _cmd_run(project: "Project", args, target_dir: str, with_tests: bool) -> int:
     select = _combine_select(args.select, args.exclude)
     results = project.run(
-        select=select, selector=args.selector, with_tests=with_tests
+        select=select,
+        selector=args.selector,
+        with_tests=with_tests,
+        fail_fast=getattr(args, "fail_fast", False),
     )
     _write_artifacts(project, target_dir)
     return _print_results(results)
@@ -611,6 +654,10 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument(
         "--state", default=None, help="previous target dir for state:/result: selection"
     )
+    common.add_argument(
+        "--fail-fast", action="store_true",
+        help="stop scheduling after the first failing level",
+    )
 
     sel = argparse.ArgumentParser(add_help=False)
     sel.add_argument("--select", "-s", action="append", default=[])
@@ -639,6 +686,8 @@ def build_parser() -> argparse.ArgumentParser:
     src = sub.add_parser("source", parents=[common], help="source subcommands")
     src.add_argument("action", choices=["freshness"])
     sub.add_parser("retry", parents=[common], help="re-run failures from last run_results.json")
+    sub.add_parser("debug", parents=[common], help="check project/session health")
+    sub.add_parser("clean", parents=[common], help="remove the target directory")
     clone = sub.add_parser("clone", parents=[common], help="clone a materialized relation")
     clone.add_argument("node")
     clone.add_argument("new_name")
@@ -698,6 +747,35 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
             return _cmd_source_freshness(project, args, target_dir)
         if cmd == "retry":
             return _cmd_retry(project, target_dir)
+        if cmd == "debug":
+            # dbt debug: environment + project sanity (reference:
+            # SP/dbt/task/debug.py — connection/config checks).
+            print(f"spark version: {spark.version}")
+            print(f"warehouse: {spark.conf.get('spark.sql.warehouse.dir', '?')}")
+            n_src = sum(1 for n in project.nodes.values() if n.kind == "source")
+            n_models = sum(1 for n in project.nodes.values() if n.kind == "model")
+            n_seeds = sum(1 for n in project.nodes.values() if n.kind == "seed")
+            n_snaps = sum(1 for n in project.nodes.values() if n.kind == "snapshot")
+            print(
+                f"project {project.name!r}: {n_models} models, {n_seeds} seeds, "
+                f"{n_snaps} snapshots, {n_src} sources, "
+                f"{len(project.tests)} tests"
+            )
+            project.compile()
+            errs = project._compile_errors
+            for bad, msg in errs.items():
+                print(f"COMPILE ERROR {bad}: {msg}")
+            print("All checks passed!" if not errs else "Compile errors found")
+            return 1 if errs else 0
+        if cmd == "clean":
+            import shutil
+
+            if os.path.isdir(target_dir):
+                shutil.rmtree(target_dir)
+                print(f"Removed {target_dir}")
+            else:
+                print(f"Nothing to clean at {target_dir}")
+            return 0
         if cmd == "clone":
             project.compile()
             project.run(select=args.node)

@@ -731,6 +731,7 @@ class Project:
         select: str | None = None,
         selector: str | None = None,
         with_tests: bool = False,
+        fail_fast: bool = False,
     ) -> list[RunResult]:
         """dbt run: compile everything, then materialize selected
         non-ephemeral nodes level-by-level; failures skip descendants
@@ -776,7 +777,26 @@ class Project:
                 failed.add(name)
                 self.results.append(RunResult(name, "error", 0.0, f"compile error: {msg}"))
 
-        for level in self._toposort_levels(selected - set(self._compile_errors)):
+        levels = self._toposort_levels(selected - set(self._compile_errors))
+        for i, level in enumerate(levels):
+            if fail_fast and failed:
+                # dbt --fail-fast: stop scheduling after the first failing
+                # level; everything not yet run is recorded as skipped
+                # (reference: SP/dbt/task/runnable.py fail_fast handling).
+                ran = {r.node for r in self.results}
+                for rest in levels[i:]:
+                    for name in rest:
+                        node = self.nodes[name]
+                        if (
+                            name in ran
+                            or node.kind in ("source", "exposure")
+                            or node.materialized == "ephemeral"
+                        ):
+                            continue
+                        self.results.append(
+                            RunResult(name, "skipped", 0.0, "fail-fast")
+                        )
+                break
             to_run = []
             for name in level:
                 node = self.nodes[name]
@@ -811,13 +831,19 @@ class Project:
         return self.results
 
     def build(
-        self, select: str | None = None, selector: str | None = None
+        self,
+        select: str | None = None,
+        selector: str | None = None,
+        fail_fast: bool = False,
     ) -> list[RunResult]:
         """dbt build: materialize selected nodes AND run each node's
         attached data tests immediately after it lands, in one DAG-ordered
         pass (reference: SP/dbt/task/build.py — the model/test interleave
         where a test failure skips the model's descendants)."""
-        return self.run(select=select, selector=selector, with_tests=True)
+        return self.run(
+            select=select, selector=selector, with_tests=True,
+            fail_fast=fail_fast,
+        )
 
     def _run_node(self, node: Node) -> RunResult:
         from .materialize import materialize

@@ -154,17 +154,24 @@ def render(ctx: "ModelContext", node_name: str, body: str) -> str:
 
 
 def register_sql_model(
-    project: "Project", sql: str, name: str, **config_overrides
+    project: "Project",
+    sql: str,
+    name: str,
+    config_defaults: dict | None = None,
+    **config_overrides,
 ) -> str:
     """Register a Jinja-SQL model string as a node. Returns the node name.
 
-    The config header supplies the node config (``materialized``,
-    ``unique_key``, ``incremental_strategy``, ``tags``, …);
-    ``config_overrides`` win over the header. The model function renders
+    Config precedence (dbt's hierarchy — SP/dbt/config/project.py model
+    configs): ``config_defaults`` (the dbt_project.yml ``models:`` tree,
+    e.g. the reference's ``+materialized: table`` at
+    dbt_project.yml:14-16) < the file's ``{{ config(...) }}`` header <
+    ``config_overrides`` (caller). The model function renders
     refs/sources/this/is_incremental at execution time and runs ONE
     ``spark.sql`` statement.
     """
     cfg, body = parse_config(sql)
+    cfg = {**(config_defaults or {}), **cfg}
     cfg.update(config_overrides)
     body = body.strip().rstrip(";")
     if not body:
@@ -242,13 +249,20 @@ def load_sql_snapshots_dir(project: "Project", path: str) -> list[str]:
     return names
 
 
-def load_sql_models_dir(project: "Project", path: str) -> list[str]:
+def load_sql_models_dir(
+    project: "Project",
+    path: str,
+    config_defaults_fn=None,
+) -> list[str]:
     """Register every ``*.sql`` file under ``path`` (recursively) as a SQL
     model named after its filename — the dbt ``models/`` directory layout,
     so a reference user can point their existing model tree at the engine.
     Subdirectory names become tags (dbt's folder-scoped config selection:
-    ``tag:staging`` ~ ``staging/**``). Returns registered node names in
-    path order.
+    ``tag:staging`` ~ ``staging/**``). ``config_defaults_fn(folder_parts)
+    -> dict`` supplies folder-scoped config defaults (the dbt_project.yml
+    ``models:`` ``+key`` tree — the reference's own surface,
+    dbt_project.yml:14-16 ``+materialized: table``); the file's config
+    header wins over them. Returns registered node names in path order.
     """
     import os
 
@@ -267,9 +281,19 @@ def load_sql_models_dir(project: "Project", path: str) -> list[str]:
             tags = cfg.get("tags", ())
             if isinstance(tags, str):
                 tags = (tags,)
+            defaults = (
+                dict(config_defaults_fn(folder_tags))
+                if config_defaults_fn
+                else {}
+            )
+            default_tags = defaults.pop("tags", ())
             names.append(
                 register_sql_model(
-                    project, sql, name, tags=tuple(tags) + folder_tags
+                    project,
+                    sql,
+                    name,
+                    config_defaults=defaults,
+                    tags=tuple(tags) + folder_tags + tuple(default_tags),
                 )
             )
             # path: selection should match the MODEL FILE (dbt's

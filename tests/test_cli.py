@@ -502,3 +502,77 @@ exposures:
     rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
     ids = {r["unique_id"] for r in rr["results"]}
     assert "seg_spend" in ids and "spend_dashboard" not in ids
+
+
+def test_cli_project_config_tree(tmp_path, spark):
+    # dbt_project.yml models: tree — the reference's own surface
+    # (dbt_project.yml:14-16 '+materialized: table'): folder-scoped
+    # +keys with header-wins precedence, +tags accumulating.
+    d = str(tmp_path / "tree_proj")
+    _write(
+        os.path.join(d, "dbt_project.yml"),
+        """
+name: tree_proj
+models:
+  tree_proj:
+    +materialized: table
+    staging:
+      +materialized: view
+      +tags: [layer_staging]
+""",
+    )
+    _write(os.path.join(d, "models", "plain.sql"), "SELECT 1 AS x")
+    _write(os.path.join(d, "models", "staging", "stg_a.sql"), "SELECT 2 AS x")
+    _write(
+        os.path.join(d, "models", "staging", "stg_override.sql"),
+        "{{ config(materialized='table') }} SELECT 3 AS x",
+    )
+    from dbt_analytics_spark.cli import load_project
+
+    p = load_project(spark, d, database="cli_tree")
+    assert p.nodes["plain"].materialized == "table"
+    assert p.nodes["stg_a"].materialized == "view"       # folder default
+    assert p.nodes["stg_override"].materialized == "table"  # header wins
+    assert "layer_staging" in p.nodes["stg_a"].tags
+    assert "staging" in p.nodes["stg_a"].tags  # folder name still a tag
+
+
+def test_cli_fail_fast(project_dir, spark):
+    # --fail-fast: a RUNTIME failure (compile passes; the error fires
+    # during materialization) stops scheduling at the next level — every
+    # not-yet-run node is recorded skipped with the fail-fast marker.
+    _write(
+        os.path.join(project_dir, "models", "staging", "stg_txns.sql"),
+        """
+SELECT txn_id, seg, amount,
+       CASE WHEN amount IS NOT NULL THEN raise_error('boom') END AS z
+FROM {{ source('raw', 'raw_txns') }}
+""",
+    )
+    rc = _run(
+        spark,
+        ["run", "--project-dir", project_dir, "--fail-fast"],
+        "cli_ff",
+    )
+    assert rc == 1
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    statuses = {r["unique_id"]: r["status"] for r in rr["results"]}
+    msgs = {r["unique_id"]: r["message"] for r in rr["results"]}
+    assert statuses["stg_txns"] == "error"
+    assert statuses["seg_names"] == "success"  # same level, already ran
+    assert statuses["seg_spend"] == "skipped"
+    assert msgs["seg_spend"] == "fail-fast"
+
+
+def test_cli_debug_and_clean(project_dir, spark, capsys):
+    rc = _run(spark, ["debug", "--project-dir", project_dir], "cli_dbg")
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 models" in out and "1 seeds" in out
+    assert "All checks passed!" in out
+
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_dbg")
+    assert os.path.isdir(os.path.join(project_dir, "target"))
+    rc = _run(spark, ["clean", "--project-dir", project_dir], "cli_dbg")
+    assert rc == 0
+    assert not os.path.isdir(os.path.join(project_dir, "target"))
