@@ -38,6 +38,8 @@ HEADLINE = [
     "j3b_regex_lateral_top1",
     "w3_pct_of_total",
     "w3b_pct_of_total_bucketed",
+    "q13_custdist",
+    "q13b_custdist_bucketed",
     "g1_date_spine",
     "u1_union_dedup",
     "ev1_sessionize",

@@ -403,6 +403,27 @@ def load_project(
         _collect_unit_tests(project, doc)
         _collect_exposures(project, doc)
 
+    # analyses/: compile-only SQL (dbt analysis nodes — rendered into
+    # target/compiled/, never materialized; reference: dbt
+    # analysis-paths).
+    from .plans.sql_models import register_sql_model
+
+    for ana_dir in cfg.get("analysis-paths", ["analyses"]):
+        adir = os.path.join(project_dir, ana_dir)
+        if not os.path.isdir(adir):
+            continue
+        for root, _dirs, files in sorted(os.walk(adir)):
+            for f in sorted(files):
+                if not f.endswith(".sql"):
+                    continue
+                aname = f[: -len(".sql")]
+                with open(os.path.join(root, f)) as fh:
+                    register_sql_model(project, fh.read(), aname)
+                node = project.nodes[aname]
+                node.kind = "analysis"
+                node.materialized = "ephemeral"
+                node.path = os.path.join(root, f)
+
     sel_path = os.path.join(project_dir, "selectors.yml")
     if os.path.exists(sel_path):
         project.load_selectors(sel_path)
@@ -527,6 +548,17 @@ def _cmd_compile(project: "Project", args, target_dir: str) -> int:
     project.compile()
     os.makedirs(target_dir, exist_ok=True)
     project.write_manifest(os.path.join(target_dir, "manifest.json"))
+    # Compiled-SQL artifacts for every SQL-surface node (models,
+    # snapshots, analyses) — dbt's target/compiled tree.
+    from .plans.sql_models import render_compiled
+
+    compiled_dir = os.path.join(target_dir, "compiled")
+    os.makedirs(compiled_dir, exist_ok=True)
+    for name, node in project.nodes.items():
+        if not node.raw_sql or name in project._compile_errors:
+            continue
+        with open(os.path.join(compiled_dir, f"{name}.sql"), "w") as f:
+            f.write(render_compiled(project, node))
     errs = dict(project._compile_errors)
     if select:
         from .plans.selection import select_nodes
@@ -658,6 +690,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--fail-fast", action="store_true",
         help="stop scheduling after the first failing level",
     )
+    common.add_argument(
+        "--empty", action="store_true",
+        help="schema-only dry run: models materialize with LIMIT 0",
+    )
 
     sel = argparse.ArgumentParser(add_help=False)
     sel.add_argument("--select", "-s", action="append", default=[])
@@ -723,6 +759,7 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
             run_date=run_date,
             database=args.database,
         )
+        project.empty_run = getattr(args, "empty", False)
         _maybe_load_state(project, args.state)
         cmd = args.command
         if cmd == "run":

@@ -119,6 +119,10 @@ class Node:
     version: int | None = None
     group: str | None = None
     access: str = "protected"  # public | protected | private
+    #: Raw Jinja-SQL body for SQL-surface nodes (models/snapshots/
+    #: analyses) — feeds the compiled-SQL artifact
+    #: (sql_models.render_compiled → target/compiled/*.sql).
+    raw_sql: str = ""
 
     def config_fingerprint(self) -> dict:
         """The config surface whose change makes a node state:modified."""
@@ -327,6 +331,9 @@ class Project:
         self.run_date = run_date or dt.date.today()
         self.threads = threads
         self.full_refresh = full_refresh
+        #: dbt --empty: models materialize with LIMIT 0 (schema-only CI
+        #: dry run); seeds keep their rows. Set by the CLI flag.
+        self.empty_run = False
         #: Project variables (dbt --vars / var() context function;
         #: reference: SP/dbt/context/providers.py Var resolution).
         self.vars: dict = dict(vars or {})
@@ -800,8 +807,8 @@ class Project:
             to_run = []
             for name in level:
                 node = self.nodes[name]
-                if node.kind in ("source", "exposure"):
-                    continue  # lineage-only: never compiled to a frame, never materialized
+                if node.kind in ("source", "exposure", "analysis"):
+                    continue  # lineage-only / compile-only: never materialized
                 if (node.depends_on & failed) or not self._deps_compiled(node):
                     # Ephemerals propagate upstream failure to their readers.
                     failed.add(name)
@@ -856,6 +863,13 @@ class Project:
             # its parents' tables (dbt semantics), not a recomputed lineage.
             ctx = ModelContext(self, node, self._resolve_materialized)
             df = node.fn(ctx)
+            if getattr(self, "empty_run", False) and node.kind != "seed":
+                # dbt --empty: schema-only dry run — every model builds
+                # with zero rows so a CI pass validates the full DAG's
+                # schemas/contracts/writes without paying for data
+                # (reference: dbt run --empty / sample mode). Seeds stay
+                # full: they are the tiny inputs dry models select from.
+                df = df.limit(0)
             # Contract gate runs BEFORE any write: a violating model never
             # replaces the previous relation (dbt: compile-time failure).
             enforce_contract(node, df)

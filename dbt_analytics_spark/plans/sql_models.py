@@ -192,7 +192,47 @@ def register_sql_model(
     # SP/dbt/parser/read_files.py FileHash). Config changes are detected
     # separately via config_fingerprint, so the body alone is right here.
     project.nodes[name].checksum = hashlib.md5(body.encode()).hexdigest()
+    project.nodes[name].raw_sql = body
     return name
+
+
+def render_compiled(project: "Project", node) -> str:
+    """Render a SQL-surface node's body for DISPLAY — the dbt
+    ``target/compiled/*.sql`` artifact (reference: dbt compile writes the
+    Jinja-rendered SQL per node; SP/dbt/task/compile.py). Unlike
+    :func:`render`, refs and sources resolve to their QUALIFIED RELATION
+    NAMES (what a user would paste into a SQL console), not per-node
+    temp views; is_incremental blocks reflect the node's actual state."""
+
+    class _Shim:
+        _project = project
+
+    body = _expand_macros(_Shim(), node.raw_sql)
+    inc = (
+        node.materialized == "incremental"
+        and not project.full_refresh
+        and project.relation_exists(node.name)
+    )
+    body = _IF_INC_RE.sub(lambda m: m.group(1) if inc else "", body)
+    body = _THIS_RE.sub(project.qualified(node.name), body)
+
+    def sub_var(m: re.Match) -> str:
+        name = m.group(1)
+        if name in project.vars:
+            return str(project.vars[name])
+        if m.group(2):
+            return str(ast.literal_eval(m.group(2)))
+        return m.group(0)  # unresolvable: leave visible in the artifact
+
+    body = _VAR_RE.sub(sub_var, body)
+    body = _REF_RE.sub(
+        lambda m: project.qualified(
+            project._resolve_version(m.group(1), int(m.group(2)) if m.group(2) else None)
+        ),
+        body,
+    )
+    body = _SOURCE_RE.sub(lambda m: m.group(2) or m.group(1), body)
+    return body.strip() + "\n"
 
 
 def register_sql_snapshot(
@@ -227,6 +267,7 @@ def register_sql_snapshot(
         tags=tuple(tags),
     )(fn)
     project.nodes[name].checksum = hashlib.md5(body.encode()).hexdigest()
+    project.nodes[name].raw_sql = body
     return name
 
 

@@ -576,3 +576,40 @@ def test_cli_debug_and_clean(project_dir, spark, capsys):
     rc = _run(spark, ["clean", "--project-dir", project_dir], "cli_dbg")
     assert rc == 0
     assert not os.path.isdir(os.path.join(project_dir, "target"))
+
+
+def test_cli_compile_artifacts_and_analyses(project_dir, spark, capsys):
+    _write(
+        os.path.join(project_dir, "analyses", "big_spenders.sql"),
+        "SELECT seg FROM {{ ref('seg_spend') }} WHERE total > {{ var('min_amount') }}",
+    )
+    rc = _run(spark, ["compile", "--project-dir", project_dir], "cli_comp")
+    assert rc == 0
+    compiled = os.path.join(project_dir, "target", "compiled")
+    # Model: ref() renders to the QUALIFIED relation, var() to its value.
+    mart = open(os.path.join(compiled, "seg_spend.sql")).read()
+    assert "cli_comp.stg_txns" in mart and "{{" not in mart
+    stg = open(os.path.join(compiled, "stg_txns.sql")).read()
+    assert "amount >= 6" in stg
+    # Analysis: compiled but never materialized (absent from run).
+    ana = open(os.path.join(compiled, "big_spenders.sql")).read()
+    assert "cli_comp.seg_spend" in ana
+    capsys.readouterr()
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_comp")
+    assert rc == 0
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    assert "big_spenders" not in {r["unique_id"] for r in rr["results"]}
+
+
+def test_cli_empty_dry_run(project_dir, spark):
+    # --empty: full-DAG schema validation with LIMIT 0 models; seeds keep
+    # rows so dry models still have real inputs to select from.
+    rc = _run(spark, ["run", "--project-dir", project_dir, "--empty"], "cli_empty")
+    assert rc == 0
+    assert spark.table("cli_empty.stg_txns").count() == 0
+    assert spark.table("cli_empty.seg_spend").count() == 0
+    assert spark.table("cli_empty.seg_names").count() == 3  # seed kept
+    # Schemas are the real ones.
+    assert set(spark.table("cli_empty.seg_spend").columns) == {
+        "seg", "seg_name", "total",
+    }
