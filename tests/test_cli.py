@@ -613,3 +613,42 @@ def test_cli_empty_dry_run(project_dir, spark):
     assert set(spark.table("cli_empty.seg_spend").columns) == {
         "seg", "seg_name", "total",
     }
+
+
+def test_cli_incremental_model_across_invocations(tmp_path, spark):
+    # Incremental SQL model through the CLI: first invocation full-builds,
+    # the second appends only rows newer than max({{ this }}) via the
+    # is_incremental() block — state carried by the warehouse, not the
+    # process.
+    d = str(tmp_path / "inc_proj")
+    src = os.path.join(d, "data", "events_raw")
+
+    def write_src(rows):
+        spark.createDataFrame(rows, ["id", "day"]).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+    write_src([(1, "2025-01-01"), (2, "2025-01-02")])
+    _write(
+        os.path.join(d, "dbt_project.yml"),
+        "name: inc_proj\nsources:\n  events_raw: data/events_raw\n",
+    )
+    _write(
+        os.path.join(d, "models", "events_inc.sql"),
+        """
+{{ config(materialized='incremental', unique_key='id', incremental_strategy='append') }}
+SELECT id, day FROM {{ source('events_raw') }}
+{% if is_incremental() %}
+WHERE day > (SELECT MAX(day) FROM {{ this }})
+{% endif %}
+""",
+    )
+    rc = main(["run", "--project-dir", d, "--database", "cli_inc"], spark=spark)
+    assert rc == 0
+    assert spark.table("cli_inc.events_inc").count() == 2
+
+    write_src([(1, "2025-01-01"), (2, "2025-01-02"), (3, "2025-01-03")])
+    rc = main(["run", "--project-dir", d, "--database", "cli_inc"], spark=spark)
+    assert rc == 0
+    got = sorted(r["id"] for r in spark.table("cli_inc.events_inc").collect())
+    assert got == [1, 2, 3]  # only id=3 appended; 1/2 not duplicated
