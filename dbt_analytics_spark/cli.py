@@ -398,10 +398,14 @@ def load_project(
                     schema_docs.append(_read_yaml(os.path.join(root, f)))
     # Attach AFTER every model dir has loaded, so a schema file may
     # describe models from any model-path (dbt allows cross-dir YAML).
+    from .plans.semantics import SemanticLayer
+
+    project.semantic_layer = SemanticLayer(project)
     for doc in schema_docs:
         _attach_schema_tests(project, doc)
         _collect_unit_tests(project, doc)
         _collect_exposures(project, doc)
+        project.semantic_layer.load(doc)
 
     # analyses/: compile-only SQL (dbt analysis nodes — rendered into
     # target/compiled/, never materialized; reference: dbt
@@ -724,6 +728,13 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("retry", parents=[common], help="re-run failures from last run_results.json")
     sub.add_parser("debug", parents=[common], help="check project/session health")
     sub.add_parser("clean", parents=[common], help="remove the target directory")
+    sl = sub.add_parser("sl", parents=[common], help="semantic-layer metric queries")
+    sl.add_argument("action", choices=["query", "list"])
+    sl.add_argument("--metrics", default="", help="comma-separated metric names")
+    sl.add_argument("--group-by", default="", help="comma-separated dimensions (dim or dim__grain)")
+    sl.add_argument("--where", default=None)
+    sl.add_argument("--grain", default=None, help="default grain for time dimensions")
+    sl.add_argument("-n", "--limit", type=int, default=100)
     clone = sub.add_parser("clone", parents=[common], help="clone a materialized relation")
     clone.add_argument("node")
     clone.add_argument("new_name")
@@ -804,6 +815,24 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                 print(f"COMPILE ERROR {bad}: {msg}")
             print("All checks passed!" if not errs else "Compile errors found")
             return 1 if errs else 0
+        if cmd == "sl":
+            sl = getattr(project, "semantic_layer", None)
+            if sl is None or (not sl.metrics and not sl.models):
+                print("No semantic models/metrics defined in schema files.")
+                return 2 if args.action == "query" else 0
+            if args.action == "list":
+                for name, m in sorted(sl.metrics.items()):
+                    print(f"{name} ({m.type})")
+                return 0
+            names = [m.strip() for m in args.metrics.split(",") if m.strip()]
+            if not names:
+                print("sl query: pass --metrics", file=sys.stderr)
+                return 2
+            gb = [g.strip() for g in args.group_by.split(",") if g.strip()]
+            sl.query(
+                names, group_by=gb, where=args.where, time_grain=args.grain
+            ).limit(args.limit).show(truncate=False)
+            return 0
         if cmd == "clean":
             import shutil
 

@@ -652,3 +652,42 @@ WHERE day > (SELECT MAX(day) FROM {{ this }})
     assert rc == 0
     got = sorted(r["id"] for r in spark.table("cli_inc.events_inc").collect())
     assert got == [1, 2, 3]  # only id=3 appended; 1/2 not duplicated
+
+
+def test_cli_semantic_layer_query(project_dir, spark, capsys):
+    _write(
+        os.path.join(project_dir, "models", "semantics.yml"),
+        """
+semantic_models:
+  - name: txn_sem
+    model: ref('stg_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+    measures:
+      - {name: total_amount, agg: sum, expr: amount}
+      - {name: n_txns, agg: count}
+metrics:
+  - {name: revenue, type: simple, measure: total_amount}
+  - {name: txn_count, type: simple, measure: n_txns}
+  - name: avg_txn
+    type: ratio
+    type_params: {numerator: revenue, denominator: txn_count}
+""",
+    )
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_sl")
+    capsys.readouterr()
+    rc = _run(spark, ["sl", "list", "--project-dir", project_dir], "cli_sl")
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "revenue (simple)" in out and "avg_txn (ratio)" in out
+    rc = _run(
+        spark,
+        [
+            "sl", "query", "--project-dir", project_dir,
+            "--metrics", "revenue,avg_txn", "--group-by", "seg",
+        ],
+        "cli_sl",
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "30.0" in out and "15.0" in out  # seg a: revenue 30, avg 15
