@@ -100,3 +100,16 @@ def test_derived_metric_errors_cleanly_on_missing_measure(sl):
     # as a simple metric — surface a clear failure, not a wrong answer.
     with pytest.raises(Exception):
         sl.query(["revenue_per_seg"]).collect()
+
+
+def test_metric_query_is_one_aggregation_one_scan(sl):
+    # Filtered + unfiltered metrics over the same measure must compile to
+    # ONE scan + ONE aggregation (filters as conditional aggs), never a
+    # per-metric re-scan.
+    df = sl.query(["revenue", "big_revenue", "avg_txn_value"], group_by=["seg"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = sum(1 for line in plan.splitlines() if "Scan" in line)
+    assert scans == 1, plan
+    assert "Join" not in plan
+    # The metric filter compiles INTO the aggregate, not a second branch.
+    assert "CASE WHEN" in plan and plan.count("HashAggregate") == 2
