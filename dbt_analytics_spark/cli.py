@@ -507,7 +507,17 @@ def _cmd_run(project: "Project", args, target_dir: str, with_tests: bool) -> int
 
 
 def _cmd_seed_or_snapshot(project: "Project", args, target_dir: str, kind: str) -> int:
-    select = _restrict_kind(_combine_select(args.select, args.exclude), kind)
+    select = _combine_select(args.select, args.exclude)
+    if args.selector:
+        # Selector names resolve against the compiled graph (graph ops
+        # need edges), then intersect with the kind like --select does.
+        project.compile()
+        names = sorted(project.select_by_selector(args.selector))
+        select = " ".join(names) if names else None
+        if select is None:
+            print("Selector matched no nodes.")
+            return 0
+    select = _restrict_kind(select, kind)
     results = project.run(select=select)
     _write_artifacts(project, target_dir)
     return _print_results(results)
@@ -515,6 +525,7 @@ def _cmd_seed_or_snapshot(project: "Project", args, target_dir: str, kind: str) 
 
 def _cmd_test(project: "Project", args, target_dir: str) -> int:
     select = _combine_select(args.select, args.exclude)
+    project.compile()
     if select or args.selector:
         from .plans.selection import select_nodes
 
@@ -524,7 +535,11 @@ def _cmd_test(project: "Project", args, target_dir: str) -> int:
             else select_nodes(project, select)
         )
         project.tests = [t for t in project.tests if t[0] in selected]
-    project.compile()
+        project.yaml_unit_tests = [
+            u
+            for u in getattr(project, "yaml_unit_tests", [])
+            if u["model"] in selected
+        ]
     results = project.run_tests()
     results += _run_yaml_unit_tests(project)
     project.results = results

@@ -691,3 +691,30 @@ metrics:
     assert rc == 0
     out = capsys.readouterr().out
     assert "30.0" in out and "15.0" in out  # seg a: revenue 30, avg 15
+
+
+def test_cli_test_selection_filters_unit_tests(project_dir, spark):
+    _write(
+        os.path.join(project_dir, "models", "unit_sel.yml"),
+        """
+unit_tests:
+  - name: will_fail
+    model: seg_spend
+    given:
+      - {input: "ref('stg_txns')", rows: [{txn_id: 1, seg: a, amount: 1.0}]}
+      - {input: "ref('seg_names')", rows: [{seg: a, seg_name: Alpha}]}
+    expect:
+      rows: [{seg: a, seg_name: Alpha, total: 42.0}]
+""",
+    )
+    # Selecting only the staging model excludes seg_spend's failing unit
+    # test AND seg_spend's generic test.
+    rc = _run(
+        spark,
+        ["test", "--project-dir", project_dir, "--select", "stg_txns"],
+        "cli_tsel",
+    )
+    assert rc == 0
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    ids = {r["unique_id"] for r in rr["results"]}
+    assert all("seg_spend" not in i for i in ids)
