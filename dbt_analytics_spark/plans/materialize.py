@@ -410,6 +410,32 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
         return spark.table(target).count()
 
     if strategy == "append":
+        # True append when the stored schema is unchanged: write ONLY the
+        # batch (cost ∝ batch, not table) and keep the stored layout —
+        # the staging full-rewrite below is for strategies/policies that
+        # must restate the whole relation. Without this, an append-
+        # strategy node rewrote its entire table per batch AND silently
+        # dropped its partition layout (the staging saveAsTable carried
+        # no partitionBy) — the partitioned-append regression test pins
+        # both properties.
+        stored_cols = project.spark.table(target).columns
+        if set(existing.columns) == set(stored_cols):
+            writer = (
+                new_rows.select(*stored_cols)
+                .write.mode("append")
+                .format(node.file_format)
+            )
+            if node.partition_by:
+                writer = writer.partitionBy(*node.partition_by)
+            if node.bucket_by:
+                writer = writer.bucketBy(
+                    node.n_buckets, *node.bucket_by
+                ).sortBy(*node.bucket_by)
+            writer.saveAsTable(target)
+            project.spark.catalog.refreshTable(target)
+            return project.spark.table(target).count()
+        # Additive schema-change policies widened the target: fall through
+        # to the full restatement with the new column set.
         combined = existing.unionByName(new_rows)
     elif strategy == "dedup_insert":
         # Ingest-time corpus hygiene: drop batch rows that EXACTLY match an
@@ -591,11 +617,25 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
         raise ValueError(f"unknown incremental strategy {strategy!r}")
 
     # Materialize via a staging table to avoid reading+overwriting the same
-    # relation in one job (the tmp→swap dance of table.sql:29-47).
+    # relation in one job (the tmp→swap dance of table.sql:29-47). Both
+    # writes carry the node's physical layout — a restatement must not
+    # drop the partition/bucket spec the initial build declared.
+    def _layout(writer):
+        writer = writer.format(node.file_format)
+        if node.partition_by:
+            writer = writer.partitionBy(*node.partition_by)
+        if node.bucket_by:
+            writer = writer.bucketBy(node.n_buckets, *node.bucket_by).sortBy(
+                *node.bucket_by
+            )
+        return writer
+
     staging = f"{node.name}__dbt_tmp"
-    combined.write.mode("overwrite").saveAsTable(project.qualified(staging))
+    _layout(combined.write.mode("overwrite")).saveAsTable(
+        project.qualified(staging)
+    )
     staged = project.spark.table(project.qualified(staging))
-    staged.write.mode("overwrite").saveAsTable(target)
+    _layout(staged.write.mode("overwrite")).saveAsTable(target)
     if post_commit is not None:
         # Companion state (dedup fingerprints / LSH index) commits strictly
         # AFTER the target table — see _commit_companions for why the

@@ -177,3 +177,62 @@ def test_pruned_merge_schema_drift_conforms_to_target(spark):
     got = {r["id"]: r["val"] for r in spark.table("pm_drift").collect()}
     assert got == {1: 1.0, 2: 2.0}
     assert "extra" not in spark.table("pm_drift").columns
+
+
+def test_append_partitioned_keeps_layout_and_appends_only(spark):
+    # Incremental append on a partitioned target: the batch APPENDS (old
+    # partitions' files untouched - cost scales with the batch, not the
+    # table) and the partition layout survives (the old staging rewrite
+    # silently dropped it).
+    state = {"rows": [(1, "d1", 1.0), (2, "d2", 2.0)]}
+    p = Project(spark, name="proj_app_part")
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="append",
+        partition_by=("day",),
+        name="app_part_t",
+    )
+    def app_part_t(ctx):
+        return ctx.spark.createDataFrame(state["rows"], ["id", "day", "val"])
+
+    p.run(select="app_part_t")
+    loc = _table_location(spark, "app_part_t")
+    before_d1 = _partition_files(loc, "day=d1")
+
+    state["rows"] = [(3, "d2", 3.0), (4, "d3", 4.0)]
+    p.run(select="app_part_t")
+
+    parts = sorted(r[0] for r in spark.sql("SHOW PARTITIONS app_part_t").collect())
+    assert parts == ["day=d1", "day=d2", "day=d3"]
+    assert spark.table("app_part_t").count() == 4
+    assert _partition_files(loc, "day=d1") == before_d1  # byte-untouched
+
+
+def test_append_schema_drift_policies_still_apply(spark):
+    # append_new_columns drift forces the full restatement path - the new
+    # column appears, the layout survives.
+    state = {"rows": [(1, "d1", 1.0)], "extra": False}
+    p = Project(spark, name="proj_app_drift")
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="append",
+        on_schema_change="append_new_columns",
+        partition_by=("day",),
+        name="app_drift_t",
+    )
+    def app_drift_t(ctx):
+        df = ctx.spark.createDataFrame(state["rows"], ["id", "day", "val"])
+        if state["extra"]:
+            df = df.withColumn("extra", F.lit("x"))
+        return df
+
+    p.run(select="app_drift_t")
+    state.update(rows=[(2, "d1", 2.0)], extra=True)
+    p.run(select="app_drift_t")
+    t = spark.table("app_drift_t")
+    assert "extra" in t.columns
+    assert {r["id"]: r["extra"] for r in t.collect()} == {1: None, 2: "x"}
+    parts = [r[0] for r in spark.sql("SHOW PARTITIONS app_drift_t").collect()]
+    assert parts == ["day=d1"]
