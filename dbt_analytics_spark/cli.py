@@ -745,6 +745,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("clean", parents=[common], help="remove the target directory")
     sl = sub.add_parser("sl", parents=[common], help="semantic-layer metric queries")
     sl.add_argument("action", choices=["query", "list"])
+    sl.add_argument("--saved", default=None, help="run a saved_queries block by name")
     sl.add_argument("--metrics", default="", help="comma-separated metric names")
     sl.add_argument("--group-by", default="", help="comma-separated dimensions (dim or dim__grain)")
     sl.add_argument("--where", default=None)
@@ -838,6 +839,11 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
             if args.action == "list":
                 for name, m in sorted(sl.metrics.items()):
                     print(f"{name} ({m.type})")
+                for name in sorted(sl.saved_queries):
+                    print(f"{name} (saved query)")
+                return 0
+            if args.saved:
+                sl.run_saved(args.saved).limit(args.limit).show(truncate=False)
                 return 0
             names = [m.strip() for m in args.metrics.split(",") if m.strip()]
             if not names:

@@ -82,11 +82,20 @@ class Metric:
     expr: str | None = None  # derived: over other metric names
 
 
+@dataclass
+class SavedQuery:
+    name: str
+    metrics: list[str]
+    group_by: list[str] = field(default_factory=list)
+    where: str | None = None
+
+
 class SemanticLayer:
     def __init__(self, project: "Project"):
         self.project = project
         self.models: dict[str, SemanticModel] = {}
         self.metrics: dict[str, Metric] = {}
+        self.saved_queries: dict[str, SavedQuery] = {}
 
     # ------------------------------------------------------------------
     # YAML loading (dbt schema-file sections)
@@ -129,7 +138,26 @@ class SemanticLayer:
                 expr=tp.get("expr") or mt.get("expr"),
             )
             n += 1
+        for sq in doc.get("saved_queries", []) or []:
+            qp = sq.get("query_params") or {}
+            wh = qp.get("where")
+            if isinstance(wh, list):
+                wh = " AND ".join(f"({w})" for w in wh)
+            self.saved_queries[sq["name"]] = SavedQuery(
+                name=sq["name"],
+                metrics=list(qp.get("metrics") or []),
+                group_by=list(qp.get("group_by") or []),
+                where=wh,
+            )
+            n += 1
         return n
+
+    def run_saved(self, name: str) -> DataFrame:
+        """Execute a ``saved_queries:`` block (dbt saved queries — a named,
+        reusable metric request; SP/dbt/parser/schemas.py saved_queries
+        section)."""
+        sq = self.saved_queries[name]
+        return self.query(sq.metrics, group_by=sq.group_by, where=sq.where)
 
     # ------------------------------------------------------------------
     # Query compilation

@@ -113,3 +113,24 @@ def test_metric_query_is_one_aggregation_one_scan(sl):
     assert "Join" not in plan
     # The metric filter compiles INTO the aggregate, not a second branch.
     assert "CASE WHEN" in plan and plan.count("HashAggregate") == 2
+
+
+def test_saved_queries(sl):
+    n = sl.load(
+        yaml.safe_load(
+            """
+saved_queries:
+  - name: seg_revenue
+    query_params:
+      metrics: [revenue, txn_count]
+      group_by: [seg]
+      where: ["seg != 'zzz'"]
+"""
+        )
+    )
+    assert n == 1
+    rows = {
+        r["seg"]: (r["revenue"], r["txn_count"])
+        for r in sl.run_saved("seg_revenue").collect()
+    }
+    assert rows == {"a": (30.0, 2), "b": (12.0, 2)}
