@@ -11,8 +11,12 @@ a project's metric definitions actually RUN here:
   (categorical, or time with a default grain) and *measures* (agg +
   expr);
 - a **metric** is ``simple`` (one measure, optional pre-aggregation
-  filter), ``ratio`` (numerator / denominator metrics), or ``derived``
-  (an expression over other metrics, evaluated post-aggregation);
+  filter), ``ratio`` (numerator / denominator metrics), ``derived``
+  (an expression over other metrics, evaluated post-aggregation),
+  ``cumulative`` (a simple metric accumulated over the query's time
+  dimension — all-time, a trailing ``window: N days``, or
+  ``grain_to_date``), or ``conversion`` (share of base events with a
+  conversion event for the same entity within a time window);
 - ``SemanticLayer.query(metrics, group_by, where, time_grain)`` compiles
   one Spark aggregation: dimension exprs (time dims date_trunc'd to the
   requested grain), every underlying measure as a conditional aggregate,
@@ -48,6 +52,28 @@ _AGGS = {
 }
 
 
+def _dim_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Full-outer join two metric frames on shared dimension columns with
+    null-safe equality (a NULL dim value is a real group and must line up),
+    coalescing the key columns. With no keys both frames are single-row
+    aggregates — cross join."""
+    if not keys:
+        return left.crossJoin(right)
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = left.join(r, cond, "full_outer")
+    for k in keys:
+        joined = joined.withColumn(
+            k, F.coalesce(F.col(k), F.col(f"__r_{k}"))
+        ).drop(f"__r_{k}")
+    return joined
+
+
 @dataclass
 class Dimension:
     name: str
@@ -74,12 +100,36 @@ class SemanticModel:
 @dataclass
 class Metric:
     name: str
-    type: str  # simple | ratio | derived
-    measure: str | None = None  # simple
-    filter: str | None = None  # simple: pre-agg row filter
+    type: str  # simple | ratio | derived | cumulative | conversion
+    measure: str | None = None  # simple / cumulative
+    filter: str | None = None  # simple/cumulative: pre-agg row filter
     numerator: str | None = None  # ratio (metric name)
     denominator: str | None = None  # ratio (metric name)
     expr: str | None = None  # derived: over other metric names
+    # cumulative: trailing window ("7 days") or grain_to_date ("month").
+    # conversion: window bounds how late a conversion may land.
+    window: str | None = None
+    grain_to_date: str | None = None
+    # conversion params (dbt conversion_type_params)
+    base_measure: str | None = None
+    conversion_measure: str | None = None
+    entity: str | None = None
+    calculation: str = "conversion_rate"  # or "conversions"
+
+
+def _window_days(window: str) -> int:
+    """Parse a dbt metric window like ``'7 days'`` to a day count.
+
+    Day granularity only (documented divergence): week/month windows on
+    cumulative/conversion metrics would need calendar arithmetic inside a
+    range frame; express those as ``N days`` instead.
+    """
+    parts = window.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or not parts[1].startswith("day"):
+        raise ValueError(
+            f"unsupported metric window {window!r} (use 'N days')"
+        )
+    return int(parts[0])
 
 
 @dataclass
@@ -128,6 +178,7 @@ class SemanticLayer:
             n += 1
         for mt in doc.get("metrics", []) or []:
             tp = mt.get("type_params") or {}
+            cv = tp.get("conversion_type_params") or {}
             self.metrics[mt["name"]] = Metric(
                 name=mt["name"],
                 type=mt.get("type", "simple"),
@@ -136,6 +187,12 @@ class SemanticLayer:
                 numerator=tp.get("numerator") or mt.get("numerator"),
                 denominator=tp.get("denominator") or mt.get("denominator"),
                 expr=tp.get("expr") or mt.get("expr"),
+                window=tp.get("window") or cv.get("window") or mt.get("window"),
+                grain_to_date=tp.get("grain_to_date") or mt.get("grain_to_date"),
+                base_measure=cv.get("base_measure"),
+                conversion_measure=cv.get("conversion_measure"),
+                entity=cv.get("entity"),
+                calculation=cv.get("calculation", "conversion_rate"),
             )
             n += 1
         for sq in doc.get("saved_queries", []) or []:
@@ -169,8 +226,13 @@ class SemanticLayer:
         with different filters (revenue vs big_revenue) must aggregate
         independently — sharing the measure column would let one metric's
         filter corrupt the other."""
-        if metric.type == "simple":
+        if metric.type in ("simple", "cumulative"):
+            # Cumulative metrics aggregate per time bucket exactly like a
+            # simple metric (same filter semantics); the accumulation is a
+            # post-aggregation window applied in query().
             acc.add(metric.name)
+        elif metric.type == "conversion":
+            pass  # computed on its own event-join pipeline, not the groupBy
         elif metric.type == "ratio":
             for ref in (metric.numerator, metric.denominator):
                 self._simple_metrics_needed(self.metrics[ref], acc)
@@ -200,7 +262,11 @@ class SemanticLayer:
     def _metric_col(self, metric: Metric) -> F.Column:
         """Post-aggregation expression for a metric, referencing the
         ``__m_<simple-metric>`` columns produced by the groupBy."""
-        if metric.type == "simple":
+        if metric.type in ("simple", "cumulative", "conversion"):
+            # query() rewrites a cumulative metric's __m_ column in place
+            # with its accumulated value (so ratios/reads stay consistent)
+            # and a conversion metric's column arrives pre-computed from
+            # its own event-join frame.
             return F.col(f"__m_{metric.name}")
         if metric.type == "ratio":
             num = self._metric_col(self.metrics[metric.numerator])
@@ -240,14 +306,18 @@ class SemanticLayer:
         needed: set[str] = set()
         for m in mobjs:
             self._simple_metrics_needed(m, needed)
-        sem = self._model_for(
-            {self.metrics[n].measure for n in needed}
-        )
+        conversions = [m for m in mobjs if m.type == "conversion"]
+        measure_names = {self.metrics[n].measure for n in needed}
+        for cm in conversions:
+            measure_names |= {cm.base_measure, cm.conversion_measure}
+        sem = self._model_for(measure_names)
         df = self.project._resolve_for_adhoc(sem.model)
         if where:
             df = df.filter(where)
 
         dim_cols = []
+        out_names: list[str] = []
+        time_outs: list[str] = []  # post-groupBy names of time dims
         for g in group_by or []:
             dname, _, grain = g.partition("__")
             dim = sem.dimensions.get(dname)
@@ -257,9 +327,11 @@ class SemanticLayer:
             if dim.type == "time":
                 expr = F.date_trunc(grain or time_grain or dim.grain, expr)
                 out_name = g if grain else dname
+                time_outs.append(out_name)
             else:
                 out_name = dname
             dim_cols.append(expr.alias(out_name))
+            out_names.append(out_name)
 
         aggs = []
         for mname in sorted(needed):
@@ -273,13 +345,159 @@ class SemanticLayer:
                 expr = F.when(F.expr(metric.filter), expr)
             aggs.append(_AGGS[ms.agg](expr).alias(f"__m_{mname}"))
 
-        grouped = (
-            df.groupBy(*dim_cols).agg(*aggs)
-            if dim_cols
-            else df.agg(*aggs)
-        )
+        grouped = None
+        if aggs:
+            grouped = (
+                df.groupBy(*dim_cols).agg(*aggs)
+                if dim_cols
+                else df.agg(*aggs)
+            )
+            grouped = self._apply_cumulative(grouped, needed, out_names, time_outs)
+
+        for cm in conversions:
+            cframe = self._conversion_frame(cm, sem, df, dim_cols, out_names)
+            grouped = cframe if grouped is None else _dim_join(
+                grouped, cframe, out_names
+            )
+
         out_cols = [c for c in grouped.columns if not c.startswith("__m_")]
         return grouped.select(
             *out_cols,
             *[self._metric_col(m).alias(m.name) for m in mobjs],
+        )
+
+    def _apply_cumulative(
+        self,
+        grouped: DataFrame,
+        needed: set[str],
+        out_names: list[str],
+        time_outs: list[str],
+    ) -> DataFrame:
+        """Rewrite each cumulative metric's per-bucket ``__m_`` column into
+        its accumulated value via a window over the bucketed frame. The
+        window runs over the FIRST time dimension in ``group_by``; other
+        dims partition. A trailing ``window: N days`` uses a RANGE frame on
+        epoch days, so missing buckets cannot stretch the window (a ROWS
+        frame would); ``grain_to_date`` restarts the running total at each
+        period boundary by adding the period to the partition key."""
+        from pyspark.sql import Window
+
+        cums = [n for n in sorted(needed) if self.metrics[n].type == "cumulative"]
+        if not cums:
+            return grouped
+        if not time_outs:
+            raise ValueError(
+                "cumulative metrics need a time dimension in group_by"
+            )
+        tcol = time_outs[0]
+        part = [c for c in out_names if c != tcol]
+        epoch_days = F.datediff(F.col(tcol).cast("date"), F.lit("1970-01-01"))
+        for name in cums:
+            m = self.metrics[name]
+            ms = self._measure_of(m)
+            if ms.agg not in ("sum", "count"):
+                raise ValueError(
+                    f"cumulative metric {name!r}: measure agg must be "
+                    "sum/count (partial buckets of avg/min/max do not "
+                    "re-aggregate)"
+                )
+            if m.window:
+                days = _window_days(m.window)
+                w = (
+                    Window.partitionBy(*part)
+                    .orderBy(epoch_days)
+                    .rangeBetween(-(days - 1), 0)
+                )
+            elif m.grain_to_date:
+                w = (
+                    Window.partitionBy(
+                        *part, F.date_trunc(m.grain_to_date, F.col(tcol))
+                    )
+                    .orderBy(epoch_days)
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+            else:
+                w = (
+                    Window.partitionBy(*part)
+                    .orderBy(epoch_days)
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+            grouped = grouped.withColumn(
+                f"__m_{name}", F.sum(F.col(f"__m_{name}")).over(w)
+            )
+        return grouped
+
+    def _measure_of(self, metric: Metric) -> Measure:
+        for sem in self.models.values():
+            if metric.measure in sem.measures:
+                return sem.measures[metric.measure]
+        raise KeyError(metric.measure)
+
+    def _conversion_frame(
+        self,
+        metric: Metric,
+        sem: SemanticModel,
+        df: DataFrame,
+        dim_cols: list,
+        out_names: list[str],
+    ) -> DataFrame:
+        """Compile one conversion metric (dbt ``conversion_type_params``):
+        base events left-SEMI-joined to conversion events on the entity
+        with a time-range predicate — each base event counts once however
+        many conversion events match, and the join is a keyed equi-join on
+        the entity (range predicate applied post-match), so it scales like
+        any other keyed join; no cross product, no window over raw events.
+
+        Event time is the model's first time-type dimension (raw, not
+        truncated). A base row is one where the base measure's expr is
+        non-NULL (measure semantics: count/sum skip NULLs), likewise for
+        conversion rows."""
+        time_dims = [d for d in sem.dimensions.values() if d.type == "time"]
+        if not time_dims:
+            raise ValueError(
+                f"conversion metric {metric.name!r}: model {sem.name!r} "
+                "has no time dimension for event ordering"
+            )
+        t_expr = F.expr(time_dims[0].expr or time_dims[0].name)
+        base_ms = sem.measures[metric.base_measure]
+        conv_ms = sem.measures[metric.conversion_measure]
+        ent = metric.entity
+
+        def rows(ms: Measure) -> DataFrame:
+            sel = F.expr(ms.expr or (ms.name if ms.agg != "count" else "1"))
+            return df.filter(sel.isNotNull())
+
+        base = rows(base_ms).select(
+            F.col(ent).alias("__e"), t_expr.alias("__t"), *dim_cols
+        )
+        conv = rows(conv_ms).select(
+            F.col(ent).alias("__ce"), t_expr.alias("__ct")
+        )
+        cond = (F.col("__e") == F.col("__ce")) & (F.col("__ct") >= F.col("__t"))
+        if metric.window:
+            days = _window_days(metric.window)
+            cond = cond & (
+                F.col("__ct") <= F.col("__t") + F.expr(f"INTERVAL {days} DAYS")
+            )
+        done = base.join(conv, cond, "left_semi")
+
+        def grp(d: DataFrame, alias: str) -> DataFrame:
+            keys = [F.col(c) for c in out_names]
+            agg = F.count(F.lit(1)).alias(alias)
+            return d.groupBy(*keys).agg(agg) if keys else d.agg(agg)
+
+        b = grp(base, f"__m_{metric.name}__base")
+        c = grp(done, f"__m_{metric.name}__done")
+        joined = _dim_join(b, c, out_names)
+        done_col = F.coalesce(
+            F.col(f"__m_{metric.name}__done"), F.lit(0)
+        )
+        if metric.calculation == "conversions":
+            val = done_col
+        else:
+            val = done_col.cast("double") / F.col(
+                f"__m_{metric.name}__base"
+            ).cast("double")
+        return joined.select(
+            *out_names, val.alias(f"__m_{metric.name}")
         )

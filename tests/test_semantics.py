@@ -115,6 +115,144 @@ def test_metric_query_is_one_aggregation_one_scan(sl):
     assert "CASE WHEN" in plan and plan.count("HashAggregate") == 2
 
 
+CUM_DOC = yaml.safe_load(
+    """
+metrics:
+  - {name: cum_revenue, type: cumulative, type_params: {measure: total_amount}}
+  - name: rev_31d
+    type: cumulative
+    type_params: {measure: total_amount, window: 31 days}
+  - name: rev_mtd
+    type: cumulative
+    type_params: {measure: total_amount, grain_to_date: month}
+"""
+)
+
+
+def test_cumulative_all_time(sl):
+    sl.load(CUM_DOC)
+    rows = {
+        str(r["day__month"])[:10]: r["cum_revenue"]
+        for r in sl.query(["cum_revenue"], group_by=["day__month"]).collect()
+    }
+    assert rows == {"2025-01-01": 30.0, "2025-02-01": 42.0}
+
+
+def test_cumulative_trailing_window_is_range_not_rows(sl):
+    sl.load(CUM_DOC)
+    # Buckets: 01-01=10, 01-15=20, 02-01=5, 02-02=7. A 31-day trailing
+    # window at 02-01 must EXCLUDE 01-01 (31 days back) despite it being
+    # only two buckets earlier — gaps must not stretch the window.
+    rows = {
+        str(r["day"])[:10]: r["rev_31d"]
+        for r in sl.query(["rev_31d"], group_by=["day"]).collect()
+    }
+    assert rows == {
+        "2025-01-01": 10.0,
+        "2025-01-15": 30.0,
+        "2025-02-01": 25.0,
+        "2025-02-02": 32.0,
+    }
+
+
+def test_cumulative_grain_to_date_restarts_each_period(sl):
+    sl.load(CUM_DOC)
+    rows = {
+        str(r["day"])[:10]: r["rev_mtd"]
+        for r in sl.query(["rev_mtd"], group_by=["day"]).collect()
+    }
+    assert rows == {
+        "2025-01-01": 10.0,
+        "2025-01-15": 30.0,
+        "2025-02-01": 5.0,
+        "2025-02-02": 12.0,
+    }
+
+
+def test_cumulative_requires_time_dimension(sl):
+    sl.load(CUM_DOC)
+    with pytest.raises(ValueError, match="time dimension"):
+        sl.query(["cum_revenue"], group_by=["seg"]).collect()
+
+
+EVENTS_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: events_sm
+    model: ref('events_model')
+    dimensions:
+      - {name: seg, type: categorical}
+      - {name: ts, type: time, grain: day}
+    measures:
+      - {name: visits, agg: count, expr: "CASE WHEN etype = 'visit' THEN 1 END"}
+      - {name: buys, agg: count, expr: "CASE WHEN etype = 'buy' THEN 1 END"}
+metrics:
+  - {name: visit_count, type: simple, measure: visits}
+  - name: visit_to_buy_7d
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: visits
+        conversion_measure: buys
+        entity: user_id
+        window: 7 days
+  - name: buys_after_visit
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: visits
+        conversion_measure: buys
+        entity: user_id
+        calculation: conversions
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def sl_events(spark):
+    p = Project(spark, name="sem_ev")
+    p.source_table(
+        "events_model",
+        spark.createDataFrame(
+            [
+                ("u1", "a", "visit", "2025-01-01"),
+                ("u1", "a", "buy", "2025-01-03"),
+                ("u2", "b", "visit", "2025-01-01"),
+                ("u2", "b", "visit", "2025-01-18"),
+                ("u2", "b", "buy", "2025-01-20"),
+                ("u3", "b", "visit", "2025-01-01"),
+            ],
+            ["user_id", "seg", "etype", "ts"],
+        ).selectExpr("user_id", "seg", "etype", "CAST(ts AS DATE) AS ts"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(EVENTS_DOC)
+    return layer
+
+
+def test_conversion_rate_windowed(sl_events):
+    # 4 visits; within 7 days: u1@01-01 (buy 01-03) and u2@01-18 (buy
+    # 01-20) convert; u2@01-01 (buy 19 days later) and u3 do not.
+    row = sl_events.query(["visit_to_buy_7d"]).collect()[0]
+    assert row["visit_to_buy_7d"] == pytest.approx(2 / 4)
+
+
+def test_conversion_unbounded_counts(sl_events):
+    # Without a window u2@01-01 also converts -> 3 converted base events.
+    row = sl_events.query(["buys_after_visit"]).collect()[0]
+    assert row["buys_after_visit"] == 3
+
+
+def test_conversion_grouped_and_joined_with_simple_metric(sl_events):
+    rows = {
+        r["seg"]: (r["visit_count"], r["visit_to_buy_7d"])
+        for r in sl_events.query(
+            ["visit_count", "visit_to_buy_7d"], group_by=["seg"]
+        ).collect()
+    }
+    assert rows == {"a": (1, 1.0), "b": (3, pytest.approx(1 / 3))}
+
+
 def test_saved_queries(sl):
     n = sl.load(
         yaml.safe_load(
