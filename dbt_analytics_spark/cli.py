@@ -744,7 +744,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("debug", parents=[common], help="check project/session health")
     sub.add_parser("clean", parents=[common], help="remove the target directory")
     sl = sub.add_parser("sl", parents=[common], help="semantic-layer metric queries")
-    sl.add_argument("action", choices=["query", "list"])
+    sl.add_argument("action", choices=["query", "list", "export"])
     sl.add_argument("--saved", default=None, help="run a saved_queries block by name")
     sl.add_argument("--metrics", default="", help="comma-separated metric names")
     sl.add_argument("--group-by", default="", help="comma-separated dimensions (dim or dim__grain)")
@@ -841,6 +841,14 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                     print(f"{name} ({m.type})")
                 for name in sorted(sl.saved_queries):
                     print(f"{name} (saved query)")
+                return 0
+            if args.action == "export":
+                targets = (
+                    [args.saved] if args.saved else sorted(sl.saved_queries)
+                )
+                for name in targets:
+                    for rel in sl.run_exports(name):
+                        print(f"exported {name} -> {rel}")
                 return 0
             if args.saved:
                 sl.run_saved(args.saved).limit(args.limit).show(truncate=False)

@@ -138,6 +138,7 @@ class SavedQuery:
     metrics: list[str]
     group_by: list[str] = field(default_factory=list)
     where: str | None = None
+    exports: list[dict] = field(default_factory=list)
 
 
 class SemanticLayer:
@@ -205,6 +206,7 @@ class SemanticLayer:
                 metrics=list(qp.get("metrics") or []),
                 group_by=list(qp.get("group_by") or []),
                 where=wh,
+                exports=list(sq.get("exports") or []),
             )
             n += 1
         return n
@@ -215,6 +217,32 @@ class SemanticLayer:
         section)."""
         sq = self.saved_queries[name]
         return self.query(sq.metrics, group_by=sq.group_by, where=sq.where)
+
+    def run_exports(self, name: str) -> list[str]:
+        """Materialize a saved query's ``exports:`` (dbt saved-query
+        exports; ``export_as: table`` writes a warehouse table,
+        ``export_as: view`` a session-scoped temp view — documented
+        divergence: no persistent SQL-text views here). Returns the
+        relation names written."""
+        sq = self.saved_queries[name]
+        df = self.run_saved(name)
+        written = []
+        for ex in sq.exports:
+            cfg = ex.get("config") or {}
+            alias = cfg.get("alias") or ex["name"]
+            kind = cfg.get("export_as", "table")
+            if kind == "view":
+                df.createOrReplaceTempView(alias)
+            else:
+                if self.project.database:
+                    self.project.spark.sql(
+                        f"CREATE DATABASE IF NOT EXISTS {self.project.database}"
+                    )
+                df.write.mode("overwrite").saveAsTable(
+                    self.project.qualified(alias)
+                )
+            written.append(alias)
+        return written
 
     # ------------------------------------------------------------------
     # Query compilation

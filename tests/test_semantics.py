@@ -272,3 +272,29 @@ saved_queries:
         for r in sl.run_saved("seg_revenue").collect()
     }
     assert rows == {"a": (30.0, 2), "b": (12.0, 2)}
+
+
+def test_saved_query_exports(sl, spark):
+    sl.load(
+        yaml.safe_load(
+            """
+saved_queries:
+  - name: seg_rev_export
+    query_params:
+      metrics: [revenue]
+      group_by: [seg]
+    exports:
+      - name: sem_seg_rev_tbl
+        config: {export_as: table}
+      - name: sem_seg_rev_view
+        config: {export_as: view}
+"""
+        )
+    )
+    written = sl.run_exports("seg_rev_export")
+    assert written == ["sem_seg_rev_tbl", "sem_seg_rev_view"]
+    got = {
+        r["seg"]: r["revenue"] for r in spark.table("sem_seg_rev_tbl").collect()
+    }
+    assert got == {"a": 30.0, "b": 12.0}
+    assert spark.table("sem_seg_rev_view").count() == 2
