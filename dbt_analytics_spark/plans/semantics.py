@@ -25,10 +25,16 @@ a project's metric definitions actually RUN here:
   metric filters become ``F.when`` conditions inside the aggregate, so a
   filtered metric never forces a second scan.
 
-Scope (documented divergence): every metric in one query must resolve to
-measures of a single semantic model — cross-model entity joins
-(MetricFlow's join resolution) are out of scope; define a mart model
-joining the entities and hang the semantic model off that instead.
+Cross-model **entity joins** (MetricFlow's join resolution, single-hop):
+a ``group_by`` of ``entity__dim`` (optionally ``entity__dim__grain``)
+resolves through a *foreign* entity on the measure model to the semantic
+model whose *primary* entity has that name, compiling to one LEFT star
+join per entity — the dim side pruned to (primary key + requested dims)
+so a wide dim table never ships whole, and Catalyst/AQE broadcast the
+pruned build side when small — followed by the same single aggregation.
+Measures must still resolve to ONE semantic model per query (multi-hop
+joins and measure-side fan-out are out of scope; define a mart model for
+those).
 """
 
 from __future__ import annotations
@@ -90,11 +96,19 @@ class Measure:
 
 
 @dataclass
+class Entity:
+    name: str
+    type: str = "primary"  # primary | foreign | unique
+    expr: str | None = None  # defaults to the entity name
+
+
+@dataclass
 class SemanticModel:
     name: str
     model: str  # node / relation the measures aggregate over
     dimensions: dict[str, Dimension] = field(default_factory=dict)
     measures: dict[str, Measure] = field(default_factory=dict)
+    entities: dict[str, Entity] = field(default_factory=dict)
 
 
 @dataclass
@@ -174,6 +188,10 @@ class SemanticLayer:
             for ms in sm.get("measures", []) or []:
                 sem.measures[ms["name"]] = Measure(
                     ms["name"], ms.get("agg", "sum"), ms.get("expr")
+                )
+            for en in sm.get("entities", []) or []:
+                sem.entities[en["name"]] = Entity(
+                    en["name"], en.get("type", "primary"), en.get("expr")
                 )
             self.models[sem.name] = sem
             n += 1
@@ -340,26 +358,70 @@ class SemanticLayer:
             measure_names |= {cm.base_measure, cm.conversion_measure}
         sem = self._model_for(measure_names)
         df = self.project._resolve_for_adhoc(sem.model)
-        if where:
-            df = df.filter(where)
 
         dim_cols = []
         out_names: list[str] = []
         time_outs: list[str] = []  # post-groupBy names of time dims
+        # entity name -> [(out_name, pre-built dim expr)] to join in
+        joins: dict[str, list[tuple[str, "F.Column"]]] = {}
         for g in group_by or []:
-            dname, _, grain = g.partition("__")
-            dim = sem.dimensions.get(dname)
-            if dim is None:
-                raise KeyError(f"unknown dimension {dname!r} on {sem.name}")
-            expr = F.expr(dim.expr or dim.name)
-            if dim.type == "time":
-                expr = F.date_trunc(grain or time_grain or dim.grain, expr)
-                out_name = g if grain else dname
-                time_outs.append(out_name)
+            parts = g.split("__")
+            dname = parts[0]
+            if dname in sem.dimensions:
+                grain = parts[1] if len(parts) > 1 else ""
+                dim = sem.dimensions[dname]
+                expr = F.expr(dim.expr or dim.name)
+                if dim.type == "time":
+                    expr = F.date_trunc(grain or time_grain or dim.grain, expr)
+                    out_name = g if grain else dname
+                    time_outs.append(out_name)
+                else:
+                    out_name = dname
+                dim_cols.append(expr.alias(out_name))
+                out_names.append(out_name)
+            elif dname in sem.entities and len(parts) >= 2:
+                # entity__dim[__grain]: dimension of another semantic
+                # model, reached through a foreign entity (MetricFlow
+                # join resolution, single-hop).
+                target = self._primary_model(dname)
+                dim = target.dimensions.get(parts[1])
+                if dim is None:
+                    raise KeyError(
+                        f"unknown dimension {parts[1]!r} on {target.name} "
+                        f"(via entity {dname!r})"
+                    )
+                grain = parts[2] if len(parts) > 2 else ""
+                expr = F.expr(dim.expr or dim.name)
+                if dim.type == "time":
+                    expr = F.date_trunc(grain or time_grain or dim.grain, expr)
+                    time_outs.append(g)
+                joins.setdefault(dname, []).append((g, expr))
+                dim_cols.append(F.col(g))
+                out_names.append(g)
             else:
-                out_name = dname
-            dim_cols.append(expr.alias(out_name))
-            out_names.append(out_name)
+                raise KeyError(f"unknown dimension {dname!r} on {sem.name}")
+
+        for ename, cols in joins.items():
+            # One LEFT star join per entity: dim side pruned to pk + the
+            # requested dim exprs (a wide dim table never ships whole);
+            # Catalyst/AQE broadcast the pruned build side when small.
+            fk = sem.entities[ename]
+            target = self._primary_model(ename)
+            pk = target.entities[ename]
+            tdf = self.project._resolve_for_adhoc(target.model)
+            dimframe = tdf.select(
+                F.expr(pk.expr or pk.name).alias(f"__pk_{ename}"),
+                *[e.alias(n) for n, e in cols],
+            )
+            df = df.join(
+                dimframe,
+                F.expr(fk.expr or fk.name) == F.col(f"__pk_{ename}"),
+                "left",
+            ).drop(f"__pk_{ename}")
+
+        if where:
+            # After entity joins, so filters may reference joined dims.
+            df = df.filter(where)
 
         aggs = []
         for mname in sorted(needed):
@@ -454,6 +516,17 @@ class SemanticLayer:
                 f"__m_{name}", F.sum(F.col(f"__m_{name}")).over(w)
             )
         return grouped
+
+    def _primary_model(self, entity: str) -> SemanticModel:
+        """The semantic model whose PRIMARY entity is ``entity`` — the
+        join target for entity__dim group-bys."""
+        for sem in self.models.values():
+            en = sem.entities.get(entity)
+            if en is not None and en.type == "primary":
+                return sem
+        raise KeyError(
+            f"no semantic model has {entity!r} as its primary entity"
+        )
 
     def _measure_of(self, metric: Metric) -> Measure:
         for sem in self.models.values():

@@ -253,6 +253,111 @@ def test_conversion_grouped_and_joined_with_simple_metric(sl_events):
     assert rows == {"a": (1, 1.0), "b": (3, pytest.approx(1 / 3))}
 
 
+STAR_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: orders_sm
+    model: ref('orders_model')
+    entities:
+      - {name: order, type: primary, expr: order_id}
+      - {name: customer, type: foreign, expr: cust_id}
+    dimensions:
+      - {name: status, type: categorical}
+    measures:
+      - {name: order_total, agg: sum, expr: amount}
+  - name: customers_sm
+    model: ref('customers_model')
+    entities:
+      - {name: customer, type: primary, expr: cust_id}
+    dimensions:
+      - {name: region, type: categorical}
+      - {name: signup, type: time, grain: day}
+metrics:
+  - {name: order_revenue, type: simple, measure: order_total}
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def sl_star(spark):
+    p = Project(spark, name="sem_star")
+    p.source_table(
+        "orders_model",
+        spark.createDataFrame(
+            [
+                (1, 10, "open", 5.0),
+                (2, 10, "done", 7.0),
+                (3, 20, "done", 11.0),
+                (4, 99, "open", 13.0),  # no matching customer (left join)
+            ],
+            ["order_id", "cust_id", "status", "amount"],
+        ),
+    )
+    p.source_table(
+        "customers_model",
+        spark.createDataFrame(
+            [
+                (10, "emea", "2024-01-05", "pad1"),
+                (20, "apac", "2024-02-10", "pad2"),
+            ],
+            ["cust_id", "region", "signup", "pad"],
+        ).selectExpr("cust_id", "region", "CAST(signup AS DATE) AS signup", "pad"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(STAR_DOC)
+    return layer
+
+
+def test_entity_join_group_by(sl_star):
+    rows = {
+        r["customer__region"]: r["order_revenue"]
+        for r in sl_star.query(
+            ["order_revenue"], group_by=["customer__region"]
+        ).collect()
+    }
+    # Left join: the unmatched order lands in the NULL region group.
+    assert rows == {"emea": 12.0, "apac": 11.0, None: 13.0}
+
+
+def test_entity_join_mixed_dims_and_where(sl_star):
+    rows = {
+        (r["status"], r["customer__region"]): r["order_revenue"]
+        for r in sl_star.query(
+            ["order_revenue"],
+            group_by=["status", "customer__region"],
+            where="customer__region IS NOT NULL",
+        ).collect()
+    }
+    assert rows == {
+        ("open", "emea"): 5.0,
+        ("done", "emea"): 7.0,
+        ("done", "apac"): 11.0,
+    }
+
+
+def test_entity_join_time_dim_with_grain(sl_star):
+    rows = {
+        str(r["customer__signup__month"])[:7]: r["order_revenue"]
+        for r in sl_star.query(
+            ["order_revenue"],
+            group_by=["customer__signup__month"],
+            where="customer__signup__month IS NOT NULL",
+        ).collect()
+    }
+    assert rows == {"2024-01": 12.0, "2024-02": 11.0}
+
+
+def test_entity_join_is_one_pruned_join_one_aggregation(sl_star):
+    df = sl_star.query(["order_revenue"], group_by=["customer__region"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1, plan
+    # Dim side pruned to pk + requested dim: the Project feeding the join
+    # carries only the pk alias and the dim — the wide 'pad' column never
+    # enters the join (it remains only in the base relation's schema line).
+    proj = next(l for l in plan.splitlines() if "AS __pk_customer" in l)
+    assert "pad" not in proj and "signup" not in proj, proj
+
+
 def test_saved_queries(sl):
     n = sl.load(
         yaml.safe_load(
