@@ -30,7 +30,7 @@ itself is frozen by tests/test_driver_contract.py.
 
 from __future__ import annotations
 
-from . import core, llm
+from . import core, llm, semantic
 
 #: Queries ordered past the driver's 50-query cap.  Every one of these is
 #: still verified in pytest (oracle parity at sf0.001/sf0.01 runs ALL
@@ -292,11 +292,35 @@ _BEYOND_DRIVER_CAP = [
     "txt13_lm_score",
     "smp4_temperature_mixture",
     "f6_histogram",
+    # Round-9 session-3 rotation: the semantic layer's three distinct
+    # execution mechanisms gain driver rows — sem1 (cross-model
+    # entity__dim star join + filtered/ratio metrics in ONE compiled
+    # aggregation), sem2 (cumulative all-time + grain_to_date windows
+    # over the aggregated bucket frame), sem4 (conversion metric: keyed
+    # left-semi entity join with a time-window predicate). sem3/sem5 stay
+    # local-gated: sem3's trailing RANGE window is the same cumulative
+    # compiler as sem2's entering row; sem5's saved-query path re-runs
+    # sem1's star-join shape. Displaced, in exchange (each stays
+    # hash-green in the local gate, with in-prefix sibling evidence):
+    #   t3_normalize — T3's regexp_replace chain keeps t2_regex_match's
+    #     prefix row (same pg-regex surface, functions/pg.py) and the
+    #     local gate; txt8's redaction pipeline also exercises it.
+    #   p5_coalesce — P5 is driver-evidenced inside q13_custdist's
+    #     zero-preserving COALESCE(count, 0) left-join row.
+    #   d1_date_trunc — D1 is driver-evidenced by the entering sem2 row
+    #     (date_trunc month/year ARE its bucket/restart mechanism) and
+    #     g1_date_spine stays.
+    "sem3_trailing_window",
+    "sem5_saved_query",
+    "t3_normalize",
+    "p5_coalesce",
+    "d1_date_trunc",
 ]
 
 _ALL: dict = {}
 _ALL.update(core.REGISTRY)
 _ALL.update(llm.REGISTRY)
+_ALL.update(semantic.REGISTRY)
 
 REGISTRY: dict = {
     name: _ALL[name] for name in _ALL if name not in _BEYOND_DRIVER_CAP

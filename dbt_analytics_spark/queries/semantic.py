@@ -1,0 +1,366 @@
+"""Semantic-layer queries under the DuckDB oracle gate.
+
+The semantic layer (plans/semantics.py — the Spark-native execution half
+of dbt's semantic_models/metrics YAML, whose reference implementation is
+the closed MetricFlow service; dbt-core only parses the YAML at
+SP/dbt/parser/schemas.py) has so far been pytest-evidenced only. These
+queries run REAL metric requests — entity-join star group-bys, filtered
+and ratio metrics, cumulative (all-time / grain-to-date / trailing
+window) and conversion metrics, and the saved-query path — over the
+driver testdata and hash-check the compiled Spark aggregation against
+hand-written ANSI SQL.
+
+Exactness follows queries/core.py's rules: money measures aggregate as
+DECIMAL(18,2) (exact, order-independent addition) inside the layer via
+measure exprs, the builders cast the final metric columns to DOUBLE and
+time buckets to DATE, and the oracles mirror both casts.
+
+Scale: every query compiles to ONE Spark aggregation (the layer's core
+contract) — entity joins ship a pruned (pk + dims) build side that
+Catalyst/AQE broadcast; cumulative metrics add one window over the
+already-aggregated (tiny) bucket frame; the conversion metric is a keyed
+left-semi equi-join on the entity, never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import Project
+from ..plans.semantics import SemanticLayer
+from ..sources import load_testdata
+
+#: One schema-file document (dbt YAML shapes) covering the driver star
+#: schema: an orders fact model joined to a customer dimension model
+#: through a foreign entity, and an events model for conversion metrics.
+_DOC = {
+    "semantic_models": [
+        {
+            "name": "orders_sm",
+            "model": "ref('orders')",
+            "entities": [
+                {"name": "order", "type": "primary", "expr": "o_orderkey"},
+                {"name": "customer", "type": "foreign", "expr": "o_custkey"},
+            ],
+            "dimensions": [
+                {"name": "order_status", "expr": "o_orderstatus"},
+                {
+                    "name": "order_date",
+                    "type": "time",
+                    "expr": "o_orderdate",
+                    "grain": "day",
+                },
+            ],
+            "measures": [
+                {
+                    "name": "order_revenue",
+                    "agg": "sum",
+                    "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
+                },
+                {"name": "n_orders", "agg": "count"},
+            ],
+        },
+        {
+            "name": "customers_sm",
+            "model": "ref('customer')",
+            "entities": [
+                {"name": "customer", "type": "primary", "expr": "c_custkey"}
+            ],
+            "dimensions": [
+                {"name": "c_mktsegment"},
+                {"name": "c_nationkey"},
+            ],
+            "measures": [{"name": "n_customers", "agg": "count"}],
+        },
+        {
+            "name": "events_sm",
+            "model": "ref('events')",
+            "entities": [
+                {"name": "event", "type": "primary", "expr": "event_id"},
+                {"name": "user", "type": "foreign", "expr": "user_id"},
+            ],
+            "dimensions": [
+                {
+                    "name": "event_ts",
+                    "type": "time",
+                    "expr": "ts",
+                    "grain": "day",
+                }
+            ],
+            "measures": [
+                {
+                    "name": "views",
+                    "agg": "count",
+                    "expr": "CASE WHEN event_type = 'view' THEN 1 END",
+                },
+                {
+                    "name": "purchases",
+                    "agg": "count",
+                    "expr": "CASE WHEN event_type = 'purchase' THEN 1 END",
+                },
+            ],
+        },
+    ],
+    "metrics": [
+        {"name": "revenue", "type": "simple", "measure": "order_revenue"},
+        {"name": "order_count", "type": "simple", "measure": "n_orders"},
+        {
+            # Filtered metric: compiles to a conditional aggregate inside
+            # the SAME groupBy (never a second scan).
+            "name": "big_order_revenue",
+            "type": "simple",
+            "measure": "order_revenue",
+            "filter": "o_totalprice > 400000",
+        },
+        {
+            "name": "avg_order_value",
+            "type": "ratio",
+            "type_params": {"numerator": "revenue", "denominator": "order_count"},
+        },
+        {
+            "name": "cum_revenue",
+            "type": "cumulative",
+            "measure": "order_revenue",
+        },
+        {
+            "name": "ytd_revenue",
+            "type": "cumulative",
+            "measure": "order_revenue",
+            "type_params": {"grain_to_date": "year"},
+        },
+        {
+            "name": "revenue_7d",
+            "type": "cumulative",
+            "measure": "order_revenue",
+            "type_params": {"window": "7 days"},
+        },
+        {
+            "name": "view_to_purchase_7d",
+            "type": "conversion",
+            "type_params": {
+                "conversion_type_params": {
+                    "base_measure": "views",
+                    "conversion_measure": "purchases",
+                    "entity": "user_id",
+                    "window": "7 days",
+                }
+            },
+        },
+    ],
+    "saved_queries": [
+        {
+            "name": "segment_kpis",
+            "query_params": {
+                "metrics": ["revenue", "order_count"],
+                "group_by": ["customer__c_mktsegment"],
+                "where": ["o_orderstatus = 'F'"],
+            },
+        }
+    ],
+}
+
+
+def _layer(spark: SparkSession, sf_dir: str) -> SemanticLayer:
+    t = load_testdata(spark, sf_dir)
+    p = Project(spark, name="sem_driver")
+    for name in ("orders", "customer", "events"):
+        p.source_table(name, t[name])
+    sl = SemanticLayer(p)
+    sl.load(_DOC)
+    return sl
+
+
+def _finish(df: DataFrame, dates: list[str] = (), doubles: list[str] = ()) -> DataFrame:
+    """Canonical output types (core.py rules): time buckets as DATE, exact
+    decimal metric sums as DOUBLE."""
+    for c in dates:
+        df = df.withColumn(c, F.col(c).cast("date"))
+    for c in doubles:
+        df = df.withColumn(c, F.col(c).cast("double"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# sem1 — entity-join star metrics: local dim + foreign entity__dim group-by,
+# plain / filtered / ratio metrics in one compiled aggregation.
+# ---------------------------------------------------------------------------
+
+def sem1_entity_star_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric request grouped by a LOCAL dimension and a cross-model
+    ``entity__dim`` (MetricFlow single-hop join resolution): one LEFT star
+    join with a pruned (pk, dim) build side, then ONE aggregation carrying
+    a plain sum, a count, a filtered sum, and a post-agg ratio."""
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["revenue", "order_count", "big_order_revenue", "avg_order_value"],
+        group_by=["customer__c_mktsegment", "order_status"],
+    )
+    return _finish(
+        df, doubles=["revenue", "big_order_revenue", "avg_order_value"]
+    )
+
+
+SEM1_SQL = """
+SELECT
+  c.c_mktsegment AS customer__c_mktsegment,
+  o.o_orderstatus AS order_status,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS order_count,
+  CAST(SUM(CASE WHEN o.o_totalprice > 400000
+                THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+    AS big_order_revenue,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_order_value
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sem2 — cumulative metrics: all-time running total and grain_to_date
+# (yearly restart) over monthly buckets.
+# ---------------------------------------------------------------------------
+
+def sem2_cumulative_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue beside its all-time cumulative and year-to-date
+    variants — the accumulation windows run over the ALREADY-aggregated
+    bucket frame (tiny), never the raw fact rows."""
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["revenue", "cum_revenue", "ytd_revenue"],
+        group_by=["order_date__month"],
+    )
+    return _finish(
+        df,
+        dates=["order_date__month"],
+        doubles=["revenue", "cum_revenue", "ytd_revenue"],
+    )
+
+
+SEM2_SQL = """
+WITH buckets AS (
+  SELECT
+    date_trunc('month', o_orderdate) AS mo,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  GROUP BY 1
+)
+SELECT
+  CAST(mo AS DATE) AS order_date__month,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(SUM(rev) OVER (ORDER BY mo) AS DOUBLE) AS cum_revenue,
+  CAST(SUM(rev) OVER (PARTITION BY date_trunc('year', mo) ORDER BY mo)
+       AS DOUBLE) AS ytd_revenue
+FROM buckets
+"""
+
+
+# ---------------------------------------------------------------------------
+# sem3 — trailing-window cumulative: RANGE frame on epoch days, so GAPS in
+# the bucket sequence cannot stretch the window (a ROWS frame would).
+# ---------------------------------------------------------------------------
+
+def sem3_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(["revenue", "revenue_7d"], group_by=["order_date"])
+    return _finish(
+        df, dates=["order_date"], doubles=["revenue", "revenue_7d"]
+    )
+
+
+SEM3_SQL = """
+WITH buckets AS (
+  SELECT
+    date_trunc('day', o_orderdate) AS dy,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  GROUP BY 1
+)
+SELECT
+  CAST(dy AS DATE) AS order_date,
+  CAST(rev AS DOUBLE) AS revenue,
+  CAST(SUM(rev) OVER (
+         ORDER BY datediff('day', DATE '1970-01-01', dy)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS revenue_7d
+FROM buckets
+"""
+
+
+# ---------------------------------------------------------------------------
+# sem4 — conversion metric: share of base events (views) with a conversion
+# event (purchase) for the same entity within 7 days, bucketed daily (the
+# driver events table spans ~30 days, so day grain gives a multi-row
+# output; the trailing edge days show the window's right-censoring).
+# ---------------------------------------------------------------------------
+
+def sem4_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt conversion metric: keyed LEFT-SEMI equi-join on the entity with
+    the time window as a post-match predicate — each base event counts
+    once however many conversions land, and there is no cross product."""
+    sl = _layer(spark, sf_dir)
+    df = sl.query(["view_to_purchase_7d"], group_by=["event_ts"])
+    return _finish(
+        df, dates=["event_ts"], doubles=["view_to_purchase_7d"]
+    )
+
+
+SEM4_SQL = """
+WITH base AS (
+  SELECT user_id, ts, date_trunc('day', ts) AS dy
+  FROM events WHERE event_type = 'view'
+),
+conv AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT
+    b.dy,
+    EXISTS (
+      SELECT 1 FROM conv c
+      WHERE c.user_id = b.user_id
+        AND c.ts >= b.ts
+        AND c.ts <= b.ts + INTERVAL 7 DAY
+    ) AS converted
+  FROM base b
+)
+SELECT
+  CAST(dy AS DATE) AS event_ts,
+  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS view_to_purchase_7d
+FROM flagged
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# sem5 — saved query: a named, reusable metric request (dbt saved_queries)
+# with a where filter, executed through the run_saved path.
+# ---------------------------------------------------------------------------
+
+def sem5_saved_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.run_saved("segment_kpis")
+    return _finish(df, doubles=["revenue"])
+
+
+SEM5_SQL = """
+SELECT
+  c.c_mktsegment AS customer__c_mktsegment,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS order_count
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY 1
+"""
+
+
+REGISTRY = {
+    "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
+    "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
+    "sem3_trailing_window": (sem3_trailing_window, SEM3_SQL),
+    "sem4_conversion_rate": (sem4_conversion_rate, SEM4_SQL),
+    "sem5_saved_query": (sem5_saved_query, SEM5_SQL),
+}

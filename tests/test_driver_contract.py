@@ -60,20 +60,21 @@ def test_driver_prefix_is_frozen():
     # queries/__init__.py). Freeze the round-9 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-9 session-2 rotation: dd12/smp6 in;
-    # q17/dd6 out — single-row outputs, the judge's standing "thin
-    # evidence" note; see queries/__init__.py for the rationale).
+    # list in the same commit (round-9 session-3 rotation: the semantic
+    # layer's three execution mechanisms in — sem1 entity-star join, sem2
+    # cumulative windows, sem4 conversion; t3/p5/d1 out with in-prefix
+    # sibling evidence; see queries/__init__.py for the rationale).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
         "q1_pricing_summary", "q7_volume_shipping", "q8_market_share",
         "q13_custdist", "p1_projection_cast",
-        "p2_filter_ilike", "p3_case_classify", "p5_coalesce", "j1_join_agg",
+        "p2_filter_ilike", "p3_case_classify", "j1_join_agg",
         "j2_left_join", "j3b_regex_lateral_top1", "j4_lateral_expr",
         "j5_explode_split", "a1_multi_grain_rollup", "a3_conditional_agg",
         "a4_count_distinct", "w1_dedup_rank", "w3_pct_of_total",
-        "u1_union_dedup", "g1_date_spine", "d1_date_trunc", "t2_regex_match",
-        "t3_normalize", "so1_order_limit", "ev1_sessionize",
+        "u1_union_dedup", "g1_date_spine", "t2_regex_match",
+        "so1_order_limit", "ev1_sessionize",
         "ev2_json_extract", "ev3_asof_join", "ev4_range_join",
         "ev6_retention_cohorts", "ev7_event_transitions", "a6_grouping_sets",
         "w7_analytic_suite", "dd1_exact_dedup", "dd3_minhash_lsh",
@@ -83,6 +84,8 @@ def test_driver_prefix_is_frozen():
         "dd12_span_dedup", "smp6_token_budget_sample",
         "txt14_nb_langid", "dd11_semdedup", "smp5_fixed_k_sample",
         "f8_cms_counts", "txt16b_logreg_score", "f7_drift_psi",
+        "sem1_entity_star_metrics", "sem2_cumulative_metrics",
+        "sem4_conversion_rate",
     ]
     assert list(q.queries())[:50] == expected_prefix
     # The only prefix rows without a DuckDB oracle are the two
