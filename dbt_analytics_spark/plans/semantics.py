@@ -17,6 +17,15 @@ a project's metric definitions actually RUN here:
   dimension — all-time, a trailing ``window: N days``, or
   ``grain_to_date``), or ``conversion`` (share of base events with a
   conversion event for the same entity within a time window);
+- simple metrics support MetricFlow measure-input params:
+  ``join_to_timespine`` extends the result to every time bucket between
+  the frame's min and max (per dim combination, via one ``sequence()``
+  spine over the already-aggregated frame) and ``fill_nulls_with``
+  replaces the metric's NULLs;
+- derived metrics support aliased ``type_params.metrics`` inputs with
+  ``offset_window: N <grain>`` (period-over-period) — compiled as a
+  self-join of the tiny bucket frame shifted by TIME, never a ROWS lag
+  that would mis-read across bucket gaps;
 - ``SemanticLayer.query(metrics, group_by, where, time_grain)`` compiles
   one Spark aggregation: dimension exprs (time dims date_trunc'd to the
   requested grain), every underlying measure as a conditional aggregate,
@@ -112,6 +121,18 @@ class SemanticModel:
 
 
 @dataclass
+class MetricInput:
+    """One entry of a derived metric's ``type_params.metrics`` list
+    (MetricFlow metric inputs): a referenced metric, optionally re-aliased
+    and time-offset (``offset_window: N <grain>`` reads the metric's value
+    from the bucket N grains earlier — period-over-period)."""
+
+    name: str
+    alias: str | None = None
+    offset_window: str | None = None
+
+
+@dataclass
 class Metric:
     name: str
     type: str  # simple | ratio | derived | cumulative | conversion
@@ -120,6 +141,15 @@ class Metric:
     numerator: str | None = None  # ratio (metric name)
     denominator: str | None = None  # ratio (metric name)
     expr: str | None = None  # derived: over other metric names
+    #: simple metrics: MetricFlow measure-input params. join_to_timespine
+    #: extends the result to EVERY time bucket between the frame's min and
+    #: max at the query grain (per categorical-dim combination);
+    #: fill_nulls_with replaces the metric's NULLs (spine-only buckets,
+    #: all-rows-filtered groups) with a literal.
+    fill_nulls_with: object | None = None
+    join_to_timespine: bool = False
+    #: derived metrics: aliased/offset inputs (``type_params.metrics``).
+    inputs: list[MetricInput] = field(default_factory=list)
     # cumulative: trailing window ("7 days") or grain_to_date ("month").
     # conversion: window bounds how late a conversion may land.
     window: str | None = None
@@ -129,6 +159,25 @@ class Metric:
     conversion_measure: str | None = None
     entity: str | None = None
     calculation: str = "conversion_rate"  # or "conversions"
+
+
+def _grain_interval(spec: str) -> str:
+    """A time-spine step / offset window as a Spark INTERVAL literal.
+    Accepts a bare grain (``'month'``) or ``'N <grain>[s]'``; quarters
+    compile to months (no INTERVAL QUARTER literal)."""
+    parts = spec.strip().lower().split()
+    if len(parts) == 1:
+        n, unit = 1, parts[0]
+    elif len(parts) == 2 and parts[0].isdigit():
+        n, unit = int(parts[0]), parts[1]
+    else:
+        raise ValueError(f"unsupported grain/window {spec!r}")
+    unit = unit.rstrip("s")
+    if unit == "quarter":
+        n, unit = 3 * n, "month"
+    if unit not in ("hour", "day", "week", "month", "year"):
+        raise ValueError(f"unsupported grain/window {spec!r}")
+    return f"INTERVAL {n} {unit.upper()}"
 
 
 def _window_days(window: str) -> int:
@@ -198,10 +247,31 @@ class SemanticLayer:
         for mt in doc.get("metrics", []) or []:
             tp = mt.get("type_params") or {}
             cv = tp.get("conversion_type_params") or {}
+            # type_params.measure is a plain name or a MetricFlow
+            # measure-input dict ({name, fill_nulls_with,
+            # join_to_timespine}).
+            meas = tp.get("measure") or mt.get("measure")
+            fill = mt.get("fill_nulls_with")
+            spine = bool(mt.get("join_to_timespine", False))
+            if isinstance(meas, dict):
+                fill = meas.get("fill_nulls_with", fill)
+                spine = bool(meas.get("join_to_timespine", spine))
+                meas = meas["name"]
+            inputs = []
+            for mi in tp.get("metrics") or []:
+                if isinstance(mi, str):
+                    mi = {"name": mi}
+                inputs.append(
+                    MetricInput(
+                        name=mi["name"],
+                        alias=mi.get("alias"),
+                        offset_window=mi.get("offset_window"),
+                    )
+                )
             self.metrics[mt["name"]] = Metric(
                 name=mt["name"],
                 type=mt.get("type", "simple"),
-                measure=tp.get("measure") or mt.get("measure"),
+                measure=meas,
                 filter=mt.get("filter"),
                 numerator=tp.get("numerator") or mt.get("numerator"),
                 denominator=tp.get("denominator") or mt.get("denominator"),
@@ -212,6 +282,9 @@ class SemanticLayer:
                 conversion_measure=cv.get("conversion_measure"),
                 entity=cv.get("entity"),
                 calculation=cv.get("calculation", "conversion_rate"),
+                fill_nulls_with=fill,
+                join_to_timespine=spine,
+                inputs=inputs,
             )
             n += 1
         for sq in doc.get("saved_queries", []) or []:
@@ -285,6 +358,10 @@ class SemanticLayer:
         elif metric.type == "derived":
             import re
 
+            if metric.inputs:
+                for mi in metric.inputs:
+                    self._simple_metrics_needed(self.metrics[mi.name], acc)
+                return
             for name in re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", metric.expr or ""):
                 if name in self.metrics:
                     self._simple_metrics_needed(self.metrics[name], acc)
@@ -318,17 +395,39 @@ class SemanticLayer:
             num = self._metric_col(self.metrics[metric.numerator])
             den = self._metric_col(self.metrics[metric.denominator])
             return num.cast("double") / den.cast("double")
-        # derived: substitute metric names with their post-agg columns.
+        # derived: substitute metric names (and input aliases) with their
+        # post-agg columns.
         import re
 
         expr = metric.expr or ""
 
+        def col_for(inner: Metric, colname: str) -> str:
+            # An input metric's fill_nulls_with follows it into derived
+            # exprs (MetricFlow semantics) — spine-gap buckets and
+            # offset-join edges read the fill, not NULL.
+            if inner.fill_nulls_with is not None:
+                return f"coalesce({colname}, {inner.fill_nulls_with!r})"
+            return colname
+
+        amap: dict[str, str] = {}
+        for mi in metric.inputs:
+            inner = self.metrics[mi.name]
+            if inner.type != "simple":
+                raise ValueError(
+                    "derived metric inputs may reference simple metrics only"
+                )
+            key = mi.alias or mi.name
+            colname = f"__m_{mi.alias}" if mi.offset_window else f"__m_{inner.name}"
+            amap[key] = col_for(inner, colname)
+
         def sub(m: re.Match) -> str:
             name = m.group(0)
+            if name in amap:
+                return amap[name]
             if name in self.metrics:
                 inner = self.metrics[name]
                 if inner.type == "simple":
-                    return f"__m_{inner.name}"
+                    return col_for(inner, f"__m_{inner.name}")
                 raise ValueError(
                     "derived metrics may reference simple metrics only"
                 )
@@ -362,6 +461,7 @@ class SemanticLayer:
         dim_cols = []
         out_names: list[str] = []
         time_outs: list[str] = []  # post-groupBy names of time dims
+        time_grains: dict[str, str] = {}  # time out name -> effective grain
         # entity name -> [(out_name, pre-built dim expr)] to join in
         joins: dict[str, list[tuple[str, "F.Column"]]] = {}
         for g in group_by or []:
@@ -372,9 +472,11 @@ class SemanticLayer:
                 dim = sem.dimensions[dname]
                 expr = F.expr(dim.expr or dim.name)
                 if dim.type == "time":
-                    expr = F.date_trunc(grain or time_grain or dim.grain, expr)
+                    eff = grain or time_grain or dim.grain
+                    expr = F.date_trunc(eff, expr)
                     out_name = g if grain else dname
                     time_outs.append(out_name)
+                    time_grains[out_name] = eff
                 else:
                     out_name = dname
                 dim_cols.append(expr.alias(out_name))
@@ -393,8 +495,10 @@ class SemanticLayer:
                 grain = parts[2] if len(parts) > 2 else ""
                 expr = F.expr(dim.expr or dim.name)
                 if dim.type == "time":
-                    expr = F.date_trunc(grain or time_grain or dim.grain, expr)
+                    eff = grain or time_grain or dim.grain
+                    expr = F.date_trunc(eff, expr)
                     time_outs.append(g)
+                    time_grains[g] = eff
                 joins.setdefault(dname, []).append((g, expr))
                 dim_cols.append(F.col(g))
                 out_names.append(g)
@@ -450,11 +554,130 @@ class SemanticLayer:
                 grouped, cframe, out_names
             )
 
-        out_cols = [c for c in grouped.columns if not c.startswith("__m_")]
-        return grouped.select(
-            *out_cols,
-            *[self._metric_col(m).alias(m.name) for m in mobjs],
+        grouped = self._join_timespine(
+            grouped, needed, out_names, time_outs, time_grains
         )
+        grouped = self._apply_offsets(grouped, mobjs, out_names, time_outs)
+
+        out_cols = [c for c in grouped.columns if not c.startswith("__m_")]
+        metric_cols = []
+        for m in mobjs:
+            c = self._metric_col(m)
+            if m.fill_nulls_with is not None:
+                c = F.coalesce(c, F.lit(m.fill_nulls_with))
+            metric_cols.append(c.alias(m.name))
+        return grouped.select(*out_cols, *metric_cols)
+
+    def _join_timespine(
+        self,
+        grouped: DataFrame,
+        needed: set[str],
+        out_names: list[str],
+        time_outs: list[str],
+        time_grains: dict[str, str],
+    ) -> DataFrame:
+        """MetricFlow ``join_to_timespine``: extend the aggregated bucket
+        frame to EVERY bucket between its min and max time at the query
+        grain — per categorical-dim combination — so gap buckets surface
+        (as NULL metrics, then ``fill_nulls_with``). Everything here runs
+        on the ALREADY-aggregated frame: bounds are one tiny aggregate,
+        the spine is one ``sequence()`` explode, and the dim-combo cross
+        join is tiny × tiny (Catalyst broadcasts it), so the spine never
+        touches fact-table scale. Documented divergences: the spine spans
+        the observed [min, max] (dbt's ``metricflow_time_spine`` model is
+        a fixed calendar table — register one and filter if you need
+        edges beyond the data), and cumulative metrics accumulate BEFORE
+        the spine join, so spine-only buckets hold NULL cumulatives."""
+        # The needed-closure (simple/cumulative metrics actually
+        # aggregated) drives the decision, so a derived metric whose
+        # INPUT requests the spine still gets it.
+        if not any(self.metrics[n].join_to_timespine for n in needed):
+            return grouped
+        if not time_outs:
+            raise ValueError(
+                "join_to_timespine needs a time dimension in group_by"
+            )
+        tcol = time_outs[0]
+        step = _grain_interval(time_grains[tcol])
+        spine = (
+            grouped.select(
+                F.min(tcol).alias("__lo"), F.max(tcol).alias("__hi")
+            )
+            .select(
+                F.explode(
+                    F.sequence(F.col("__lo"), F.col("__hi"), F.expr(step))
+                ).alias(tcol)
+            )
+        )
+        others = [c for c in out_names if c != tcol]
+        full = (
+            spine
+            if not others
+            else grouped.select(*others).distinct().crossJoin(spine)
+        )
+        g = grouped
+        for c in out_names:
+            g = g.withColumnRenamed(c, f"__g_{c}")
+        cond = None
+        for c in out_names:
+            e = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = e if cond is None else (cond & e)
+        return full.join(g, cond, "left").drop(
+            *[f"__g_{c}" for c in out_names]
+        )
+
+    def _apply_offsets(
+        self,
+        grouped: DataFrame,
+        mobjs: list[Metric],
+        out_names: list[str],
+        time_outs: list[str],
+    ) -> DataFrame:
+        """Materialize each derived metric's ``offset_window`` inputs
+        (MetricFlow period-over-period): a self-join of the tiny bucket
+        frame shifted forward by the offset, so ``__m_<alias>`` holds the
+        referenced metric's value from N grains earlier. A join, not a
+        LAG window: gaps in the bucket sequence must offset by TIME, and
+        a ROWS lag would silently read the wrong bucket across a gap."""
+        offs = [
+            (m, mi)
+            for m in mobjs
+            if m.type == "derived"
+            for mi in m.inputs
+            if mi.offset_window
+        ]
+        if not offs:
+            return grouped
+        if not time_outs:
+            raise ValueError(
+                "offset_window inputs need a time dimension in group_by"
+            )
+        tcol = time_outs[0]
+        others = [c for c in out_names if c != tcol]
+        for m, mi in offs:
+            if not mi.alias:
+                raise ValueError(
+                    f"derived metric {m.name!r}: offset input {mi.name!r} "
+                    "needs an alias"
+                )
+            inner = self.metrics[mi.name]
+            if inner.type != "simple":
+                raise ValueError(
+                    "offset inputs may reference simple metrics only"
+                )
+            shift = _grain_interval(mi.offset_window)
+            shifted = grouped.select(
+                *[F.col(c).alias(f"__s_{c}") for c in others],
+                (F.col(tcol) + F.expr(shift)).alias(f"__s_{tcol}"),
+                F.col(f"__m_{inner.name}").alias(f"__m_{mi.alias}"),
+            )
+            cond = F.col(tcol).eqNullSafe(F.col(f"__s_{tcol}"))
+            for c in others:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+            grouped = grouped.join(shifted, cond, "left").drop(
+                f"__s_{tcol}", *[f"__s_{c}" for c in others]
+            )
+        return grouped
 
     def _apply_cumulative(
         self,

@@ -315,6 +315,14 @@ _BEYOND_DRIVER_CAP = [
     "t3_normalize",
     "p5_coalesce",
     "d1_date_trunc",
+    # sem6 (join_to_timespine + fill_nulls_with + offset_window — the
+    # period-over-period mechanism) enters in exchange for
+    # g1_date_spine: sem6's timespine join IS a sequence()-generated
+    # date spine (the same generator mechanism as operators/spine.py)
+    # exercised under a stronger query with gap-synthesis semantics;
+    # g1 stays hash-green in the local gate and its injectable-clock
+    # D4 surface stays pytest-pinned.
+    "g1_date_spine",
 ]
 
 _ALL: dict = {}

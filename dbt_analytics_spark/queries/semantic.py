@@ -136,6 +136,36 @@ _DOC = {
             "type_params": {"window": "7 days"},
         },
         {
+            # Measure-input params (MetricFlow): the bucket frame extends
+            # to every month between min and max, gap months fill with 0.
+            "name": "rev_gap",
+            "type": "simple",
+            "type_params": {
+                "measure": {
+                    "name": "order_revenue",
+                    "fill_nulls_with": 0,
+                    "join_to_timespine": True,
+                }
+            },
+        },
+        {
+            # Period-over-period: aliased offset input reads rev_gap from
+            # the bucket one month earlier (a TIME shift on the spine).
+            "name": "rev_mom",
+            "type": "derived",
+            "type_params": {
+                "expr": "rev_gap - prev_rev",
+                "metrics": [
+                    {"name": "rev_gap"},
+                    {
+                        "name": "rev_gap",
+                        "alias": "prev_rev",
+                        "offset_window": "1 month",
+                    },
+                ],
+            },
+        },
+        {
             "name": "view_to_purchase_7d",
             "type": "conversion",
             "type_params": {
@@ -357,10 +387,58 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sem6 — join_to_timespine + fill_nulls_with + derived offset_window: the
+# where-filter empties some months entirely (11 of 80 at sf0.01, 66 at
+# sf0.001), so the spine must SYNTHESIZE those buckets, the fill must zero
+# them, and the month-over-month offset must read through them by TIME
+# (a ROWS lag would skip across the gaps and read the wrong month).
+# ---------------------------------------------------------------------------
+
+def sem6_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["rev_gap", "rev_mom"],
+        group_by=["order_date__month"],
+        where="o_totalprice > 495000",
+    )
+    return _finish(
+        df, dates=["order_date__month"], doubles=["rev_gap", "rev_mom"]
+    )
+
+
+SEM6_SQL = """
+WITH buckets AS (
+  SELECT
+    date_trunc('month', o_orderdate) AS mo,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_totalprice > 495000
+  GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(mo) FROM buckets),
+    (SELECT max(mo) FROM buckets),
+    INTERVAL 1 MONTH)) AS mo
+),
+filled AS (
+  SELECT s.mo, b.rev FROM spine s LEFT JOIN buckets b ON b.mo = s.mo
+)
+SELECT
+  CAST(f.mo AS DATE) AS order_date__month,
+  CAST(COALESCE(f.rev, 0) AS DOUBLE) AS rev_gap,
+  CAST(COALESCE(f.rev, 0) - COALESCE(p.rev, 0) AS DOUBLE) AS rev_mom
+FROM filled f
+LEFT JOIN filled p ON p.mo + INTERVAL 1 MONTH = f.mo
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
     "sem3_trailing_window": (sem3_trailing_window, SEM3_SQL),
     "sem4_conversion_rate": (sem4_conversion_rate, SEM4_SQL),
     "sem5_saved_query": (sem5_saved_query, SEM5_SQL),
+    "sem6_period_over_period": (sem6_period_over_period, SEM6_SQL),
 }

@@ -73,7 +73,7 @@ def test_driver_prefix_is_frozen():
         "j2_left_join", "j3b_regex_lateral_top1", "j4_lateral_expr",
         "j5_explode_split", "a1_multi_grain_rollup", "a3_conditional_agg",
         "a4_count_distinct", "w1_dedup_rank", "w3_pct_of_total",
-        "u1_union_dedup", "g1_date_spine", "t2_regex_match",
+        "u1_union_dedup", "t2_regex_match",
         "so1_order_limit", "ev1_sessionize",
         "ev2_json_extract", "ev3_asof_join", "ev4_range_join",
         "ev6_retention_cohorts", "ev7_event_transitions", "a6_grouping_sets",
@@ -85,7 +85,7 @@ def test_driver_prefix_is_frozen():
         "txt14_nb_langid", "dd11_semdedup", "smp5_fixed_k_sample",
         "f8_cms_counts", "txt16b_logreg_score", "f7_drift_psi",
         "sem1_entity_star_metrics", "sem2_cumulative_metrics",
-        "sem4_conversion_rate",
+        "sem4_conversion_rate", "sem6_period_over_period",
     ]
     assert list(q.queries())[:50] == expected_prefix
     # The only prefix rows without a DuckDB oracle are the two

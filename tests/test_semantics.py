@@ -403,3 +403,131 @@ saved_queries:
     }
     assert got == {"a": 30.0, "b": 12.0}
     assert spark.table("sem_seg_rev_view").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# join_to_timespine / fill_nulls_with / derived offset_window inputs
+# (MetricFlow measure-input params + metric inputs — period-over-period).
+# The fixture has a deliberate MONTH GAP (Jan, Mar; seg b stops in Jan) so
+# the spine must synthesize buckets and the offset join must NOT read
+# across the gap the way a ROWS lag would.
+# ---------------------------------------------------------------------------
+
+GAP_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: gap_txns
+    model: ref('gap_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+      - {name: day, type: time, grain: month}
+    measures:
+      - {name: amt, agg: sum, expr: amount}
+metrics:
+  - name: rev_plain
+    type: simple
+    measure: amt
+  - name: rev_filled
+    type: simple
+    type_params:
+      measure: {name: amt, fill_nulls_with: 0, join_to_timespine: true}
+  - name: mom_delta
+    type: derived
+    type_params:
+      expr: rev_filled - prev_rev
+      metrics:
+        - name: rev_filled
+        - {name: rev_filled, alias: prev_rev, offset_window: 1 month}
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def sl_gap(spark):
+    p = Project(spark, name="sem_gap")
+    p.source_table(
+        "gap_txns",
+        spark.createDataFrame(
+            [
+                ("a", 10.0, "2025-01-05"),
+                ("a", 5.0, "2025-03-20"),
+                ("b", 3.0, "2025-01-09"),
+            ],
+            ["seg", "amount", "day"],
+        ).selectExpr("seg", "amount", "CAST(day AS DATE) AS day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(GAP_DOC)
+    return layer
+
+
+def _by_seg_month(rows, col):
+    return {
+        (r["seg"], str(r["day"])[:7]): r[col] for r in rows
+    }
+
+
+def test_timespine_fills_gap_buckets_per_dim_combo(sl_gap):
+    rows = sl_gap.query(["rev_filled"], group_by=["seg", "day"]).collect()
+    got = _by_seg_month(rows, "rev_filled")
+    # Feb is synthesized for BOTH segs; seg b's Feb AND Mar are spine-only.
+    assert got == {
+        ("a", "2025-01"): 10.0,
+        ("a", "2025-02"): 0.0,
+        ("a", "2025-03"): 5.0,
+        ("b", "2025-01"): 3.0,
+        ("b", "2025-02"): 0.0,
+        ("b", "2025-03"): 0.0,
+    }
+
+
+def test_timespine_absent_without_request(sl_gap):
+    # rev_plain has no join_to_timespine: only observed buckets surface.
+    rows = sl_gap.query(["rev_plain"], group_by=["seg", "day"]).collect()
+    assert len(rows) == 3
+
+
+def test_offset_window_is_time_shift_not_row_lag(sl_gap):
+    rows = sl_gap.query(
+        ["rev_filled", "mom_delta"], group_by=["day"], where="seg = 'a'"
+    ).collect()
+    got = {str(r["day"])[:7]: (r["rev_filled"], r["mom_delta"]) for r in rows}
+    # Jan: no Dec bucket -> prev reads the input's fill (0) -> delta 10.
+    # Feb: spine-only bucket (0), prev Jan=10 -> delta -10.
+    # Mar: prev is the SPINE Feb bucket (0), NOT Jan -- a ROWS lag over
+    # the unspined frame would have read Jan's 10 here.
+    assert got == {
+        "2025-01": (10.0, 10.0),
+        "2025-02": (0.0, -10.0),
+        "2025-03": (5.0, 5.0),
+    }
+
+
+def test_offset_requires_alias_and_time_dim(sl_gap):
+    sl_gap.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: bad_offset
+    type: derived
+    type_params:
+      expr: rev_filled - x
+      metrics:
+        - {name: rev_filled, offset_window: 1 month}
+"""
+        )
+    )
+    with pytest.raises(ValueError, match="alias"):
+        sl_gap.query(["bad_offset"], group_by=["day"]).collect()
+    with pytest.raises(ValueError, match="time dimension"):
+        sl_gap.query(["mom_delta"], group_by=["seg"]).collect()
+
+
+def test_grain_interval_parsing():
+    from dbt_analytics_spark.plans.semantics import _grain_interval
+
+    assert _grain_interval("month") == "INTERVAL 1 MONTH"
+    assert _grain_interval("2 weeks") == "INTERVAL 2 WEEK"
+    assert _grain_interval("1 quarter") == "INTERVAL 3 MONTH"
+    with pytest.raises(ValueError):
+        _grain_interval("1 fortnight")
