@@ -554,6 +554,23 @@ class SemanticLayer:
                 grouped, cframe, out_names
             )
 
+        # The spine (bounds agg + dim-combo cross + left join) and each
+        # offset self-join all re-consume the bucket frame; without a
+        # lineage pin Catalyst re-runs the FACT scan + aggregation once
+        # per consumer (measured: 4 full scans on sem6's shape). The
+        # frame is bucket-sized (KBs), so a lazy localCheckpoint
+        # materializes it once and every consumer reads that.
+        wants_spine = grouped is not None and any(
+            self.metrics[n].join_to_timespine for n in needed
+        )
+        wants_offsets = grouped is not None and any(
+            mi.offset_window
+            for m in mobjs
+            if m.type == "derived"
+            for mi in m.inputs
+        )
+        if wants_spine or wants_offsets:
+            grouped = grouped.localCheckpoint(eager=False)
         grouped = self._join_timespine(
             grouped, needed, out_names, time_outs, time_grains
         )

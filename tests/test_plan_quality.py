@@ -397,3 +397,32 @@ def test_bucketed_custdist_exchange_free_agg_and_join(spark):
     raw = [tuple(r) for r in REGISTRY["q13_custdist"][0](spark, SF).collect()]
     buck = [tuple(r) for r in q13b.collect()]
     assert raw == buck
+
+
+def test_semantic_star_metrics_one_agg_broadcast_pruned_dim(spark):
+    # sem1: the entity__dim star join must broadcast a PRUNED (pk + dim)
+    # build side and feed ONE aggregation — the layer's core contract
+    # (filtered metrics compile INTO the aggregate, never a second scan).
+    plan = _plan(REGISTRY["sem1_entity_star_metrics"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # Exactly two scans (orders + customer, once each; formatted explain
+    # prints ReadSchema once per scan node).
+    schemas = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(schemas) == 2, schemas
+    # Pruned dim side: only the pk + requested dim leave the customer scan.
+    cust = [l for l in schemas if "c_custkey" in l]
+    assert cust and all(
+        "c_mktsegment" in l and "c_name" not in l and "c_acctbal" not in l
+        for l in cust
+    ), schemas
+
+
+def test_semantic_spine_offset_single_fact_pass(spark):
+    # sem6: the timespine bounds agg, the spine left join and the offset
+    # self-join all re-consume the bucket frame. The lineage pin
+    # (lazy localCheckpoint of the KB-sized frame) must keep the FACT
+    # scan out of every consumer — without it this shape re-scanned the
+    # fact table 4x (measured at sf0.01 before the fix).
+    plan = _plan(REGISTRY["sem6_period_over_period"][0](spark, SF))
+    assert "Scan parquet" not in plan, plan
