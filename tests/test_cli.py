@@ -718,3 +718,67 @@ unit_tests:
     rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
     ids = {r["unique_id"] for r in rr["results"]}
     assert all("seg_spend" not in i for i in ids)
+
+
+def test_cli_semantic_timespine_offset_from_yaml(tmp_path, spark, capsys):
+    # The MetricFlow measure-input params (fill_nulls_with /
+    # join_to_timespine) and derived offset_window inputs must round-trip
+    # from on-disk schema YAML through the CLI sl action — the data has a
+    # month gap (Jan, Mar) the spine must synthesize.
+    d = str(tmp_path / "spine_proj")
+    src = os.path.join(d, "data", "txns_raw")
+    spark.createDataFrame(
+        [(1, 10.0, "2025-01-05"), (2, 5.0, "2025-03-20")],
+        ["txn_id", "amount", "day"],
+    ).selectExpr("txn_id", "amount", "CAST(day AS DATE) AS day").write.mode(
+        "overwrite"
+    ).parquet(src)
+    _write(
+        os.path.join(d, "dbt_project.yml"),
+        "name: spine_proj\nsources:\n  txns_raw: data/txns_raw\n",
+    )
+    _write(
+        os.path.join(d, "models", "txns.sql"),
+        "SELECT * FROM {{ source('txns_raw') }}",
+    )
+    _write(
+        os.path.join(d, "models", "semantics.yml"),
+        """
+semantic_models:
+  - name: txn_sem
+    model: ref('txns')
+    dimensions:
+      - {name: day, type: time, grain: month}
+    measures:
+      - {name: total_amount, agg: sum, expr: amount}
+metrics:
+  - name: rev_filled
+    type: simple
+    type_params:
+      measure: {name: total_amount, fill_nulls_with: 0, join_to_timespine: true}
+  - name: mom_delta
+    type: derived
+    type_params:
+      expr: rev_filled - prev_rev
+      metrics:
+        - name: rev_filled
+        - {name: rev_filled, alias: prev_rev, offset_window: 1 month}
+""",
+    )
+    rc = _run(spark, ["run", "--project-dir", d], "cli_spine")
+    assert rc == 0
+    capsys.readouterr()
+    rc = _run(
+        spark,
+        [
+            "sl", "query", "--project-dir", d,
+            "--metrics", "rev_filled,mom_delta", "--group-by", "day",
+        ],
+        "cli_spine",
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # Feb synthesized by the spine: rev 0, delta -10; Mar delta reads
+    # Feb's filled 0 (time shift), not Jan's 10 (row lag).
+    assert "2025-02" in out
+    assert "-10.0" in out and "5.0" in out
