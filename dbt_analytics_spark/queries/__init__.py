@@ -315,6 +315,12 @@ _BEYOND_DRIVER_CAP = [
     "t3_normalize",
     "p5_coalesce",
     "d1_date_trunc",
+    # smp7 (round-9 session 3): leakage-aware train/val/test split —
+    # near-dup clusters (dd7's components) assigned wholly to one split
+    # via the smp1 portable md5 draw. Fully oracled in the local gate;
+    # the sampling family keeps smp5/smp6 driver rows and the CC
+    # machinery keeps dd7's local-gate + graph pytest evidence.
+    "smp7_leakage_split",
     # sem6 (join_to_timespine + fill_nulls_with + offset_window — the
     # period-over-period mechanism) enters in exchange for
     # g1_date_spine: sem6's timespine join IS a sequence()-generated

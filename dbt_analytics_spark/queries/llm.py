@@ -960,6 +960,72 @@ FROM reach GROUP BY n
 
 
 # ---------------------------------------------------------------------------
+# SMP7 — leakage-aware train/val/test split: a doc's split is decided by a
+# hash of its NEAR-DUP CLUSTER representative (dd7's connected components;
+# singletons are their own cluster), so near-duplicates can never straddle
+# train and eval — the standard contamination control when a dedup pass
+# keeps both sides of a near-dup pair. The draw reuses smp1's portable
+# md5-hex-prefix uniform, so the 80/10/10 assignment is deterministic and
+# engine-identical.
+#
+# Scale: pair generation and CC are bounded exactly as dd7 (blocked
+# Jaccard, bounded component diameter); the assignment itself is one
+# skinny LEFT join (doc -> component) plus map-side hash exprs — no
+# additional shuffle beyond dd7's.
+# ---------------------------------------------------------------------------
+
+def smp7_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    # Wider subset than dd7 (%4 vs %20): the split query's value is the
+    # assignment over a real corpus slice; the recursive-CTE oracle stays
+    # sub-second at this width.
+    docs = load_testdata(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") % 4 == 0
+    )
+    pairs = dedup.jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.8
+    )
+    cc = connected_components(pairs, "doc1", "doc2").withColumnRenamed(
+        "node", "doc_id"
+    )
+    g = docs.select("doc_id").join(
+        cc.select("doc_id", "component"), "doc_id", "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    key = F.substring(F.md5(cluster.cast("string")), 1, 8)
+    split = (
+        F.when(key < F.lit(_rate_threshold_hex(0.8)), F.lit("train"))
+        .when(key < F.lit(_rate_threshold_hex(0.9)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return g.select(
+        "doc_id", cluster.alias("cluster_id"), split.alias("split")
+    )
+
+
+def _smp7_sql() -> str:
+    t80, t90 = _rate_threshold_hex(0.8), _rate_threshold_hex(0.9)
+    # Re-grain the embedded dd7 component oracle to smp7's %4 subset.
+    cc_sql = DD7_SQL.replace("doc_id % 20 = 0", "doc_id % 4 = 0")
+    return f"""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM docs d
+  LEFT JOIN ({cc_sql}) c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+  CASE
+    WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < '{t80}' THEN 'train'
+    WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < '{t90}' THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM assigned
+"""
+
+
+# ---------------------------------------------------------------------------
 # SMP1 — deterministic stratified sampling: per-language hash-threshold
 # sampling for token-budget curation. md5 hex strings order identically to
 # their numeric value (fixed-width lowercase hex), so "md5 prefix < hex
@@ -2346,6 +2412,7 @@ REGISTRY = {
     "smp2_weighted_sample": (smp2_weighted_sample, SMP2_SQL),
     "smp3_pack_sequences": (smp3_pack_sequences, None),
     "smp3b_pack_identity": (smp3b_pack_identity, SMP3B_SQL),
+    "smp7_leakage_split": (smp7_leakage_split, _smp7_sql()),
     "txt11_vocab": (txt11_vocab, TXT11_SQL),
     "txt12_bm25_topk": (txt12_bm25_topk, TXT12_SQL),
     "txt13_lm_score": (txt13_lm_score, TXT13_SQL),

@@ -510,3 +510,36 @@ def test_span_dedup_paragraph_mode(spark):
     assert out[2] == (2, 1, "delta")
     assert out[3] == (1, 0, "")
     assert out[4] == (2, 2, "epsilon\n\nzeta")
+
+
+def test_leakage_split_keeps_near_dup_pairs_in_one_split(spark):
+    # smp7's contract: if two docs are near-dups (a dd7 pair), they MUST
+    # land in the same train/val/test split — and the assignment must be
+    # deterministic across runs.
+    from dbt_analytics_spark.operators.dedup import jaccard_pairs
+    from dbt_analytics_spark.queries.llm import smp7_leakage_split
+
+    sf = "/root/testdata/sf0.001"
+    out = smp7_leakage_split(spark, sf)
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    again = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in smp7_leakage_split(spark, sf).collect()
+    }
+    assert rows == again  # deterministic
+
+    from dbt_analytics_spark.sources import load_testdata
+
+    docs = load_testdata(spark, sf)["documents"].filter(
+        F.col("doc_id") % 4 == 0
+    )
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.8
+    ).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for p in pairs:
+        assert rows[p["doc1"]][1] == rows[p["doc2"]][1], (
+            p["doc1"], p["doc2"], rows[p["doc1"]], rows[p["doc2"]],
+        )
+    # All three splits are populated at this corpus width.
+    assert {s for _, s in rows.values()} == {"train", "val", "test"}
