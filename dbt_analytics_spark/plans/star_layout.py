@@ -47,8 +47,16 @@ N_BUCKETS = 32
 
 #: Physical-layout version: bump when the stored schema/derivation
 #: changes so stale warehouse files are never re-registered under the
-#: new contract. v2 added the o_cents column.
-LAYOUT_VERSION = 2
+#: new contract. v2 added the o_cents column; v3 switched the codec to
+#: zstd (measured at sf10, fresh rewrites same session: scan+agg 0.43 s
+#: zstd vs 0.52 s snappy vs 0.46 s uncompressed, j1b 0.60/0.73/0.67 s,
+#: and the smallest files — 196M vs 274M/409M — so zstd wins BOTH the
+#: decode path and the IO/storage bill; at 100 TB fewer bytes is the
+#: dominant term).
+LAYOUT_VERSION = 3
+
+#: Layout-time parquet codec (see LAYOUT_VERSION v3 note).
+LAYOUT_CODEC = "zstd"
 
 
 def _tag(sf_dir: str) -> str:
@@ -92,6 +100,7 @@ def _ensure_bucketed(
     (
         build_df.write.bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
+        .option("compression", LAYOUT_CODEC)
         .mode("overwrite")
         .saveAsTable(table)
     )
