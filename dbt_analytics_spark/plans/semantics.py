@@ -467,6 +467,30 @@ class SemanticLayer:
         for g in group_by or []:
             parts = g.split("__")
             dname = parts[0]
+            if dname == "metric_time" and "metric_time" not in sem.dimensions:
+                # MetricFlow's canonical time dimension: an alias for the
+                # measure model's first time-type dimension, so queries
+                # need not know each model's time-dim name. The OUTPUT
+                # column keeps the requested metric_time[__grain] name.
+                tds = [
+                    d.name
+                    for d in sem.dimensions.values()
+                    if d.type == "time"
+                ]
+                if not tds:
+                    raise KeyError(
+                        f"metric_time: model {sem.name!r} has no time "
+                        "dimension"
+                    )
+                dim = sem.dimensions[tds[0]]
+                grain = parts[1] if len(parts) > 1 else ""
+                eff = grain or time_grain or dim.grain
+                expr = F.date_trunc(eff, F.expr(dim.expr or dim.name))
+                dim_cols.append(expr.alias(g))
+                out_names.append(g)
+                time_outs.append(g)
+                time_grains[g] = eff
+                continue
             if dname in sem.dimensions:
                 grain = parts[1] if len(parts) > 1 else ""
                 dim = sem.dimensions[dname]

@@ -531,3 +531,38 @@ def test_grain_interval_parsing():
     assert _grain_interval("1 quarter") == "INTERVAL 3 MONTH"
     with pytest.raises(ValueError):
         _grain_interval("1 fortnight")
+
+
+def test_metric_time_canonical_alias(sl):
+    # MetricFlow's canonical time dimension: metric_time[__grain] resolves
+    # to the model's first time-type dimension without knowing its name;
+    # the output column keeps the requested alias.
+    rows = {
+        str(r["metric_time__month"])[:10]: r["revenue"]
+        for r in sl.query(["revenue"], group_by=["metric_time__month"]).collect()
+    }
+    assert rows == {"2025-01-01": 30.0, "2025-02-01": 12.0}
+
+
+def test_metric_time_requires_a_time_dimension(spark):
+    # A model with no time-type dimension cannot serve metric_time.
+    p = Project(spark, name="sem_notime")
+    p.source_table(
+        "flat", spark.createDataFrame([("a", 1.0)], ["seg", "amount"])
+    )
+    layer = SemanticLayer(p)
+    layer.load(
+        yaml.safe_load(
+            """
+semantic_models:
+  - name: flat_sem
+    model: ref('flat')
+    dimensions: [{name: seg, type: categorical}]
+    measures: [{name: amt, agg: sum, expr: amount}]
+metrics:
+  - {name: m, type: simple, measure: amt}
+"""
+        )
+    )
+    with pytest.raises(KeyError, match="metric_time"):
+        layer.query(["m"], group_by=["metric_time"])
