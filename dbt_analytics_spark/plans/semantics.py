@@ -624,11 +624,16 @@ class SemanticLayer:
         on the ALREADY-aggregated frame: bounds are one tiny aggregate,
         the spine is one ``sequence()`` explode, and the dim-combo cross
         join is tiny × tiny (Catalyst broadcasts it), so the spine never
-        touches fact-table scale. Documented divergences: the spine spans
-        the observed [min, max] (dbt's ``metricflow_time_spine`` model is
-        a fixed calendar table — register one and filter if you need
-        edges beyond the data), and cumulative metrics accumulate BEFORE
-        the spine join, so spine-only buckets hold NULL cumulatives."""
+        touches fact-table scale.
+
+        If the project defines a ``metricflow_time_spine`` model (dbt's
+        convention: a calendar table with a ``date_day`` column), its
+        day rows — truncated to the query grain and deduped — are the
+        spine instead, restricted to the observed [min, max] window so a
+        decades-wide calendar doesn't explode a narrow query (dbt's
+        compiled SQL applies the same range restriction). Documented
+        divergence: cumulative metrics accumulate BEFORE the spine join,
+        so spine-only buckets hold NULL cumulatives."""
         # The needed-closure (simple/cumulative metrics actually
         # aggregated) drives the decision, so a derived metric whose
         # INPUT requests the spine still gets it.
@@ -640,16 +645,31 @@ class SemanticLayer:
             )
         tcol = time_outs[0]
         step = _grain_interval(time_grains[tcol])
-        spine = (
-            grouped.select(
-                F.min(tcol).alias("__lo"), F.max(tcol).alias("__hi")
+        bounds = grouped.select(
+            F.min(tcol).alias("__lo"), F.max(tcol).alias("__hi")
+        )
+        if "metricflow_time_spine" in self.project.nodes:
+            cal = self.project._resolve_for_adhoc("metricflow_time_spine")
+            spine = (
+                cal.select(
+                    F.date_trunc(
+                        time_grains[tcol], F.col("date_day")
+                    ).alias(tcol)
+                )
+                .distinct()
+                .join(
+                    F.broadcast(bounds),
+                    (F.col(tcol) >= F.col("__lo"))
+                    & (F.col(tcol) <= F.col("__hi")),
+                )
+                .drop("__lo", "__hi")
             )
-            .select(
+        else:
+            spine = bounds.select(
                 F.explode(
                     F.sequence(F.col("__lo"), F.col("__hi"), F.expr(step))
                 ).alias(tcol)
             )
-        )
         others = [c for c in out_names if c != tcol]
         full = (
             spine

@@ -566,3 +566,49 @@ metrics:
     )
     with pytest.raises(KeyError, match="metric_time"):
         layer.query(["m"], group_by=["metric_time"])
+
+
+def test_custom_metricflow_time_spine_model(spark):
+    # dbt convention: a project model named metricflow_time_spine (with a
+    # date_day column) becomes the spine source — here the calendar has a
+    # HOLE at Feb (so the default sequence() spine would differ) and
+    # spans years beyond the data (the observed-window restriction must
+    # clip it).
+    p = Project(spark, name="sem_cal")
+    p.source_table(
+        "gap_txns2",
+        spark.createDataFrame(
+            [("a", 10.0, "2025-01-05"), ("a", 5.0, "2025-04-20")],
+            ["seg", "amount", "day"],
+        ).selectExpr("seg", "amount", "CAST(day AS DATE) AS day"),
+    )
+    cal_days = ["2020-06-01", "2025-01-01", "2025-03-15", "2025-04-02", "2029-12-31"]
+    p.source_table(
+        "metricflow_time_spine",
+        spark.createDataFrame([(d,) for d in cal_days], ["date_day"])
+        .selectExpr("CAST(date_day AS DATE) AS date_day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(
+        yaml.safe_load(
+            """
+semantic_models:
+  - name: txn_sem2
+    model: ref('gap_txns2')
+    dimensions: [{name: day, type: time, grain: month}]
+    measures: [{name: amt, agg: sum, expr: amount}]
+metrics:
+  - name: rev_cal
+    type: simple
+    type_params:
+      measure: {name: amt, fill_nulls_with: 0, join_to_timespine: true}
+"""
+        )
+    )
+    rows = {
+        str(r["day"])[:7]: r["rev_cal"]
+        for r in layer.query(["rev_cal"], group_by=["day"]).collect()
+    }
+    # Calendar months within [Jan, Apr]: Jan, Mar, Apr (Feb missing from
+    # the calendar -> NOT synthesized); 2020/2029 clipped by the window.
+    assert rows == {"2025-01": 10.0, "2025-03": 0.0, "2025-04": 5.0}
