@@ -85,6 +85,49 @@ def _nearest_cells(pdf_vec_col, C: "np.ndarray"):
     return cells, d2[np.arange(len(M)), cells], M
 
 
+def cosine_cells(Xn: "np.ndarray", Cn: "np.ndarray", n: int) -> "np.ndarray":
+    """(rows, n) nearest cell ids under COSINE over row-normalized inputs;
+    ties prefer the HIGHER cell id. THE single definition of the IVF cell
+    rule: ``ivf_topk``'s corpus/query assignment and the persistent
+    ``ivf_insert`` index (plans/materialize.py) both call it, so a stored
+    cell can never disagree with the in-plan assignment."""
+    import numpy as np
+
+    m = Cn.shape[0]
+    sims = Xn @ Cn.T
+    pos = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, :n]
+    return m - 1 - pos
+
+
+def ivf_cell_udf(centroids: "np.ndarray"):
+    """Arrow-batched cell assignment for an embedding column under the
+    ``cosine_cells`` rule (centroids ride in the task closure — tiny by
+    contract). NULL embeddings map to cell -1, so index tables keep the
+    row (it is data) while probes — which only read cells >= 0 — never
+    surface it."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        mask = vs.notna()
+        out = np.full(len(vs), -1, dtype=np.int32)
+        if mask.any():
+            M = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vs[mask]]
+            )
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-300
+            )
+            out[mask.to_numpy()] = cosine_cells(Mn, Cn, 1)[:, 0]
+        return pd.Series(out)
+
+    return assign
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -335,10 +378,9 @@ def ivf_topk(
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
     def nearest_cells(Xn: "np.ndarray", n: int) -> "np.ndarray":
-        """(rows, n) nearest cell ids; ties prefer the higher cell id."""
-        sims = Xn @ Cn.T
-        pos = np.argsort(-sims[:, ::-1], axis=1, kind="stable")[:, :n]
-        return m - 1 - pos
+        # The shared IVF cell rule (cosine over normalized rows, higher
+        # cell id wins ties) — see cosine_cells.
+        return cosine_cells(Xn, Cn, n)
 
     # (n_queries, n_cells) bool: does query j probe cell c?
     probe_mask = np.zeros((len(q_ids), m), dtype=bool)
@@ -389,6 +431,54 @@ def ivf_topk(
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_index_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 1,
+    n_probe: int = 4,
+    cell_col: str = "__ivf_cell",
+) -> DataFrame:
+    """IVF top-k over a PERSISTENT index: a corpus whose cell assignment
+    (``cell_col``, written by the ``ivf_insert`` incremental strategy
+    under the same ``cosine_cells`` rule) is stored as a PARTITION
+    column. The probe filters to the union of the queries' probe cells
+    BEFORE the scan, so partition pruning reads only ~n_probe/n_cells of
+    the data — the physical realization of "search only the probed
+    cells" that the in-closure masking of :func:`ivf_topk` cannot give.
+
+    Result-identical to ``ivf_topk(corpus, queries, centroids=C,
+    n_probe=n_probe)`` on the full corpus: pruning removes exactly the
+    rows whose cell no query probes, which the mask would discard anyway
+    (pinned by tests/test_ivf_index.py).
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(as_double_array(vec_col).alias("qvec"))
+        .collect()
+    )
+    if not q_rows:
+        return ivf_topk(
+            corpus.limit(0), queries, id_col, vec_col, k=k,
+            n_probe=n_probe, centroids=C,
+        )
+    Q = np.asarray([list(r["qvec"]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    probed = sorted(
+        {int(c) for c in cosine_cells(Qn, Cn, min(n_probe, C.shape[0])).ravel()}
+    )
+    pruned = corpus.filter(F.col(cell_col).isin(probed)).drop(cell_col)
+    return ivf_topk(
+        pruned, queries, id_col, vec_col, k=k, n_probe=n_probe, centroids=C
     )
 
 

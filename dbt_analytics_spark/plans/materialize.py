@@ -80,6 +80,8 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
                 project.spark.sql(
                     f"DROP TABLE IF EXISTS {project.qualified(node.name + suffix)}"
                 )
+        if kind == "incremental" and node.incremental_strategy == "ivf_insert":
+            return _ivf_initial_build(project, node, df)
         writer = df.write.mode("overwrite").format(node.file_format)
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)
@@ -352,10 +354,127 @@ def _apply_partition_pruned_merge(
     return spark.table(target).count()
 
 
+def _ivf_parts(node: "Node") -> tuple[str, ...]:
+    """Physical partition spec of an ivf_insert target: the user's
+    partition columns, then the cell — identical at initial build and
+    every append (a mismatched spec would corrupt the layout)."""
+    return (*node.partition_by, "__ivf_cell")
+
+
+def _ivf_initial_build(project: "Project", node: "Node", df: DataFrame) -> None:
+    """Initial build / full refresh of an ``ivf_insert`` target: train the
+    IVF centroids ONCE (RNG-free — deterministic hash-ordered sample, plus
+    optional Lloyd iterations), persist them to ``{name}__ivf_centroids``,
+    and write the corpus with its cell id as a PARTITION column so probes
+    get physical partition pruning (operators/similarity.py:
+    ivf_index_topk) — the 100 TB ANN shape: a probe reads
+    ~n_probe/n_cells of the data, and later batches index themselves
+    against the pinned centroids without ever re-training or re-scanning
+    the corpus (cost ∝ batch).
+
+    Durability order: centroids commit BEFORE the target. A crash in
+    between leaves a centroid table the retry simply overwrites — and
+    training is deterministic, so the rewrite is bit-identical; the
+    reverse order could commit a corpus with no model to index new
+    batches against. Re-training (new n_cells, fresher centroids) is a
+    full refresh by design — cells are part of the table's physical
+    contract, exactly like a bucket count.
+    """
+    import numpy as np
+
+    from ..operators import similarity as _sim
+
+    spark = project.spark
+    if not node.unique_key:
+        raise ValueError(f"ivf_insert strategy requires unique_key on {node.name}")
+    vec = node.ivf_vec_col
+    if vec not in df.columns:
+        raise ValueError(
+            f"ivf_insert: embedding column {vec!r} not in {node.name}"
+        )
+    kw = dict(node.ivf_kwargs or {})
+    n_cells = int(kw.get("n_cells", 16))
+    iters = int(kw.get("kmeans_iters", 0))
+    vecs = df.filter(F.col(vec).isNotNull())
+    if iters > 0:
+        C, _ = _sim.kmeans_fit(
+            vecs, node.unique_key, vec, n_cells=n_cells, max_iter=iters
+        )
+    else:
+        C = _sim._sample_centroids(vecs, node.unique_key, vec, n_cells)
+    cent_tbl = project.qualified(f"{node.name}__ivf_centroids")
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").format(node.file_format).saveAsTable(cent_tbl)
+    out = df.withColumn(
+        "__ivf_cell", _sim.ivf_cell_udf(C)(_sim.as_double_array(F.col(vec)))
+    )
+    (
+        out.write.mode("overwrite")
+        .format(node.file_format)
+        .partitionBy(*_ivf_parts(node))
+        .saveAsTable(project.qualified(node.name))
+    )
+    return None
+
+
+def _apply_ivf_insert(
+    project: "Project", node: "Node", existing: DataFrame, new_rows: DataFrame
+) -> int:
+    """Incremental ANN index maintenance: assign the batch to the PINNED
+    centroids (broadcast-sized model in the UDF closure) and append it
+    into the cell-partitioned target — one Arrow pass over the batch plus
+    one partitioned append; the corpus is never re-scanned or re-trained.
+    The anti-join on the unique key makes a re-emitted batch (crash after
+    the append committed) a no-op, and because the cell rides IN the
+    target row there is no separate index table to drift out of sync —
+    the dual-commit healing machinery dedup_insert needs does not apply.
+    (The centroid companion is written once at initial build and only
+    read here.)"""
+    import numpy as np
+
+    spark = project.spark
+    from ..operators import similarity as _sim
+
+    target = project.qualified(node.name)
+    cent_tbl = project.qualified(f"{node.name}__ivf_centroids")
+    if not spark.catalog.tableExists(cent_tbl):
+        raise ValueError(
+            f"ivf_insert: centroid table {cent_tbl} is missing — the model "
+            f"cannot be reconstructed from the corpus (training data is "
+            f"gone); run a full refresh to re-index {node.name}"
+        )
+    rows = spark.table(cent_tbl).orderBy("cell").collect()
+    C = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+    key = node.unique_key
+    fresh = new_rows.join(existing.select(key), key, "left_anti")
+    assigned = fresh.withColumn(
+        "__ivf_cell",
+        _sim.ivf_cell_udf(C)(_sim.as_double_array(F.col(node.ivf_vec_col))),
+    )
+    stored_cols = spark.table(target).columns
+    # The plan reads the target (anti-join) and the write appends to it —
+    # cut lineage first, exactly like dedup_insert's survivors.
+    assigned = assigned.select(*stored_cols).localCheckpoint(eager=True)
+    (
+        assigned.write.mode("append")
+        .format(node.file_format)
+        .partitionBy(*_ivf_parts(node))
+        .saveAsTable(target)
+    )
+    spark.catalog.refreshTable(target)
+    return spark.table(target).count()
+
+
 def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) -> int:
     target = project.qualified(node.name)
     existing = project.read_relation(node.name)
     strategy = node.incremental_strategy
+    if strategy == "ivf_insert":
+        # Dispatch before the schema-drift align: the stored __ivf_cell
+        # column is engine-owned (the batch gains it here), not drift.
+        return _apply_ivf_insert(project, node, existing, new_rows)
     post_commit = None  # dedup_insert defers companion-table writes here
 
     # Partition-pruned merge (below) also publishes via insertInto, which

@@ -68,7 +68,7 @@ class Node:
     path: str = ""
     checksum: str = ""
     unique_key: str | None = None
-    incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite | dedup_insert
+    incremental_strategy: str = "merge"  # append | merge | delete+insert | insert_overwrite | dedup_insert | ivf_insert
     #: dbt incremental_predicates (SP/.../incremental/merge.sql:1-96 —
     #: extra conjuncts AND'd into the MERGE ON clause): SQL predicates
     #: over target columns that scope which EXISTING rows participate in
@@ -90,6 +90,11 @@ class Node:
     #: forwarded to operators/dedup.py:dedup_against_corpus.
     dedup_text_col: str = "text"
     dedup_kwargs: dict | None = None
+    #: ivf_insert strategy: embedding column indexed into a persistent IVF
+    #: cell layout (centroids trained once at initial build, cell stored
+    #: as a partition column); kwargs: n_cells, kmeans_iters.
+    ivf_vec_col: str = "embedding"
+    ivf_kwargs: dict | None = None
     on_schema_change: str = "ignore"  # ignore | fail | append_new_columns | sync_all_columns
     event_time: str | None = None  # microbatch: event-time column
     batch_size: str = "day"  # microbatch: hour | day | month | year
@@ -141,6 +146,8 @@ class Node:
             "hard_deletes": self.hard_deletes,
             "dedup_text_col": self.dedup_text_col,
             "dedup_kwargs": dict(self.dedup_kwargs) if self.dedup_kwargs else None,
+            "ivf_vec_col": self.ivf_vec_col,
+            "ivf_kwargs": dict(self.ivf_kwargs) if self.ivf_kwargs else None,
             "on_schema_change": self.on_schema_change,
             "partition_by": list(self.partition_by),
             "bucket_by": list(self.bucket_by),
@@ -426,6 +433,8 @@ class Project:
         incremental_predicates: tuple[str, ...] = (),
         dedup_text_col: str = "text",
         dedup_kwargs: dict | None = None,
+        ivf_vec_col: str = "embedding",
+        ivf_kwargs: dict | None = None,
         on_schema_change: str = "ignore",
         event_time: str | None = None,
         batch_size: str = "day",
@@ -472,6 +481,8 @@ class Project:
                 incremental_predicates=tuple(incremental_predicates),
                 dedup_text_col=dedup_text_col,
                 dedup_kwargs=dict(dedup_kwargs) if dedup_kwargs else None,
+                ivf_vec_col=ivf_vec_col,
+                ivf_kwargs=dict(ivf_kwargs) if ivf_kwargs else None,
                 on_schema_change=on_schema_change,
                 event_time=event_time,
                 batch_size=batch_size,

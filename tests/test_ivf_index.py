@@ -1,0 +1,190 @@
+"""ivf_insert incremental strategy (plans/materialize.py) + the
+partition-pruned probe (operators/similarity.py: ivf_index_topk):
+persistent ANN index maintenance at ingest — centroids trained once,
+every batch assigns itself to the pinned cells and appends into the
+cell-partitioned target; probes read only the probed partitions.
+
+Contracts pinned here:
+- stored cells == ivf_topk's in-plan assignment (shared cosine_cells rule)
+- probe over the index == ivf_topk over the full corpus (result-identical)
+- re-emitted batch (retry after a committed append) inserts nothing
+- NULL embeddings keep their rows (cell -1) and never surface in probes
+- the probe's scan is partition-pruned on __ivf_cell
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_analytics_spark.operators.similarity import (
+    as_double_array,
+    cosine_cells,
+    ivf_index_topk,
+    ivf_topk,
+)
+from dbt_analytics_spark.plans import Project
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    # Deterministic, well-spread unit-ish vectors.
+    rng = [(i * 2654435761 + d * 40503) % 997 / 997.0 - 0.5 for d in range(dim)]
+    return [float(x) for x in rng]
+
+
+def _rows(ids):
+    return [(int(i), _vec(i), f"doc{i}") for i in ids]
+
+
+@pytest.fixture()
+def ivf_project(spark):
+    # The warehouse outlives each test: start from a clean slate so one
+    # test's index can't leak into the next (the node name is shared).
+    for t in ("vec_index", "vec_index__ivf_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    p = Project(spark, name="ivfp")
+    state = {"rows": _rows(range(40))}
+
+    @p.model(
+        materialized="incremental",
+        incremental_strategy="ivf_insert",
+        unique_key="vec_id",
+        ivf_vec_col="embedding",
+        ivf_kwargs={"n_cells": 4, "kmeans_iters": 2},
+        name="vec_index",
+    )
+    def vec_index(ctx):
+        return ctx.spark.createDataFrame(
+            state["rows"], ["vec_id", "embedding", "payload"]
+        )
+
+    return p, state
+
+
+def _rerun(spark, p, state):
+    p2 = Project(spark, name="ivfp")
+    p2.nodes = p.nodes
+    p2.run(select="vec_index")
+    return p2
+
+
+def test_ivf_insert_builds_and_appends_with_pinned_cells(spark, ivf_project):
+    p, state = ivf_project
+    p.run(select="vec_index")
+    assert spark.table("vec_index").count() == 40
+    assert spark.catalog.tableExists("vec_index__ivf_centroids")
+    cent = spark.table("vec_index__ivf_centroids").orderBy("cell").collect()
+    C = np.asarray([list(r["centroid"]) for r in cent])
+    assert C.shape == (4, 8)
+
+    # Incremental batch: new ids 40..59 (plus overlap 0..4 that must not
+    # duplicate: retry/idempotence guard).
+    state["rows"] = _rows(range(0, 5)) + _rows(range(40, 60))
+    _rerun(spark, p, state)
+    got = sorted(r["vec_id"] for r in spark.table("vec_index").collect())
+    assert got == list(range(60))
+
+    # Stored cells match the shared cosine rule for EVERY row (initial +
+    # appended batches alike).
+    rows = spark.table("vec_index").select("vec_id", "embedding", "__ivf_cell").collect()
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    for r in rows:
+        v = np.asarray(list(r["embedding"]), dtype=np.float64)[None, :]
+        vn = v / np.maximum(np.linalg.norm(v), 1e-300)
+        assert r["__ivf_cell"] == int(cosine_cells(vn, Cn, 1)[0, 0]), r["vec_id"]
+
+    # Centroids were NOT retrained by the append.
+    cent2 = spark.table("vec_index__ivf_centroids").orderBy("cell").collect()
+    assert [list(r["centroid"]) for r in cent2] == [list(r["centroid"]) for r in cent]
+
+
+def test_ivf_insert_retry_batch_is_noop(spark, ivf_project):
+    p, state = ivf_project
+    p.run(select="vec_index")
+    state["rows"] = _rows(range(40, 50))
+    _rerun(spark, p, state)
+    n1 = spark.table("vec_index").count()
+    _rerun(spark, p, state)  # same batch re-emitted (crash-retry shape)
+    assert spark.table("vec_index").count() == n1 == 50
+
+
+def test_probe_equals_full_ivf_and_prunes_partitions(spark, ivf_project):
+    p, state = ivf_project
+    p.run(select="vec_index")
+    state["rows"] = _rows(range(40, 60))
+    _rerun(spark, p, state)
+
+    cent = spark.table("vec_index__ivf_centroids").orderBy("cell").collect()
+    C = np.asarray([list(r["centroid"]) for r in cent])
+    corpus = spark.table("vec_index")
+    queries = spark.createDataFrame(
+        [(1000 + i, _vec(1000 + i)) for i in range(3)], ["vec_id", "embedding"]
+    )
+
+    via_index = ivf_index_topk(
+        corpus, queries, C, k=3, n_probe=2
+    ).collect()
+    full = ivf_topk(
+        corpus.drop("__ivf_cell", "payload"),
+        queries,
+        k=3,
+        n_probe=2,
+        centroids=C,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["corpus_id"], round(r["cosine_sim"], 12), r["rank"]) for r in via_index]
+    ) == sorted(
+        [(r["query_id"], r["corpus_id"], round(r["cosine_sim"], 12), r["rank"]) for r in full]
+    )
+
+    # Physical contract: the probe's corpus scan carries a partition
+    # filter on __ivf_cell (reads ~n_probe/n_cells of the table).
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    qv = np.asarray([_vec(1000 + i) for i in range(3)])
+    qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-300)
+    probed = sorted({int(c) for c in cosine_cells(qn, Cn, 2).ravel()})
+    pruned = corpus.filter(F.col("__ivf_cell").isin(probed))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__ivf_cell" in plan and "PartitionFilters" in plan, plan
+    assert len(probed) < 4  # the probe genuinely skipped cells
+
+
+def test_null_embeddings_kept_in_cell_minus_one_never_probed(spark, ivf_project):
+    p, state = ivf_project
+    p.run(select="vec_index")
+    state["rows"] = [(99, None, "nullvec")] + _rows([98])
+    _rerun(spark, p, state)
+    cells = {
+        r["vec_id"]: r["__ivf_cell"]
+        for r in spark.table("vec_index").filter(F.col("vec_id").isin(98, 99)).collect()
+    }
+    assert cells[99] == -1 and cells[98] >= 0
+    cent = spark.table("vec_index__ivf_centroids").orderBy("cell").collect()
+    C = np.asarray([list(r["centroid"]) for r in cent])
+    queries = spark.createDataFrame([(1, _vec(7))], ["vec_id", "embedding"])
+    out = ivf_index_topk(
+        spark.table("vec_index"), queries, C, k=100, n_probe=4
+    ).collect()
+    assert 99 not in {r["corpus_id"] for r in out}
+
+
+def test_missing_centroids_fails_loud_and_full_refresh_reindexes(spark, ivf_project):
+    p, state = ivf_project
+    p.run(select="vec_index")
+    spark.sql("DROP TABLE vec_index__ivf_centroids")
+    state["rows"] = _rows(range(40, 45))
+    p2 = Project(spark, name="ivfp")
+    p2.nodes = p.nodes
+    res = {r.node: r for r in p2.run(select="vec_index")}
+    assert res["vec_index"].status == "error"
+    assert "full refresh" in res["vec_index"].message
+    # Nothing half-appended by the failed run.
+    assert spark.table("vec_index").count() == 40
+    # Full refresh retrains + rewrites.
+    p3 = Project(spark, name="ivfp", full_refresh=True)
+    p3.nodes = p.nodes
+    p3.run(select="vec_index")
+    assert spark.table("vec_index").count() == 5
+    assert spark.catalog.tableExists("vec_index__ivf_centroids")
