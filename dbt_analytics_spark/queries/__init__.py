@@ -315,6 +315,14 @@ _BEYOND_DRIVER_CAP = [
     "t3_normalize",
     "p5_coalesce",
     "d1_date_trunc",
+    # sim6 (round-9 session 3): the persistent ivf_insert index —
+    # bootstrap on half the corpus, incremental append of the other half
+    # against the pinned centroids, partition-pruned probe of the stored
+    # cells — in its exact all-cells-probed regime under sim3b's oracle.
+    # Local-gate evidence; the ANN family keeps sim1/sim3/sim3b/sim2b
+    # driver rows and the strategy itself is crash/idempotence-tested in
+    # tests/test_ivf_index.py.
+    "sim6_ivf_index_exact",
     # smp7 (round-9 session 3): leakage-aware train/val/test split —
     # near-dup clusters (dd7's components) assigned wholly to one split
     # via the smp1 portable md5 draw. Fully oracled in the local gate;

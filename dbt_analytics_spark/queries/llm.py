@@ -460,6 +460,76 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# SIM6 — the PERSISTENT IVF index (ivf_insert incremental strategy,
+# plans/materialize.py) in its exact regime: the index bootstraps from
+# half the corpus, the other half arrives as an incremental batch
+# (assigned to the PINNED centroids and appended into the
+# cell-partitioned table), and the probe reads the stored partitions
+# with n_probe = n_cells — all cells probed ⇒ identical to brute force,
+# so the whole bootstrap→insert→partition-pruned-probe pipeline
+# hash-checks against the plain SQL oracle (sim3b's). The driver row
+# therefore certifies index MAINTENANCE, not just search.
+# ---------------------------------------------------------------------------
+
+def sim6_ivf_index_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..plans import Project
+    from ..plans.star_layout import _tag, _warehouse_path
+
+    emb = load_testdata(spark, sf_dir)["embeddings"]
+    name = f"ivf_index_{_tag(sf_dir)}_v1"
+    cent_tbl = f"{name}__ivf_centroids"
+    if not spark.catalog.tableExists(name):
+        # Warehouse files may survive a previous session whose in-memory
+        # catalog is gone; a partitioned managed table cannot re-register
+        # over them (and rebuilding at driver scale is seconds) — clear
+        # and rebuild.
+        for t in (name, cent_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(_warehouse_path(spark, t), ignore_errors=True)
+        state = {"df": emb.filter(F.col("vec_id") % 2 == 0)}
+        p = Project(spark, name="sim6")
+
+        @p.model(
+            materialized="incremental",
+            incremental_strategy="ivf_insert",
+            unique_key="vec_id",
+            ivf_kwargs={"n_cells": 16, "kmeans_iters": 2},
+            name=name,
+        )
+        def _node(ctx):
+            return state["df"]
+
+        p.run(select=name)  # bootstrap: train + write even half
+        state["df"] = emb.filter(F.col("vec_id") % 2 == 1)
+        p2 = Project(spark, name="sim6")
+        p2.nodes = p.nodes
+        p2.run(select=name)  # incremental: odd half against pinned cells
+
+    import numpy as np
+
+    C = np.asarray(
+        [
+            list(r["centroid"])
+            for r in spark.table(cent_tbl).orderBy("cell").collect()
+        ]
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.ivf_index_topk(
+        spark.table(name).drop("label"), queries, C, k=3, n_probe=16
+    )
+    # Rounded-score convention — same rationale as sim3b (IVF scores via
+    # normalize-then-BLAS; ranking stays on unrounded values).
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round("cosine_sim", 6).alias("cosine_sim_r"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # SIM4 — product-quantization ADC top-k with exact re-rank (rows-only;
 # recall measured in tests against SIM1). The 100 TB memory-bound path:
 # pq_encode compresses 256 B float vectors to 8 one-byte codes. Production
@@ -2419,6 +2489,7 @@ REGISTRY = {
     "sim5_kmeans_clusters": (sim5_kmeans_clusters, None),
     "sim5b_kmeans_assign": (sim5b_kmeans_assign, SIM5B_SQL),
     "sim3b_ivf_exact": (sim3b_ivf_exact, SIM3B_SQL),
+    "sim6_ivf_index_exact": (sim6_ivf_index_exact, SIM3B_SQL),
     "sim2b_lsh_exact": (sim2b_lsh_exact, SIM2B_SQL),
     "dd10_exact_substring": (dd10_exact_substring, DD10_SQL),
     "dd12_span_dedup": (dd12_span_dedup, DD12_SQL),
