@@ -6,5 +6,6 @@ from .incremental import (  # noqa: F401
     sessionized_counts_stateful,
     stream_dedup_ingest,
     stream_from_parquet_dir,
+    stream_ivf_ingest,
     watermarked_window_agg,
 )

@@ -531,6 +531,122 @@ def stream_dedup_ingest(
             spark.catalog.refreshTable(t)
 
 
+def stream_ivf_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    target_table: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    kmeans_iters: int = 0,
+    query_name: str = "stream_ivf_ingest",
+) -> None:
+    """Streaming ANN-index ingest — the embedding-side sibling of
+    :func:`stream_dedup_ingest`: ``readStream`` over a landing directory,
+    ``foreachBatch`` maintaining the persistent IVF index of the batch
+    dedicated ``ivf_insert`` strategy (plans/materialize.py). The first
+    batch trains the centroids (RNG-free; committed BEFORE the target)
+    and bootstraps the cell-PARTITIONED target; every later batch
+    anti-joins on ``id_col`` (the replay guard), assigns itself to the
+    pinned broadcast centroids in one Arrow pass, and appends into its
+    cell partitions. Probes read the table through
+    ``operators/similarity.py: ivf_index_topk`` (partition-pruned).
+
+    Delivery semantics: effectively-once with exactly ONE data write per
+    batch — a replayed batch anti-joins to nothing, and a bootstrap
+    replay retrains deterministically over the same batch — so none of
+    the multi-write commit-marker machinery stream_dedup_ingest needs
+    applies here. Per-batch cost: one skinny id anti-join against the
+    target plus one Arrow pass over the batch; the corpus is never
+    re-scanned or re-trained (re-training is a deliberate rebuild, as
+    with any physical layout change).
+    """
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        _ivf_ingest_batch(
+            batch, target_table, id_col, vec_col, n_cells, kmeans_iters
+        )
+
+    q = (
+        stream_from_parquet_dir(spark, source_dir)
+        .writeStream.queryName(query_name)
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for suffix in ("", "__ivf_centroids"):
+        t = f"{target_table}{suffix}"
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)
+
+
+def _ivf_ingest_batch(
+    batch: DataFrame,
+    target: str,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    kmeans_iters: int,
+) -> None:
+    import numpy as np
+
+    from ..operators import similarity as _sim
+
+    s = batch.sparkSession
+    cent_tbl = f"{target}__ivf_centroids"
+    cell = _sim.ivf_cell_udf
+    if not s.catalog.tableExists(target):
+        vecs = batch.filter(F.col(vec_col).isNotNull())
+        if kmeans_iters > 0:
+            C, _ = _sim.kmeans_fit(
+                vecs, id_col, vec_col, n_cells=n_cells, max_iter=kmeans_iters
+            )
+        else:
+            C = _sim._sample_centroids(vecs, id_col, vec_col, n_cells)
+        s.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").saveAsTable(cent_tbl)
+        (
+            batch.withColumn(
+                "__ivf_cell", cell(C)(_sim.as_double_array(F.col(vec_col)))
+            )
+            .write.mode("overwrite")
+            .partitionBy("__ivf_cell")
+            .saveAsTable(target)
+        )
+        return
+    if not s.catalog.tableExists(cent_tbl):
+        raise ValueError(
+            f"stream_ivf_ingest: centroid table {cent_tbl} is missing — "
+            f"drop {target} and re-ingest to re-index"
+        )
+    C = np.asarray(
+        [
+            list(r["centroid"])
+            for r in s.table(cent_tbl).orderBy("cell").collect()
+        ],
+        dtype=np.float64,
+    )
+    fresh = batch.join(s.table(target).select(id_col), id_col, "left_anti")
+    assigned = fresh.withColumn(
+        "__ivf_cell", cell(C)(_sim.as_double_array(F.col(vec_col)))
+    )
+    stored_cols = s.table(target).columns
+    # The plan reads the target (anti-join) and appends to it — cut
+    # lineage first.
+    assigned = assigned.select(*stored_cols).localCheckpoint(eager=True)
+    (
+        assigned.write.mode("append")
+        .partitionBy("__ivf_cell")
+        .saveAsTable(target)
+    )
+    s.catalog.refreshTable(target)
+
+
 def _stored_keys_overlapping(
     stored: DataFrame, key: str, batch_keys: DataFrame
 ) -> DataFrame:

@@ -188,3 +188,57 @@ def test_missing_centroids_fails_loud_and_full_refresh_reindexes(spark, ivf_proj
     p3.run(select="vec_index")
     assert spark.table("vec_index").count() == 5
     assert spark.catalog.tableExists("vec_index__ivf_centroids")
+
+
+def test_stream_ivf_ingest_end_to_end(spark, tmp_path):
+    """Streaming sibling: two availableNow drains — batch 1 trains the
+    centroids and bootstraps the cell-partitioned target, batch 2 appends
+    against the PINNED model, the checkpoint prevents reprocessing, and a
+    direct batch replay is a no-op (anti-join idempotence)."""
+    import uuid
+
+    from dbt_analytics_spark.streaming import stream_ivf_ingest
+    from dbt_analytics_spark.streaming.incremental import _ivf_ingest_batch
+
+    tbl = f"ivfstream_{uuid.uuid4().hex[:8]}"
+    src, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        _rows(range(20)), ["vec_id", "embedding", "payload"]
+    ).write.mode("overwrite").parquet(src)
+    stream_ivf_ingest(spark, src, tbl, ckpt, n_cells=4, kmeans_iters=1)
+    assert spark.table(tbl).count() == 20
+    cent = [
+        list(r["centroid"])
+        for r in spark.table(f"{tbl}__ivf_centroids").orderBy("cell").collect()
+    ]
+
+    spark.createDataFrame(
+        _rows(range(20, 35)), ["vec_id", "embedding", "payload"]
+    ).write.mode("append").parquet(src)
+    stream_ivf_ingest(spark, src, tbl, ckpt, n_cells=4, kmeans_iters=1)
+    assert sorted(r["vec_id"] for r in spark.table(tbl).collect()) == list(range(35))
+    cent2 = [
+        list(r["centroid"])
+        for r in spark.table(f"{tbl}__ivf_centroids").orderBy("cell").collect()
+    ]
+    assert cent2 == cent  # model pinned, not retrained by later batches
+
+    # checkpoint: re-drain with no new files is a no-op
+    stream_ivf_ingest(spark, src, tbl, ckpt, n_cells=4, kmeans_iters=1)
+    assert spark.table(tbl).count() == 35
+
+    # at-least-once replay of an already-committed batch: no duplicates
+    replay = spark.createDataFrame(
+        _rows(range(20, 35)), ["vec_id", "embedding", "payload"]
+    )
+    _ivf_ingest_batch(replay, tbl, "vec_id", "embedding", 4, 1)
+    assert spark.table(tbl).count() == 35
+
+    # stored cells follow the shared rule for streamed rows too
+    C = np.asarray(cent)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    for r in spark.table(tbl).filter("vec_id in (3, 27)").collect():
+        v = np.asarray(list(r["embedding"]))[None, :]
+        vn = v / np.maximum(np.linalg.norm(v), 1e-300)
+        assert r["__ivf_cell"] == int(cosine_cells(vn, Cn, 1)[0, 0])
