@@ -242,3 +242,69 @@ def test_stream_ivf_ingest_end_to_end(spark, tmp_path):
         v = np.asarray(list(r["embedding"]))[None, :]
         vn = v / np.maximum(np.linalg.norm(v), 1e-300)
         assert r["__ivf_cell"] == int(cosine_cells(vn, Cn, 1)[0, 0])
+
+
+def test_ivf_insert_configurable_from_sql_model(spark, tmp_path):
+    # The strategy must be reachable from the reference user's surface: a
+    # models/*.sql file whose config() header declares ivf_insert.
+    import uuid
+
+    from dbt_analytics_spark.plans.sql_models import register_sql_model
+
+    name = f"sql_ivf_{uuid.uuid4().hex[:8]}"
+    for t in (name, f"{name}__ivf_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    p = Project(spark, name="ivfsql")
+    p.source_table(
+        "raw_vecs",
+        spark.createDataFrame(_rows(range(30)), ["vec_id", "embedding", "payload"]),
+    )
+    sql = (
+        "{{ config(materialized='incremental', "
+        "incremental_strategy='ivf_insert', unique_key='vec_id', "
+        "ivf_kwargs={'n_cells': 4, 'kmeans_iters': 1}) }}\n"
+        "SELECT * FROM {{ ref('raw_vecs') }}"
+    )
+    register_sql_model(p, sql, name)
+    p.run(select=name)
+    assert spark.table(name).count() == 30
+    assert spark.catalog.tableExists(f"{name}__ivf_centroids")
+    assert "__ivf_cell" in spark.table(name).columns
+
+
+def test_ivf_index_compaction_preserves_cells_and_pruning(spark, ivf_project):
+    # Many small appends -> many files per cell partition; compact_table
+    # must shrink the file count WITHOUT disturbing cell membership or
+    # the partition layout the probe prunes on.
+    from dbt_analytics_spark.plans.compaction import compact_table, table_file_stats
+
+    p, state = ivf_project
+    p.run(select="vec_index")
+    for lo in range(40, 80, 10):  # four small appends
+        state["rows"] = _rows(range(lo, lo + 10))
+        _rerun(spark, p, state)
+    before = {
+        (r["vec_id"], r["__ivf_cell"])
+        for r in spark.table("vec_index").collect()
+    }
+    files_before, _ = table_file_stats(spark, "vec_index")
+    report = compact_table(
+        spark, "vec_index", target_file_bytes=64 * 1024 * 1024
+    )
+    assert report["compacted"], report
+    files_after, _ = table_file_stats(spark, "vec_index")
+    assert files_after < files_before
+    after = {
+        (r["vec_id"], r["__ivf_cell"])
+        for r in spark.table("vec_index").collect()
+    }
+    assert after == before
+    # Partition pruning still applies post-compaction.
+    plan = (
+        spark.table("vec_index")
+        .filter(F.col("__ivf_cell") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "__ivf_cell" in plan
