@@ -428,6 +428,50 @@ def load_project(
                 node.materialized = "ephemeral"
                 node.path = os.path.join(root, f)
 
+    # tests/ (test-paths): dbt SINGULAR data tests — each .sql file is a
+    # violations SELECT rendered with ref()/source() at test time; pass
+    # iff it returns 0 rows (reference: dbt singular tests —
+    # SP/dbt/parser/singular_test.py; same pass/fail contract as the
+    # generic tests' compiled SELECTs). A config() header supports
+    # severity/store_failures like schema-file tests.
+    from .plans.sql_models import _REF_RE, _SOURCE_RE, parse_config
+
+    for test_dir in cfg.get("test-paths", ["tests"]):
+        tdir = os.path.join(project_dir, test_dir)
+        if not os.path.isdir(tdir):
+            continue
+        for root, _dirs, files in sorted(os.walk(tdir)):
+            for f in sorted(files):
+                if not f.endswith(".sql"):
+                    continue
+                tname = f[: -len(".sql")]
+                with open(os.path.join(root, f)) as fh:
+                    raw = fh.read()
+                tcfg, body = parse_config(raw)
+                refs = _REF_RE.findall(body)
+                anchors = [r[0] if isinstance(r, tuple) else r for r in refs]
+                if not anchors:
+                    # dbt anchors a singular test to its ref graph; with
+                    # no refs there is nothing to select/run it against.
+                    raise ValueError(
+                        f"singular test {tname!r} must reference at least "
+                        "one model via ref()"
+                    )
+                config: dict[str, Any] = {}
+                if tcfg.pop("severity", "error") == "warn":
+                    config["error_if"] = lambda _n: False
+                    config["warn_if"] = lambda n: n != 0
+                if tcfg.pop("store_failures", False):
+                    config["store_failures"] = True
+
+                def _violations(_df, _body=body):
+                    # Late-rendered: ref() reads the MATERIALIZED relation
+                    # at test time (dbt semantics), and the anchor df is
+                    # ignored — a singular test is its own SELECT.
+                    return project.query(_body)
+
+                project.test(anchors[0], tname, _violations, **config)
+
     sel_path = os.path.join(project_dir, "selectors.yml")
     if os.path.exists(sel_path):
         project.load_selectors(sel_path)

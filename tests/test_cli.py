@@ -782,3 +782,44 @@ metrics:
     # Feb's filled 0 (time shift), not Jan's 10 (row lag).
     assert "2025-02" in out
     assert "-10.0" in out and "5.0" in out
+
+
+def test_cli_singular_data_tests(project_dir, spark, capsys):
+    # dbt singular tests: tests/*.sql files, each a violations SELECT
+    # rendered with ref(); pass iff 0 rows, config() header honors
+    # severity like schema tests.
+    _write(
+        os.path.join(project_dir, "tests", "no_negative_totals.sql"),
+        "SELECT * FROM {{ ref('seg_spend') }} WHERE total < 0",
+    )
+    _write(
+        os.path.join(project_dir, "tests", "warn_small_corpus.sql"),
+        "{{ config(severity='warn') }}\n"
+        "SELECT * FROM {{ ref('seg_spend') }} WHERE total > 1",
+    )
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_sing")
+    assert rc == 0
+    rc = _run(spark, ["test", "--project-dir", project_dir], "cli_sing")
+    assert rc == 0  # violations test passes; warn test warns, not errors
+    rr = json.load(open(os.path.join(project_dir, "target", "run_results.json")))
+    by_id = {r["unique_id"]: r["status"] for r in rr["results"]}
+    assert by_id["no_negative_totals__seg_spend"] == "success"
+    assert by_id["warn_small_corpus__seg_spend"] == "warn"
+
+    # An error-severity singular test with violations fails the command.
+    _write(
+        os.path.join(project_dir, "tests", "strict_totals.sql"),
+        "SELECT * FROM {{ ref('seg_spend') }} WHERE total > 1",
+    )
+    rc = _run(spark, ["test", "--project-dir", project_dir], "cli_sing")
+    assert rc != 0
+
+
+def test_cli_singular_test_without_ref_fails_loud(tmp_path, spark):
+    d = str(tmp_path / "sing_proj")
+    _write(os.path.join(d, "dbt_project.yml"), "name: sing_proj\n")
+    _write(
+        os.path.join(d, "tests", "orphan.sql"), "SELECT 1 WHERE 1 = 0"
+    )
+    with pytest.raises(ValueError, match="ref"):
+        _run(spark, ["test", "--project-dir", d], "cli_sing2")
