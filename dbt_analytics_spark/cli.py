@@ -428,6 +428,15 @@ def load_project(
                 node.materialized = "ephemeral"
                 node.path = os.path.join(root, f)
 
+    # macros/ (macro-paths): {% macro %} blocks become SQL-fragment
+    # macros usable from any model SQL and from `run-operation`.
+    from .plans.sql_models import load_macros_dir
+
+    for macro_dir in cfg.get("macro-paths", ["macros"]):
+        madir = os.path.join(project_dir, macro_dir)
+        if os.path.isdir(madir):
+            load_macros_dir(project, madir)
+
     # tests/ (test-paths): dbt SINGULAR data tests — each .sql file is a
     # violations SELECT rendered with ref()/source() at test time; pass
     # iff it returns 0 rows (reference: dbt singular tests —
@@ -784,6 +793,15 @@ def build_parser() -> argparse.ArgumentParser:
     docs.add_argument("action", choices=["generate"])
     src = sub.add_parser("source", parents=[common], help="source subcommands")
     src.add_argument("action", choices=["freshness"])
+    rop = sub.add_parser(
+        "run-operation",
+        parents=[common],
+        help="invoke a project macro (renders to SQL, executes, prints rows)",
+    )
+    rop.add_argument("macro")
+    rop.add_argument(
+        "--args", default="{}", help="YAML/JSON dict of macro kwargs"
+    )
     sub.add_parser("retry", parents=[common], help="re-run failures from last run_results.json")
     sub.add_parser("debug", parents=[common], help="check project/session health")
     sub.add_parser("clean", parents=[common], help="remove the target directory")
@@ -853,6 +871,26 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
             return _cmd_docs(project, args, target_dir)
         if cmd == "source":
             return _cmd_source_freshness(project, args, target_dir)
+        if cmd == "run-operation":
+            # dbt run-operation: invoke a macro for its side effects /
+            # result (reference: SP/dbt/task/run_operation.py). The macro
+            # renders to SQL (param substitution), then executes through
+            # the same ref()/source()-aware renderer as models.
+            import yaml as _yaml
+
+            if args.macro not in project.sql_macros:
+                known = ", ".join(sorted(project.sql_macros)) or "(none)"
+                print(f"Unknown macro {args.macro!r}. Known macros: {known}")
+                return 2
+            kwargs = _yaml.safe_load(args.args) or {}
+            if not isinstance(kwargs, dict):
+                print("--args must be a YAML/JSON mapping")
+                return 2
+            sql = project.sql_macros[args.macro](**kwargs)
+            df = project.query(str(sql))
+            for row in df.limit(50).collect():
+                print(row.asDict())
+            return 0
         if cmd == "retry":
             return _cmd_retry(project, target_dir)
         if cmd == "debug":

@@ -271,6 +271,100 @@ def register_sql_snapshot(
     return name
 
 
+_MACRO_DEF_RE = re.compile(
+    r"\{%-?\s*macro\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(([^)]*)\)\s*-?%\}"
+    r"(.*?)\{%-?\s*endmacro\s*-?%\}",
+    re.S,
+)
+
+
+def load_macros_dir(project: "Project", path: str) -> list[str]:
+    """Load dbt macro FILES (``macros/*.sql``, ``{% macro name(params)
+    %} body {% endmacro %}`` blocks — reference: dbt macro-paths;
+    SP/dbt/parser/macros.py) into ``Project.sql_macros``. Parameter
+    references (``{{ param }}``) substitute the call-site value's string
+    form (dbt Jinja semantics); everything ELSE in the body — ``ref()``,
+    ``source()``, ``var()``, calls to other macros — is left intact for
+    model-render time, so file macros compose exactly like
+    programmatically registered ones (the dbt_utils idiom). Defaults use
+    Python/Jinja literal syntax (``{% macro f(x, y=3) %}``); call sites
+    bind positionally (model SQL) or by keyword (``run-operation``)."""
+    import os
+
+    names: list[str] = []
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if not f.endswith(".sql"):
+                continue
+            with open(os.path.join(root, f)) as fh:
+                text = fh.read()
+            for m in _MACRO_DEF_RE.finditer(text):
+                mname, params_src, body = (
+                    m.group(1),
+                    m.group(2),
+                    m.group(3).strip(),
+                )
+                params: list[str] = []
+                defaults: dict[str, object] = {}
+                for p in params_src.split(","):
+                    p = p.strip()
+                    if not p:
+                        continue
+                    if "=" in p:
+                        pname, dflt = p.split("=", 1)
+                        pname = pname.strip()
+                        raw = dflt.strip()
+                        # Jinja's none/true/false spellings beside Python
+                        # literals.
+                        defaults[pname] = {
+                            "none": None, "true": True, "false": False
+                        }.get(raw, ...)
+                        if defaults[pname] is ...:
+                            defaults[pname] = ast.literal_eval(raw)
+                    else:
+                        pname = p
+                    params.append(pname)
+
+                def macro_fn(
+                    *args,
+                    _name=mname,
+                    _params=tuple(params),
+                    _defaults=dict(defaults),
+                    _body=body,
+                    **kwargs,
+                ):
+                    if len(args) > len(_params):
+                        raise TypeError(
+                            f"macro {_name}: takes {len(_params)} args, "
+                            f"got {len(args)}"
+                        )
+                    bound = dict(_defaults)
+                    bound.update(zip(_params, args))
+                    for k, v in kwargs.items():
+                        if k not in _params:
+                            raise TypeError(
+                                f"macro {_name}: unknown argument {k!r}"
+                            )
+                        bound[k] = v
+                    missing = [p for p in _params if p not in bound]
+                    if missing:
+                        raise TypeError(
+                            f"macro {_name}: missing arguments {missing}"
+                        )
+                    out = _body
+                    for pname, val in bound.items():
+                        out = re.sub(
+                            r"\{\{\s*" + re.escape(pname) + r"\s*\}\}",
+                            str(val),
+                            out,
+                        )
+                    return out
+
+                project.sql_macros[mname] = macro_fn
+                names.append(mname)
+    return names
+
+
 def load_sql_snapshots_dir(project: "Project", path: str) -> list[str]:
     """Register every ``*.sql`` under ``path`` as a snapshot — the dbt
     ``snapshots/`` directory layout."""

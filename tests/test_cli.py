@@ -823,3 +823,57 @@ def test_cli_singular_test_without_ref_fails_loud(tmp_path, spark):
     )
     with pytest.raises(ValueError, match="ref"):
         _run(spark, ["test", "--project-dir", d], "cli_sing2")
+
+
+def test_cli_macros_dir_and_run_operation(project_dir, spark, capsys):
+    # macros/*.sql {% macro %} blocks register as SQL-fragment macros:
+    # usable from model SQL (render-time expansion) AND invocable via
+    # `run-operation` with YAML kwargs.
+    _write(
+        os.path.join(project_dir, "macros", "helpers.sql"),
+        """
+{% macro cents(col) %}CAST({{ col }} * 100 AS BIGINT){% endmacro %}
+
+{% macro seg_rollup(min_total=0) %}
+SELECT seg, SUM(total) AS total
+FROM {{ ref('seg_spend') }}
+WHERE total >= {{ min_total }}
+GROUP BY seg
+{% endmacro %}
+""",
+    )
+    _write(
+        os.path.join(project_dir, "models", "cents_model.sql"),
+        "SELECT txn_id, {{ cents('amount') }} AS amount_cents "
+        "FROM {{ ref('stg_txns') }}",
+    )
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_mac")
+    assert rc == 0
+    got = {
+        r["txn_id"]: r["amount_cents"]
+        for r in spark.table("cli_mac.cents_model").collect()
+    }
+    assert got[1] == 1000  # 10.0 -> 1000 cents via the file macro
+
+    capsys.readouterr()
+    rc = _run(
+        spark,
+        [
+            "run-operation", "seg_rollup", "--args", "{min_total: 8}",
+            "--project-dir", project_dir,
+        ],
+        "cli_mac",
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'seg': 'a'" in out and "30.0" in out
+    # seg c (total 7.0) filtered by min_total=8
+    assert "'seg': 'c'" not in out
+
+    # unknown macro: loud failure, lists known names
+    rc = _run(
+        spark,
+        ["run-operation", "nope", "--project-dir", project_dir],
+        "cli_mac",
+    )
+    assert rc == 2
