@@ -785,6 +785,15 @@ def build_parser() -> argparse.ArgumentParser:
     ls = sub.add_parser("ls", parents=[common, sel], aliases=["list"], help="list selected nodes")
     ls.add_argument("--output", choices=["name", "json"], default="name")
     sub.add_parser("compile", parents=[common, sel], help="compile the DAG, write manifest")
+    sub.add_parser(
+        "parse",
+        parents=[common],
+        help="load + compile the project, write the manifest — no execution",
+    )
+    ini = sub.add_parser(
+        "init", parents=[common], help="scaffold a new project directory"
+    )
+    ini.add_argument("project_name")
     show = sub.add_parser("show", parents=[common], help="preview a node or inline SQL")
     show.add_argument("node", nargs="?", default=None)
     show.add_argument("-n", "--limit", type=int, default=5)
@@ -833,6 +842,33 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
     project_dir = args.project_dir
     target_dir = args.target_dir or os.path.join(project_dir, "target")
 
+    if args.command == "init":
+        # dbt init: scaffold a runnable project tree (reference:
+        # SP/dbt/task/init.py — starter project). Runs before any project
+        # load: the project does not exist yet.
+        root = os.path.join(project_dir, args.project_name)
+        if os.path.exists(root):
+            print(f"{root} already exists", file=sys.stderr)
+            return 2
+        for sub_dir in (
+            "models", "seeds", "tests", "macros", "analyses", "snapshots"
+        ):
+            os.makedirs(os.path.join(root, sub_dir), exist_ok=True)
+        with open(os.path.join(root, "dbt_project.yml"), "w") as f:
+            f.write(
+                f"name: {args.project_name}\n"
+                "model-paths: [models]\nseed-paths: [seeds]\n"
+                "test-paths: [tests]\nmacro-paths: [macros]\n"
+                "analysis-paths: [analyses]\nsnapshot-paths: [snapshots]\n"
+            )
+        with open(os.path.join(root, "models", "example.sql"), "w") as f:
+            f.write(
+                "{{ config(materialized='table') }}\n"
+                "SELECT 1 AS id, 'hello' AS greeting\n"
+            )
+        print(f"Created project {args.project_name!r} at {root}")
+        return 0
+
     owns_spark = spark is None
     if spark is None:
         from .session import get_spark
@@ -871,6 +907,20 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
             return _cmd_docs(project, args, target_dir)
         if cmd == "source":
             return _cmd_source_freshness(project, args, target_dir)
+        if cmd == "parse":
+            # dbt parse: full load + compile + manifest, zero execution
+            # (reference: SP/dbt/task/parse.py) — the CI "is the project
+            # well-formed" gate.
+            project.compile()
+            os.makedirs(target_dir, exist_ok=True)
+            project.write_manifest(os.path.join(target_dir, "manifest.json"))
+            for n, e in sorted(project._compile_errors.items()):
+                print(f"Parse error in {n}: {e}")
+            print(
+                f"Parsed {len(project.nodes)} nodes "
+                f"({len(project._compile_errors)} errors)"
+            )
+            return 1 if project._compile_errors else 0
         if cmd == "run-operation":
             # dbt run-operation: invoke a macro for its side effects /
             # result (reference: SP/dbt/task/run_operation.py). The macro

@@ -877,3 +877,32 @@ GROUP BY seg
         "cli_mac",
     )
     assert rc == 2
+
+
+def test_cli_init_then_run_then_parse(tmp_path, spark, capsys):
+    # init scaffolds a runnable starter project; parse validates without
+    # executing; run builds the example model.
+    base = str(tmp_path)
+    rc = main(["init", "newproj", "--project-dir", base], spark=spark)
+    assert rc == 0
+    d = os.path.join(base, "newproj")
+    assert os.path.exists(os.path.join(d, "dbt_project.yml"))
+    rc = _run(spark, ["parse", "--project-dir", d], "cli_init")
+    assert rc == 0
+    rc = _run(spark, ["run", "--project-dir", d], "cli_init")
+    assert rc == 0
+    assert spark.table("cli_init.example").collect()[0]["greeting"] == "hello"
+    # init refuses to clobber
+    rc = main(["init", "newproj", "--project-dir", base], spark=spark)
+    assert rc == 2
+
+
+def test_cli_parse_reports_errors_without_running(project_dir, spark):
+    _write(
+        os.path.join(project_dir, "models", "broken.sql"),
+        "SELECT * FROM {{ ref('does_not_exist') }}",
+    )
+    rc = _run(spark, ["parse", "--project-dir", project_dir], "cli_parse")
+    assert rc == 1
+    # parse never materializes anything
+    assert not spark.catalog.tableExists("cli_parse.stg_txns")
