@@ -308,3 +308,67 @@ def test_ivf_index_compaction_preserves_cells_and_pruning(spark, ivf_project):
         .toString()
     )
     assert "PartitionFilters" in plan and "__ivf_cell" in plan
+
+
+def test_ivf_bootstrap_crash_between_centroids_and_target_heals(
+    spark, ivf_project, monkeypatch
+):
+    # Durability order: centroids commit BEFORE the target. A crash in
+    # between must leave a state the retry simply overwrites — training
+    # is deterministic, so the healed centroids are identical and the
+    # corpus indexes consistently.
+    from dbt_analytics_spark.plans import materialize as mat
+
+    p, state = ivf_project
+    real = mat._ivf_initial_build
+    calls = {"n": 0}
+
+    def boom(project, node, df):
+        # let the centroid write happen, then die before the target write
+        import numpy as np
+
+        from dbt_analytics_spark.operators import similarity as _sim
+
+        calls["n"] += 1
+        vecs = df.filter(F.col(node.ivf_vec_col).isNotNull())
+        C, _ = _sim.kmeans_fit(
+            vecs, node.unique_key, node.ivf_vec_col, n_cells=4, max_iter=2
+        )
+        project.spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").saveAsTable(
+            project.qualified(f"{node.name}__ivf_centroids")
+        )
+        raise RuntimeError("injected crash after centroids, before target")
+
+    monkeypatch.setattr(mat, "_ivf_initial_build", boom)
+    res = {r.node: r for r in p.run(select="vec_index")}
+    assert res["vec_index"].status == "error"
+    assert spark.catalog.tableExists("vec_index__ivf_centroids")
+    assert not spark.catalog.tableExists("vec_index")
+    crashed_cents = [
+        list(r["centroid"])
+        for r in spark.table("vec_index__ivf_centroids").orderBy("cell").collect()
+    ]
+
+    # Retry with the real path: target missing -> full initial build;
+    # deterministic training rewrites the SAME centroids.
+    monkeypatch.setattr(mat, "_ivf_initial_build", real)
+    p2 = Project(spark, name="ivfp")
+    p2.nodes = p.nodes
+    res2 = {r.node: r for r in p2.run(select="vec_index")}
+    assert res2["vec_index"].status == "success"
+    assert spark.table("vec_index").count() == 40
+    healed_cents = [
+        list(r["centroid"])
+        for r in spark.table("vec_index__ivf_centroids").orderBy("cell").collect()
+    ]
+    assert healed_cents == crashed_cents
+    # And every stored cell matches the healed model.
+    C = np.asarray(healed_cents)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    for r in spark.table("vec_index").limit(5).collect():
+        v = np.asarray(list(r["embedding"]))[None, :]
+        vn = v / np.maximum(np.linalg.norm(v), 1e-300)
+        assert r["__ivf_cell"] == int(cosine_cells(vn, Cn, 1)[0, 0])
