@@ -448,7 +448,11 @@ def _apply_ivf_insert(
     rows = spark.table(cent_tbl).orderBy("cell").collect()
     C = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
     key = node.unique_key
-    fresh = new_rows.join(existing.select(key), key, "left_anti")
+    # Within-batch key dedup first (a batch carrying the same id twice
+    # would otherwise append both), then the cross-run retry guard.
+    fresh = new_rows.dropDuplicates([key]).join(
+        existing.select(key), key, "left_anti"
+    )
     assigned = fresh.withColumn(
         "__ivf_cell",
         _sim.ivf_cell_udf(C)(_sim.as_double_array(F.col(node.ivf_vec_col))),

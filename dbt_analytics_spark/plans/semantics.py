@@ -715,11 +715,21 @@ class SemanticLayer:
             )
         tcol = time_outs[0]
         others = [c for c in out_names if c != tcol]
+        seen_aliases: dict[str, str] = {}
         for m, mi in offs:
             if not mi.alias:
                 raise ValueError(
                     f"derived metric {m.name!r}: offset input {mi.name!r} "
                     "needs an alias"
+                )
+            owner = seen_aliases.setdefault(mi.alias, m.name)
+            if owner != m.name:
+                # Two derived metrics sharing an alias would each add a
+                # __m_<alias> column — ambiguous reference downstream.
+                raise ValueError(
+                    f"offset alias {mi.alias!r} is used by both "
+                    f"{owner!r} and {m.name!r}; aliases must be unique "
+                    "within a query"
                 )
             inner = self.metrics[mi.name]
             if inner.type != "simple":

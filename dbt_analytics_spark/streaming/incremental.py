@@ -598,8 +598,14 @@ def _ivf_ingest_batch(
     s = batch.sparkSession
     cent_tbl = f"{target}__ivf_centroids"
     cell = _sim.ivf_cell_udf
+    batch = batch.dropDuplicates([id_col])  # within-batch key dedup
     if not s.catalog.tableExists(target):
         vecs = batch.filter(F.col(vec_col).isNotNull())
+        if vecs.isEmpty():
+            # Nothing to train on — defer the bootstrap to the first
+            # batch that carries vectors (an all-NULL or empty replay
+            # batch must not pin a degenerate model).
+            return
         if kmeans_iters > 0:
             C, _ = _sim.kmeans_fit(
                 vecs, id_col, vec_col, n_cells=n_cells, max_iter=kmeans_iters

@@ -372,3 +372,30 @@ def test_ivf_bootstrap_crash_between_centroids_and_target_heals(
         v = np.asarray(list(r["embedding"]))[None, :]
         vn = v / np.maximum(np.linalg.norm(v), 1e-300)
         assert r["__ivf_cell"] == int(cosine_cells(vn, Cn, 1)[0, 0])
+
+
+def test_ivf_insert_within_batch_duplicate_ids_collapse(spark, ivf_project):
+    p, state = ivf_project
+    p.run(select="vec_index")
+    state["rows"] = _rows([40, 41]) + _rows([41])  # 41 twice in one batch
+    _rerun(spark, p, state)
+    got = [r["vec_id"] for r in spark.table("vec_index").filter("vec_id >= 40").collect()]
+    assert sorted(got) == [40, 41]
+
+
+def test_stream_ivf_ingest_empty_first_batch_defers_bootstrap(spark, tmp_path):
+    import uuid
+
+    from dbt_analytics_spark.streaming.incremental import _ivf_ingest_batch
+
+    tbl = f"ivfdefer_{uuid.uuid4().hex[:8]}"
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>, payload string")
+    _ivf_ingest_batch(empty, tbl, "vec_id", "embedding", 4, 0)
+    assert not spark.catalog.tableExists(tbl)  # no degenerate model pinned
+    _ivf_ingest_batch(
+        spark.createDataFrame(_rows(range(10)), ["vec_id", "embedding", "payload"]),
+        tbl, "vec_id", "embedding", 4, 0,
+    )
+    assert spark.table(tbl).count() == 10
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__ivf_centroids")

@@ -612,3 +612,27 @@ metrics:
     # Calendar months within [Jan, Apr]: Jan, Mar, Apr (Feb missing from
     # the calendar -> NOT synthesized); 2020/2029 clipped by the window.
     assert rows == {"2025-01": 10.0, "2025-03": 0.0, "2025-04": 5.0}
+
+
+def test_offset_alias_collision_fails_loud(sl_gap):
+    sl_gap.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: d1_off
+    type: derived
+    type_params:
+      expr: rev_filled - prev
+      metrics:
+        - {name: rev_filled, alias: prev, offset_window: 1 month}
+  - name: d2_off
+    type: derived
+    type_params:
+      expr: rev_filled + prev
+      metrics:
+        - {name: rev_filled, alias: prev, offset_window: 2 month}
+"""
+        )
+    )
+    with pytest.raises(ValueError, match="unique"):
+        sl_gap.query(["d1_off", "d2_off"], group_by=["day"]).collect()
