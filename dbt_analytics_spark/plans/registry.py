@@ -1111,6 +1111,27 @@ class Project:
             "metadata": {"project": self.name, "run_date": str(self.run_date)},
             "nodes": nodes,
         }
+        # dbt manifests carry the semantic layer's parsed definitions
+        # (semantic_models/metrics/saved_queries sections) beside nodes.
+        sl = getattr(self, "semantic_layer", None)
+        if sl is not None and (sl.models or sl.metrics):
+            payload["semantic_models"] = {
+                name: {
+                    "model": sm.model,
+                    "dimensions": sorted(sm.dimensions),
+                    "measures": sorted(sm.measures),
+                    "entities": sorted(sm.entities),
+                }
+                for name, sm in sorted(sl.models.items())
+            }
+            payload["metrics"] = {
+                name: {"type": m.type, "measure": m.measure}
+                for name, m in sorted(sl.metrics.items())
+            }
+            payload["saved_queries"] = {
+                name: {"metrics": sq.metrics, "group_by": sq.group_by}
+                for name, sq in sorted(sl.saved_queries.items())
+            }
         with open(path, "w") as f:
             json.dump(payload, f, indent=2)
 

@@ -906,3 +906,27 @@ def test_cli_parse_reports_errors_without_running(project_dir, spark):
     assert rc == 1
     # parse never materializes anything
     assert not spark.catalog.tableExists("cli_parse.stg_txns")
+
+
+def test_cli_manifest_carries_semantic_layer(project_dir, spark):
+    _write(
+        os.path.join(project_dir, "models", "semantics.yml"),
+        """
+semantic_models:
+  - name: txn_sem
+    model: ref('stg_txns')
+    dimensions: [{name: seg, type: categorical}]
+    measures: [{name: total_amount, agg: sum, expr: amount}]
+metrics:
+  - {name: revenue, type: simple, measure: total_amount}
+saved_queries:
+  - name: seg_rev
+    query_params: {metrics: [revenue], group_by: [seg]}
+""",
+    )
+    rc = _run(spark, ["compile", "--project-dir", project_dir], "cli_man")
+    assert rc == 0
+    man = json.load(open(os.path.join(project_dir, "target", "manifest.json")))
+    assert man["semantic_models"]["txn_sem"]["measures"] == ["total_amount"]
+    assert man["metrics"]["revenue"] == {"type": "simple", "measure": "total_amount"}
+    assert man["saved_queries"]["seg_rev"]["metrics"] == ["revenue"]
