@@ -645,12 +645,37 @@ def _cmd_compile(project: "Project", args, target_dir: str) -> int:
 
 
 def _cmd_show(project: "Project", args) -> int:
+    explain = getattr(args, "explain", False)
+
+    def _explain(df) -> None:
+        # The formatted physical plan — what the engine will actually do
+        # (scan pushdowns, join strategies, exchanges). An engine whose
+        # whole pitch is plan quality must let users SEE the plan.
+        print(
+            df._jdf.queryExecution().explainString(
+                df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+
     if args.inline:
-        project.query(args.inline).limit(args.limit).show(truncate=False)
+        df = project.query(args.inline)
+        if explain:
+            _explain(df)
+        else:
+            df.limit(args.limit).show(truncate=False)
         return 0
     if not args.node:
         print("show: pass a node name or --inline SQL", file=sys.stderr)
         return 2
+    if explain:
+        _explain(
+            project.read_relation(args.node)
+            if project.relation_exists(args.node)
+            else project.compile_node(args.node)
+        )
+        return 0
     project.show(args.node, n=args.limit)
     return 0
 
@@ -798,6 +823,11 @@ def build_parser() -> argparse.ArgumentParser:
     show.add_argument("node", nargs="?", default=None)
     show.add_argument("-n", "--limit", type=int, default=5)
     show.add_argument("--inline", default=None, help="ad-hoc Jinja-SQL to preview")
+    show.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the Catalyst physical plan instead of rows",
+    )
     docs = sub.add_parser("docs", parents=[common], help="generate docs artifacts")
     docs.add_argument("action", choices=["generate"])
     src = sub.add_parser("source", parents=[common], help="source subcommands")

@@ -930,3 +930,27 @@ saved_queries:
     assert man["semantic_models"]["txn_sem"]["measures"] == ["total_amount"]
     assert man["metrics"]["revenue"] == {"type": "simple", "measure": "total_amount"}
     assert man["saved_queries"]["seg_rev"]["metrics"] == ["revenue"]
+
+
+def test_cli_show_explain_prints_physical_plan(project_dir, spark, capfd):
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_expl")
+    assert rc == 0
+    rc = _run(
+        spark,
+        ["show", "seg_spend", "--explain", "--project-dir", project_dir],
+        "cli_expl",
+    )
+    assert rc == 0
+    out = capfd.readouterr().out
+    assert "Physical Plan" in out and "Scan" in out
+    rc = _run(
+        spark,
+        [
+            "show", "--inline",
+            "SELECT seg FROM {{ ref('seg_spend') }} WHERE seg = 'a'",
+            "--explain", "--project-dir", project_dir,
+        ],
+        "cli_expl",
+    )
+    assert rc == 0
+    assert "Physical Plan" in capfd.readouterr().out

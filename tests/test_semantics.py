@@ -636,3 +636,77 @@ metrics:
     )
     with pytest.raises(ValueError, match="unique"):
         sl_gap.query(["d1_off", "d2_off"], group_by=["day"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# Property: the spine + fill + offset compiler agrees with a direct pandas
+# reference on arbitrary gapped bucket sets (hypothesis drives the shape).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_buckets = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=25),  # day offset from Jan 1
+    values=st.integers(min_value=-50, max_value=50),  # integer amount
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(buckets=_buckets)
+def test_spine_fill_offset_matches_reference(spark, buckets):
+    import datetime as dt
+
+    rows = [
+        (f"r{i}", float(v), str(dt.date(2025, 1, 1) + dt.timedelta(days=k)))
+        for i, (k, v) in enumerate(sorted(buckets.items()))
+    ]
+    p = Project(spark, name="sem_prop")
+    p.source_table(
+        "prop_txns",
+        spark.createDataFrame(rows, ["rid", "amount", "day"]).selectExpr(
+            "rid", "amount", "CAST(day AS DATE) AS day"
+        ),
+    )
+    layer = SemanticLayer(p)
+    layer.load(
+        yaml.safe_load(
+            """
+semantic_models:
+  - name: prop_sem
+    model: ref('prop_txns')
+    dimensions: [{name: day, type: time, grain: day}]
+    measures: [{name: amt, agg: sum, expr: amount}]
+metrics:
+  - name: rev
+    type: simple
+    type_params:
+      measure: {name: amt, fill_nulls_with: 0, join_to_timespine: true}
+  - name: dod
+    type: derived
+    type_params:
+      expr: rev - prev
+      metrics:
+        - name: rev
+        - {name: rev, alias: prev, offset_window: 1 day}
+"""
+        )
+    )
+    got = {
+        str(r["day"])[:10]: (r["rev"], r["dod"])
+        for r in layer.query(["rev", "dod"], group_by=["day"]).collect()
+    }
+
+    # Pandas-free direct reference.
+    lo, hi = min(buckets), max(buckets)
+    ref_rev = {
+        k: float(buckets.get(k, 0)) for k in range(lo, hi + 1)
+    }
+    expect = {}
+    for k in range(lo, hi + 1):
+        day = str(dt.date(2025, 1, 1) + dt.timedelta(days=k))
+        prev = ref_rev.get(k - 1, 0.0)  # out-of-spine -> offset fill 0
+        expect[day] = (ref_rev[k], ref_rev[k] - prev)
+    assert got == expect
