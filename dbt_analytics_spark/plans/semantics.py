@@ -201,6 +201,10 @@ class SavedQuery:
     metrics: list[str]
     group_by: list[str] = field(default_factory=list)
     where: str | None = None
+    #: MetricFlow order_by entries: metric/dimension names, optionally
+    #: prefixed with ``-`` for descending (dbt saved-query query_params).
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
     exports: list[dict] = field(default_factory=list)
 
 
@@ -297,6 +301,8 @@ class SemanticLayer:
                 metrics=list(qp.get("metrics") or []),
                 group_by=list(qp.get("group_by") or []),
                 where=wh,
+                order_by=list(qp.get("order_by") or []),
+                limit=qp.get("limit"),
                 exports=list(sq.get("exports") or []),
             )
             n += 1
@@ -307,7 +313,17 @@ class SemanticLayer:
         reusable metric request; SP/dbt/parser/schemas.py saved_queries
         section)."""
         sq = self.saved_queries[name]
-        return self.query(sq.metrics, group_by=sq.group_by, where=sq.where)
+        df = self.query(sq.metrics, group_by=sq.group_by, where=sq.where)
+        if sq.order_by:
+            df = df.orderBy(
+                *[
+                    F.desc(c[1:]) if c.startswith("-") else F.asc(c)
+                    for c in sq.order_by
+                ]
+            )
+        if sq.limit is not None:
+            df = df.limit(int(sq.limit))
+        return df
 
     def run_exports(self, name: str) -> list[str]:
         """Materialize a saved query's ``exports:`` (dbt saved-query

@@ -710,3 +710,22 @@ metrics:
         prev = ref_rev.get(k - 1, 0.0)  # out-of-spine -> offset fill 0
         expect[day] = (ref_rev[k], ref_rev[k] - prev)
     assert got == expect
+
+
+def test_saved_query_order_by_and_limit(sl):
+    sl.load(
+        yaml.safe_load(
+            """
+saved_queries:
+  - name: top_seg
+    query_params:
+      metrics: [revenue]
+      group_by: [seg]
+      order_by: ["-revenue"]
+      limit: 1
+"""
+        )
+    )
+    rows = sl.run_saved("top_seg").collect()
+    assert len(rows) == 1
+    assert rows[0]["seg"] == "a" and rows[0]["revenue"] == 30.0
