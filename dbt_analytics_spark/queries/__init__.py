@@ -315,6 +315,12 @@ _BEYOND_DRIVER_CAP = [
     "t3_normalize",
     "p5_coalesce",
     "d1_date_trunc",
+    # u4/w8 (round-9 session 3): bag-semantics set ops (EXCEPT ALL /
+    # INTERSECT ALL multiplicities) and LAG/LEAD IGNORE NULLS with
+    # defaults — U/W families keep u1/w1/w2(w7)/w3 prefix rows; both
+    # fully oracled in the local gate.
+    "u4_except_intersect_all",
+    "w8_lag_lead_ignore_nulls",
     # sim6 (round-9 session 3): the persistent ivf_insert index —
     # bootstrap on half the corpus, incremental append of the other half
     # against the pinned centroids, partition-pruned probe of the stored

@@ -1785,6 +1785,88 @@ SELECT 'intersect' AS op, o_custkey AS custkey FROM (
 """
 
 
+def u4_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family, BAG semantics: EXCEPT ALL / INTERSECT ALL keep
+    per-row multiplicities (a customer with 3 orders one year and 1 the
+    next keeps 2 rows in the difference, 1 in the intersection) —
+    Spark's exceptAll/intersectAll, the multiplicity-correct complement
+    of u3's distinct set ops. Scale: both compile to one hash
+    aggregation counting multiplicities per side then a replicate —
+    partial-agg friendly, no row-vs-row join."""
+    o = load_testdata(spark, sf_dir)["orders"]
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    ex = y95.exceptAll(y96)
+    it = y95.intersectAll(y96)
+    return (
+        ex.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), F.col("o_custkey").alias("custkey"), "n")
+        .unionByName(
+            it.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("intersect_all").alias("op"), F.col("o_custkey").alias("custkey"), "n")
+        )
+    )
+
+
+U4_SQL = """
+SELECT 'except_all' AS op, o_custkey AS custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+) GROUP BY o_custkey
+UNION ALL
+SELECT 'intersect_all' AS op, o_custkey AS custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+) GROUP BY o_custkey
+"""
+
+
+def w8_lag_lead_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family: LAG/LEAD with IGNORE NULLS + defaults — each event's
+    previous/next non-NULL purchase value in its user's stream (gaps from
+    non-purchase events must be skipped, not returned as NULL). One
+    window over (user, time); WindowExec evaluates ignoreNulls natively
+    JVM-side."""
+    ev = load_testdata(spark, sf_dir)["events"]
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    )
+    # IGNORE NULLS on lag/lead is SQL-syntax-only (the Python lag() helper
+    # has no ignoreNulls param) — selectExpr keeps it JVM-side regardless.
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return (
+        ev.withColumn("pval", purchase_val)
+        .selectExpr(
+            "event_id",
+            "user_id",
+            f"COALESCE(lag(pval) IGNORE NULLS {over}, -1.0D) AS prev_purchase",
+            f"COALESCE(lead(pval) IGNORE NULLS {over}, -1.0D) AS next_purchase",
+        )
+        .filter(F.col("event_id") % 50 == 0)
+    )
+
+
+W8_SQL = """
+SELECT event_id, user_id, prev_purchase, next_purchase FROM (
+  SELECT
+    event_id, user_id,
+    COALESCE(LAG(pval IGNORE NULLS) OVER w, -1.0) AS prev_purchase,
+    COALESCE(LEAD(pval IGNORE NULLS) OVER w, -1.0) AS next_purchase
+  FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'purchase' THEN value END AS pval
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE event_id % 50 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # F1 — exact discrete percentiles (beyond-reference; percentile_disc picks
 # an actual element, so cross-engine float equality is exact)
@@ -2683,6 +2765,8 @@ REGISTRY = {
     "a6_grouping_sets": (a6_grouping_sets, A6_SQL),
     "p6_pivot": (p6_pivot, P6_SQL),
     "u3_except_intersect": (u3_except_intersect, U3_SQL),
+    "u4_except_intersect_all": (u4_except_intersect_all, U4_SQL),
+    "w8_lag_lead_ignore_nulls": (w8_lag_lead_ignore_nulls, W8_SQL),
     "w6_range_frame": (w6_range_frame, W6_SQL),
     "w7_analytic_suite": (w7_analytic_suite, W7_SQL),
     "a2_rollup": (a2_rollup, A2_SQL),
