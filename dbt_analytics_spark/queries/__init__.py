@@ -315,6 +315,11 @@ _BEYOND_DRIVER_CAP = [
     "t3_normalize",
     "p5_coalesce",
     "d1_date_trunc",
+    # smp8 (round-9 session 3): resample-to-target mixture — downsample
+    # groups onto explicit target proportions (feasible-scale s =
+    # min n_g/p_g, portable md5 draws). Sampling family keeps smp5/smp6
+    # prefix rows; fully oracled in the local gate.
+    "smp8_resample_to_target",
     # u4/w8 (round-9 session 3): bag-semantics set ops (EXCEPT ALL /
     # INTERSECT ALL multiplicities) and LAG/LEAD IGNORE NULLS with
     # defaults — U/W families keep u1/w1/w2(w7)/w3 prefix rows; both

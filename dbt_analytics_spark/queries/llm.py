@@ -1967,6 +1967,70 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# SMP8 — resample-to-target mixture: downsample each language group so the
+# kept corpus lands on EXPLICIT target proportions (the training-mixture
+# rebalancing op: p_en=0.4, ...). The feasible scale is s = min_g n_g/p_g
+# (downsampling only — no group can be inflated), giving per-group keep
+# rate r_g = s*p_g/n_g; draws are the portable md5-uniform compared as a
+# floor'd integer threshold so both engines make bit-identical decisions.
+# Scale: one count aggregate (broadcast-sized), rates joined back map-side
+# (broadcast), one pass over the corpus — no shuffle of data rows.
+# ---------------------------------------------------------------------------
+
+_SMP8_TARGET = {"en": 0.40, "de": 0.20, "fr": 0.20, "es": 0.15, "zh": 0.05}
+
+
+def smp8_resample_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    p = F.create_map(
+        *[F.lit(x) for kv in _SMP8_TARGET.items() for x in kv]
+    )[F.col("lang")]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    rates = (
+        counts.withColumn("p_g", p)
+        .withColumn("n_over_p", F.col("n_g") / F.col("p_g"))
+    )
+    scale = rates.agg(F.min("n_over_p").alias("s"))
+    rates = rates.crossJoin(F.broadcast(scale)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), F.col("s") * F.col("p_g") / F.col("n_g")
+        ).alias("rate"),
+    )
+    draw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(draw < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+        .select("doc_id", "lang")
+    )
+    return kept
+
+
+def _smp8_sql() -> str:
+    case = " ".join(
+        f"WHEN lang = '{k}' THEN {v!r}" for k, v in _SMP8_TARGET.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+),
+rates0 AS (
+  SELECT lang, n_g, CASE {case} END AS p_g FROM counts
+),
+s AS (SELECT MIN(n_g / p_g) AS scale FROM rates0),
+rates AS (
+  SELECT lang, LEAST(1.0, s.scale * p_g / n_g) AS rate FROM rates0, s
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
 # DD10 — exact-substring duplication (operators/dedup.py:
 # exact_substring_pairs): doc pairs sharing a verbatim 8-token window,
 # frequency-capped inverted index (boilerplate windows in > 8 docs are
@@ -2497,6 +2561,7 @@ REGISTRY = {
     "f5b_heavy_hitters_exact": (f5b_heavy_hitters_exact, F5B_SQL),
     "smp4_temperature_mixture": (smp4_temperature_mixture, SMP4_SQL),
     "smp6_token_budget_sample": (smp6_token_budget_sample, SMP6_SQL),
+    "smp8_resample_to_target": (smp8_resample_to_target, _smp8_sql()),
     "txt15_bpe_train": (txt15_bpe_train, None),
     "txt15b_bpe_first_merge": (txt15b_bpe_first_merge, TXT15B_SQL),
     "f6_histogram": (f6_histogram, F6_SQL),
