@@ -315,6 +315,11 @@ _BEYOND_DRIVER_CAP = [
     "t3_normalize",
     "p5_coalesce",
     "d1_date_trunc",
+    # sem7 (round-9 session 3): the metricflow_time_spine CALENDAR path —
+    # a registered calendar model with deterministic holes replaces the
+    # sequence() spine (holes respected, out-of-window years clipped).
+    # Local-gate evidence beside sem6's prefix row (same spine compiler).
+    "sem7_calendar_spine",
     # smp8 (round-9 session 3): resample-to-target mixture — downsample
     # groups onto explicit target proportions (feasible-scale s =
     # min n_g/p_g, portable md5 draws). Sampling family keeps smp5/smp6

@@ -434,6 +434,60 @@ LEFT JOIN filled p ON p.mo + INTERVAL 1 MONTH = f.mo
 """
 
 
+# ---------------------------------------------------------------------------
+# sem7 — the metricflow_time_spine CALENDAR path: when the project defines
+# dbt's conventional calendar model, its rows (grain-truncated, deduped,
+# clipped to the observed window) replace the sequence() spine — calendar
+# HOLES are respected (not synthesized) and out-of-window calendar years
+# are clipped. The calendar here is every month 1990-2000 EXCEPT March and
+# September (deterministic holes), so the result must contain exactly the
+# non-hole months within the data's [min, max] window.
+# ---------------------------------------------------------------------------
+
+def sem7_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    cal = spark.sql(
+        """
+        SELECT explode(sequence(DATE '1990-01-01', DATE '2000-12-01',
+                                INTERVAL 1 MONTH)) AS date_day
+        """
+    ).filter(~F.month("date_day").isin(3, 9))
+    sl.project.source_table("metricflow_time_spine", cal)
+    df = sl.query(
+        ["rev_gap"],
+        group_by=["order_date__month"],
+        where="o_totalprice > 495000",
+    )
+    return _finish(df, dates=["order_date__month"], doubles=["rev_gap"])
+
+
+SEM7_SQL = """
+WITH buckets AS (
+  SELECT
+    date_trunc('month', o_orderdate) AS mo,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  WHERE o_totalprice > 495000
+  GROUP BY 1
+),
+calendar AS (
+  SELECT unnest(generate_series(
+    TIMESTAMP '1990-01-01', TIMESTAMP '2000-12-01',
+    INTERVAL 1 MONTH)) AS mo
+),
+spine AS (
+  SELECT c.mo FROM calendar c
+  WHERE month(c.mo) NOT IN (3, 9)
+    AND c.mo >= (SELECT min(mo) FROM buckets)
+    AND c.mo <= (SELECT max(mo) FROM buckets)
+)
+SELECT
+  CAST(s.mo AS DATE) AS order_date__month,
+  CAST(COALESCE(b.rev, 0) AS DOUBLE) AS rev_gap
+FROM spine s LEFT JOIN buckets b ON b.mo = s.mo
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -441,4 +495,5 @@ REGISTRY = {
     "sem4_conversion_rate": (sem4_conversion_rate, SEM4_SQL),
     "sem5_saved_query": (sem5_saved_query, SEM5_SQL),
     "sem6_period_over_period": (sem6_period_over_period, SEM6_SQL),
+    "sem7_calendar_spine": (sem7_calendar_spine, SEM7_SQL),
 }
