@@ -945,12 +945,17 @@ def span_dedup(
         ).withColumn(
             "__n", F.ceil(F.size("__toks") / F.lit(float(k))).cast("int")
         )
+        # Guard __n > 0: for NULL text size(__toks) is -1 so __n = 0, and
+        # sequence(0, -1) yields the DESCENDING [0, -1] — two phantom
+        # empty spans that would enter global dedup (the SQL oracle's
+        # range(0, 0) yields none). Empty/NULL docs contribute no spans.
         spans = base.select(
             "__id",
             F.posexplode(
                 F.expr(
-                    f"transform(sequence(0, __n - 1),"
+                    f"CASE WHEN __n > 0 THEN transform(sequence(0, __n - 1),"
                     f" i -> concat_ws(' ', slice(__toks, i * {k} + 1, {k})))"
+                    f" ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("__pos", "__span"),
         )

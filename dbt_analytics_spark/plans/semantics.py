@@ -180,19 +180,31 @@ def _grain_interval(spec: str) -> str:
     return f"INTERVAL {n} {unit.upper()}"
 
 
-def _window_days(window: str) -> int:
-    """Parse a dbt metric window like ``'7 days'`` to a day count.
-
-    Day granularity only (documented divergence): week/month windows on
-    cumulative/conversion metrics would need calendar arithmetic inside a
-    range frame; express those as ``N days`` instead.
-    """
+def _parse_window(window: str) -> tuple[int, str]:
+    """Parse a dbt metric window (``'7 days'``, ``'4 weeks'``,
+    ``'3 months'``, ``'1 quarter'``, ``'2 years'``) to ``(n, unit)`` with
+    unit ``'day'`` or ``'month'``. Fixed-length units normalize to days
+    (week = 7) so the cumulative path can keep its RANGE frame; calendar
+    units normalize to months (quarter = 3, year = 12) and compile to
+    interval arithmetic (MetricFlow accepts all of these — metricflow
+    PersonField grain docs; rejecting them was a pre-r10 divergence)."""
     parts = window.strip().split()
-    if len(parts) != 2 or not parts[0].isdigit() or not parts[1].startswith("day"):
-        raise ValueError(
-            f"unsupported metric window {window!r} (use 'N days')"
-        )
-    return int(parts[0])
+    if len(parts) == 1:
+        n, unit = 1, parts[0]
+    elif len(parts) == 2 and parts[0].isdigit():
+        n, unit = int(parts[0]), parts[1]
+    else:
+        raise ValueError(f"unsupported metric window {window!r}")
+    unit = unit.rstrip("s").lower()
+    if unit == "week":
+        n, unit = 7 * n, "day"
+    elif unit == "quarter":
+        n, unit = 3 * n, "month"
+    elif unit == "year":
+        n, unit = 12 * n, "month"
+    if unit not in ("day", "month"):
+        raise ValueError(f"unsupported metric window {window!r}")
+    return n, unit
 
 
 @dataclass
@@ -355,32 +367,55 @@ class SemanticLayer:
     # Query compilation
     # ------------------------------------------------------------------
 
-    def _simple_metrics_needed(self, metric: Metric, acc: set[str]) -> None:
+    def _simple_metrics_needed(
+        self,
+        metric: Metric,
+        acc: set[str],
+        conv_acc: set[str] | None = None,
+        _seen: set[str] | None = None,
+    ) -> None:
         """Simple-metric closure of a metric. Aggregates are keyed per
         SIMPLE METRIC, not per measure: two metrics over the same measure
         with different filters (revenue vs big_revenue) must aggregate
         independently — sharing the measure column would let one metric's
-        filter corrupt the other."""
+        filter corrupt the other. ``conv_acc`` collects conversion metrics
+        reached transitively (a derived/ratio metric may reference one;
+        its event-join frame must be computed too). ``_seen`` bounds the
+        walk on diamonds AND cycles — a true cycle is reported with its
+        chain by _metric_sql at compile time, not a RecursionError here."""
+        if _seen is None:
+            _seen = set()
+        if metric.name in _seen:
+            return
+        _seen.add(metric.name)
         if metric.type in ("simple", "cumulative"):
             # Cumulative metrics aggregate per time bucket exactly like a
             # simple metric (same filter semantics); the accumulation is a
             # post-aggregation window applied in query().
             acc.add(metric.name)
         elif metric.type == "conversion":
-            pass  # computed on its own event-join pipeline, not the groupBy
+            # Computed on its own event-join pipeline, not the groupBy.
+            if conv_acc is not None:
+                conv_acc.add(metric.name)
         elif metric.type == "ratio":
             for ref in (metric.numerator, metric.denominator):
-                self._simple_metrics_needed(self.metrics[ref], acc)
+                self._simple_metrics_needed(
+                    self.metrics[ref], acc, conv_acc, _seen
+                )
         elif metric.type == "derived":
             import re
 
             if metric.inputs:
                 for mi in metric.inputs:
-                    self._simple_metrics_needed(self.metrics[mi.name], acc)
+                    self._simple_metrics_needed(
+                        self.metrics[mi.name], acc, conv_acc, _seen
+                    )
                 return
             for name in re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", metric.expr or ""):
                 if name in self.metrics:
-                    self._simple_metrics_needed(self.metrics[name], acc)
+                    self._simple_metrics_needed(
+                        self.metrics[name], acc, conv_acc, _seen
+                    )
         else:
             raise ValueError(f"unknown metric type {metric.type!r}")
 
@@ -407,49 +442,63 @@ class SemanticLayer:
             # and a conversion metric's column arrives pre-computed from
             # its own event-join frame.
             return F.col(f"__m_{metric.name}")
-        if metric.type == "ratio":
-            num = self._metric_col(self.metrics[metric.numerator])
-            den = self._metric_col(self.metrics[metric.denominator])
-            return num.cast("double") / den.cast("double")
-        # derived: substitute metric names (and input aliases) with their
-        # post-agg columns.
-        import re
+        return F.expr(self._metric_sql(metric))
 
-        expr = metric.expr or ""
+    def _metric_sql(self, metric: Metric, _stack: tuple = ()) -> str:
+        """Post-aggregation SQL expression for any metric type, recursive:
+        ratio inputs and derived exprs may reference metrics of ANY type
+        (MetricFlow allows derived-of-derived and derived-over-ratio;
+        restricting inputs to simple metrics was a pre-r10 divergence).
+        A metric's ``fill_nulls_with`` follows it into every enclosing
+        expression (spine-gap buckets and offset-join edges read the
+        fill, not NULL). Cycles fail loudly."""
+        if metric.name in _stack:
+            chain = " -> ".join((*_stack, metric.name))
+            raise ValueError(f"metric reference cycle: {chain}")
+        stack = (*_stack, metric.name)
+        if metric.type in ("simple", "cumulative", "conversion"):
+            sql = f"__m_{metric.name}"
+        elif metric.type == "ratio":
+            num = self._metric_sql(self.metrics[metric.numerator], stack)
+            den = self._metric_sql(self.metrics[metric.denominator], stack)
+            sql = f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
+        elif metric.type == "derived":
+            import re
 
-        def col_for(inner: Metric, colname: str) -> str:
-            # An input metric's fill_nulls_with follows it into derived
-            # exprs (MetricFlow semantics) — spine-gap buckets and
-            # offset-join edges read the fill, not NULL.
-            if inner.fill_nulls_with is not None:
-                return f"coalesce({colname}, {inner.fill_nulls_with!r})"
-            return colname
+            amap: dict[str, str] = {}
+            for mi in metric.inputs:
+                inner = self.metrics[mi.name]
+                key = mi.alias or mi.name
+                if mi.offset_window:
+                    # _apply_offsets materialized the input's (possibly
+                    # non-simple) value at t - offset into __m_<alias>;
+                    # the fill applies at read so join misses (no bucket
+                    # at t - offset) see it.
+                    colname = f"__m_{mi.alias}"
+                    if inner.fill_nulls_with is not None:
+                        colname = (
+                            f"coalesce({colname}, {inner.fill_nulls_with!r})"
+                        )
+                    amap[key] = colname
+                else:
+                    amap[key] = self._metric_sql(inner, stack)
 
-        amap: dict[str, str] = {}
-        for mi in metric.inputs:
-            inner = self.metrics[mi.name]
-            if inner.type != "simple":
-                raise ValueError(
-                    "derived metric inputs may reference simple metrics only"
-                )
-            key = mi.alias or mi.name
-            colname = f"__m_{mi.alias}" if mi.offset_window else f"__m_{inner.name}"
-            amap[key] = col_for(inner, colname)
+            def sub(m: re.Match) -> str:
+                name = m.group(0)
+                if name in amap:
+                    return amap[name]
+                if name in self.metrics:
+                    return self._metric_sql(self.metrics[name], stack)
+                return name
 
-        def sub(m: re.Match) -> str:
-            name = m.group(0)
-            if name in amap:
-                return amap[name]
-            if name in self.metrics:
-                inner = self.metrics[name]
-                if inner.type == "simple":
-                    return col_for(inner, f"__m_{inner.name}")
-                raise ValueError(
-                    "derived metrics may reference simple metrics only"
-                )
-            return name
-
-        return F.expr(re.sub(r"[a-zA-Z_][a-zA-Z0-9_]*", sub, expr))
+            sql = "(" + re.sub(
+                r"[a-zA-Z_][a-zA-Z0-9_]*", sub, metric.expr or ""
+            ) + ")"
+        else:
+            raise ValueError(f"unknown metric type {metric.type!r}")
+        if metric.fill_nulls_with is not None:
+            sql = f"coalesce({sql}, {metric.fill_nulls_with!r})"
+        return sql
 
     def query(
         self,
@@ -465,9 +514,19 @@ class SemanticLayer:
         ``time_grain``/its default applies."""
         mobjs = [self.metrics[m] for m in metrics]
         needed: set[str] = set()
+        conv_names: set[str] = set()
         for m in mobjs:
-            self._simple_metrics_needed(m, needed)
-        conversions = [m for m in mobjs if m.type == "conversion"]
+            self._simple_metrics_needed(m, needed, conv_names)
+            if m.type in ("ratio", "derived"):
+                # Validate references up front: a cycle among derived
+                # metrics reaches no aggregate at all, so it must fail
+                # here with its chain, not as an empty-plan crash later.
+                self._metric_sql(m)
+        conversions = [self.metrics[n] for n in sorted(conv_names)]
+        if not needed and not conversions:
+            raise ValueError(
+                f"metrics {metrics!r} reach no measures to aggregate"
+            )
         measure_names = {self.metrics[n].measure for n in needed}
         for cm in conversions:
             measure_names |= {cm.base_measure, cm.conversion_measure}
@@ -699,9 +758,14 @@ class SemanticLayer:
         for c in out_names:
             e = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
             cond = e if cond is None else (cond & e)
-        return full.join(g, cond, "left").drop(
+        joined = full.join(g, cond, "left").drop(
             *[f"__g_{c}" for c in out_names]
         )
+        # NULL time buckets are real groups (consistent with _dim_join's
+        # eqNullSafe handling of NULL dims) but can never match a spine
+        # row — union them back rather than silently dropping them.
+        null_buckets = grouped.filter(F.col(tcol).isNull())
+        return joined.unionByName(null_buckets.select(*joined.columns))
 
     def _apply_offsets(
         self,
@@ -748,15 +812,20 @@ class SemanticLayer:
                     "within a query"
                 )
             inner = self.metrics[mi.name]
-            if inner.type != "simple":
-                raise ValueError(
-                    "offset inputs may reference simple metrics only"
-                )
+            # Any metric type may be offset: cumulative __m_ columns are
+            # already accumulated (offsets run after _apply_cumulative),
+            # conversions arrive pre-joined, and ratio/derived compile to
+            # an expression over __m_ columns evaluated AT the shifted
+            # bucket (the metric's value as of t - offset).
+            if inner.type in ("simple", "cumulative", "conversion"):
+                val = F.col(f"__m_{inner.name}")
+            else:
+                val = F.expr(self._metric_sql(inner))
             shift = _grain_interval(mi.offset_window)
             shifted = grouped.select(
                 *[F.col(c).alias(f"__s_{c}") for c in others],
                 (F.col(tcol) + F.expr(shift)).alias(f"__s_{tcol}"),
-                F.col(f"__m_{inner.name}").alias(f"__m_{mi.alias}"),
+                val.alias(f"__m_{mi.alias}"),
             )
             cond = F.col(tcol).eqNullSafe(F.col(f"__s_{tcol}"))
             for c in others:
@@ -802,30 +871,95 @@ class SemanticLayer:
                     "re-aggregate)"
                 )
             if m.window:
-                days = _window_days(m.window)
+                n, unit = _parse_window(m.window)
+                if unit == "month":
+                    # Calendar months are not fixed-length, so a RANGE
+                    # frame cannot express the trailing window; compile
+                    # to a self-join of the (tiny, post-aggregation)
+                    # bucket frame on b2 ∈ (b1 - INTERVAL n MONTH, b1].
+                    grouped = self._cumulative_calendar_window(
+                        grouped, name, n, part, tcol
+                    )
+                    continue
                 w = (
                     Window.partitionBy(*part)
                     .orderBy(epoch_days)
-                    .rangeBetween(-(days - 1), 0)
+                    .rangeBetween(-(n - 1), 0)
                 )
             elif m.grain_to_date:
+                # ROWS frames order by the raw bucket value: epoch DAYS
+                # would tie every bucket of a day at sub-day grains
+                # (metric_time__hour), making running totals
+                # nondeterministic among tied rows.
                 w = (
                     Window.partitionBy(
                         *part, F.date_trunc(m.grain_to_date, F.col(tcol))
                     )
-                    .orderBy(epoch_days)
+                    .orderBy(F.col(tcol))
                     .rowsBetween(Window.unboundedPreceding, 0)
                 )
             else:
                 w = (
                     Window.partitionBy(*part)
-                    .orderBy(epoch_days)
+                    .orderBy(F.col(tcol))
                     .rowsBetween(Window.unboundedPreceding, 0)
                 )
             grouped = grouped.withColumn(
                 f"__m_{name}", F.sum(F.col(f"__m_{name}")).over(w)
             )
         return grouped
+
+    def _cumulative_calendar_window(
+        self,
+        grouped: DataFrame,
+        name: str,
+        n_months: int,
+        part: list[str],
+        tcol: str,
+    ) -> DataFrame:
+        """Trailing ``window: N months`` cumulative: for each bucket b the
+        accumulated value sums buckets in ``(b - INTERVAL N MONTH, b]`` —
+        the calendar analog of the day path's ``[b - (N-1) days, b]``
+        RANGE frame (both say "a span of exactly one window ending at b,
+        inclusive"). Compiled as a self-join of the post-aggregation
+        bucket frame: tiny × tiny (buckets, not facts), broadcast by
+        AQE, so the quadratic term is bounded by buckets-per-window, not
+        corpus size. NULL time buckets accumulate only themselves
+        (interval arithmetic on NULL is NULL), matching the day path
+        where NULLs sort into their own frame."""
+        val = f"__m_{name}"
+        sk = grouped.select(*part, tcol, F.col(val).alias("__v"))
+        r = sk.select(
+            *[F.col(c).alias(f"__r_{c}") for c in part],
+            F.col(tcol).alias("__r_t"),
+            F.col("__v"),
+        )
+        lo = F.col(tcol) - F.expr(f"INTERVAL {n_months} MONTH")
+        cond = ((F.col("__r_t") > lo) & (F.col("__r_t") <= F.col(tcol))) | (
+            F.col("__r_t").isNull() & F.col(tcol).isNull()
+        )
+        for c in part:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        keys = [*part, tcol]
+        cum = (
+            sk.select(*keys)
+            .join(r, cond, "left")
+            .groupBy(*keys)
+            .agg(F.sum("__v").alias("__cum"))
+        )
+        cum = cum.select(
+            *[F.col(c).alias(f"__k_{c}") for c in keys], F.col("__cum")
+        )
+        jc = None
+        for c in keys:
+            e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+            jc = e if jc is None else (jc & e)
+        return (
+            grouped.drop(val)
+            .join(cum, jc, "left")
+            .drop(*[f"__k_{c}" for c in keys])
+            .withColumnRenamed("__cum", val)
+        )
 
     def _primary_model(self, entity: str) -> SemanticModel:
         """The semantic model whose PRIMARY entity is ``entity`` — the
@@ -886,9 +1020,11 @@ class SemanticLayer:
         )
         cond = (F.col("__e") == F.col("__ce")) & (F.col("__ct") >= F.col("__t"))
         if metric.window:
-            days = _window_days(metric.window)
+            # _grain_interval handles hour/day/week/month/quarter/year —
+            # a conversion must land within one window of the base event.
             cond = cond & (
-                F.col("__ct") <= F.col("__t") + F.expr(f"INTERVAL {days} DAYS")
+                F.col("__ct")
+                <= F.col("__t") + F.expr(_grain_interval(metric.window))
             )
         done = base.join(conv, cond, "left_semi")
 

@@ -353,9 +353,14 @@ def load_macros_dir(project: "Project", path: str) -> list[str]:
                         )
                     out = _body
                     for pname, val in bound.items():
+                        # Callable replacement: the argument value is
+                        # substituted LITERALLY. A plain-string repl would
+                        # re-interpret backslashes (a regex-pattern arg
+                        # like '\\d+' raises "bad escape"; '\\1' silently
+                        # injects group refs into the rendered SQL).
                         out = re.sub(
                             r"\{\{\s*" + re.escape(pname) + r"\s*\}\}",
-                            str(val),
+                            lambda _m, _v=str(val): _v,
                             out,
                         )
                     return out

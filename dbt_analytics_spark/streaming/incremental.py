@@ -599,12 +599,45 @@ def _ivf_ingest_batch(
     cent_tbl = f"{target}__ivf_centroids"
     cell = _sim.ivf_cell_udf
     batch = batch.dropDuplicates([id_col])  # within-batch key dedup
-    if not s.catalog.tableExists(target):
+    target_exists = s.catalog.tableExists(target)
+    if not s.catalog.tableExists(cent_tbl):
+        # No pinned model yet. Two sub-states: no target at all, or a
+        # target holding ONLY staged cell -1 (NULL-embedding) rows from
+        # earlier pre-bootstrap batches. Anything else (vectors stored
+        # without centroids) is corruption and must fail loudly.
+        if target_exists and not (
+            s.table(target).filter(F.col("__ivf_cell") >= 0).isEmpty()
+        ):
+            raise ValueError(
+                f"stream_ivf_ingest: centroid table {cent_tbl} is missing "
+                f"but {target} holds assigned rows — drop {target} and "
+                f"re-ingest to re-index"
+            )
         vecs = batch.filter(F.col(vec_col).isNotNull())
         if vecs.isEmpty():
-            # Nothing to train on — defer the bootstrap to the first
-            # batch that carries vectors (an all-NULL or empty replay
-            # batch must not pin a degenerate model).
+            # Nothing to train on — defer the bootstrap, but STAGE any
+            # NULL-embedding rows as cell -1 now: the streaming
+            # checkpoint commits this batch either way, so silently
+            # dropping them would lose data the engine's own contract
+            # says it keeps (batch ivf_insert stores NULL embeddings in
+            # cell -1). Replay-safe via the same anti-join guard as the
+            # steady-state path.
+            if batch.isEmpty():
+                return
+            staged = batch.withColumn("__ivf_cell", F.lit(-1))
+            if target_exists:
+                staged = staged.join(
+                    s.table(target).select(id_col), id_col, "left_anti"
+                ).select(*s.table(target).columns)
+                staged = staged.localCheckpoint(eager=True)
+                staged.write.mode("append").partitionBy(
+                    "__ivf_cell"
+                ).saveAsTable(target)
+            else:
+                staged.write.mode("overwrite").partitionBy(
+                    "__ivf_cell"
+                ).saveAsTable(target)
+            s.catalog.refreshTable(target)
             return
         if kmeans_iters > 0:
             C, _ = _sim.kmeans_fit(
@@ -616,6 +649,37 @@ def _ivf_ingest_batch(
             [(i, [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
             "cell int, centroid array<double>",
         ).write.mode("overwrite").saveAsTable(cent_tbl)
+        assigned = batch.withColumn(
+            "__ivf_cell", cell(C)(_sim.as_double_array(F.col(vec_col)))
+        )
+        if target_exists:
+            # Staged cell -1 rows already hold earlier NULL-embedding
+            # data; append only this batch's fresh keys (they keep
+            # cell -1 semantics through the UDF's NULL rule).
+            assigned = assigned.join(
+                s.table(target).select(id_col), id_col, "left_anti"
+            ).select(*s.table(target).columns)
+            assigned = assigned.localCheckpoint(eager=True)
+            assigned.write.mode("append").partitionBy(
+                "__ivf_cell"
+            ).saveAsTable(target)
+        else:
+            assigned.write.mode("overwrite").partitionBy(
+                "__ivf_cell"
+            ).saveAsTable(target)
+        s.catalog.refreshTable(target)
+        return
+    C = np.asarray(
+        [
+            list(r["centroid"])
+            for r in s.table(cent_tbl).orderBy("cell").collect()
+        ],
+        dtype=np.float64,
+    )
+    if not target_exists:
+        # Centroids pinned but no target: a crash between the two
+        # bootstrap writes. The model stays (it is pinned); replay
+        # rebuilds the target from this batch under it.
         (
             batch.withColumn(
                 "__ivf_cell", cell(C)(_sim.as_double_array(F.col(vec_col)))
@@ -624,19 +688,8 @@ def _ivf_ingest_batch(
             .partitionBy("__ivf_cell")
             .saveAsTable(target)
         )
+        s.catalog.refreshTable(target)
         return
-    if not s.catalog.tableExists(cent_tbl):
-        raise ValueError(
-            f"stream_ivf_ingest: centroid table {cent_tbl} is missing — "
-            f"drop {target} and re-ingest to re-index"
-        )
-    C = np.asarray(
-        [
-            list(r["centroid"])
-            for r in s.table(cent_tbl).orderBy("cell").collect()
-        ],
-        dtype=np.float64,
-    )
     fresh = batch.join(s.table(target).select(id_col), id_col, "left_anti")
     assigned = fresh.withColumn(
         "__ivf_cell", cell(C)(_sim.as_double_array(F.col(vec_col)))

@@ -543,3 +543,33 @@ def test_leakage_split_keeps_near_dup_pairs_in_one_split(spark):
         )
     # All three splits are populated at this corpus width.
     assert {s for _, s in rows.values()} == {"train", "val", "test"}
+
+
+def test_span_dedup_token_mode_null_and_empty_text(spark):
+    """Token mode over NULL text: size(tokens) = -1 makes the window
+    count 0, and an unguarded sequence(0, -1) yields the DESCENDING
+    [0, -1] — two phantom empty spans that would enter global dedup
+    (the SQL oracle's range(0, 0) yields none). NULL docs contribute
+    zero spans; '' docs contribute exactly ONE empty span (both engines
+    split '' to [''] — size 1), not two phantoms."""
+    from dbt_analytics_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, None),
+            (3, ""),
+            (4, "alpha beta gamma delta epsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+        for r in span_dedup(
+            docs, "doc_id", "text", span_tokens=2, join_sep=" "
+        ).collect()
+    }
+    assert out[1] == (2, 2, "alpha beta gamma delta")
+    assert out[2] == (0, 0, "")
+    assert out[3] == (1, 1, "")
+    assert out[4] == (3, 1, "epsilon")

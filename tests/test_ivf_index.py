@@ -399,3 +399,48 @@ def test_stream_ivf_ingest_empty_first_batch_defers_bootstrap(spark, tmp_path):
     assert spark.table(tbl).count() == 10
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}__ivf_centroids")
+
+
+def test_stream_ivf_ingest_all_null_first_batch_is_staged_not_dropped(
+    spark, tmp_path
+):
+    """Pre-bootstrap batches whose rows ALL lack embeddings are data: the
+    checkpoint commits the batch either way, so the rows must be staged
+    as cell -1 (the batch ivf_insert contract), not silently discarded.
+    The first vector-bearing batch then trains and pins the model without
+    disturbing the staged rows."""
+    import uuid
+
+    from dbt_analytics_spark.streaming import stream_ivf_ingest
+
+    tbl = f"ivfnull_{uuid.uuid4().hex[:8]}"
+    src, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
+    schema = "vec_id int, embedding array<double>, payload string"
+
+    spark.createDataFrame(
+        [(i, None, f"doc{i}") for i in range(3)], schema
+    ).write.mode("overwrite").parquet(src)
+    stream_ivf_ingest(spark, src, tbl, ckpt, n_cells=4, kmeans_iters=1)
+    assert spark.table(tbl).count() == 3
+    assert (
+        spark.table(tbl).filter(F.col("__ivf_cell") != -1).count() == 0
+    )
+    # No degenerate model pinned by an all-NULL batch.
+    assert not spark.catalog.tableExists(f"{tbl}__ivf_centroids")
+
+    # Re-drain with no new files: checkpoint no-op, staged rows intact.
+    stream_ivf_ingest(spark, src, tbl, ckpt, n_cells=4, kmeans_iters=1)
+    assert spark.table(tbl).count() == 3
+
+    # First vector-bearing batch trains the model; staged rows stay -1.
+    spark.createDataFrame(
+        _rows(range(3, 23)), ["vec_id", "embedding", "payload"]
+    ).write.mode("append").parquet(src)
+    stream_ivf_ingest(spark, src, tbl, ckpt, n_cells=4, kmeans_iters=1)
+    got = spark.table(tbl)
+    assert got.count() == 23
+    assert spark.catalog.tableExists(f"{tbl}__ivf_centroids")
+    assert got.filter(F.col("__ivf_cell") == -1).count() == 3
+    assert got.filter(F.col("__ivf_cell") >= 0).count() == 20
+    for t in (tbl, f"{tbl}__ivf_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -729,3 +729,181 @@ saved_queries:
     rows = sl.run_saved("top_seg").collect()
     assert len(rows) == 1
     assert rows[0]["seg"] == "a" and rows[0]["revenue"] == 30.0
+
+
+# ---------------------------------------------------------------------------
+# Round 10: calendar windows, nested derived/ratio inputs, NULL buckets
+# ---------------------------------------------------------------------------
+
+CAL_DOC = yaml.safe_load(
+    """
+metrics:
+  - name: rev_1mo
+    type: cumulative
+    type_params: {measure: total_amount, window: 1 month}
+  - name: rev_4w
+    type: cumulative
+    type_params: {measure: total_amount, window: 4 weeks}
+  - name: double_avg
+    type: derived
+    type_params: {expr: "avg_txn_value * 2"}
+  - name: idx_combo
+    type: derived
+    type_params: {expr: "double_avg + txn_count"}
+"""
+)
+
+
+def test_cumulative_calendar_month_window(sl):
+    # Buckets: 01-01=10, 01-15=20, 02-01=5, 02-02=7. '1 month' at 02-01
+    # spans (01-01, 02-01]: includes 01-15 (20) + itself, EXCLUDES 01-01
+    # (exactly one month back, exclusive lower bound) — the calendar
+    # analog of the day path's [t-(N-1), t].
+    sl.load(CAL_DOC)
+    rows = {
+        str(r["day"])[:10]: r["rev_1mo"]
+        for r in sl.query(["rev_1mo"], group_by=["day"]).collect()
+    }
+    assert rows == {
+        "2025-01-01": 10.0,
+        "2025-01-15": 30.0,
+        "2025-02-01": 25.0,
+        "2025-02-02": 32.0,
+    }
+
+
+def test_cumulative_week_window_is_fixed_length(sl):
+    # '4 weeks' = 28 days fixed: at 02-01, [01-05 .. 02-01] excludes
+    # 01-01 (31 days back) but includes 01-15.
+    sl.load(CAL_DOC)
+    rows = {
+        str(r["day"])[:10]: r["rev_4w"]
+        for r in sl.query(["rev_4w"], group_by=["day"]).collect()
+    }
+    assert rows == {
+        "2025-01-01": 10.0,
+        "2025-01-15": 30.0,
+        "2025-02-01": 25.0,
+        "2025-02-02": 32.0,
+    }
+
+
+def test_derived_over_ratio_and_derived_over_derived(sl):
+    sl.load(CAL_DOC)
+    rows = sl.query(
+        ["double_avg", "idx_combo"], group_by=["seg"]
+    ).collect()
+    got = {r["seg"]: (r["double_avg"], r["idx_combo"]) for r in rows}
+    # seg a: avg = 30/2 = 15 -> double 30, combo 32; seg b: 6/2*2+2 ... avg=6 double=12 combo=14
+    assert got == {"a": (30.0, 32.0), "b": (12.0, 14.0)}
+
+
+def test_metric_cycle_fails_loud(sl):
+    sl.load(
+        yaml.safe_load(
+            """
+metrics:
+  - {name: loop_a, type: derived, type_params: {expr: "loop_b + 1"}}
+  - {name: loop_b, type: derived, type_params: {expr: "loop_a + 1"}}
+"""
+        )
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        sl.query(["loop_a"], group_by=["seg"]).collect()
+
+
+def test_hour_grain_cumulative_orders_by_bucket_not_day(spark):
+    # Two buckets in the SAME day at hour grain: epoch-day ordering would
+    # tie them and make running totals nondeterministic.
+    p = Project(spark, name="sem_hour")
+    p.source_table(
+        "hr_txns",
+        spark.createDataFrame(
+            [(1.0, "2025-01-01 03:00:00"), (2.0, "2025-01-01 07:00:00"),
+             (4.0, "2025-01-02 01:00:00")],
+            ["amount", "ts"],
+        ).selectExpr("amount", "CAST(ts AS TIMESTAMP) AS ts"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(
+        yaml.safe_load(
+            """
+semantic_models:
+  - name: hr
+    model: ref('hr_txns')
+    dimensions:
+      - {name: ts, type: time, grain: hour}
+    measures:
+      - {name: amt, agg: sum, expr: amount}
+metrics:
+  - {name: cum_amt, type: cumulative, type_params: {measure: amt}}
+"""
+        )
+    )
+    rows = {
+        str(r["ts"]): r["cum_amt"]
+        for r in layer.query(["cum_amt"], group_by=["ts"]).collect()
+    }
+    assert rows == {
+        "2025-01-01 03:00:00": 1.0,
+        "2025-01-01 07:00:00": 3.0,
+        "2025-01-02 01:00:00": 7.0,
+    }
+
+
+def test_timespine_keeps_null_time_buckets(spark):
+    # A NULL time bucket is a real group (eqNullSafe dim semantics); the
+    # spine join must union it back, not silently drop it.
+    p = Project(spark, name="sem_nullb")
+    p.source_table(
+        "nb_txns",
+        spark.createDataFrame(
+            [(10.0, "2025-01-01"), (5.0, "2025-03-01"), (2.0, None)],
+            ["amount", "day"],
+        ).selectExpr("amount", "CAST(day AS DATE) AS day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(
+        yaml.safe_load(
+            """
+semantic_models:
+  - name: nb
+    model: ref('nb_txns')
+    dimensions:
+      - {name: day, type: time, grain: month}
+    measures:
+      - {name: amt, agg: sum, expr: amount}
+metrics:
+  - name: rev_spined
+    type: simple
+    type_params:
+      measure: {name: amt, fill_nulls_with: 0, join_to_timespine: true}
+"""
+        )
+    )
+    rows = {
+        (str(r["day"])[:7] if r["day"] is not None else None): r["rev_spined"]
+        for r in layer.query(["rev_spined"], group_by=["day"]).collect()
+    }
+    assert rows == {
+        "2025-01": 10.0,
+        "2025-02": 0.0,
+        "2025-03": 5.0,
+        None: 2.0,
+    }
+
+
+def test_conversion_reachable_through_derived(sl_events):
+    sl_events.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: conv_pct
+    type: derived
+    type_params: {expr: "visit_to_buy_7d * 100"}
+"""
+        )
+    )
+    base = sl_events.query(["visit_to_buy_7d"]).collect()[0]["visit_to_buy_7d"]
+    got = sl_events.query(["conv_pct"]).collect()[0]["conv_pct"]
+    assert got == pytest.approx(base * 100)

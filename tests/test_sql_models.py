@@ -274,3 +274,29 @@ def test_project_query_adhoc(spark):
     # After the run: resolves from the materialized relation.
     post = p.query("SELECT SUM(amt) AS s FROM {{ ref('amounts') }}").collect()
     assert post[0]["s"] == 20.0
+
+
+def test_file_macro_backslash_argument_is_literal(tmp_path, spark):
+    """A macro argument containing backslashes (regex patterns — the
+    dbt_utils idiom) must substitute LITERALLY: a plain-string re.sub
+    repl would raise 'bad escape' on '\\d+' and silently inject group
+    references on '\\1'."""
+    from dbt_analytics_spark.plans.sql_models import load_macros_dir
+
+    p = Project(spark, name="macre")
+    d = tmp_path / "macros"
+    d.mkdir()
+    (d / "m.sql").write_text(
+        "{% macro strip(col, pat) %}"
+        "regexp_replace({{ col }}, '{{ pat }}', '')"
+        "{% endmacro %}"
+    )
+    assert load_macros_dir(p, str(d)) == ["strip"]
+    assert (
+        p.sql_macros["strip"]("x", r"\d+")
+        == r"regexp_replace(x, '\d+', '')"
+    )
+    assert (
+        p.sql_macros["strip"]("x", r"\1")
+        == r"regexp_replace(x, '\1', '')"
+    )
