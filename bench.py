@@ -142,29 +142,19 @@ def main() -> None:
     for name in headline:
         builder, _ = REGISTRY[name]
         builder(spark, sf_dir).count()
-    load_before = os.getloadavg()
-    times: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in headline:
-        builder, _ = REGISTRY[name]
-        best, n = None, 0
-        raw[name] = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            df = builder(spark, sf_dir)
-            n = df.count()
-            elapsed = time.perf_counter() - t0
-            raw[name].append(round(elapsed, 4))
-            best = elapsed if best is None else min(best, elapsed)
-        times[name] = round(best, 4)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(times.values()), 4)
-    load_after = os.getloadavg()
+    oracle_on = os.environ.get("SPARK_GRAFT_ORACLE_BENCH", "1") != "0"
+    # Interleaved A/B (SPARK_GRAFT_BENCH_INTERLEAVE=1): each repeat round
+    # times Spark then DuckDB back-to-back per query, so a host-load
+    # drift during the run hits BOTH engines' samples instead of whatever
+    # engine happened to run in the noisy minutes — the protocol the
+    # sf10 codec probe used, adopted for cross-round comparability on
+    # hosts with documented ±25% drift. Sequential (default) keeps the
+    # driver's historical protocol.
+    interleave = os.environ.get("SPARK_GRAFT_BENCH_INTERLEAVE", "0") != "0"
 
-    duckdb_times: dict[str, float | None] = {}
-    ratios: dict[str, float | None] = {}
-    if os.environ.get("SPARK_GRAFT_ORACLE_BENCH", "1") != "0":
+    con = None
+    if oracle_on:
         import duckdb
 
         from dbt_analytics_spark.sources.readers import TABLES
@@ -176,27 +166,109 @@ def main() -> None:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
-        for name in headline:
+
+    def _time_spark(name: str) -> tuple[float, int]:
+        builder, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = builder(spark, sf_dir)
+        n = df.count()
+        return time.perf_counter() - t0, n
+
+    def _time_duck(sql: str) -> float:
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - t0
+
+    load_before = os.getloadavg()
+    times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    raw_duck: dict[str, list[float]] = {}
+    duckdb_times: dict[str, float | None] = {}
+    ratios: dict[str, float | None] = {}
+
+    if interleave and oracle_on:
+        for name in headline:  # warm DuckDB too (page cache, plan cache)
             _, sql = REGISTRY[name]
-            if sql is None:
-                # Sketch ops (dd3/sim3) are rows-only by design — no SQL
-                # equivalent exists, so there is no oracle denominator.
-                duckdb_times[name] = ratios[name] = None
-                continue
-            con.execute(sql).fetchall()  # warm (page cache, plan cache)
-            best = None
-            for _ in range(repeats):
-                t0 = time.perf_counter()
+            if sql is not None:
                 con.execute(sql).fetchall()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            duckdb_times[name] = round(best, 4)
-            ratios[name] = round(times[name] / best, 2) if best > 0 else None
+        raw = {n: [] for n in headline}
+        raw_duck = {n: [] for n in headline}
+        rows: dict[str, int] = {}
+        for _ in range(repeats):
+            for name in headline:
+                elapsed, rows[name] = _time_spark(name)
+                raw[name].append(round(elapsed, 4))
+                _, sql = REGISTRY[name]
+                if sql is not None:
+                    raw_duck[name].append(round(_time_duck(sql), 4))
+        for name in headline:
+            times[name] = min(raw[name])
             print(
-                f"# duckdb {name}: {duckdb_times[name]:.3f}s "
-                f"(spark/duckdb = {ratios[name]})",
+                f"# {name}: {times[name]:.3f}s ({rows[name]} rows)",
                 file=sys.stderr,
             )
+            if raw_duck[name]:
+                duckdb_times[name] = min(raw_duck[name])
+                ratios[name] = (
+                    round(times[name] / duckdb_times[name], 2)
+                    if duckdb_times[name] > 0
+                    else None
+                )
+                print(
+                    f"# duckdb {name}: {duckdb_times[name]:.3f}s "
+                    f"(spark/duckdb = {ratios[name]})",
+                    file=sys.stderr,
+                )
+            else:
+                duckdb_times[name] = ratios[name] = None
+    else:
+        for name in headline:
+            raw[name] = []
+            n = 0
+            for _ in range(repeats):
+                elapsed, n = _time_spark(name)
+                raw[name].append(round(elapsed, 4))
+            times[name] = min(raw[name])
+            print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        if oracle_on:
+            for name in headline:
+                _, sql = REGISTRY[name]
+                if sql is None:
+                    # Sketch ops (dd3/sim3) are rows-only by design — no
+                    # SQL equivalent exists, so no oracle denominator.
+                    duckdb_times[name] = ratios[name] = None
+                    continue
+                con.execute(sql).fetchall()  # warm (page cache, plan cache)
+                raw_duck[name] = [
+                    round(_time_duck(sql), 4) for _ in range(repeats)
+                ]
+                duckdb_times[name] = min(raw_duck[name])
+                ratios[name] = (
+                    round(times[name] / duckdb_times[name], 2)
+                    if duckdb_times[name] > 0
+                    else None
+                )
+                print(
+                    f"# duckdb {name}: {duckdb_times[name]:.3f}s "
+                    f"(spark/duckdb = {ratios[name]})",
+                    file=sys.stderr,
+                )
+
+    times = {k: round(v, 4) for k, v in times.items()}
+    duckdb_times = {
+        k: (round(v, 4) if v is not None else None)
+        for k, v in duckdb_times.items()
+    }
+    total = round(sum(times.values()), 4)
+    load_after = os.getloadavg()
+
+    def _band(samples: dict[str, list[float]]) -> dict[str, float | None]:
+        # Per-query drift band: (max - min) / min over the repeats — how
+        # much the host moved under this query during THIS run.
+        return {
+            k: (round((max(v) - min(v)) / min(v), 3) if v else None)
+            for k, v in samples.items()
+        }
 
     print(
         json.dumps(
@@ -214,11 +286,18 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
                 "agg": "min",
+                "interleaved": interleave and oracle_on,
+                # Per-query drift bands ((max-min)/min over the repeats):
+                # attribute a cross-round delta to code only when the band
+                # is small on BOTH engines.
+                "drift_band": _band(raw),
+                "duckdb_drift_band": _band(raw_duck),
                 # Co-tenant load adjudication: raw per-repeat times plus
                 # 1/5/15-min loadavg before and after the run. Timings here
                 # swing 3-10x with host load (BENCH_NOTES.md); a regression
                 # claim needs loadavg < ~4 to be believable.
                 "raw_times": raw,
+                "duckdb_raw_times": raw_duck,
                 "load_gate": load_gate,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],

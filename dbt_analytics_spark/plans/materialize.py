@@ -81,6 +81,13 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
                     f"DROP TABLE IF EXISTS {project.qualified(node.name + suffix)}"
                 )
         if kind == "incremental" and node.incremental_strategy == "ivf_insert":
+            # Initial build / full refresh: commit markers from a previous
+            # life would fast-path-skip a future batch whose key set
+            # happens to match one of theirs — drop them with the corpus.
+            project.spark.sql(
+                f"DROP TABLE IF EXISTS "
+                f"{project.qualified(node.name + '__ivf_commits')}"
+            )
             return _ivf_initial_build(project, node, df)
         writer = df.write.mode("overwrite").format(node.file_format)
         if node.partition_by:
@@ -419,6 +426,25 @@ def _ivf_initial_build(project: "Project", node: "Node", df: DataFrame) -> None:
     return None
 
 
+def _batch_key_fingerprint(df: DataFrame, key: str) -> tuple[int, str, str]:
+    """Content identity of a batch's key set: (count, two independent
+    60-bit md5-chunk sums in decimal — order-free, overflow-free to
+    ~10^18 rows). Deterministic across runs/engines (md5 over the string
+    key), so a re-run of the same model batch reproduces it exactly. One
+    batch-sized aggregate; never touches the corpus."""
+    h = F.md5(F.col(key).cast("string"))
+    r = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("h1"),
+        F.sum(
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("h2"),
+    ).collect()[0]
+    return int(r["n"]), str(r["h1"]), str(r["h2"])
+
+
 def _apply_ivf_insert(
     project: "Project", node: "Node", existing: DataFrame, new_rows: DataFrame
 ) -> int:
@@ -431,7 +457,20 @@ def _apply_ivf_insert(
     target row there is no separate index table to drift out of sync —
     the dual-commit healing machinery dedup_insert needs does not apply.
     (The centroid companion is written once at initial build and only
-    read here.)"""
+    read here.)
+
+    Replay fast path (the batch analog of stream_dedup_ingest's
+    ``(query_id, batch_id)`` marker — batch runs have no durable batch
+    id, so the marker keys on the batch's CONTENT fingerprint): a
+    committed batch records its key-set fingerprint in
+    ``{name}__ivf_commits``; a re-run of the same batch matches the
+    marker and returns before the anti-join, replacing the guard's
+    corpus-id-column scan (the measured growth term in
+    ivf_scale_probe.out) with one batch-sized aggregate plus a tiny
+    marker lookup. The marker commits strictly AFTER the append, so a
+    crash between the two only costs the fast path, never correctness —
+    the replay falls back to the guarded anti-join, inserts nothing, and
+    re-writes the marker."""
     import numpy as np
 
     spark = project.spark
@@ -445,14 +484,29 @@ def _apply_ivf_insert(
             f"cannot be reconstructed from the corpus (training data is "
             f"gone); run a full refresh to re-index {node.name}"
         )
+    key = node.unique_key
+    batch = new_rows.dropDuplicates([key])
+    marker_tbl = project.qualified(f"{node.name}__ivf_commits")
+    n_b, h1, h2 = _batch_key_fingerprint(batch, key)
+    if n_b > 0 and spark.catalog.tableExists(marker_tbl):
+        hit = (
+            spark.table(marker_tbl)
+            .filter(
+                (F.col("n") == n_b)
+                & (F.col("h1") == h1)
+                & (F.col("h2") == h2)
+            )
+            .limit(1)
+            .count()
+        )
+        if hit:
+            return spark.table(target).count()
+
     rows = spark.table(cent_tbl).orderBy("cell").collect()
     C = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
-    key = node.unique_key
-    # Within-batch key dedup first (a batch carrying the same id twice
-    # would otherwise append both), then the cross-run retry guard.
-    fresh = new_rows.dropDuplicates([key]).join(
-        existing.select(key), key, "left_anti"
-    )
+    # Within-batch key dedup happened above (a batch carrying the same id
+    # twice would otherwise append both); now the cross-run retry guard.
+    fresh = batch.join(existing.select(key), key, "left_anti")
     assigned = fresh.withColumn(
         "__ivf_cell",
         _sim.ivf_cell_udf(C)(_sim.as_double_array(F.col(node.ivf_vec_col))),
@@ -468,6 +522,14 @@ def _apply_ivf_insert(
         .saveAsTable(target)
     )
     spark.catalog.refreshTable(target)
+    if n_b > 0:
+        # Marker AFTER the data commit (see docstring: a crash between
+        # the two only loses the fast path, never rows).
+        spark.createDataFrame(
+            [(n_b, h1, h2)], "n long, h1 string, h2 string"
+        ).write.mode("append").format(node.file_format).saveAsTable(
+            marker_tbl
+        )
     return spark.table(target).count()
 
 

@@ -234,8 +234,6 @@ _BEYOND_DRIVER_CAP = [
     # j1b/w3b (round 9): j1/w3 on the engine-owned bucketed star layout
     # (plans/star_layout.py) — identical oracles to j1/w3, exchange-free
     # join physical contract; benched beside the raw-parquet rows.
-    "j1b_join_agg_bucketed",
-    "w3b_pct_of_total_bucketed",
     # Round-9 exact-regime siblings (VERDICT r8 item 4): each rows-only
     # sketch/procedural op now has a PROVABLY exact regime with a full
     # DuckDB oracle — dd3b/dd9b (threshold=1.0 ⇒ banding recall exactly
@@ -246,24 +244,15 @@ _BEYOND_DRIVER_CAP = [
     # the bound verdict itself oracle-hash-checked). The probabilistic
     # originals keep their rows-only entries; sibling evidence rides the
     # local gate like f5b/sim5b/sim2b/sim3b before them.
-    "dd3b_minhash_lsh_exact",
-    "dd9b_cross_dedup_exact",
-    "dd4b_simhash_exact",
-    "smp3b_pack_identity",
-    "txt15b_bpe_first_merge",
-    "f2b_approx_distinct_bounded",
-    "f3b_approx_percentiles_bounded",
     # q13b (round 9, session 2): q13 on the bucketed star layout — the
     # per-customer COUNT runs bucket-local and the zero-preserving left
     # join is an exchange-free SHJ (plan-pinned in test_plan_quality.py);
     # same oracle as q13.
-    "q13b_custdist_bucketed",
     # sim4b (round 9, session 2): PQ with refine covering every batch ⇒
     # the ADC preselection prunes nothing and the exact re-rank IS brute
     # force — the last rows-only ANN op gains an exact-regime sibling
     # under SIM1's oracle (completes the b-sibling set: every rows-only
     # sketch/procedural op now has one).
-    "sim4b_pq_exact",
     # Round-9 session-2 rotation: dd12_span_dedup (500-row corpus-rewrite
     # dedup) and smp6_token_budget_sample (243-row budget sampler) — both
     # fully oracled, multi-row — move INTO the 50-prefix. Displaced, per
@@ -329,8 +318,6 @@ _BEYOND_DRIVER_CAP = [
     # INTERSECT ALL multiplicities) and LAG/LEAD IGNORE NULLS with
     # defaults — U/W families keep u1/w1/w2(w7)/w3 prefix rows; both
     # fully oracled in the local gate.
-    "u4_except_intersect_all",
-    "w8_lag_lead_ignore_nulls",
     # sim6 (round-9 session 3): the persistent ivf_insert index —
     # bootstrap on half the corpus, incremental append of the other half
     # against the pinned centroids, partition-pruned probe of the stored
@@ -338,7 +325,6 @@ _BEYOND_DRIVER_CAP = [
     # Local-gate evidence; the ANN family keeps sim1/sim3/sim3b/sim2b
     # driver rows and the strategy itself is crash/idempotence-tested in
     # tests/test_ivf_index.py.
-    "sim6_ivf_index_exact",
     # smp7 (round-9 session 3): leakage-aware train/val/test split —
     # near-dup clusters (dd7's components) assigned wholly to one split
     # via the smp1 portable md5 draw. Fully oracled in the local gate;
@@ -353,6 +339,67 @@ _BEYOND_DRIVER_CAP = [
     # g1 stays hash-green in the local gate and its injectable-clock
     # D4 surface stays pytest-pinned.
     "g1_date_spine",
+    # ------------------------------------------------------------------
+    # Round-10 rotation (VERDICT r9 item 3): the round-9 ops with only
+    # local-gate evidence move INTO the 50-prefix — the bucketed-layout
+    # rows j1b/w3b/q13b (now also overflow-guarded and re-measured at
+    # 15M/60M/240M fact rows, scripts/probe_scan_floor.py), the eight
+    # exact-regime siblings dd3b/dd4b/dd9b/smp3b/txt15b/f2b/f3b/sim4b
+    # (every rows-only sketch op now has a hash-checked driver sibling),
+    # sim6 (the persistent ivf_insert index end-to-end, exact regime),
+    # and u4/w8 (bag-semantics set ops, LAG/LEAD IGNORE NULLS).
+    # Displaced in exchange — every one stays hash-green in the
+    # all-registry local gate (CORRECTNESS_LOCAL_r10) and parity suite,
+    # with in-prefix sibling evidence:
+    #   q7_volume_shipping — TPC-H star family keeps q1/q8/q13 + the
+    #     entering q13b layout row.
+    #   p1_projection_cast — P1/P4 projection+cast ride in q1's decimal
+    #     aggregate casts and the staying p2/p3 rows.
+    #   j2_left_join — J2's zero-preserving left join is driver-evidenced
+    #     inside q13_custdist (COALESCE(count,0) left join) and the
+    #     entering q13b.
+    #   j4_lateral_expr — lateral family keeps j3b's regex lateral
+    #     (same operators/top1.py machinery) and j5's explode.
+    #   a1_multi_grain_rollup — A1's grain ladder is a strict subset of
+    #     a6_grouping_sets' staying row.
+    #   a3_conditional_agg — A3's conditional aggregation is the compile
+    #     target of sem1's staying row (metric filters become F.when
+    #     inside the single groupBy) and txt2's when-based ratios.
+    #   so1_order_limit — SO1 rides in q13's multi-key ORDER BY and
+    #     smp6's budget cut; the bare order+limit shape stays local-gated.
+    #   ev6_retention_cohorts / ev7_event_transitions — event family
+    #     keeps ev1/ev2/ev3/ev4 driver rows.
+    #   w7_analytic_suite — window family keeps w1/w3 + entering w3b and
+    #     w8 (lag/lead analytic surface).
+    #   txt14_nb_langid — classifier family keeps txt16b's pinned-weight
+    #     scoring row; NB stays fully oracled in the local gate.
+    #   f7_drift_psi — sketch/profile family keeps f8 + the entering
+    #     f2b/f3b bounded-envelope rows.
+    #   smp5_fixed_k_sample — sampling family keeps smp6 + entering
+    #     smp3b; the salted top-k window stays plan-pinned.
+    #   dd11_semdedup — cosine near-dup surface evidenced by sim1 +
+    #     entering sim4b; the dedup family keeps dd1/dd3/dd10/dd12 +
+    #     entering dd3b/dd4b/dd9b.
+    # sem8/sem9 (round 10): the calendar-window and nested-derived
+    # compiler paths opened this round (VERDICT r9 item 4) — fully
+    # oracled, local-gate evidence; the semantic family keeps four
+    # driver rows (sem1/sem2/sem4/sem6).
+    "sem8_calendar_window",
+    "sem9_nested_derived",
+    "q7_volume_shipping",
+    "p1_projection_cast",
+    "j2_left_join",
+    "j4_lateral_expr",
+    "a1_multi_grain_rollup",
+    "a3_conditional_agg",
+    "so1_order_limit",
+    "ev6_retention_cohorts",
+    "ev7_event_transitions",
+    "w7_analytic_suite",
+    "txt14_nb_langid",
+    "f7_drift_psi",
+    "smp5_fixed_k_sample",
+    "dd11_semdedup",
 ]
 
 _ALL: dict = {}

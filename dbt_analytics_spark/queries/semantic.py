@@ -166,6 +166,28 @@ _DOC = {
             },
         },
         {
+            # Calendar window (round 10): months are not fixed-length, so
+            # this compiles to a bucket-frame self-join on
+            # (b - INTERVAL 2 MONTH, b], not a RANGE frame.
+            "name": "revenue_2mo",
+            "type": "cumulative",
+            "measure": "order_revenue",
+            "type_params": {"window": "2 months"},
+        },
+        {
+            # Derived over a RATIO input (round 10 — MetricFlow allows
+            # derived metrics over any metric type).
+            "name": "aov_x100",
+            "type": "derived",
+            "type_params": {"expr": "avg_order_value * 100"},
+        },
+        {
+            # Derived over a DERIVED input (nested substitution).
+            "name": "aov_index",
+            "type": "derived",
+            "type_params": {"expr": "aov_x100 / 100 + order_count"},
+        },
+        {
             "name": "view_to_purchase_7d",
             "type": "conversion",
             "type_params": {
@@ -488,6 +510,82 @@ FROM spine s LEFT JOIN buckets b ON b.mo = s.mo
 """
 
 
+# ---------------------------------------------------------------------------
+# sem8 — CALENDAR trailing window (round 10, VERDICT r9 item 4): a
+# ``window: 2 months`` cumulative at day grain. Months are not
+# fixed-length, so the compiler's RANGE frame cannot express it — the
+# layer self-joins the (tiny, post-aggregation) bucket frame on
+# b2 ∈ (b1 - INTERVAL 2 MONTH, b1], the calendar analog of the day
+# path's [b-(N-1), b] frame. MetricFlow accepts week/month/quarter/year
+# windows (metricflow cumulative-metric type_params.window); rejecting
+# them was a documented pre-r10 divergence.
+# ---------------------------------------------------------------------------
+
+def sem8_calendar_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(["revenue", "revenue_2mo"], group_by=["order_date"])
+    return _finish(
+        df, dates=["order_date"], doubles=["revenue", "revenue_2mo"]
+    )
+
+
+SEM8_SQL = """
+WITH buckets AS (
+  SELECT
+    date_trunc('day', o_orderdate) AS dy,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  GROUP BY 1
+)
+SELECT
+  CAST(b.dy AS DATE) AS order_date,
+  CAST(b.rev AS DOUBLE) AS revenue,
+  CAST((SELECT SUM(b2.rev) FROM buckets b2
+        WHERE b2.dy > b.dy - INTERVAL 2 MONTH
+          AND b2.dy <= b.dy) AS DOUBLE) AS revenue_2mo
+FROM buckets b
+"""
+
+
+# ---------------------------------------------------------------------------
+# sem9 — nested metric inputs (round 10, VERDICT r9 item 4): a derived
+# metric over a RATIO input (aov_x100 = avg_order_value * 100) and a
+# derived metric over that DERIVED metric (aov_index) — MetricFlow
+# allows metric inputs of any type; the pre-r10 simple-only restriction
+# was a documented divergence. The compiled expression substitutes each
+# referenced metric's full post-aggregation SQL recursively
+# (plans/semantics.py _metric_sql), still ONE Spark aggregation.
+# ---------------------------------------------------------------------------
+
+def sem9_nested_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["aov_x100", "aov_index"], group_by=["order_status"]
+    )
+    return _finish(df, doubles=["aov_x100", "aov_index"])
+
+
+# The oracle mirrors the compiled arithmetic SHAPE exactly (core.py float
+# rules: same IEEE ops in the same order on both engines).
+SEM9_SQL = """
+WITH agg AS (
+  SELECT
+    o_orderstatus AS order_status,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+    COUNT(*) AS cnt
+  FROM orders
+  GROUP BY 1
+)
+SELECT
+  order_status,
+  CAST(((CAST(rev AS DOUBLE) / CAST(cnt AS DOUBLE)) * 100) AS DOUBLE)
+    AS aov_x100,
+  CAST((((CAST(rev AS DOUBLE) / CAST(cnt AS DOUBLE)) * 100) / 100 + cnt
+       ) AS DOUBLE) AS aov_index
+FROM agg
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -496,4 +594,6 @@ REGISTRY = {
     "sem5_saved_query": (sem5_saved_query, SEM5_SQL),
     "sem6_period_over_period": (sem6_period_over_period, SEM6_SQL),
     "sem7_calendar_spine": (sem7_calendar_spine, SEM7_SQL),
+    "sem8_calendar_window": (sem8_calendar_window, SEM8_SQL),
+    "sem9_nested_derived": (sem9_nested_derived, SEM9_SQL),
 }

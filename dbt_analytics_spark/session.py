@@ -46,7 +46,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] puts all executor threads in the driver JVM: 8g was
+        # 0.25 GB/thread and measurably GC-bound at 240M fact rows
+        # (BENCH_NOTES r10: j1b 6.74 s at 8g vs 4.66 s at 32g, same
+        # plan/data/host). 24g ≈ 0.75 GB/thread on the 128 GiB bench host
+        # — still conservative vs any real cluster executor sizing.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

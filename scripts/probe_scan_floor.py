@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Scan-floor amortization probe (VERDICT r9 next-round #1).
+
+The round-9 decomposition attributed the j1b/w3b/q13b residual (5.6-6.7x
+DuckDB at sf10 on the bucketed layout) to the bare parquet scan+agg
+floor: a Spark scan+global-agg of the same bucketed table cost
+0.47-0.62 s — as much as the whole query — vs DuckDB's 0.13-0.15 s
+END-TO-END, with the amortization claim ("per-row cost dominates as rows
+grow, so the ratio falls") resting on q1's 1.78x at 60M rows by analogy.
+
+This probe tests the claim by DIRECT measurement: it scales the orders
+fact to 60M rows (4 key-offset copies of the sf10 star tables — same
+construction as scripts/build_sf1.py, fact+dims only), builds the same
+engine-owned bucketed layout over it, and re-times j1b/w3b/q13b plus the
+bare scan+agg floor at BOTH scales in ONE session, min-of-N interleaved
+Spark/DuckDB A/B (each repeat round runs Spark then DuckDB back-to-back
+per query, so host drift hits both engines' samples), with per-query
+drift bands.
+
+Done-criterion from the verdict: the ratio trends toward <=2x as fact
+rows grow, or the plateau is decomposed naming the next constant.
+
+Usage: python scripts/probe_scan_floor.py [repeats]
+Writes BENCH_SF40_r10.json-shaped output to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from dbt_analytics_spark.queries import REGISTRY  # noqa: E402
+from dbt_analytics_spark.session import get_spark  # noqa: E402
+
+SF10 = "/root/repo/.scratch/sf10"
+SF40 = "/root/repo/.scratch/sf40"
+SF160 = "/root/repo/.scratch/sf160"
+QUERIES = [
+    "j1b_join_agg_bucketed",
+    "w3b_pct_of_total_bucketed",
+    "q13b_custdist_bucketed",
+    "j1_join_agg",
+]
+REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+
+def build_scaled(src_dir: str, dst_dir: str, ncopy: int) -> None:
+    """``ncopy`` key-offset copies of the star tables (fact + joined dims
+    only — lineitem/documents/events are not needed for this shape and
+    would quadruple the build for nothing)."""
+    if os.path.exists(f"{dst_dir}/orders.parquet"):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{src_dir}/{t}.parquet')"
+
+    maxc = con.execute(
+        f"SELECT max(c_custkey) FROM {src('customer')}"
+    ).fetchone()[0] + 1
+    maxo = con.execute(
+        f"SELECT max(o_orderkey) FROM {src('orders')}"
+    ).fetchone()[0] + 1
+    copies = f"(SELECT unnest(range({ncopy})) AS i)"
+    jobs = {
+        "region": f"SELECT * FROM {src('region')}",
+        "nation": f"SELECT * FROM {src('nation')}",
+        "customer": f"""
+            SELECT c_custkey + i*{maxc} AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM {src('customer')}, {copies}""",
+        "orders": f"""
+            SELECT o_orderkey + i*{maxo} AS o_orderkey,
+                   o_custkey + i*{maxc} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM {src('orders')}, {copies}""",
+    }
+    for t, q in jobs.items():
+        out = f"{dst_dir}/{t}.parquet"
+        con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out}')"
+        ).fetchone()[0]
+        print(f"# built {t}: {n} rows", file=sys.stderr)
+    con.close()
+
+
+def main() -> None:
+    build_scaled(SF10, SF40, 4)
+    build_scaled(SF40, SF160, 4)
+    spark = get_spark("scan_floor_probe")
+    from pyspark.sql import functions as F
+
+    from dbt_analytics_spark.plans.star_layout import ensure_star_layout
+
+    out: dict[str, dict] = {}
+    for sf_dir in (SF10, SF40, SF160):
+        tag = os.path.basename(sf_dir)
+        t0 = time.perf_counter()
+        orders_tbl, _ = ensure_star_layout(spark, sf_dir)
+        layout_s = round(time.perf_counter() - t0, 2)
+        n_fact = spark.table(orders_tbl).count()
+        print(f"# {tag}: layout ready in {layout_s}s, fact rows {n_fact}",
+              file=sys.stderr)
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+
+        def spark_floor():
+            return (
+                spark.table(orders_tbl)
+                .agg(F.count(F.lit(1)), F.sum("o_cents"))
+                .collect()
+            )
+
+        DUCK_FLOOR = (
+            "SELECT count(*), SUM(CAST(o_totalprice*100 AS BIGINT)) "
+            "FROM orders"
+        )
+
+        # warm both engines per shape
+        for name in QUERIES:
+            builder, sql = REGISTRY[name]
+            builder(spark, sf_dir).count()
+            con.execute(sql).fetchall()
+        spark_floor()
+        con.execute(DUCK_FLOOR).fetchall()
+
+        sp: dict[str, list[float]] = {n: [] for n in QUERIES + ["scan_floor"]}
+        dk: dict[str, list[float]] = {n: [] for n in QUERIES + ["scan_floor"]}
+        for _ in range(REPEATS):
+            for name in QUERIES:
+                builder, sql = REGISTRY[name]
+                t0 = time.perf_counter()
+                builder(spark, sf_dir).count()
+                sp[name].append(round(time.perf_counter() - t0, 4))
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dk[name].append(round(time.perf_counter() - t0, 4))
+            t0 = time.perf_counter()
+            spark_floor()
+            sp["scan_floor"].append(round(time.perf_counter() - t0, 4))
+            t0 = time.perf_counter()
+            con.execute(DUCK_FLOOR).fetchall()
+            dk["scan_floor"].append(round(time.perf_counter() - t0, 4))
+        con.close()
+
+        band = lambda v: round((max(v) - min(v)) / min(v), 3)  # noqa: E731
+        out[tag] = {
+            "fact_rows": n_fact,
+            "layout_build_s": layout_s,
+            "spark_min": {k: min(v) for k, v in sp.items()},
+            "duckdb_min": {k: min(v) for k, v in dk.items()},
+            "ratio": {
+                k: round(min(sp[k]) / min(dk[k]), 2) for k in sp
+            },
+            "spark_drift_band": {k: band(v) for k, v in sp.items()},
+            "duckdb_drift_band": {k: band(v) for k, v in dk.items()},
+            "spark_raw": sp,
+            "duckdb_raw": dk,
+        }
+        for k in sp:
+            print(
+                f"# {tag} {k}: spark {min(sp[k]):.3f}s duckdb "
+                f"{min(dk[k]):.3f}s ratio {out[tag]['ratio'][k]}",
+                file=sys.stderr,
+            )
+
+    print(json.dumps({
+        "metric": "scan_floor_amortization",
+        "protocol": f"min-of-{REPEATS}, interleaved spark/duckdb A/B, "
+                    "one warm session, load shown per-query as drift bands",
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "scales": out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,35 +57,36 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-9 prefix so an accidental
+    # queries/__init__.py). Freeze the round-10 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-9 session-3 rotation: the semantic
-    # layer's three execution mechanisms in — sem1 entity-star join, sem2
-    # cumulative windows, sem4 conversion; t3/p5/d1 out with in-prefix
-    # sibling evidence; see queries/__init__.py for the rationale).
+    # list in the same commit (round-10 rotation: the bucketed-layout rows
+    # j1b/w3b/q13b, the eight exact-regime siblings, sim6, and u4/w8 in;
+    # q7/p1/j2/j4/a1/a3/so1/ev6/ev7/w7/txt14/f7/smp5/dd11 out with
+    # in-prefix sibling evidence; see queries/__init__.py for the
+    # rationale).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
-        "q1_pricing_summary", "q7_volume_shipping", "q8_market_share",
-        "q13_custdist", "p1_projection_cast",
-        "p2_filter_ilike", "p3_case_classify", "j1_join_agg",
-        "j2_left_join", "j3b_regex_lateral_top1", "j4_lateral_expr",
-        "j5_explode_split", "a1_multi_grain_rollup", "a3_conditional_agg",
-        "a4_count_distinct", "w1_dedup_rank", "w3_pct_of_total",
-        "u1_union_dedup", "t2_regex_match",
-        "so1_order_limit", "ev1_sessionize",
-        "ev2_json_extract", "ev3_asof_join", "ev4_range_join",
-        "ev6_retention_cohorts", "ev7_event_transitions", "a6_grouping_sets",
-        "w7_analytic_suite", "dd1_exact_dedup", "dd3_minhash_lsh",
-        "sim1_cosine_topk", "sim3_ivf_topk", "txt1_token_stats",
-        "txt2_quality", "mm1_features",
-        "sim3b_ivf_exact", "sim2b_lsh_exact", "dd10_exact_substring",
-        "dd12_span_dedup", "smp6_token_budget_sample",
-        "txt14_nb_langid", "dd11_semdedup", "smp5_fixed_k_sample",
-        "f8_cms_counts", "txt16b_logreg_score", "f7_drift_psi",
-        "sem1_entity_star_metrics", "sem2_cumulative_metrics",
-        "sem4_conversion_rate", "sem6_period_over_period",
+        "q1_pricing_summary", "q8_market_share", "q13_custdist",
+        "q13b_custdist_bucketed", "p2_filter_ilike", "p3_case_classify",
+        "j1_join_agg", "j1b_join_agg_bucketed", "w3b_pct_of_total_bucketed",
+        "j3b_regex_lateral_top1", "j5_explode_split", "a4_count_distinct",
+        "w1_dedup_rank", "w3_pct_of_total", "u1_union_dedup",
+        "t2_regex_match", "ev1_sessionize", "ev2_json_extract",
+        "ev3_asof_join", "ev4_range_join", "a6_grouping_sets",
+        "u4_except_intersect_all", "w8_lag_lead_ignore_nulls",
+        "dd1_exact_dedup", "dd3_minhash_lsh", "dd3b_minhash_lsh_exact",
+        "dd9b_cross_dedup_exact", "dd4b_simhash_exact", "sim1_cosine_topk",
+        "sim3_ivf_topk", "txt1_token_stats", "txt2_quality",
+        "f2b_approx_distinct_bounded", "mm1_features", "sim4b_pq_exact",
+        "smp3b_pack_identity", "sim3b_ivf_exact", "sim6_ivf_index_exact",
+        "sim2b_lsh_exact", "dd10_exact_substring", "dd12_span_dedup",
+        "smp6_token_budget_sample", "txt15b_bpe_first_merge",
+        "f3b_approx_percentiles_bounded", "f8_cms_counts",
+        "txt16b_logreg_score", "sem1_entity_star_metrics",
+        "sem2_cumulative_metrics", "sem4_conversion_rate",
+        "sem6_period_over_period",
     ]
     assert list(q.queries())[:50] == expected_prefix
     # The only prefix rows without a DuckDB oracle are the two

@@ -444,3 +444,45 @@ def test_stream_ivf_ingest_all_null_first_batch_is_staged_not_dropped(
     assert got.filter(F.col("__ivf_cell") >= 0).count() == 20
     for t in (tbl, f"{tbl}__ivf_centroids"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_insert_replay_marker_fast_path_and_fallback(spark, ivf_project):
+    """Committed batches record a content fingerprint in __ivf_commits;
+    a replayed batch fast-paths on the marker BEFORE the corpus-id
+    anti-join. The marker is an optimization only: with it deleted
+    (crash between append and marker commit), the replay falls back to
+    the guarded anti-join, inserts nothing, and re-writes the marker.
+    A fresh batch must never match an old marker."""
+    p, state = ivf_project
+    p.run(select="vec_index")  # bootstrap (40 rows)
+    state["rows"] = _rows(range(40, 50))
+    _rerun(spark, p, state)
+    assert spark.catalog.tableExists("vec_index__ivf_commits")
+    markers = spark.table("vec_index__ivf_commits").collect()
+    assert len(markers) == 1 and markers[0]["n"] == 10
+
+    # Replay (marker hit): no dupes, no second marker row.
+    _rerun(spark, p, state)
+    assert spark.table("vec_index").count() == 50
+    assert spark.table("vec_index__ivf_commits").count() == 1
+
+    # Crash window: append committed, marker lost. Replay takes the
+    # guarded path — still no dupes — and restores the marker.
+    spark.sql("DROP TABLE vec_index__ivf_commits")
+    _rerun(spark, p, state)
+    assert spark.table("vec_index").count() == 50
+    assert spark.table("vec_index__ivf_commits").count() == 1
+
+    # A genuinely new batch misses the marker and appends.
+    state["rows"] = _rows(range(50, 55))
+    _rerun(spark, p, state)
+    assert spark.table("vec_index").count() == 55
+    assert spark.table("vec_index__ivf_commits").count() == 2
+
+    # Full refresh drops the markers with the corpus (a stale marker
+    # could fast-path-skip a matching future batch).
+    state["rows"] = _rows(range(10))
+    p2 = Project(spark, name="ivfp", full_refresh=True)
+    p2.nodes = p.nodes
+    p2.run(select="vec_index")
+    assert not spark.catalog.tableExists("vec_index__ivf_commits")
