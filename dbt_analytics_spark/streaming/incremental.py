@@ -591,14 +591,48 @@ def _ivf_ingest_batch(
     n_cells: int,
     kmeans_iters: int,
 ) -> None:
+    """One micro-batch of IVF index maintenance. Replay fast path: a
+    committed batch records its key-set content fingerprint in
+    ``{target}__ivf_commits`` (the same marker table the batch
+    ``ivf_insert`` strategy writes — either path fast-paths the other's
+    commits); a re-delivered batch matches the marker and returns before
+    the corpus-id anti-join, so replay cost is one batch-sized aggregate
+    + a tiny marker lookup instead of the target's id-column scan. The
+    marker commits strictly AFTER the data write: a crash between the
+    two only loses the fast path — the replay falls back to the guarded
+    anti-join, inserts nothing, and re-writes the marker."""
     import numpy as np
+
+    from ..plans.materialize import _batch_key_fingerprint
 
     from ..operators import similarity as _sim
 
     s = batch.sparkSession
     cent_tbl = f"{target}__ivf_centroids"
+    commit_tbl = f"{target}__ivf_commits"
     cell = _sim.ivf_cell_udf
     batch = batch.dropDuplicates([id_col])  # within-batch key dedup
+    n_b, h1, h2 = _batch_key_fingerprint(batch, id_col)
+    if n_b > 0 and s.catalog.tableExists(commit_tbl):
+        hit = (
+            s.table(commit_tbl)
+            .filter(
+                (F.col("n") == n_b)
+                & (F.col("h1") == h1)
+                & (F.col("h2") == h2)
+            )
+            .limit(1)
+            .count()
+        )
+        if hit:
+            return
+
+    def _mark() -> None:
+        if n_b > 0:
+            s.createDataFrame(
+                [(n_b, h1, h2)], "n long, h1 string, h2 string"
+            ).write.mode("append").saveAsTable(commit_tbl)
+
     target_exists = s.catalog.tableExists(target)
     if not s.catalog.tableExists(cent_tbl):
         # No pinned model yet. Two sub-states: no target at all, or a
@@ -638,6 +672,7 @@ def _ivf_ingest_batch(
                     "__ivf_cell"
                 ).saveAsTable(target)
             s.catalog.refreshTable(target)
+            _mark()
             return
         if kmeans_iters > 0:
             C, _ = _sim.kmeans_fit(
@@ -668,6 +703,7 @@ def _ivf_ingest_batch(
                 "__ivf_cell"
             ).saveAsTable(target)
         s.catalog.refreshTable(target)
+        _mark()
         return
     C = np.asarray(
         [
@@ -689,6 +725,7 @@ def _ivf_ingest_batch(
             .saveAsTable(target)
         )
         s.catalog.refreshTable(target)
+        _mark()
         return
     fresh = batch.join(s.table(target).select(id_col), id_col, "left_anti")
     assigned = fresh.withColumn(
@@ -704,6 +741,7 @@ def _ivf_ingest_batch(
         .saveAsTable(target)
     )
     s.catalog.refreshTable(target)
+    _mark()
 
 
 def _stored_keys_overlapping(

@@ -75,9 +75,20 @@ def main() -> None:
         _ivf_ingest_batch(batch, tbl, "vec_id", "embedding", N_CELLS, 0)
         append_s = time.monotonic() - t0
 
-        t0 = time.monotonic()  # full replay: anti-join drops everything
+        # Replay with the commit marker intact (round 10): the content
+        # fingerprint matches and the batch returns before the corpus-id
+        # anti-join — one batch-sized aggregate + a tiny marker lookup.
+        t0 = time.monotonic()
         _ivf_ingest_batch(batch, tbl, "vec_id", "embedding", N_CELLS, 0)
         replay_s = time.monotonic() - t0
+
+        # Replay with the marker LOST (crash between append and marker
+        # commit): the guarded anti-join path — the pre-r10 replay cost,
+        # kept measured so the fallback's growth term stays priced.
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__ivf_commits")
+        t0 = time.monotonic()
+        _ivf_ingest_batch(batch, tbl, "vec_id", "embedding", N_CELLS, 0)
+        replay_guarded_s = time.monotonic() - t0
 
         C = np.asarray(
             [
@@ -102,13 +113,14 @@ def main() -> None:
             "bootstrap_s": round(bootstrap_s, 2),
             "append_batch_s": round(append_s, 2),
             "replay_noop_s": round(replay_s, 2),
+            "replay_guarded_s": round(replay_guarded_s, 2),
             "probe_3q_np4_s": round(probe_s, 2),
             "probe_hits": n_hits,
             "loadavg": os.getloadavg()[0],
         }
         print(json.dumps(rec), flush=True)
         out.append(rec)
-        for t in (tbl, f"{tbl}__ivf_centroids"):
+        for t in (tbl, f"{tbl}__ivf_centroids", f"{tbl}__ivf_commits"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -41,7 +41,11 @@ def _rows(ids):
 def ivf_project(spark):
     # The warehouse outlives each test: start from a clean slate so one
     # test's index can't leak into the next (the node name is shared).
-    for t in ("vec_index", "vec_index__ivf_centroids"):
+    for t in (
+        "vec_index",
+        "vec_index__ivf_centroids",
+        "vec_index__ivf_commits",
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     p = Project(spark, name="ivfp")
     state = {"rows": _rows(range(40))}
@@ -442,7 +446,7 @@ def test_stream_ivf_ingest_all_null_first_batch_is_staged_not_dropped(
     assert spark.catalog.tableExists(f"{tbl}__ivf_centroids")
     assert got.filter(F.col("__ivf_cell") == -1).count() == 3
     assert got.filter(F.col("__ivf_cell") >= 0).count() == 20
-    for t in (tbl, f"{tbl}__ivf_centroids"):
+    for t in (tbl, f"{tbl}__ivf_centroids", f"{tbl}__ivf_commits"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
