@@ -12,11 +12,18 @@ a project's metric definitions actually RUN here:
   expr);
 - a **metric** is ``simple`` (one measure, optional pre-aggregation
   filter), ``ratio`` (numerator / denominator metrics), ``derived``
-  (an expression over other metrics, evaluated post-aggregation),
-  ``cumulative`` (a simple metric accumulated over the query's time
-  dimension — all-time, a trailing ``window: N days``, or
-  ``grain_to_date``), or ``conversion`` (share of base events with a
-  conversion event for the same entity within a time window);
+  (an expression over other metrics — of ANY type, recursively:
+  derived-of-derived and derived-over-ratio substitute the referenced
+  metric's full post-aggregation SQL; cycles fail loudly), ``cumulative``
+  (a simple metric accumulated over the query's time dimension —
+  all-time, a trailing fixed-length ``window: N days/weeks`` via a RANGE
+  frame, a calendar ``window: N months/quarters/years`` via a bucket-
+  frame self-join on ``(b - INTERVAL, b]``, or ``grain_to_date``), or
+  ``conversion`` (share of base events with a conversion event for the
+  same entity within a time window of any grain);
+- derived-metric inputs accept a per-input ``filter:`` (compiled as a
+  filtered clone — its own conditional aggregate in the same groupBy;
+  ratio inputs filter both legs) alongside ``alias``/``offset_window``;
 - simple metrics support MetricFlow measure-input params:
   ``join_to_timespine`` extends the result to every time bucket between
   the frame's min and max (per dim combination, via one ``sequence()``
@@ -123,13 +130,18 @@ class SemanticModel:
 @dataclass
 class MetricInput:
     """One entry of a derived metric's ``type_params.metrics`` list
-    (MetricFlow metric inputs): a referenced metric, optionally re-aliased
-    and time-offset (``offset_window: N <grain>`` reads the metric's value
-    from the bucket N grains earlier — period-over-period)."""
+    (MetricFlow metric inputs): a referenced metric, optionally re-aliased,
+    time-offset (``offset_window: N <grain>`` reads the metric's value
+    from the bucket N grains earlier — period-over-period), and/or
+    filtered (``filter:`` restricts the INPUT's pre-aggregation rows
+    without touching other uses of the same metric — compiled as a
+    filtered clone of the referenced metric, i.e. its own conditional
+    aggregate in the same groupBy)."""
 
     name: str
     alias: str | None = None
     offset_window: str | None = None
+    filter: str | None = None
 
 
 @dataclass
@@ -282,6 +294,7 @@ class SemanticLayer:
                         name=mi["name"],
                         alias=mi.get("alias"),
                         offset_window=mi.get("offset_window"),
+                        filter=mi.get("filter"),
                     )
                 )
             self.metrics[mt["name"]] = Metric(
@@ -408,7 +421,10 @@ class SemanticLayer:
             if metric.inputs:
                 for mi in metric.inputs:
                     self._simple_metrics_needed(
-                        self.metrics[mi.name], acc, conv_acc, _seen
+                        self.metrics[self._input_target(mi)],
+                        acc,
+                        conv_acc,
+                        _seen,
                     )
                 return
             for name in re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", metric.expr or ""):
@@ -418,6 +434,54 @@ class SemanticLayer:
                     )
         else:
             raise ValueError(f"unknown metric type {metric.type!r}")
+
+    def _input_target(self, mi: MetricInput) -> str:
+        """Effective metric name for a derived-metric input: the metric
+        itself, or — when the input carries a ``filter:`` — a FILTERED
+        CLONE registered on demand (deterministically named, shared
+        across queries). MetricFlow semantics: an input filter restricts
+        that input's pre-aggregation rows only; other uses of the same
+        metric in the query are untouched, so the clone aggregates as
+        its own conditional column in the same groupBy."""
+        if not mi.filter:
+            return mi.name
+        import hashlib
+
+        tag = hashlib.md5(mi.filter.encode()).hexdigest()[:8]
+        cname = f"{mi.name}__filtered_{tag}"
+        if cname not in self.metrics:
+            self.metrics[cname] = self._filtered_clone(
+                self.metrics[mi.name], mi.filter, tag
+            )
+        return cname
+
+    def _filtered_clone(self, m: Metric, filt: str, tag: str) -> Metric:
+        """A copy of ``m`` with ``filt`` ANDed into its pre-aggregation
+        filter. Ratio inputs filter both legs (MetricFlow compiles an
+        input filter into the input metric's subquery WHERE, which a
+        ratio's numerator and denominator share). Derived/conversion
+        inputs with filters are out of scope and fail loudly — a derived
+        clone would need its expr's bare references remapped, and a
+        conversion's event-join pipeline has two distinct row sets."""
+        from dataclasses import replace
+
+        comb = f"({m.filter}) AND ({filt})" if m.filter else filt
+        cname = f"{m.name}__filtered_{tag}"
+        if m.type in ("simple", "cumulative"):
+            return replace(m, name=cname, filter=comb)
+        if m.type == "ratio":
+            num = self._input_target(
+                MetricInput(name=m.numerator, filter=filt)
+            )
+            den = self._input_target(
+                MetricInput(name=m.denominator, filter=filt)
+            )
+            return replace(m, name=cname, numerator=num, denominator=den)
+        raise ValueError(
+            f"input filter on {m.type!r} metric {m.name!r} is not "
+            "supported (filter a simple/cumulative/ratio input, or define "
+            "a filtered metric explicitly)"
+        )
 
     def _model_for(self, measure_names: set[str]) -> SemanticModel:
         owners = [
@@ -467,7 +531,7 @@ class SemanticLayer:
 
             amap: dict[str, str] = {}
             for mi in metric.inputs:
-                inner = self.metrics[mi.name]
+                inner = self.metrics[self._input_target(mi)]
                 key = mi.alias or mi.name
                 if mi.offset_window:
                     # _apply_offsets materialized the input's (possibly
@@ -811,7 +875,7 @@ class SemanticLayer:
                     f"{owner!r} and {m.name!r}; aliases must be unique "
                     "within a query"
                 )
-            inner = self.metrics[mi.name]
+            inner = self.metrics[self._input_target(mi)]
             # Any metric type may be offset: cumulative __m_ columns are
             # already accumulated (offsets run after _apply_cumulative),
             # conversions arrive pre-joined, and ratio/derived compile to

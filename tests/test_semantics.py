@@ -907,3 +907,81 @@ metrics:
     base = sl_events.query(["visit_to_buy_7d"]).collect()[0]["visit_to_buy_7d"]
     got = sl_events.query(["conv_pct"]).collect()[0]["conv_pct"]
     assert got == pytest.approx(base * 100)
+
+
+def test_derived_input_filter_is_local_to_the_input(sl):
+    # MetricFlow input filters: the filter restricts THAT input's rows
+    # only — other uses of the same metric in the query are untouched.
+    sl.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: seg_a_share
+    type: derived
+    type_params:
+      expr: "a_rev / revenue"
+      metrics:
+        - {name: revenue}
+        - {name: revenue, alias: a_rev, filter: "seg = 'a'"}
+"""
+        )
+    )
+    row = sl.query(["seg_a_share", "revenue"]).collect()[0]
+    assert row["revenue"] == 42.0  # unfiltered use unaffected
+    assert row["seg_a_share"] == pytest.approx(30.0 / 42.0)
+
+
+def test_derived_input_filter_on_ratio_filters_both_legs(sl):
+    sl.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: big_aov_x2
+    type: derived
+    type_params:
+      expr: "aov_f * 2"
+      metrics:
+        - {name: avg_txn_value, alias: aov_f, filter: "amount >= 7"}
+"""
+        )
+    )
+    got = sl.query(["big_aov_x2"]).collect()[0]["big_aov_x2"]
+    # amounts >= 7: 10, 20, 7 -> sum 37 over count 3, then * 2.
+    assert got == pytest.approx((37.0 / 3.0) * 2)
+
+
+def test_derived_input_filter_combines_with_metric_filter(sl):
+    # The input filter ANDs into the referenced metric's own filter.
+    sl.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: big_a_rev
+    type: derived
+    type_params:
+      expr: "x"
+      metrics:
+        - {name: big_revenue, alias: x, filter: "seg = 'a'"}
+"""
+        )
+    )
+    got = sl.query(["big_a_rev"]).collect()[0]["big_a_rev"]
+    assert got == 30.0  # big_revenue (amount>=10) AND seg='a': 10+20
+
+
+def test_derived_input_filter_on_derived_fails_loud(sl):
+    sl.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: bad_fd
+    type: derived
+    type_params:
+      expr: "y"
+      metrics:
+        - {name: revenue_per_seg, alias: y, filter: "seg = 'a'"}
+"""
+        )
+    )
+    with pytest.raises(ValueError, match="not.*supported|filter"):
+        sl.query(["bad_fd"]).collect()
