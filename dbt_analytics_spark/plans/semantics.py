@@ -41,16 +41,18 @@ a project's metric definitions actually RUN here:
   metric filters become ``F.when`` conditions inside the aggregate, so a
   filtered metric never forces a second scan.
 
-Cross-model **entity joins** (MetricFlow's join resolution, single-hop):
-a ``group_by`` of ``entity__dim`` (optionally ``entity__dim__grain``)
-resolves through a *foreign* entity on the measure model to the semantic
-model whose *primary* entity has that name, compiling to one LEFT star
-join per entity — the dim side pruned to (primary key + requested dims)
-so a wide dim table never ships whole, and Catalyst/AQE broadcast the
-pruned build side when small — followed by the same single aggregation.
-Measures must still resolve to ONE semantic model per query (multi-hop
-joins and measure-side fan-out are out of scope; define a mart model for
-those).
+Cross-model **entity joins** (MetricFlow's join resolution, incl.
+multi-hop): a ``group_by`` of ``entity__dim`` — or a chain
+``entity__entity__...__dim`` (optionally ``__grain``) — resolves each
+foreign entity hop to the semantic model whose *primary* entity has
+that name (dimensions win a name tie, MetricFlow's ambiguity rule),
+compiling to one LEFT star join per CHAIN: the dim side is assembled
+innermost-out with every hop pruned to (primary key + what the next hop
+needs), so a wide dim table never ships whole and Catalyst/AQE
+broadcast the pruned build sides when small — followed by the same
+single aggregation. Measures must still resolve to ONE semantic model
+per query (measure-side fan-out is out of scope; define a mart model
+for that).
 """
 
 from __future__ import annotations
@@ -435,6 +437,113 @@ class SemanticLayer:
         else:
             raise ValueError(f"unknown metric type {metric.type!r}")
 
+    def _walk_entity_chain(
+        self, sem: SemanticModel, parts: list[str]
+    ) -> tuple[list[str], SemanticModel, int]:
+        """Resolve the leading foreign-entity hops of a ``__``-split
+        reference (MetricFlow multi-hop): returns (chain, final model,
+        index of the first non-entity part). Dimensions win a name tie
+        at every hop."""
+        chain = [parts[0]]
+        target = self._primary_model(parts[0])
+        idx = 1
+        while (
+            idx < len(parts)
+            and parts[idx] not in target.dimensions
+            and parts[idx] in target.entities
+            and target.entities[parts[idx]].type == "foreign"
+        ):
+            chain.append(parts[idx])
+            target = self._primary_model(parts[idx])
+            idx += 1
+        return chain, target, idx
+
+    #: MetricFlow filter templates: {{ Dimension('ref') }},
+    #: {{ TimeDimension('ref', 'grain') }}, {{ Entity('name') }}.
+    _TMPL_RE = None  # compiled lazily (class body has no re import)
+
+    def _render_filter(
+        self,
+        sem: SemanticModel,
+        s: str,
+        joins: dict,
+        time_grain: str | None,
+    ) -> str:
+        """Render MetricFlow's Jinja-style filter templates to SQL over
+        the query frame (dbt metric/saved-query ``filter:`` strings use
+        ``{{ Dimension('entity__dim') }}`` etc.). A template referencing
+        another model's dimension AUTO-JOINS that entity chain (pruned,
+        hidden ``__fdim_*`` column — never in the output), matching
+        MetricFlow's behavior where a filter may reference dims the
+        group_by does not request. Plain-SQL filters pass through
+        untouched."""
+        import re
+
+        if "{{" not in s:
+            return s
+        if SemanticLayer._TMPL_RE is None:
+            SemanticLayer._TMPL_RE = re.compile(
+                r"\{\{\s*(Dimension|TimeDimension|Entity|Metric)\(\s*"
+                r"'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)\s*\}\}"
+            )
+
+        def repl(m: "re.Match") -> str:
+            kind, ref, grain = m.group(1), m.group(2), m.group(3)
+            if kind == "Metric":
+                raise ValueError(
+                    "Metric() filter templates are not supported — filter "
+                    "on dimensions/entities, or post-filter the result"
+                )
+            if kind == "Entity":
+                en = sem.entities.get(ref)
+                if en is None:
+                    raise KeyError(f"unknown entity {ref!r} on {sem.name}")
+                return f"({en.expr or en.name})"
+            parts = ref.split("__")
+            dname = parts[0]
+            if dname == "metric_time" and "metric_time" not in sem.dimensions:
+                tds = [
+                    d for d in sem.dimensions.values() if d.type == "time"
+                ]
+                if not tds:
+                    raise KeyError(
+                        f"metric_time: model {sem.name!r} has no time "
+                        "dimension"
+                    )
+                dim, local = tds[0], True
+            elif dname in sem.dimensions:
+                dim, local = sem.dimensions[dname], True
+            elif dname in sem.entities:
+                chain, target, idx = self._walk_entity_chain(sem, parts)
+                if idx >= len(parts) or parts[idx] not in target.dimensions:
+                    raise KeyError(
+                        f"unknown dimension in filter template {ref!r}"
+                    )
+                dim, local = target.dimensions[parts[idx]], False
+            else:
+                raise KeyError(
+                    f"unknown dimension {dname!r} in filter template"
+                )
+            if local:
+                e = f"({dim.expr or dim.name})"
+                if kind == "TimeDimension":
+                    eff = grain or time_grain or dim.grain
+                    e = f"date_trunc('{eff}', {e})"
+                return e
+            # Foreign dim: register a hidden join column and reference it.
+            col = "__fdim_" + "_".join(chain) + "_" + dim.name
+            expr = F.expr(dim.expr or dim.name)
+            if kind == "TimeDimension":
+                eff = grain or time_grain or dim.grain
+                col += f"_{eff}"
+                expr = F.date_trunc(eff, expr)
+            cols = joins.setdefault(tuple(chain), [])
+            if col not in [n for n, _ in cols]:
+                cols.append((col, expr))
+            return col
+
+        return SemanticLayer._TMPL_RE.sub(repl, s)
+
     def _input_target(self, mi: MetricInput) -> str:
         """Effective metric name for a derived-metric input: the metric
         itself, or — when the input carries a ``filter:`` — a FILTERED
@@ -645,50 +754,107 @@ class SemanticLayer:
                 dim_cols.append(expr.alias(out_name))
                 out_names.append(out_name)
             elif dname in sem.entities and len(parts) >= 2:
-                # entity__dim[__grain]: dimension of another semantic
-                # model, reached through a foreign entity (MetricFlow
-                # join resolution, single-hop).
+                # entity[__entity...]__dim[__grain]: dimension of another
+                # semantic model, reached through a chain of foreign
+                # entities (MetricFlow multi-hop join resolution). Walk
+                # the chain: each next part that is a FOREIGN entity on
+                # the current hop's model (and not one of its dimensions
+                # — dimensions win a name tie, matching MetricFlow's
+                # ambiguity rule) extends the chain; the first
+                # non-entity part must be a dimension of the final model.
+                chain = [dname]
                 target = self._primary_model(dname)
-                dim = target.dimensions.get(parts[1])
+                idx = 1
+                while (
+                    idx < len(parts)
+                    and parts[idx] not in target.dimensions
+                    and parts[idx] in target.entities
+                    and target.entities[parts[idx]].type == "foreign"
+                ):
+                    chain.append(parts[idx])
+                    target = self._primary_model(parts[idx])
+                    idx += 1
+                dim = (
+                    target.dimensions.get(parts[idx])
+                    if idx < len(parts)
+                    else None
+                )
                 if dim is None:
+                    missing = parts[idx] if idx < len(parts) else "<none>"
                     raise KeyError(
-                        f"unknown dimension {parts[1]!r} on {target.name} "
-                        f"(via entity {dname!r})"
+                        f"unknown dimension {missing!r} on {target.name} "
+                        f"(via entity chain {'__'.join(chain)!r})"
                     )
-                grain = parts[2] if len(parts) > 2 else ""
+                grain = parts[idx + 1] if len(parts) > idx + 1 else ""
                 expr = F.expr(dim.expr or dim.name)
                 if dim.type == "time":
                     eff = grain or time_grain or dim.grain
                     expr = F.date_trunc(eff, expr)
                     time_outs.append(g)
                     time_grains[g] = eff
-                joins.setdefault(dname, []).append((g, expr))
+                joins.setdefault(tuple(chain), []).append((g, expr))
                 dim_cols.append(F.col(g))
                 out_names.append(g)
             else:
                 raise KeyError(f"unknown dimension {dname!r} on {sem.name}")
 
-        for ename, cols in joins.items():
-            # One LEFT star join per entity: dim side pruned to pk + the
-            # requested dim exprs (a wide dim table never ships whole);
-            # Catalyst/AQE broadcast the pruned build side when small.
-            fk = sem.entities[ename]
-            target = self._primary_model(ename)
-            pk = target.entities[ename]
-            tdf = self.project._resolve_for_adhoc(target.model)
-            dimframe = tdf.select(
-                F.expr(pk.expr or pk.name).alias(f"__pk_{ename}"),
-                *[e.alias(n) for n, e in cols],
+        # Render MetricFlow filter templates BEFORE executing the joins:
+        # a {{ Dimension('entity__dim') }} in the query's where or in any
+        # needed metric's filter may add hidden entity-chain joins.
+        rendered_where = (
+            self._render_filter(sem, where, joins, time_grain)
+            if where
+            else None
+        )
+        rendered_filters = {
+            n: self._render_filter(
+                sem, self.metrics[n].filter, joins, time_grain
             )
-            df = df.join(
-                dimframe,
-                F.expr(fk.expr or fk.name) == F.col(f"__pk_{ename}"),
-                "left",
-            ).drop(f"__pk_{ename}")
+            for n in needed
+            if self.metrics[n].filter
+        }
 
-        if where:
+        for chain, cols in joins.items():
+            # One LEFT star join per entity CHAIN: the dim side is built
+            # innermost-out — the final model pruned to (pk + requested
+            # dim exprs), each intermediate model pruned to (pk + next
+            # hop's fk) — so no hop ever ships a wide table, and
+            # Catalyst/AQE broadcast the pruned build sides when small.
+            # The fact table sees exactly ONE join per chain.
+            frame = None
+            for i in range(len(chain) - 1, -1, -1):
+                hop_model = self._primary_model(chain[i])
+                pk = hop_model.entities[chain[i]]
+                hdf = self.project._resolve_for_adhoc(hop_model.model)
+                if frame is None:
+                    frame = hdf.select(
+                        F.expr(pk.expr or pk.name).alias(f"__pk_{chain[i]}"),
+                        *[e.alias(n) for n, e in cols],
+                    )
+                else:
+                    nxt = chain[i + 1]
+                    fk_next = hop_model.entities[nxt]
+                    hop = hdf.select(
+                        F.expr(pk.expr or pk.name).alias(f"__pk_{chain[i]}"),
+                        F.expr(fk_next.expr or fk_next.name).alias(
+                            f"__fk_{nxt}"
+                        ),
+                    )
+                    frame = hop.join(
+                        frame,
+                        F.col(f"__fk_{nxt}") == F.col(f"__pk_{nxt}"),
+                        "left",
+                    ).drop(f"__fk_{nxt}", f"__pk_{nxt}")
+            fk = sem.entities[chain[0]]
+            df = df.join(
+                frame,
+                F.expr(fk.expr or fk.name) == F.col(f"__pk_{chain[0]}"),
+                "left",
+            ).drop(f"__pk_{chain[0]}")
+
+        if rendered_where:
             # After entity joins, so filters may reference joined dims.
-            df = df.filter(where)
+            df = df.filter(rendered_where)
 
         aggs = []
         for mname in sorted(needed):
@@ -699,7 +865,9 @@ class SemanticLayer:
             # the single groupBy (dbt: filters live on the metric), so a
             # filtered metric never forces a second scan.
             if metric.filter:
-                expr = F.when(F.expr(metric.filter), expr)
+                expr = F.when(
+                    F.expr(rendered_filters.get(mname, metric.filter)), expr
+                )
             aggs.append(_AGGS[ms.agg](expr).alias(f"__m_{mname}"))
 
         grouped = None

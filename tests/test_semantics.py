@@ -985,3 +985,136 @@ metrics:
     )
     with pytest.raises(ValueError, match="not.*supported|filter"):
         sl.query(["bad_fd"]).collect()
+
+
+MULTIHOP_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: mh_txns
+    model: ref('mh_txns')
+    entities:
+      - {name: txn, type: primary, expr: txn_id}
+      - {name: account, type: foreign, expr: account_id}
+    measures:
+      - {name: amt, agg: sum, expr: amount}
+  - name: mh_accounts
+    model: ref('mh_accounts')
+    entities:
+      - {name: account, type: primary, expr: account_id}
+      - {name: org, type: foreign, expr: org_id}
+    dimensions:
+      - {name: tier, type: categorical}
+  - name: mh_orgs
+    model: ref('mh_orgs')
+    entities:
+      - {name: org, type: primary, expr: org_id}
+    dimensions:
+      - {name: org_region, type: categorical}
+metrics:
+  - {name: spend, type: simple, measure: amt}
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def sl_multihop(spark):
+    p = Project(spark, name="sem_mh")
+    p.source_table(
+        "mh_txns",
+        spark.createDataFrame(
+            [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0), (4, 30, 2.0)],
+            ["txn_id", "account_id", "amount"],
+        ),
+    )
+    p.source_table(
+        "mh_accounts",
+        spark.createDataFrame(
+            [(10, 100, "gold"), (20, 100, "basic"), (30, 200, "gold")],
+            ["account_id", "org_id", "tier"],
+        ),
+    )
+    p.source_table(
+        "mh_orgs",
+        spark.createDataFrame(
+            [(100, "emea"), (200, "apac")], ["org_id", "org_region"]
+        ),
+    )
+    layer = SemanticLayer(p)
+    layer.load(MULTIHOP_DOC)
+    return layer
+
+
+def test_multihop_entity_chain_dim(sl_multihop):
+    # txns -> accounts -> orgs: two foreign-entity hops to org_region.
+    rows = {
+        r["account__org__org_region"]: r["spend"]
+        for r in sl_multihop.query(
+            ["spend"], group_by=["account__org__org_region"]
+        ).collect()
+    }
+    assert rows == {"emea": 13.0, "apac": 2.0}
+
+
+def test_multihop_mixes_with_single_hop_and_where(sl_multihop):
+    rows = {
+        (r["account__tier"], r["account__org__org_region"]): r["spend"]
+        for r in sl_multihop.query(
+            ["spend"],
+            group_by=["account__tier", "account__org__org_region"],
+            where="account__tier = 'gold'",
+        ).collect()
+    }
+    assert rows == {("gold", "emea"): 12.0, ("gold", "apac"): 2.0}
+
+
+def test_multihop_unknown_tail_fails_with_chain(sl_multihop):
+    with pytest.raises(KeyError, match="account__org"):
+        sl_multihop.query(
+            ["spend"], group_by=["account__org__nope"]
+        ).collect()
+
+
+def test_filter_templates_render_and_autojoin(sl_star):
+    # MetricFlow Jinja-style filter templates: Dimension('entity__dim')
+    # AUTO-JOINS the chain even though group_by does not request it.
+    rows = {
+        r["status"]: r["order_revenue"]
+        for r in sl_star.query(
+            ["order_revenue"],
+            group_by=["status"],
+            where="{{ Dimension('customer__region') }} = 'emea'",
+        ).collect()
+    }
+    # emea customer 10 owns orders 1 (open, 5.0) and 2 (done, 7.0);
+    # apac and customerless orders are filtered.
+    assert rows == {"open": 5.0, "done": 7.0}
+
+
+def test_filter_template_in_metric_filter(sl_star):
+    sl_star.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: emea_revenue
+    type: simple
+    measure: order_total
+    filter: "{{ Dimension('customer__region') }} = 'emea'"
+"""
+        )
+    )
+    both = sl_star.query(["order_revenue", "emea_revenue"]).collect()[0]
+    assert both["order_revenue"] == 36.0
+    assert both["emea_revenue"] == 12.0
+
+
+def test_time_dimension_and_local_dimension_templates(sl):
+    rows = sl.query(
+        ["revenue"],
+        group_by=["seg"],
+        where="{{ TimeDimension('day', 'month') }} = DATE '2025-01-01'",
+    ).collect()
+    assert {r["seg"]: r["revenue"] for r in rows} == {"a": 30.0}
+    n = sl.query(
+        ["txn_count"], where="{{ Dimension('seg') }} = 'b'"
+    ).collect()[0]["txn_count"]
+    assert n == 2
