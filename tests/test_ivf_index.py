@@ -419,7 +419,10 @@ def test_stream_ivf_ingest_all_null_first_batch_is_staged_not_dropped(
 
     tbl = f"ivfnull_{uuid.uuid4().hex[:8]}"
     src, ckpt = str(tmp_path / "land"), str(tmp_path / "ckpt")
-    schema = "vec_id int, embedding array<double>, payload string"
+    # vec_id LONG to match the inferred type of the later _rows() write —
+    # mixed INT32/INT64 parquet files under one stream schema fail the
+    # read on whichever files disagree with the pinned schema.
+    schema = "vec_id long, embedding array<double>, payload string"
 
     spark.createDataFrame(
         [(i, None, f"doc{i}") for i in range(3)], schema
