@@ -386,6 +386,10 @@ _BEYOND_DRIVER_CAP = [
     # driver rows (sem1/sem2/sem4/sem6).
     "sem8_calendar_window",
     "sem9_nested_derived",
+    # sem10 (round 10): multi-hop entity chain (orders -> customer ->
+    # nation, one pruned chain join) + a MetricFlow Dimension() filter
+    # template auto-joining a dim the group_by does not request.
+    "sem10_multihop_template",
     "q7_volume_shipping",
     "p1_projection_cast",
     "j2_left_join",

@@ -65,13 +65,23 @@ _DOC = {
             "name": "customers_sm",
             "model": "ref('customer')",
             "entities": [
-                {"name": "customer", "type": "primary", "expr": "c_custkey"}
+                {"name": "customer", "type": "primary", "expr": "c_custkey"},
+                {"name": "nation", "type": "foreign", "expr": "c_nationkey"},
             ],
             "dimensions": [
                 {"name": "c_mktsegment"},
                 {"name": "c_nationkey"},
             ],
             "measures": [{"name": "n_customers", "agg": "count"}],
+        },
+        {
+            "name": "nations_sm",
+            "model": "ref('nation')",
+            "entities": [
+                {"name": "nation", "type": "primary", "expr": "n_nationkey"}
+            ],
+            "dimensions": [{"name": "n_name"}],
+            "measures": [{"name": "n_nations", "agg": "count"}],
         },
         {
             "name": "events_sm",
@@ -216,7 +226,7 @@ _DOC = {
 def _layer(spark: SparkSession, sf_dir: str) -> SemanticLayer:
     t = load_testdata(spark, sf_dir)
     p = Project(spark, name="sem_driver")
-    for name in ("orders", "customer", "events"):
+    for name in ("orders", "customer", "nation", "events"):
         p.source_table(name, t[name])
     sl = SemanticLayer(p)
     sl.load(_DOC)
@@ -586,6 +596,39 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# sem10 — multi-hop entity chain + MetricFlow filter template (round 10):
+# revenue by customer__nation__n_name (orders -> customer -> nation, two
+# foreign-entity hops compiled to ONE pruned left join of the assembled
+# chain) filtered by a {{ Dimension('customer__c_mktsegment') }} template
+# — a dim the group_by does not request, auto-joined hidden.
+# ---------------------------------------------------------------------------
+
+def sem10_multihop_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["revenue", "order_count"],
+        group_by=["customer__nation__n_name"],
+        where="{{ Dimension('customer__c_mktsegment') }} = 'BUILDING'",
+    )
+    return _finish(df, doubles=["revenue"]).withColumnRenamed(
+        "customer__nation__n_name", "nation_name"
+    )
+
+
+SEM10_SQL = """
+SELECT
+  n.n_name AS nation_name,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS order_count
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -596,4 +639,5 @@ REGISTRY = {
     "sem7_calendar_spine": (sem7_calendar_spine, SEM7_SQL),
     "sem8_calendar_window": (sem8_calendar_window, SEM8_SQL),
     "sem9_nested_derived": (sem9_nested_derived, SEM9_SQL),
+    "sem10_multihop_template": (sem10_multihop_template, SEM10_SQL),
 }
