@@ -738,3 +738,45 @@ def cms_estimate(
         joined.groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
     )
+
+
+#: Query parameters that carry no content identity (web-corpus dedup
+#: convention: analytics/click trackers).
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical identity of a URL for web-corpus dedup (the RefinedWeb /
+    CCNet-style URL-level dedup key): scheme dropped, host lowercased
+    with ``www.`` and default ports stripped, path trailing-slash
+    normalized ('' → '/'), fragment dropped, tracking query params
+    (``utm_*``/``gclid``/``fbclid``/``ref``) removed and the surviving
+    params SORTED so param order never splits an identity.
+
+    Built-in expressions only (regex + array HOFs — no UDF, stays in
+    whole-stage codegen), and every rule is expressible identically in
+    the DuckDB oracle (queries/llm.py dd13). Scale: pure per-row map,
+    shuffle-free; the dedup that follows is an ordinary hash-groupBy on
+    the canonical key.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(F.trim(c), r"#.*$", "")  # fragment off first
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )

@@ -390,6 +390,11 @@ _BEYOND_DRIVER_CAP = [
     # nation, one pruned chain join) + a MetricFlow Dimension() filter
     # template auto-joining a dim the group_by does not request.
     "sem10_multihop_template",
+    # dd13 (round 10): URL-level dedup — canonicalize_url (scheme/www/
+    # port/fragment/tracking-param/slash/param-order noise collapsed,
+    # codegen-only) then hash-groupBy on the canonical key; fully
+    # oracled against the identical DuckDB rule.
+    "dd13_url_dedup",
     "q7_volume_shipping",
     "p1_projection_cast",
     "j2_left_join",

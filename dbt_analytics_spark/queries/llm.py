@@ -2508,6 +2508,117 @@ SELECT doc_id, quality_score, quality_score >= 0.5 AS keep FROM scored
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# DD13 — URL-level dedup (RefinedWeb/CCNet-style): canonicalize messy URLs
+# (scheme/www/default-port/fragment/tracking-param/trailing-slash/param-
+# order noise) and dedup documents on the canonical key. The documents
+# table carries no URL column, so the query SYNTHESIZES deterministic
+# messy URLs from (source, doc_id) identically in both engines — what is
+# under test is the canonicalization rule itself
+# (operators/text.py canonicalize_url), not the synthesis.
+# Scale: canonicalization is a per-row codegen map; the dedup is one
+# hash-groupBy on the canonical key — the standard web-corpus shape.
+# ---------------------------------------------------------------------------
+
+#: Deterministic messy-URL synthesis shared (textually) with the oracle.
+_DD13_URL_EXPR = (
+    "concat('HTTPS://WWW.', source, '.Example.com',"
+    " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,"
+    " '/Path/', CAST(doc_id % 7 AS STRING),"
+    " CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,"
+    " '?utm_source=feed&b=2&a=1',"
+    " CASE WHEN doc_id % 5 = 0 THEN '&gclid=xyz' ELSE '' END,"
+    " '#sec', CAST(doc_id % 4 AS STRING))"
+)
+
+
+def dd13_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import canonicalize_url
+
+    docs = load_testdata(spark, sf_dir)["documents"]
+    canon = docs.selectExpr(
+        "doc_id", f"{_DD13_URL_EXPR} AS url"
+    ).withColumn("canonical", canonicalize_url("url"))
+    per_key = canon.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+    host = F.substring_index(F.col("canonical"), "/", 1)
+    return (
+        per_key.groupBy(host.alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_urls"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_docs") - 1).cast("bigint").alias("n_dropped"),
+            F.min("keeper_doc_id").alias("first_doc_id"),
+        )
+        .orderBy("host")
+    )
+
+
+DD13_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.com'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         || '/Path/' || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || '?utm_source=feed&b=2&a=1'
+         || CASE WHEN doc_id % 5 = 0 THEN '&gclid=xyz' ELSE '' END
+         || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+                             '^[A-Za-z]+://([^/?#]+)', 1)),
+        '^www\.', ''),
+      ':(80|443)$', '')
+    ||
+    CASE WHEN regexp_replace(
+           regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+                          '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+           '/+$', '') = ''
+         THEN '/'
+         ELSE regexp_replace(
+           regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+                          '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+           '/+$', '')
+    END
+    ||
+    CASE WHEN array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+                                       '\?([^#]*)', 1), '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&') = ''
+         THEN ''
+         ELSE '?' || array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
+                                       '\?([^#]*)', 1), '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&')
+    END AS canonical
+  FROM urls
+), per_key AS (
+  SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS keeper_doc_id
+  FROM canon GROUP BY 1
+)
+SELECT
+  CASE WHEN strpos(canonical, '/') > 0
+       THEN substr(canonical, 1, strpos(canonical, '/') - 1)
+       ELSE canonical END AS host,
+  CAST(COUNT(*) AS BIGINT) AS n_unique_urls,
+  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+  CAST(SUM(n_docs - 1) AS BIGINT) AS n_dropped,
+  MIN(keeper_doc_id) AS first_doc_id
+FROM per_key
+GROUP BY 1
+ORDER BY host
+"""
+
+
 REGISTRY = {
     "dd1_exact_dedup": (dd1_exact_dedup, DD1_SQL),
     "dd2_jaccard_pairs": (dd2_jaccard_pairs, DD2_SQL),
@@ -2574,4 +2685,5 @@ REGISTRY = {
     "txt16_logreg_quality": (txt16_logreg_quality, None),
     "txt16b_logreg_score": (txt16b_logreg_score, TXT16B_SQL),
     "f7_drift_psi": (f7_drift_psi, F7_SQL),
+    "dd13_url_dedup": (dd13_url_dedup, DD13_SQL),
 }

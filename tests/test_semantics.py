@@ -1118,3 +1118,14 @@ def test_time_dimension_and_local_dimension_templates(sl):
         ["txn_count"], where="{{ Dimension('seg') }} = 'b'"
     ).collect()[0]["txn_count"]
     assert n == 2
+
+
+def test_multihop_chain_is_two_pruned_joins(sl_multihop):
+    # orders->accounts->orgs: the optimized plan carries exactly the two
+    # chain joins (no extra join per requested column), and every hop's
+    # project is pruned to (pk + what the next hop needs + the dim).
+    df = sl_multihop.query(["spend"], group_by=["account__org__org_region"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 2, plan
+    hop = next(l for l in plan.splitlines() if "AS __pk_account" in l)
+    assert "tier" not in hop, hop  # unrequested dim never ships

@@ -318,3 +318,31 @@ def test_doc_bigrams_segmented_row_identical(spark, docs, seg):
         for r in _doc_bigrams(df, "doc_id", "text", segment_tokens=seg).collect()
     )
     assert got == base
+
+
+def test_canonicalize_url_rules(spark):
+    """canonicalize_url (operators/text.py): one identity for every
+    scheme/www/default-port/fragment/tracking-param/trailing-slash/
+    param-order variant; path case preserved (URL paths are
+    case-sensitive); non-default ports kept."""
+    from dbt_analytics_spark.operators.text import canonicalize_url
+
+    rows = [
+        "HTTPS://WWW.Site.Example.com:443/Path/3/?utm_source=x&b=2&a=1#f",
+        "http://site.example.com/Path/3?a=1&b=2",
+        "https://site.example.com/Path/3/?b=2&a=1&fbclid=abc",
+        "https://other.com",
+        "https://other.com/?ref=tw#top",
+        "https://other.com:8080/",  # non-default port is identity
+        "https://site.example.com/path/3",  # path case differs -> distinct
+    ]
+    df = spark.createDataFrame([(u,) for u in rows], ["url"])
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+    assert got[0] == got[1] == got[2] == "site.example.com/Path/3?a=1&b=2"
+    assert got[3] == got[4] == "other.com/"
+    assert got[5] == "other.com:8080/"
+    assert got[6] == "site.example.com/path/3"
+    assert got[6] != got[0]
