@@ -9,10 +9,10 @@ END-TO-END, with the amortization claim ("per-row cost dominates as rows
 grow, so the ratio falls") resting on q1's 1.78x at 60M rows by analogy.
 
 This probe tests the claim by DIRECT measurement: it scales the orders
-fact to 60M rows (4 key-offset copies of the sf10 star tables — same
+fact to 60M and 240M rows (4x key-offset copies per step of the sf10 star tables — same
 construction as scripts/build_sf1.py, fact+dims only), builds the same
 engine-owned bucketed layout over it, and re-times j1b/w3b/q13b plus the
-bare scan+agg floor at BOTH scales in ONE session, min-of-N interleaved
+bare scan+agg floor at THREE scales in ONE session, min-of-N interleaved
 Spark/DuckDB A/B (each repeat round runs Spark then DuckDB back-to-back
 per query, so host drift hits both engines' samples), with per-query
 drift bands.
