@@ -845,7 +845,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("debug", parents=[common], help="check project/session health")
     sub.add_parser("clean", parents=[common], help="remove the target directory")
     sl = sub.add_parser("sl", parents=[common], help="semantic-layer metric queries")
-    sl.add_argument("action", choices=["query", "list", "export"])
+    sl.add_argument("action", choices=["query", "list", "export", "validate"])
     sl.add_argument("--saved", default=None, help="run a saved_queries block by name")
     sl.add_argument("--metrics", default="", help="comma-separated metric names")
     sl.add_argument("--group-by", default="", help="comma-separated dimensions (dim or dim__grain)")
@@ -1003,6 +1003,57 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                     print(f"{name} ({m.type})")
                 for name in sorted(sl.saved_queries):
                     print(f"{name} (saved query)")
+                return 0
+            if args.action == "validate":
+                # Static validation, no Spark jobs: every metric's
+                # references resolve (measures, ratio legs, derived
+                # inputs — cycles fail with their chain), windows parse,
+                # and conversion params are complete. Mirrors MetricFlow's
+                # `mf validate-configs` surface.
+                from .plans.semantics import _parse_window
+
+                problems: list[str] = []
+                for name, m in sorted(sl.metrics.items()):
+                    try:
+                        if m.type in ("simple", "cumulative"):
+                            sl._measure_of(m)
+                        if m.type in ("ratio", "derived"):
+                            sl._metric_sql(m)
+                        if m.window:
+                            _parse_window(m.window)
+                        if m.type == "conversion":
+                            for fld in (
+                                "base_measure",
+                                "conversion_measure",
+                                "entity",
+                            ):
+                                if not getattr(m, fld):
+                                    raise ValueError(
+                                        f"conversion metric needs {fld}"
+                                    )
+                        for mi in m.inputs:
+                            if mi.offset_window and not mi.alias:
+                                raise ValueError(
+                                    f"offset input {mi.name!r} needs an "
+                                    "alias"
+                                )
+                    except Exception as exc:  # noqa: BLE001 — report all
+                        problems.append(f"{name}: {exc}")
+                for name, sq in sorted(sl.saved_queries.items()):
+                    for mname in sq.metrics:
+                        if mname not in sl.metrics:
+                            problems.append(
+                                f"{name} (saved query): unknown metric "
+                                f"{mname!r}"
+                            )
+                if problems:
+                    for pr in problems:
+                        print(f"FAIL {pr}")
+                    return 2
+                print(
+                    f"OK: {len(sl.metrics)} metrics, "
+                    f"{len(sl.saved_queries)} saved queries validated"
+                )
                 return 0
             if args.action == "export":
                 targets = (

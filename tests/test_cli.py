@@ -954,3 +954,65 @@ def test_cli_show_explain_prints_physical_plan(project_dir, spark, capfd):
     )
     assert rc == 0
     assert "Physical Plan" in capfd.readouterr().out
+
+
+def test_cli_sl_validate(project_dir, spark, capsys):
+    _write(
+        os.path.join(project_dir, "models", "semantics.yml"),
+        """
+semantic_models:
+  - name: txn_sem
+    model: ref('stg_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+    measures:
+      - {name: total_amount, agg: sum, expr: amount}
+metrics:
+  - {name: revenue, type: simple, measure: total_amount}
+""",
+    )
+    rc = _run(spark, ["sl", "validate", "--project-dir", project_dir], "cli_slv")
+    assert rc == 0
+    assert "OK: 1 metrics" in capsys.readouterr().out
+
+    # Broken definitions: missing measure, reference cycle, bad window,
+    # unaliased offset input — all reported in one pass, rc 2.
+    _write(
+        os.path.join(project_dir, "models", "semantics.yml"),
+        """
+semantic_models:
+  - name: txn_sem
+    model: ref('stg_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+      - {name: day, type: time, grain: day}
+    measures:
+      - {name: total_amount, agg: sum, expr: amount}
+metrics:
+  - {name: revenue, type: simple, measure: total_amount}
+  - {name: ghost, type: simple, measure: does_not_exist}
+  - {name: loop_a, type: derived, type_params: {expr: "loop_b + 1"}}
+  - {name: loop_b, type: derived, type_params: {expr: "loop_a + 1"}}
+  - name: bad_window
+    type: cumulative
+    type_params: {measure: total_amount, window: "3 fortnights"}
+  - name: bad_offset
+    type: derived
+    type_params:
+      expr: revenue - x
+      metrics:
+        - {name: revenue, offset_window: 1 month}
+saved_queries:
+  - name: sq_bad
+    query_params: {metrics: [nope]}
+""",
+    )
+    rc = _run(spark, ["sl", "validate", "--project-dir", project_dir], "cli_slv")
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "ghost:" in out
+    assert "cycle" in out
+    assert "bad_window:" in out
+    assert "bad_offset:" in out
+    assert "sq_bad" in out and "nope" in out
+    assert "FAIL revenue" not in out
