@@ -346,3 +346,77 @@ def test_canonicalize_url_rules(spark):
     assert got[5] == "other.com:8080/"
     assert got[6] == "site.example.com/path/3"
     assert got[6] != got[0]
+
+
+def _py_canonicalize(url: str) -> str:
+    """Pure-Python reference of canonicalize_url's rule (same regexes)."""
+    import re
+
+    u = re.sub(r"#.*$", "", url.strip())
+    m = re.search(r"^[A-Za-z]+://([^/?#]+)", u)
+    host = (m.group(1) if m else "").lower()
+    host = re.sub(r"^www\.", "", host)
+    host = re.sub(r":(80|443)$", "", host)
+    m = re.search(r"^[A-Za-z]+://[^/?#]+([^?#]*)", u)
+    path = re.sub(r"/+$", "", m.group(1) if m else "") or "/"
+    m = re.search(r"\?([^#]*)", u)
+    q = m.group(1) if m else ""
+    kept = sorted(
+        p
+        for p in q.split("&")
+        if p != ""
+        and not re.match(r"^(utm_[a-z]+|gclid|fbclid|ref)=", p)
+    )
+    return host + path + ("?" + "&".join(kept) if kept else "")
+
+
+def test_canonicalize_url_matches_python_reference(spark):
+    """Property check: the Spark expression tree and the pure-Python
+    reference agree on generated URL variants (host case, www, default
+    and non-default ports, path depth/trailing slashes, shuffled and
+    tracking params, fragments)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dbt_analytics_spark.operators.text import canonicalize_url
+
+    word = st.text("abcdefgzXY09", min_size=1, max_size=6)
+    param = st.sampled_from(
+        ["a=1", "b=2", "z=9&", "utm_source=x", "utm_medium=y",
+         "gclid=g1", "fbclid=f", "ref=tw", "empty="]
+    )
+    urls = st.builds(
+        lambda scheme, www, host, port, segs, slash, params, frag: (
+            scheme
+            + "://"
+            + ("WWW." if www else "")
+            + host
+            + ".example.com"
+            + port
+            + "/"
+            + "/".join(segs)
+            + ("/" if slash and segs else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#sec" if frag else "")
+        ),
+        scheme=st.sampled_from(["http", "HTTPS", "https"]),
+        www=st.booleans(),
+        host=word,
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        segs=st.lists(word, max_size=3),
+        slash=st.booleans(),
+        params=st.lists(param, max_size=4),
+        frag=st.booleans(),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(batch=st.lists(urls, min_size=1, max_size=25))
+    def check(batch):
+        df = spark.createDataFrame([(u,) for u in batch], ["url"])
+        got = [
+            r["c"]
+            for r in df.select(canonicalize_url("url").alias("c")).collect()
+        ]
+        assert got == [_py_canonicalize(u) for u in batch]
+
+    check()
