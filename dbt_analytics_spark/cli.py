@@ -1010,7 +1010,7 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                 # inputs — cycles fail with their chain), windows parse,
                 # and conversion params are complete. Mirrors MetricFlow's
                 # `mf validate-configs` surface.
-                from .plans.semantics import _parse_window
+                from .plans.semantics import _grain_interval, _parse_window
 
                 problems: list[str] = []
                 for name, m in sorted(sl.metrics.items()):
@@ -1020,7 +1020,17 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                         if m.type in ("ratio", "derived"):
                             sl._metric_sql(m)
                         if m.window:
-                            _parse_window(m.window)
+                            # Match the COMPILE paths exactly: conversion
+                            # windows go through _grain_interval (which
+                            # additionally accepts 'hour'); cumulative
+                            # windows through _parse_window. Validating a
+                            # conversion '1 hour' window with the stricter
+                            # parser was a false FAIL on a metric query()
+                            # runs fine.
+                            if m.type == "conversion":
+                                _grain_interval(m.window)
+                            else:
+                                _parse_window(m.window)
                         if m.type == "conversion":
                             for fld in (
                                 "base_measure",

@@ -524,12 +524,14 @@ def _apply_ivf_insert(
     spark.catalog.refreshTable(target)
     if n_b > 0:
         # Marker AFTER the data commit (see docstring: a crash between
-        # the two only loses the fast path, never rows).
+        # the two only loses the fast path, never rows). Always parquet —
+        # streaming's _mark() appends to the SAME table, so pinning the
+        # node's file_format here would break the either-path-fast-paths-
+        # the-other contract for non-parquet nodes with a format-mismatch
+        # error on the cross-path append.
         spark.createDataFrame(
             [(n_b, h1, h2)], "n long, h1 string, h2 string"
-        ).write.mode("append").format(node.file_format).saveAsTable(
-            marker_tbl
-        )
+        ).write.mode("append").format("parquet").saveAsTable(marker_tbl)
     return spark.table(target).count()
 
 

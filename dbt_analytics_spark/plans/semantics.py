@@ -894,11 +894,8 @@ class SemanticLayer:
         wants_spine = grouped is not None and any(
             self.metrics[n].join_to_timespine for n in needed
         )
-        wants_offsets = grouped is not None and any(
-            mi.offset_window
-            for m in mobjs
-            if m.type == "derived"
-            for mi in m.inputs
+        wants_offsets = grouped is not None and bool(
+            self._collect_offset_inputs(mobjs)
         )
         if wants_spine or wants_offsets:
             grouped = grouped.localCheckpoint(eager=False)
@@ -999,6 +996,51 @@ class SemanticLayer:
         null_buckets = grouped.filter(F.col(tcol).isNull())
         return joined.unionByName(null_buckets.select(*joined.columns))
 
+    def _collect_offset_inputs(
+        self, mobjs: list[Metric]
+    ) -> list[tuple[Metric, MetricInput]]:
+        """Offset inputs reached through the METRIC CLOSURE, not just the
+        top-level queried metrics: a derived metric referencing another
+        derived metric whose inputs carry ``offset_window`` compiles (via
+        _metric_sql substitution) to ``__m_<alias>`` columns, so those
+        inner inputs must be materialized too — collecting only top-level
+        inputs left them unresolved (AnalysisException, not a clear
+        error). Ratio legs and bare expr references are walked as well;
+        ``seen`` bounds diamonds (a true cycle already failed in
+        _metric_sql's up-front validation)."""
+        import re
+
+        offs: list[tuple[Metric, MetricInput]] = []
+        seen: set[str] = set()
+
+        def walk(m: Metric) -> None:
+            if m.name in seen:
+                return
+            seen.add(m.name)
+            if m.type == "ratio":
+                walk(self.metrics[m.numerator])
+                walk(self.metrics[m.denominator])
+                return
+            if m.type != "derived":
+                return
+            aliased = set()
+            for mi in m.inputs:
+                aliased.add(mi.alias or mi.name)
+                if mi.offset_window:
+                    offs.append((m, mi))
+                walk(self.metrics[self._input_target(mi)])
+            # expr may reference metrics with no inputs entry (bare-name
+            # substitution — sem9's derived-over-derived shape).
+            for name in re.findall(
+                r"[a-zA-Z_][a-zA-Z0-9_]*", m.expr or ""
+            ):
+                if name in self.metrics and name not in aliased:
+                    walk(self.metrics[name])
+
+        for m in mobjs:
+            walk(m)
+        return offs
+
     def _apply_offsets(
         self,
         grouped: DataFrame,
@@ -1011,14 +1053,10 @@ class SemanticLayer:
         frame shifted forward by the offset, so ``__m_<alias>`` holds the
         referenced metric's value from N grains earlier. A join, not a
         LAG window: gaps in the bucket sequence must offset by TIME, and
-        a ROWS lag would silently read the wrong bucket across a gap."""
-        offs = [
-            (m, mi)
-            for m in mobjs
-            if m.type == "derived"
-            for mi in m.inputs
-            if mi.offset_window
-        ]
+        a ROWS lag would silently read the wrong bucket across a gap.
+        Inputs are collected through the metric closure (see
+        _collect_offset_inputs), so nested offset inputs materialize."""
+        offs = self._collect_offset_inputs(mobjs)
         if not offs:
             return grouped
         if not time_outs:
@@ -1043,28 +1081,60 @@ class SemanticLayer:
                     f"{owner!r} and {m.name!r}; aliases must be unique "
                     "within a query"
                 )
-            inner = self.metrics[self._input_target(mi)]
-            # Any metric type may be offset: cumulative __m_ columns are
-            # already accumulated (offsets run after _apply_cumulative),
-            # conversions arrive pre-joined, and ratio/derived compile to
-            # an expression over __m_ columns evaluated AT the shifted
-            # bucket (the metric's value as of t - offset).
-            if inner.type in ("simple", "cumulative", "conversion"):
-                val = F.col(f"__m_{inner.name}")
-            else:
-                val = F.expr(self._metric_sql(inner))
-            shift = _grain_interval(mi.offset_window)
-            shifted = grouped.select(
-                *[F.col(c).alias(f"__s_{c}") for c in others],
-                (F.col(tcol) + F.expr(shift)).alias(f"__s_{tcol}"),
-                val.alias(f"__m_{mi.alias}"),
-            )
-            cond = F.col(tcol).eqNullSafe(F.col(f"__s_{tcol}"))
-            for c in others:
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
-            grouped = grouped.join(shifted, cond, "left").drop(
-                f"__s_{tcol}", *[f"__s_{c}" for c in others]
-            )
+        # Dependency order, not walk order: an offset input whose TARGET
+        # is derived-with-its-own-offsets reads __m_<inner alias> columns
+        # in its shifted value expression, so those inner aliases must
+        # join first. The whole-row self-join then composes the shifts
+        # (the row at t - outer carries the inner value at
+        # (t - outer) - inner). Kahn-style rounds over the tiny input
+        # list; a stall is unreachable (cycles already failed in
+        # _metric_sql's up-front validation) but guarded anyway.
+        pending = list(offs)
+        done: set[str] = set()
+        while pending:
+            rest: list[tuple[Metric, MetricInput]] = []
+            progress = False
+            for m, mi in pending:
+                inner = self.metrics[self._input_target(mi)]
+                needs = {
+                    i.alias
+                    for _, i in self._collect_offset_inputs([inner])
+                    if i.alias
+                }
+                if not needs <= done:
+                    rest.append((m, mi))
+                    continue
+                progress = True
+                # Any metric type may be offset: cumulative __m_ columns
+                # are already accumulated (offsets run after
+                # _apply_cumulative), conversions arrive pre-joined, and
+                # ratio/derived compile to an expression over __m_
+                # columns evaluated AT the shifted bucket (the metric's
+                # value as of t - offset).
+                if inner.type in ("simple", "cumulative", "conversion"):
+                    val = F.col(f"__m_{inner.name}")
+                else:
+                    val = F.expr(self._metric_sql(inner))
+                shift = _grain_interval(mi.offset_window)
+                shifted = grouped.select(
+                    *[F.col(c).alias(f"__s_{c}") for c in others],
+                    (F.col(tcol) + F.expr(shift)).alias(f"__s_{tcol}"),
+                    val.alias(f"__m_{mi.alias}"),
+                )
+                cond = F.col(tcol).eqNullSafe(F.col(f"__s_{tcol}"))
+                for c in others:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+                grouped = grouped.join(shifted, cond, "left").drop(
+                    f"__s_{tcol}", *[f"__s_{c}" for c in others]
+                )
+                done.add(mi.alias)
+            if not progress:
+                stuck = sorted(mi.alias or mi.name for _, mi in pending)
+                raise ValueError(
+                    f"offset inputs {stuck} form an unresolvable "
+                    "dependency cycle"
+                )
+            pending = rest
         return grouped
 
     def _apply_cumulative(

@@ -158,7 +158,7 @@ def ensure_star_layout(
 LONG_MAX = (1 << 63) - 1
 
 
-def guarded_cents_spend(n, cents, mx):
+def guarded_cents_spend(n, cents, mx, mn):
     """Exact dollar spend from a LONG cents sum, provably overflow-safe.
 
     The layout path sums ``o_cents`` as LongType because 128-bit decimal
@@ -167,22 +167,41 @@ def guarded_cents_spend(n, cents, mx):
     this guard 0.842 s = +3%). Non-ANSI Spark wraps a long sum silently
     past 2^63; at the 100 TB north star a hot group sits within ~10x of
     that. The guard is a conservative proof, not a heuristic: a group's
-    sum of non-negative cents is <= count * max, both of which the
+    sum of NON-NEGATIVE cents is <= count * max, both of which the
     aggregate already (nearly) computes, so ``count * max <= LONG_MAX``
     (checked in decimal — that product cannot itself wrap) implies the
-    long sum did not overflow. Past the bound it raises loudly instead
-    of returning a wrapped number; the remedy at that scale is decimal
-    accumulation or a two-level (salted) rollup.
+    long sum did not overflow. The non-negativity precondition is
+    machine-checked, not assumed: ``mn`` (the group's MIN(cents)) must be
+    >= 0, because with negative values (refunds/credits) the long sum can
+    wrap negatively while count*max stays under the bound. Past either
+    bound it raises loudly instead of returning a wrapped number; the
+    remedy at that scale is decimal accumulation or a two-level (salted)
+    rollup.
 
-    ``n``/``cents``/``mx`` are the group's COUNT(*), SUM(cents) and
-    MAX(cents) columns.
+    ``n``/``cents``/``mx``/``mn`` are the group's COUNT(*), SUM(cents),
+    MAX(cents) and MIN(cents) columns.
     """
-    return F.when(
-        n.cast("decimal(38,0)") * mx > F.lit(LONG_MAX).cast("decimal(38,0)"),
-        F.raise_error(
-            F.lit(
-                "o_cents long sum may have overflowed (count*max exceeds "
-                "2^63); re-aggregate with decimal accumulation"
-            )
-        ).cast("double"),
-    ).otherwise((cents.cast("decimal(38,0)") / F.lit(100)).cast("double"))
+    return (
+        F.when(
+            mn < 0,
+            F.raise_error(
+                F.lit(
+                    "guarded_cents_spend requires non-negative cents "
+                    "(min < 0 observed): the count*max overflow proof is "
+                    "unsound for signed values; re-aggregate with decimal "
+                    "accumulation"
+                )
+            ).cast("double"),
+        )
+        .when(
+            n.cast("decimal(38,0)") * mx
+            > F.lit(LONG_MAX).cast("decimal(38,0)"),
+            F.raise_error(
+                F.lit(
+                    "o_cents long sum may have overflowed (count*max exceeds "
+                    "2^63); re-aggregate with decimal accumulation"
+                )
+            ).cast("double"),
+        )
+        .otherwise((cents.cast("decimal(38,0)") / F.lit(100)).cast("double"))
+    )

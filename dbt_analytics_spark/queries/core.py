@@ -303,6 +303,7 @@ def j1b_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("o_cents").alias("__cents"),
             F.max("o_cents").alias("__mx"),
+            F.min("o_cents").alias("__mn"),
         )
         .select(
             "region_name",
@@ -310,9 +311,13 @@ def j1b_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             # Long-sum hot path, overflow-guarded by the count*max proof
             # (see star_layout.guarded_cents_spend: +3% measured at sf10
-            # vs +18% for decimal accumulation).
+            # vs +18% for decimal accumulation; the min column machine-
+            # checks the proof's non-negativity precondition).
             guarded_cents_spend(
-                F.col("n_orders"), F.col("__cents"), F.col("__mx")
+                F.col("n_orders"),
+                F.col("__cents"),
+                F.col("__mx"),
+                F.col("__mn"),
             ).alias("total_spend"),
         )
     )
@@ -337,15 +342,17 @@ def w3b_pct_of_total_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("__n"),
             F.sum("o_cents").alias("spend_cents"),
             F.max("o_cents").alias("__mx"),
+            F.min("o_cents").alias("__mn"),
         )
     )
     w = Window.partitionBy()
     # Per-nation: long-sum hot path, overflow-guarded (count*max proof —
-    # star_layout.guarded_cents_spend). Grand total: decimal accumulation
-    # over the 25-row nation aggregate (a sum of per-group long sums has
-    # no count*max bound; at 25 rows the decimal cost is nil).
+    # star_layout.guarded_cents_spend; min machine-checks non-negativity).
+    # Grand total: decimal accumulation over the 25-row nation aggregate
+    # (a sum of per-group long sums has no count*max bound; at 25 rows
+    # the decimal cost is nil).
     spend = guarded_cents_spend(
-        F.col("__n"), F.col("spend_cents"), F.col("__mx")
+        F.col("__n"), F.col("spend_cents"), F.col("__mx"), F.col("__mn")
     )
     total = (
         F.sum(F.col("spend_cents").cast("decimal(38,0)")).over(w)

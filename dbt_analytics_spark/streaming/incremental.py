@@ -612,8 +612,12 @@ def _ivf_ingest_batch(
     commit_tbl = f"{target}__ivf_commits"
     cell = _sim.ivf_cell_udf
     batch = batch.dropDuplicates([id_col])  # within-batch key dedup
+    target_exists = s.catalog.tableExists(target)
     n_b, h1, h2 = _batch_key_fingerprint(batch, id_col)
-    if n_b > 0 and s.catalog.tableExists(commit_tbl):
+    # The fast path requires the TARGET to exist: a marker without its
+    # target is stale (the rows it vouches for are gone), and honoring
+    # it would skip the re-ingest that rebuilds them.
+    if n_b > 0 and target_exists and s.catalog.tableExists(commit_tbl):
         hit = (
             s.table(commit_tbl)
             .filter(
@@ -628,12 +632,26 @@ def _ivf_ingest_batch(
             return
 
     def _mark() -> None:
+        # The marker table is ALWAYS parquet, regardless of the node's
+        # file_format — materialize.py's batch ivf_insert writes the same
+        # table, and a format pinned on one side only would break the
+        # documented either-path-fast-paths-the-other contract with a
+        # table-format mismatch on append.
         if n_b > 0:
             s.createDataFrame(
                 [(n_b, h1, h2)], "n long, h1 string, h2 string"
-            ).write.mode("append").saveAsTable(commit_tbl)
+            ).write.mode("append").format("parquet").saveAsTable(commit_tbl)
 
-    target_exists = s.catalog.tableExists(target)
+    def _clear_commits() -> None:
+        # Every path that CREATES the target (mode overwrite) must also
+        # drop commit markers from a previous life: a stale fingerprint
+        # whose key set matches a future batch would fast-path-skip that
+        # batch and silently lose its rows — the exact failure the user
+        # hits when following "drop {target} and re-ingest" without also
+        # dropping the commits table. Mirrors materialize.py's initial-
+        # build / full-refresh drop.
+        s.sql(f"DROP TABLE IF EXISTS {commit_tbl}")
+
     if not s.catalog.tableExists(cent_tbl):
         # No pinned model yet. Two sub-states: no target at all, or a
         # target holding ONLY staged cell -1 (NULL-embedding) rows from
@@ -644,8 +662,9 @@ def _ivf_ingest_batch(
         ):
             raise ValueError(
                 f"stream_ivf_ingest: centroid table {cent_tbl} is missing "
-                f"but {target} holds assigned rows — drop {target} and "
-                f"re-ingest to re-index"
+                f"but {target} holds assigned rows — drop {target} AND "
+                f"{commit_tbl} and re-ingest to re-index (a stale commit "
+                f"marker would silently skip replayed batches)"
             )
         vecs = batch.filter(F.col(vec_col).isNotNull())
         if vecs.isEmpty():
@@ -668,6 +687,7 @@ def _ivf_ingest_batch(
                     "__ivf_cell"
                 ).saveAsTable(target)
             else:
+                _clear_commits()
                 staged.write.mode("overwrite").partitionBy(
                     "__ivf_cell"
                 ).saveAsTable(target)
@@ -699,6 +719,7 @@ def _ivf_ingest_batch(
                 "__ivf_cell"
             ).saveAsTable(target)
         else:
+            _clear_commits()
             assigned.write.mode("overwrite").partitionBy(
                 "__ivf_cell"
             ).saveAsTable(target)
@@ -714,8 +735,12 @@ def _ivf_ingest_batch(
     )
     if not target_exists:
         # Centroids pinned but no target: a crash between the two
-        # bootstrap writes. The model stays (it is pinned); replay
-        # rebuilds the target from this batch under it.
+        # bootstrap writes, or a user-dropped target being re-ingested.
+        # The model stays (it is pinned); replay rebuilds the target
+        # from this batch under it. Markers from the previous target's
+        # life are stale (their rows are gone with it) — clear them, or
+        # replayed batches matching an old fingerprint would be skipped.
+        _clear_commits()
         (
             batch.withColumn(
                 "__ivf_cell", cell(C)(_sim.as_double_array(F.col(vec_col)))

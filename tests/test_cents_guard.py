@@ -2,7 +2,9 @@
 o_cents as LONG for speed; the count*max guard must (a) be invisible at
 legitimate magnitudes — exact to the decimal reference even when the sum
 is within 2x of 2^63 — and (b) fail LOUDLY, not wrap silently, when a
-group's count*max bound can no longer prove safety."""
+group's count*max bound can no longer prove safety, and (c) fail LOUDLY
+when the proof's non-negativity precondition is violated (negative cents
+can wrap the sum negatively while count*max stays under the bound)."""
 
 from __future__ import annotations
 
@@ -21,6 +23,16 @@ def _agg(spark, rows):
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("cents"),
         F.max("cents").alias("mx"),
+        F.min("cents").alias("mn"),
+    )
+
+
+def _spend(agg):
+    return agg.select(
+        "g",
+        guarded_cents_spend(
+            F.col("n"), F.col("cents"), F.col("mx"), F.col("mn")
+        ).alias("spend"),
     )
 
 
@@ -32,17 +44,7 @@ def test_guard_exact_at_adversarial_magnitudes(spark):
     big = LONG_MAX // 4 * 3  # 3 * 2^61ish, fits a long
     half = big // 2
     rows = [("hot", half), ("hot", big - half), ("cold", 123456789)]
-    out = {
-        r["g"]: r["spend"]
-        for r in _agg(spark, rows)
-        .select(
-            "g",
-            guarded_cents_spend(
-                F.col("n"), F.col("cents"), F.col("mx")
-            ).alias("spend"),
-        )
-        .collect()
-    }
+    out = {r["g"]: r["spend"] for r in _spend(_agg(spark, rows)).collect()}
     import decimal
 
     assert out["hot"] == float(decimal.Decimal(big) / 100)
@@ -54,10 +56,28 @@ def test_guard_raises_past_provable_bound(spark):
     # wrong-but-plausible number); count*max detects it and raises.
     v = LONG_MAX // 2  # ~2^62
     rows = [("hot", v), ("hot", v), ("hot", v)]
-    agg = _agg(spark, rows).select(
-        guarded_cents_spend(F.col("n"), F.col("cents"), F.col("mx")).alias(
-            "spend"
-        )
-    )
     with pytest.raises(Exception, match="overflow"):
-        agg.collect()
+        _spend(_agg(spark, rows)).collect()
+
+
+def test_guard_raises_on_negative_cents(spark):
+    # The count*max proof is unsound for signed values: three huge
+    # negatives push the long sum past -2^63 while count*max (count * a
+    # small positive max) passes. Under ANSI (this session's default)
+    # the SUM itself raises ARITHMETIC_OVERFLOW before the guard runs;
+    # under non-ANSI the wrap is silent and the min >= 0 check is the
+    # only line of defense. Either way the contract is LOUD, not a
+    # wrapped number.
+    v = -(LONG_MAX // 2) - 2  # ~ -2^62
+    rows = [("hot", v), ("hot", v), ("hot", v), ("hot", 100)]
+    with pytest.raises(Exception, match="non-negative|ARITHMETIC_OVERFLOW"):
+        _spend(_agg(spark, rows)).collect()
+
+
+def test_guard_raises_on_any_refund_row(spark):
+    # Even a harmless-looking single refund must raise: the guard's
+    # contract is that the precondition is machine-checked, not that it
+    # guesses when negatives are 'safe enough'.
+    rows = [("hot", 500), ("hot", -1)]
+    with pytest.raises(Exception, match="non-negative"):
+        _spend(_agg(spark, rows)).collect()

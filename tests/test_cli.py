@@ -969,11 +969,23 @@ semantic_models:
       - {name: total_amount, agg: sum, expr: amount}
 metrics:
   - {name: revenue, type: simple, measure: total_amount}
+  - name: quick_convert
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: total_amount
+        conversion_measure: total_amount
+        entity: seg
+        window: 1 hour
 """,
     )
+    # The conversion window '1 hour' compiles through _grain_interval
+    # (which accepts hour); validate must use the SAME parser, not the
+    # stricter cumulative-window one — a false FAIL here contradicted
+    # validate's purpose (the metric runs fine in query()).
     rc = _run(spark, ["sl", "validate", "--project-dir", project_dir], "cli_slv")
     assert rc == 0
-    assert "OK: 1 metrics" in capsys.readouterr().out
+    assert "OK: 2 metrics" in capsys.readouterr().out
 
     # Broken definitions: missing measure, reference cycle, bad window,
     # unaliased offset input — all reported in one pass, rc 2.

@@ -248,6 +248,46 @@ def test_stream_ivf_ingest_end_to_end(spark, tmp_path):
         assert r["__ivf_cell"] == int(cosine_cells(vn, Cn, 1)[0, 0])
 
 
+def test_stream_ivf_reingest_after_drop_clears_stale_markers(spark):
+    """Stale __ivf_commits markers must not survive a target rebuild: if
+    a user follows the recovery instruction (drop the target, re-ingest)
+    WITHOUT dropping the commits table, every replayed batch whose key
+    set matches an old marker used to be fast-path-skipped — its rows
+    silently never written. Every path that creates the target with
+    mode('overwrite') now drops the marker table first."""
+    import uuid
+
+    from dbt_analytics_spark.streaming.incremental import _ivf_ingest_batch
+
+    tbl = f"ivfdrop_{uuid.uuid4().hex[:8]}"
+    batch = spark.createDataFrame(
+        _rows(range(12)), ["vec_id", "embedding", "payload"]
+    )
+    _ivf_ingest_batch(batch, tbl, "vec_id", "embedding", 3, 1)
+    assert spark.table(tbl).count() == 12
+    assert spark.table(f"{tbl}__ivf_commits").count() == 1
+
+    # Scenario 1: drop the TARGET only (centroids stay pinned) and
+    # re-ingest the identical batch — the pinned-model rebuild path.
+    spark.sql(f"DROP TABLE {tbl}")
+    _ivf_ingest_batch(batch, tbl, "vec_id", "embedding", 3, 1)
+    assert spark.table(tbl).count() == 12, "stale marker skipped the batch"
+
+    # Scenario 2: drop target AND centroids (full re-index) but not the
+    # commits table — the bootstrap path must also clear markers.
+    spark.sql(f"DROP TABLE {tbl}")
+    spark.sql(f"DROP TABLE {tbl}__ivf_centroids")
+    _ivf_ingest_batch(batch, tbl, "vec_id", "embedding", 3, 1)
+    assert spark.table(tbl).count() == 12
+
+    # And the steady state still fast-paths: a replay of the committed
+    # batch inserts nothing.
+    _ivf_ingest_batch(batch, tbl, "vec_id", "embedding", 3, 1)
+    assert spark.table(tbl).count() == 12
+    for t in (tbl, f"{tbl}__ivf_centroids", f"{tbl}__ivf_commits"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ivf_insert_configurable_from_sql_model(spark, tmp_path):
     # The strategy must be reachable from the reference user's surface: a
     # models/*.sql file whose config() header declares ivf_insert.

@@ -523,6 +523,58 @@ metrics:
         sl_gap.query(["mom_delta"], group_by=["seg"]).collect()
 
 
+def test_nested_offset_inputs_materialize(sl_gap):
+    # A derived metric referencing ANOTHER derived metric that carries
+    # offset_window inputs: the inner inputs must be collected through
+    # the metric closure (previously only top-level inputs were, so the
+    # substituted __m_prev_rev column was never materialized and the
+    # query died with an unresolved-column AnalysisException).
+    sl_gap.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: nested_mom
+    type: derived
+    type_params:
+      expr: mom_delta * 2
+"""
+        )
+    )
+    rows = sl_gap.query(
+        ["nested_mom"], group_by=["day"], where="seg = 'a'"
+    ).collect()
+    got = {str(r["day"])[:7]: r["nested_mom"] for r in rows}
+    assert got == {"2025-01": 20.0, "2025-02": -20.0, "2025-03": 10.0}
+
+
+def test_offset_of_derived_with_own_offsets_composes(sl_gap):
+    # accel(t) = mom_delta(t) - mom_delta(t - 1 month): the offset input
+    # TARGETS a derived metric whose own value reads __m_prev_rev — the
+    # descendant alias must join BEFORE the outer shift (deepest-first
+    # order), and the whole-row self-join composes the two time shifts.
+    sl_gap.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: accel
+    type: derived
+    type_params:
+      expr: mom_delta - prev_delta
+      metrics:
+        - name: mom_delta
+        - {name: mom_delta, alias: prev_delta, offset_window: 1 month}
+"""
+        )
+    )
+    rows = sl_gap.query(
+        ["accel"], group_by=["day"], where="seg = 'a'"
+    ).collect()
+    got = {str(r["day"])[:7]: r["accel"] for r in rows}
+    # Jan: mom_delta(Dec) is a join miss (no bucket, no fill on the
+    # derived input) -> NULL propagates. Feb: -10 - 10. Mar: 5 - (-10).
+    assert got == {"2025-01": None, "2025-02": -20.0, "2025-03": 15.0}
+
+
 def test_grain_interval_parsing():
     from dbt_analytics_spark.plans.semantics import _grain_interval
 
