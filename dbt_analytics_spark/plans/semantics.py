@@ -173,6 +173,12 @@ class Metric:
     conversion_measure: str | None = None
     entity: str | None = None
     calculation: str = "conversion_rate"  # or "conversions"
+    #: conversion constant_properties (MetricFlow): each entry
+    #: {base_property, conversion_property} requires the conversion
+    #: event to carry the SAME value of the property as the base event
+    #: (e.g. converted within the same session) — compiled as extra
+    #: equi-join keys beside the entity.
+    constant_properties: list[dict] = field(default_factory=list)
 
 
 def _grain_interval(spec: str) -> str:
@@ -313,6 +319,9 @@ class SemanticLayer:
                 conversion_measure=cv.get("conversion_measure"),
                 entity=cv.get("entity"),
                 calculation=cv.get("calculation", "conversion_rate"),
+                constant_properties=list(
+                    cv.get("constant_properties") or []
+                ),
                 fill_nulls_with=fill,
                 join_to_timespine=spine,
                 inputs=inputs,
@@ -868,7 +877,16 @@ class SemanticLayer:
                 expr = F.when(
                     F.expr(rendered_filters.get(mname, metric.filter)), expr
                 )
-            aggs.append(_AGGS[ms.agg](expr).alias(f"__m_{mname}"))
+            if metric.type == "cumulative" and ms.agg == "avg":
+                # A cumulative avg cannot re-aggregate avg-of-bucket-avgs,
+                # but it DECOMPOSES exactly: keep the bucket's partial
+                # sum and non-null count; _apply_cumulative accumulates
+                # both and divides — identical to MetricFlow's
+                # fact-grain avg, with no second fact scan.
+                aggs.append(F.sum(expr).alias(f"__m_{mname}__csum"))
+                aggs.append(F.count(expr).alias(f"__m_{mname}__ccnt"))
+            else:
+                aggs.append(_AGGS[ms.agg](expr).alias(f"__m_{mname}"))
 
         grouped = None
         if aggs:
@@ -1150,7 +1168,16 @@ class SemanticLayer:
         dims partition. A trailing ``window: N days`` uses a RANGE frame on
         epoch days, so missing buckets cannot stretch the window (a ROWS
         frame would); ``grain_to_date`` restarts the running total at each
-        period boundary by adding the period to the partition key."""
+        period boundary by adding the period to the partition key.
+
+        Measure aggs: sum/count accumulate with SUM over bucket partials;
+        min/max with MIN/MAX (both re-aggregate exactly — min of bucket
+        mins IS the min over all rows in the frame); avg from the bucket's
+        partial (sum, count) pair, accumulated separately and divided —
+        exactly MetricFlow's fact-grain avg, never avg-of-bucket-avgs.
+        count_distinct stays rejected: distinct counts of overlapping
+        buckets genuinely do not compose (that path would need a real
+        fact re-scan per frame or a sketch with error bounds)."""
         from pyspark.sql import Window
 
         cums = [n for n in sorted(needed) if self.metrics[n].type == "cumulative"]
@@ -1166,11 +1193,12 @@ class SemanticLayer:
         for name in cums:
             m = self.metrics[name]
             ms = self._measure_of(m)
-            if ms.agg not in ("sum", "count"):
+            if ms.agg not in ("sum", "count", "avg", "min", "max"):
                 raise ValueError(
-                    f"cumulative metric {name!r}: measure agg must be "
-                    "sum/count (partial buckets of avg/min/max do not "
-                    "re-aggregate)"
+                    f"cumulative metric {name!r}: measure agg "
+                    f"{ms.agg!r} does not decompose over buckets "
+                    "(count_distinct of overlapping frames cannot be "
+                    "re-aggregated from partials)"
                 )
             if m.window:
                 n, unit = _parse_window(m.window)
@@ -1180,7 +1208,7 @@ class SemanticLayer:
                     # to a self-join of the (tiny, post-aggregation)
                     # bucket frame on b2 ∈ (b1 - INTERVAL n MONTH, b1].
                     grouped = self._cumulative_calendar_window(
-                        grouped, name, n, part, tcol
+                        grouped, name, ms.agg, n, part, tcol
                     )
                     continue
                 w = (
@@ -1206,35 +1234,69 @@ class SemanticLayer:
                     .orderBy(F.col(tcol))
                     .rowsBetween(Window.unboundedPreceding, 0)
                 )
-            grouped = grouped.withColumn(
-                f"__m_{name}", F.sum(F.col(f"__m_{name}")).over(w)
-            )
+            if ms.agg == "avg":
+                csum = F.sum(F.col(f"__m_{name}__csum")).over(w)
+                ccnt = F.sum(F.col(f"__m_{name}__ccnt")).over(w)
+                # when() guards the all-filtered frame (count 0): NULL,
+                # like avg over no rows — never an ANSI divide-by-zero.
+                # double/double division (not decimal division + cast):
+                # engines disagree on decimal-division result scale, but
+                # IEEE double ops are bit-identical — the repo's
+                # cross-engine exactness rule (queries/core.py).
+                grouped = grouped.withColumn(
+                    f"__m_{name}",
+                    F.when(
+                        ccnt > 0, csum.cast("double") / ccnt.cast("double")
+                    ),
+                ).drop(f"__m_{name}__csum", f"__m_{name}__ccnt")
+            else:
+                fn = F.min if ms.agg == "min" else (
+                    F.max if ms.agg == "max" else F.sum
+                )
+                grouped = grouped.withColumn(
+                    f"__m_{name}", fn(F.col(f"__m_{name}")).over(w)
+                )
         return grouped
 
     def _cumulative_calendar_window(
         self,
         grouped: DataFrame,
         name: str,
+        agg: str,
         n_months: int,
         part: list[str],
         tcol: str,
     ) -> DataFrame:
         """Trailing ``window: N months`` cumulative: for each bucket b the
-        accumulated value sums buckets in ``(b - INTERVAL N MONTH, b]`` —
-        the calendar analog of the day path's ``[b - (N-1) days, b]``
-        RANGE frame (both say "a span of exactly one window ending at b,
-        inclusive"). Compiled as a self-join of the post-aggregation
-        bucket frame: tiny × tiny (buckets, not facts), broadcast by
-        AQE, so the quadratic term is bounded by buckets-per-window, not
-        corpus size. NULL time buckets accumulate only themselves
-        (interval arithmetic on NULL is NULL), matching the day path
-        where NULLs sort into their own frame."""
+        accumulated value re-aggregates buckets in
+        ``(b - INTERVAL N MONTH, b]`` — the calendar analog of the day
+        path's ``[b - (N-1) days, b]`` RANGE frame (both say "a span of
+        exactly one window ending at b, inclusive"). Compiled as a
+        self-join of the post-aggregation bucket frame: tiny × tiny
+        (buckets, not facts), broadcast by AQE, so the quadratic term is
+        bounded by buckets-per-window, not corpus size. NULL time buckets
+        accumulate only themselves (interval arithmetic on NULL is NULL),
+        matching the day path where NULLs sort into their own frame.
+
+        ``agg`` follows _apply_cumulative's decomposition rules: sum/count
+        SUM the partials, min/max re-MIN/MAX them, avg accumulates the
+        bucket (sum, count) pair and divides."""
         val = f"__m_{name}"
-        sk = grouped.select(*part, tcol, F.col(val).alias("__v"))
+        if agg == "avg":
+            srcs = [(f"{val}__csum", F.sum), (f"{val}__ccnt", F.sum)]
+        elif agg in ("min", "max"):
+            srcs = [(val, F.min if agg == "min" else F.max)]
+        else:
+            srcs = [(val, F.sum)]
+        sk = grouped.select(
+            *part,
+            tcol,
+            *[F.col(s).alias(f"__v{i}") for i, (s, _) in enumerate(srcs)],
+        )
         r = sk.select(
             *[F.col(c).alias(f"__r_{c}") for c in part],
             F.col(tcol).alias("__r_t"),
-            F.col("__v"),
+            *[F.col(f"__v{i}") for i in range(len(srcs))],
         )
         lo = F.col(tcol) - F.expr(f"INTERVAL {n_months} MONTH")
         cond = ((F.col("__r_t") > lo) & (F.col("__r_t") <= F.col(tcol))) | (
@@ -1247,17 +1309,32 @@ class SemanticLayer:
             sk.select(*keys)
             .join(r, cond, "left")
             .groupBy(*keys)
-            .agg(F.sum("__v").alias("__cum"))
+            .agg(
+                *[
+                    fn(F.col(f"__v{i}")).alias(f"__cum{i}")
+                    for i, (_, fn) in enumerate(srcs)
+                ]
+            )
         )
+        if agg == "avg":
+            # double/double division — see _apply_cumulative's avg note.
+            final = F.when(
+                F.col("__cum1") > 0,
+                F.col("__cum0").cast("double")
+                / F.col("__cum1").cast("double"),
+            )
+        else:
+            final = F.col("__cum0")
         cum = cum.select(
-            *[F.col(c).alias(f"__k_{c}") for c in keys], F.col("__cum")
+            *[F.col(c).alias(f"__k_{c}") for c in keys],
+            final.alias("__cum"),
         )
         jc = None
         for c in keys:
             e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
             jc = e if jc is None else (jc & e)
         return (
-            grouped.drop(val)
+            grouped.drop(val, f"{val}__csum", f"{val}__ccnt")
             .join(cum, jc, "left")
             .drop(*[f"__k_{c}" for c in keys])
             .withColumnRenamed("__cum", val)
@@ -1314,13 +1391,30 @@ class SemanticLayer:
             sel = F.expr(ms.expr or (ms.name if ms.agg != "count" else "1"))
             return df.filter(sel.isNotNull())
 
+        props = metric.constant_properties
         base = rows(base_ms).select(
-            F.col(ent).alias("__e"), t_expr.alias("__t"), *dim_cols
+            F.col(ent).alias("__e"),
+            t_expr.alias("__t"),
+            *[
+                F.expr(p["base_property"]).alias(f"__p{i}")
+                for i, p in enumerate(props)
+            ],
+            *dim_cols,
         )
         conv = rows(conv_ms).select(
-            F.col(ent).alias("__ce"), t_expr.alias("__ct")
+            F.col(ent).alias("__ce"),
+            t_expr.alias("__ct"),
+            *[
+                F.expr(p["conversion_property"]).alias(f"__cp{i}")
+                for i, p in enumerate(props)
+            ],
         )
         cond = (F.col("__e") == F.col("__ce")) & (F.col("__ct") >= F.col("__t"))
+        for i in range(len(props)):
+            # Constant property: the conversion must carry the SAME value
+            # as the base event. Plain equality (MetricFlow's join rule):
+            # a NULL property never matches, like the entity key itself.
+            cond = cond & (F.col(f"__p{i}") == F.col(f"__cp{i}"))
         if metric.window:
             # _grain_interval handles hour/day/week/month/quarter/year —
             # a conversion must land within one window of the base event.

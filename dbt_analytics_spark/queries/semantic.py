@@ -59,6 +59,16 @@ _DOC = {
                     "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
                 },
                 {"name": "n_orders", "agg": "count"},
+                {
+                    "name": "avg_price",
+                    "agg": "avg",
+                    "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
+                },
+                {
+                    "name": "max_price",
+                    "agg": "max",
+                    "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
+                },
             ],
         },
         {
@@ -206,6 +216,50 @@ _DOC = {
                     "conversion_measure": "purchases",
                     "entity": "user_id",
                     "window": "7 days",
+                }
+            },
+        },
+        {
+            # Cumulative AVG (round 11): decomposes into accumulated
+            # bucket (sum, count) partials divided — MetricFlow's
+            # fact-grain avg, never avg-of-bucket-avgs.
+            "name": "cum_avg_order",
+            "type": "cumulative",
+            "measure": "avg_price",
+        },
+        {
+            # Calendar-window cumulative avg: bucket-frame self-join on
+            # (b - INTERVAL 3 MONTH, b], partials re-aggregated inside.
+            "name": "avg_3mo",
+            "type": "cumulative",
+            "measure": "avg_price",
+            "type_params": {"window": "3 months"},
+        },
+        {
+            # Cumulative MAX: bucket maxes re-aggregate exactly.
+            "name": "cum_max_order",
+            "type": "cumulative",
+            "measure": "max_price",
+        },
+        {
+            # Conversion with constant_properties (round 11): the
+            # purchase must land on the SAME calendar day as the view —
+            # an extra equi-join key beside the entity.
+            "name": "same_day_purchases",
+            "type": "conversion",
+            "type_params": {
+                "conversion_type_params": {
+                    "base_measure": "views",
+                    "conversion_measure": "purchases",
+                    "entity": "user_id",
+                    "window": "2 days",
+                    "calculation": "conversions",
+                    "constant_properties": [
+                        {
+                            "base_property": "CAST(ts AS DATE)",
+                            "conversion_property": "CAST(ts AS DATE)",
+                        }
+                    ],
                 }
             },
         },
@@ -629,6 +683,88 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sem11 — cumulative avg/min/max (round 11, the last measure-agg rejection):
+# avg decomposes into accumulated (sum, count) bucket partials divided —
+# exactly MetricFlow's fact-grain avg — and max re-aggregates directly;
+# avg_3mo exercises the calendar-window self-join with partial pairs.
+# Exactness: partial sums are DECIMAL(18,2) (exact), counts are longs, and
+# the division is double/double (IEEE-identical on both engines).
+# ---------------------------------------------------------------------------
+
+def sem11_cumulative_avg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["cum_avg_order", "avg_3mo", "cum_max_order"],
+        group_by=["order_date__month"],
+    )
+    return _finish(
+        df,
+        dates=["order_date__month"],
+        doubles=["cum_avg_order", "avg_3mo", "cum_max_order"],
+    )
+
+
+SEM11_SQL = """
+WITH buckets AS (
+  SELECT
+    date_trunc('month', o_orderdate) AS mo,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+    COUNT(CAST(o_totalprice AS DECIMAL(18,2))) AS c,
+    MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS mx
+  FROM orders
+  GROUP BY 1
+)
+SELECT
+  CAST(b.mo AS DATE) AS order_date__month,
+  CAST(SUM(b.s) OVER (ORDER BY b.mo) AS DOUBLE)
+    / CAST(SUM(b.c) OVER (ORDER BY b.mo) AS DOUBLE) AS cum_avg_order,
+  CAST((SELECT SUM(b2.s) FROM buckets b2
+        WHERE b2.mo > b.mo - INTERVAL 3 MONTH AND b2.mo <= b.mo) AS DOUBLE)
+    / CAST((SELECT SUM(b2.c) FROM buckets b2
+        WHERE b2.mo > b.mo - INTERVAL 3 MONTH AND b2.mo <= b.mo) AS DOUBLE)
+    AS avg_3mo,
+  CAST(MAX(b.mx) OVER (ORDER BY b.mo) AS DOUBLE) AS cum_max_order
+FROM buckets b
+"""
+
+
+# ---------------------------------------------------------------------------
+# sem12 — conversion constant_properties (round 11): each base view counts
+# as converted only if a purchase by the same user lands within 2 days AND
+# on the same calendar day (the constant property) — extra equi-join keys
+# beside the entity, still a keyed join, never a cross product.
+# ---------------------------------------------------------------------------
+
+def sem12_conversion_constant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(["same_day_purchases"], group_by=["event_ts"])
+    return _finish(df, dates=["event_ts"])
+
+
+SEM12_SQL = """
+WITH base AS (
+  SELECT user_id, ts, CAST(ts AS DATE) AS d, date_trunc('day', ts) AS dy
+  FROM events WHERE event_type = 'view'
+),
+conv AS (
+  SELECT user_id, ts, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  CAST(b.dy AS DATE) AS event_ts,
+  CAST(SUM(CASE WHEN EXISTS (
+    SELECT 1 FROM conv c
+    WHERE c.user_id = b.user_id
+      AND c.d = b.d
+      AND c.ts >= b.ts
+      AND c.ts <= b.ts + INTERVAL 2 DAY
+  ) THEN 1 ELSE 0 END) AS BIGINT) AS same_day_purchases
+FROM base b
+GROUP BY 1
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -640,4 +776,9 @@ REGISTRY = {
     "sem8_calendar_window": (sem8_calendar_window, SEM8_SQL),
     "sem9_nested_derived": (sem9_nested_derived, SEM9_SQL),
     "sem10_multihop_template": (sem10_multihop_template, SEM10_SQL),
+    "sem11_cumulative_avg_max": (sem11_cumulative_avg_max, SEM11_SQL),
+    "sem12_conversion_constant_props": (
+        sem12_conversion_constant_props,
+        SEM12_SQL,
+    ),
 }

@@ -27,6 +27,9 @@ semantic_models:
       - {name: total_amount, agg: sum, expr: amount}
       - {name: n_txns, agg: count}
       - {name: n_segs, agg: count_distinct, expr: seg}
+      - {name: avg_amount, agg: avg, expr: amount}
+      - {name: min_amount, agg: min, expr: amount}
+      - {name: max_amount, agg: max, expr: amount}
 metrics:
   - {name: revenue, type: simple, measure: total_amount}
   - {name: txn_count, type: simple, measure: n_txns}
@@ -175,6 +178,111 @@ def test_cumulative_requires_time_dimension(sl):
         sl.query(["cum_revenue"], group_by=["seg"]).collect()
 
 
+# ---------------------------------------------------------------------------
+# Cumulative avg/min/max (round 11 — the last semantic-layer measure-agg
+# rejection): min/max re-aggregate exactly from bucket partials; avg
+# decomposes into the bucket's (sum, count) pair, accumulated separately
+# and divided — identical to MetricFlow's fact-grain avg, never
+# avg-of-bucket-avgs. count_distinct stays rejected (genuinely
+# non-decomposable over overlapping frames).
+# ---------------------------------------------------------------------------
+
+CUM_AGG_DOC = yaml.safe_load(
+    """
+metrics:
+  - {name: cum_avg_amt, type: cumulative, type_params: {measure: avg_amount}}
+  - {name: cum_min_amt, type: cumulative, type_params: {measure: min_amount}}
+  - name: max_31d
+    type: cumulative
+    type_params: {measure: max_amount, window: 31 days}
+  - name: avg_1mo
+    type: cumulative
+    type_params: {measure: avg_amount, window: 1 month}
+  - name: cum_avg_big
+    type: cumulative
+    measure: avg_amount
+    filter: amount >= 7
+  - name: cum_distinct
+    type: cumulative
+    type_params: {measure: n_segs}
+"""
+)
+
+
+def test_cumulative_avg_is_fact_grain_not_avg_of_avgs(sl):
+    # Buckets (day): 01-01=10, 01-15=20, 02-01=5, 02-02=7. At 02-01 the
+    # fact-grain avg is 35/3 = 11.67; avg-of-bucket-avgs would say
+    # (10+20+5)/3 = 11.67 here too, so pin 02-02: fact 42/4 = 10.5 vs
+    # bucket-avg (10+20+5+7)/4 = 10.5 — equal per-day (1 row/bucket);
+    # the month grain below is the real discriminator.
+    sl.load(CUM_AGG_DOC)
+    rows = {
+        str(r["day__month"])[:10]: r["cum_avg_amt"]
+        for r in sl.query(["cum_avg_amt"], group_by=["day__month"]).collect()
+    }
+    # Jan bucket avg = 15, Feb bucket avg = 6; avg-of-avgs would give
+    # (15+6)/2 = 10.5 BY LUCK here, so assert the exact fact-grain
+    # values: Jan: 30/2 = 15, Feb: 42/4 = 10.5.
+    assert rows == {"2025-01-01": 15.0, "2025-02-01": pytest.approx(10.5)}
+
+
+def test_cumulative_min_max_reaggregate_from_buckets(sl):
+    sl.load(CUM_AGG_DOC)
+    rows = {
+        str(r["day"])[:10]: (r["cum_min_amt"], r["max_31d"])
+        for r in sl.query(
+            ["cum_min_amt", "max_31d"], group_by=["day"]
+        ).collect()
+    }
+    # cum_min: running min. max_31d: RANGE 31-day frame — at 02-01 the
+    # frame [01-02 .. 02-01] EXCLUDES 01-01's 10 but keeps 01-15's 20.
+    assert rows == {
+        "2025-01-01": (10.0, 10.0),
+        "2025-01-15": (10.0, 20.0),
+        "2025-02-01": (5.0, 20.0),
+        "2025-02-02": (5.0, 20.0),
+    }
+
+
+def test_cumulative_avg_calendar_window(sl):
+    sl.load(CUM_AGG_DOC)
+    rows = {
+        str(r["day"])[:10]: r["avg_1mo"]
+        for r in sl.query(["avg_1mo"], group_by=["day"]).collect()
+    }
+    # (b - 1 MONTH, b]: at 02-01 the frame is (01-01 .. 02-01] — drops
+    # 01-01's 10, keeps 20 and 5 -> 25/2; all-time would say 35/3.
+    assert rows == {
+        "2025-01-01": 10.0,
+        "2025-01-15": 15.0,
+        "2025-02-01": 12.5,
+        "2025-02-02": pytest.approx(32 / 3),
+    }
+
+
+def test_cumulative_avg_with_filter_counts_only_matching_rows(sl):
+    sl.load(CUM_AGG_DOC)
+    rows = {
+        str(r["day"])[:10]: r["cum_avg_big"]
+        for r in sl.query(["cum_avg_big"], group_by=["day"]).collect()
+    }
+    # Filter amount >= 7 drops 02-01's 5 from both sum AND count: the
+    # bucket contributes (NULL, 0) partials, so the running avg is
+    # unchanged there — not diluted by a zero.
+    assert rows == {
+        "2025-01-01": 10.0,
+        "2025-01-15": 15.0,
+        "2025-02-01": 15.0,
+        "2025-02-02": pytest.approx(37 / 3),
+    }
+
+
+def test_cumulative_count_distinct_still_rejected(sl):
+    sl.load(CUM_AGG_DOC)
+    with pytest.raises(ValueError, match="decompose"):
+        sl.query(["cum_distinct"], group_by=["day"]).collect()
+
+
 EVENTS_DOC = yaml.safe_load(
     """
 semantic_models:
@@ -204,6 +312,16 @@ metrics:
         conversion_measure: buys
         entity: user_id
         calculation: conversions
+  - name: same_session_buys
+    type: conversion
+    type_params:
+      conversion_type_params:
+        base_measure: visits
+        conversion_measure: buys
+        entity: user_id
+        calculation: conversions
+        constant_properties:
+          - {base_property: sess, conversion_property: sess}
 """
 )
 
@@ -215,15 +333,17 @@ def sl_events(spark):
         "events_model",
         spark.createDataFrame(
             [
-                ("u1", "a", "visit", "2025-01-01"),
-                ("u1", "a", "buy", "2025-01-03"),
-                ("u2", "b", "visit", "2025-01-01"),
-                ("u2", "b", "visit", "2025-01-18"),
-                ("u2", "b", "buy", "2025-01-20"),
-                ("u3", "b", "visit", "2025-01-01"),
+                ("u1", "a", "visit", "2025-01-01", "s1"),
+                ("u1", "a", "buy", "2025-01-03", "s2"),
+                ("u2", "b", "visit", "2025-01-01", "s3"),
+                ("u2", "b", "visit", "2025-01-18", "s4"),
+                ("u2", "b", "buy", "2025-01-20", "s4"),
+                ("u3", "b", "visit", "2025-01-01", "s5"),
             ],
-            ["user_id", "seg", "etype", "ts"],
-        ).selectExpr("user_id", "seg", "etype", "CAST(ts AS DATE) AS ts"),
+            ["user_id", "seg", "etype", "ts", "sess"],
+        ).selectExpr(
+            "user_id", "seg", "etype", "CAST(ts AS DATE) AS ts", "sess"
+        ),
     )
     layer = SemanticLayer(p)
     layer.load(EVENTS_DOC)
@@ -241,6 +361,16 @@ def test_conversion_unbounded_counts(sl_events):
     # Without a window u2@01-01 also converts -> 3 converted base events.
     row = sl_events.query(["buys_after_visit"]).collect()[0]
     assert row["buys_after_visit"] == 3
+
+
+def test_conversion_constant_properties_restrict_matches(sl_events):
+    # constant_properties (MetricFlow conversion_type_params): the
+    # conversion must carry the SAME property value as its base event —
+    # extra equi-join keys beside the entity. u1's buy is in a DIFFERENT
+    # session than the visit (counted by the unconstrained metric,
+    # rejected here); only u2's 01-18 visit converts within s4.
+    row = sl_events.query(["same_session_buys"]).collect()[0]
+    assert row["same_session_buys"] == 1
 
 
 def test_conversion_grouped_and_joined_with_simple_metric(sl_events):
