@@ -745,25 +745,90 @@ def cms_estimate(
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|ref)="
 
 
+def _unreserved_chars() -> str:
+    # RFC 3986 unreserved set in codepoint order: - . 0-9 A-Z _ a-z ~
+    import string
+
+    return "".join(
+        sorted("-._~" + string.digits + string.ascii_letters, key=ord)
+    )
+
+
+#: Percent-escape forms of the RFC 3986 unreserved characters
+#: (ALPHA / DIGIT / '-' / '.' / '_' / '~'): (escape, char) pairs in
+#: codepoint order, upper-case hex form before lower-case. Decoding ONLY
+#: these is semantics-preserving per RFC 3986 §2.3 (they never act as
+#: delimiters); reserved escapes (%2F, %3F, ...) stay encoded. All three
+#: implementations (this Spark expression, the DuckDB oracle via
+#: pct_decode_unreserved_sql, and the pure-Python property reference)
+#: apply them as sequential left-to-right replaces in THIS exact order —
+#: a deterministic shared rule. On a pathological non-URL like '%4%41'
+#: sequential replacement over-decodes ('%4'+'A' -> '%4A' -> 'J') where
+#: a single-pass decoder would stop at '%4A'; for a dedup KEY that only
+#: merges garbage inputs deterministically, and the property test pins
+#: the chained semantics on exactly such inputs.
+PCT_UNRESERVED_FORMS: list[tuple[str, str]] = [
+    (form, ch)
+    for ch in _unreserved_chars()
+    for form in dict.fromkeys((f"%{ord(ch):02X}", f"%{ord(ch):02x}"))
+]
+
+
+def _pct_decode_unreserved(col: Column) -> Column:
+    for form, ch in PCT_UNRESERVED_FORMS:
+        col = F.replace(col, F.lit(form), F.lit(ch))
+    return col
+
+
+def pct_decode_unreserved_sql(expr: str) -> str:
+    """The DuckDB/ANSI-SQL mirror of ``_pct_decode_unreserved``: the same
+    replace chain in the same order, nested around ``expr`` — used by the
+    dd13 oracle so both engines share one decode rule by construction."""
+    for form, ch in PCT_UNRESERVED_FORMS:
+        expr = f"replace({expr}, '{form}', '{ch}')"
+    return expr
+
+
 def canonicalize_url(col: Column | str) -> Column:
     """Canonical identity of a URL for web-corpus dedup (the RefinedWeb /
-    CCNet-style URL-level dedup key): scheme dropped, host lowercased
-    with ``www.`` and default ports stripped, path trailing-slash
-    normalized ('' → '/'), fragment dropped, tracking query params
+    CCNet-style URL-level dedup key): percent-escapes of UNRESERVED
+    characters decoded (``%7E`` → ``~``, case-insensitive hex; reserved
+    escapes kept), scheme dropped, host lowercased with ``www.``
+    stripped, the scheme's OWN default port stripped (``:80`` only for
+    http, ``:443`` only for https — ``http://x:443`` keeps its
+    non-default port), path trailing-slash normalized ('' → '/'),
+    fragment dropped, tracking query params
     (``utm_*``/``gclid``/``fbclid``/``ref``) removed and the surviving
-    params SORTED so param order never splits an identity.
+    params SORTED so param order never splits an identity. The decode
+    runs BEFORE param sorting: '%61=1' must sort as 'a=1', or the same
+    decoded identity would split on its encoding.
 
-    Built-in expressions only (regex + array HOFs — no UDF, stays in
-    whole-stage codegen), and every rule is expressible identically in
-    the DuckDB oracle (queries/llm.py dd13). Scale: pure per-row map,
-    shuffle-free; the dedup that follows is an ordinary hash-groupBy on
-    the canonical key.
+    Remaining documented non-goals: punycode/IDN hosts are not unified
+    with their unicode form, and reserved-character escapes (%2F in a
+    path) are preserved as-is — both sides of each pair stay internally
+    consistent, so dedup keys are stable, merely not unified across
+    those rare variants.
+
+    Built-in expressions only (regex + literal replaces + array HOFs —
+    no UDF, stays in whole-stage codegen), and every rule is expressed
+    identically in the DuckDB oracle (queries/llm.py dd13, which shares
+    the decode chain via ``pct_decode_unreserved_sql``). Scale: pure
+    per-row map, shuffle-free; the dedup that follows is an ordinary
+    hash-groupBy on the canonical key.
     """
     c = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(F.trim(c), r"#.*$", "")  # fragment off first
+    # Decode before any parsing/sorting: unreserved chars can never
+    # introduce a delimiter, so parse structure is stable.
+    u = _pct_decode_unreserved(u)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -2558,7 +2558,22 @@ def dd13_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DD13_SQL = r"""
+def _dd13_sql() -> str:
+    """dd13 oracle, generated: the percent-decode chain is SHARED with
+    the Spark expression (operators/text.py pct_decode_unreserved_sql —
+    identical forms, identical order, by construction), the rest mirrors
+    canonicalize_url's rule stage by stage: fragment off, decode, parse,
+    scheme-aware default-port strip, trailing-slash/path normalization,
+    tracking-param filter + sort."""
+    from ..operators.text import pct_decode_unreserved_sql
+
+    decoded = pct_decode_unreserved_sql("regexp_replace(trim(url), '#.*$', '')")
+    qs = (
+        "array_to_string(list_sort(list_filter(string_split(q, '&'), "
+        "x -> x <> '' AND NOT regexp_matches("
+        "x, '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&')"
+    )
+    return rf"""
 WITH urls AS (
   SELECT doc_id,
          'HTTPS://WWW.' || source || '.Example.com'
@@ -2569,37 +2584,27 @@ WITH urls AS (
          || CASE WHEN doc_id % 5 = 0 THEN '&gclid=xyz' ELSE '' END
          || '#sec' || CAST(doc_id % 4 AS VARCHAR) AS url
   FROM documents
+), u0 AS (
+  SELECT doc_id, {decoded} AS u FROM urls
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_replace(
+      lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+      '^www\.', '') AS h,
+    regexp_replace(
+      regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      '/+$', '') AS p,
+    regexp_extract(u, '\?([^#]*)', 1) AS q
+  FROM u0
 ), canon AS (
   SELECT doc_id,
-    regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
-                             '^[A-Za-z]+://([^/?#]+)', 1)),
-        '^www\.', ''),
-      ':(80|443)$', '')
-    ||
-    CASE WHEN regexp_replace(
-           regexp_extract(regexp_replace(trim(url), '#.*$', ''),
-                          '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-           '/+$', '') = ''
-         THEN '/'
-         ELSE regexp_replace(
-           regexp_extract(regexp_replace(trim(url), '#.*$', ''),
-                          '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-           '/+$', '')
-    END
-    ||
-    CASE WHEN array_to_string(list_sort(list_filter(
-           string_split(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
-                                       '\?([^#]*)', 1), '&'),
-           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&') = ''
-         THEN ''
-         ELSE '?' || array_to_string(list_sort(list_filter(
-           string_split(regexp_extract(regexp_replace(trim(url), '#.*$', ''),
-                                       '\?([^#]*)', 1), '&'),
-           x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&')
-    END AS canonical
-  FROM urls
+    (CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
+          WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
+          ELSE h END)
+    || (CASE WHEN p = '' THEN '/' ELSE p END)
+    || (CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END) AS canonical
+  FROM parts
 ), per_key AS (
   SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_docs,
          MIN(doc_id) AS keeper_doc_id
@@ -2685,5 +2690,5 @@ REGISTRY = {
     "txt16_logreg_quality": (txt16_logreg_quality, None),
     "txt16b_logreg_score": (txt16b_logreg_score, TXT16B_SQL),
     "f7_drift_psi": (f7_drift_psi, F7_SQL),
-    "dd13_url_dedup": (dd13_url_dedup, DD13_SQL),
+    "dd13_url_dedup": (dd13_url_dedup, _dd13_sql()),
 }

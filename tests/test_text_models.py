@@ -323,40 +323,69 @@ def test_doc_bigrams_segmented_row_identical(spark, docs, seg):
 def test_canonicalize_url_rules(spark):
     """canonicalize_url (operators/text.py): one identity for every
     scheme/www/default-port/fragment/tracking-param/trailing-slash/
-    param-order variant; path case preserved (URL paths are
-    case-sensitive); non-default ports kept."""
+    param-order/unreserved-percent-encoding variant; path case preserved
+    (URL paths are case-sensitive); non-default ports kept — including
+    the OTHER scheme's default (http://x:443 is not https://x:443)."""
     from dbt_analytics_spark.operators.text import canonicalize_url
 
     rows = [
         "HTTPS://WWW.Site.Example.com:443/Path/3/?utm_source=x&b=2&a=1#f",
         "http://site.example.com/Path/3?a=1&b=2",
         "https://site.example.com/Path/3/?b=2&a=1&fbclid=abc",
+        "https://site.example.com/P%61th/3?%61=1&b=2",  # %61 = 'a'
         "https://other.com",
         "https://other.com/?ref=tw#top",
         "https://other.com:8080/",  # non-default port is identity
         "https://site.example.com/path/3",  # path case differs -> distinct
+        "http://other.com:443/",  # :443 NOT http's default -> kept
+        "https://other.com:80/",  # :80 NOT https's default -> kept
+        "http://other.com:80/",  # scheme's own default -> stripped
+        "https://site.example.com/Path%2F3",  # reserved escape kept
+        "https://other.com/%7Ehome",
+        "https://other.com/%7ehome",  # hex case-insensitive
     ]
     df = spark.createDataFrame([(u,) for u in rows], ["url"])
     got = [
         r["c"]
         for r in df.select(canonicalize_url("url").alias("c")).collect()
     ]
-    assert got[0] == got[1] == got[2] == "site.example.com/Path/3?a=1&b=2"
-    assert got[3] == got[4] == "other.com/"
-    assert got[5] == "other.com:8080/"
-    assert got[6] == "site.example.com/path/3"
-    assert got[6] != got[0]
+    assert (
+        got[0] == got[1] == got[2] == got[3]
+        == "site.example.com/Path/3?a=1&b=2"
+    )
+    assert got[4] == got[5] == "other.com/"
+    assert got[6] == "other.com:8080/"
+    assert got[7] == "site.example.com/path/3"
+    assert got[7] != got[0]
+    assert got[8] == "other.com:443/"
+    assert got[9] == "other.com:80/"
+    assert got[10] == "other.com/"
+    assert got[11] == "site.example.com/Path%2F3"  # %2F is reserved
+    assert got[12] == got[13] == "other.com/~home"
 
 
 def _py_canonicalize(url: str) -> str:
-    """Pure-Python reference of canonicalize_url's rule (same regexes)."""
+    """Pure-Python reference of canonicalize_url's rule, implemented
+    independently (own regexes, own decode-form list built from the RFC
+    3986 unreserved set — NOT imported from the operator)."""
     import re
+    import string
 
     u = re.sub(r"#.*$", "", url.strip())
+    # Sequential unreserved-escape decode: codepoint order, upper-case
+    # hex form then lower-case — the operator's documented shared order.
+    for ch in sorted("-._~" + string.digits + string.ascii_letters, key=ord):
+        for form in dict.fromkeys((f"%{ord(ch):02X}", f"%{ord(ch):02x}")):
+            u = u.replace(form, ch)
+    m = re.search(r"^([A-Za-z]+)://", u)
+    scheme = (m.group(1) if m else "").lower()
     m = re.search(r"^[A-Za-z]+://([^/?#]+)", u)
     host = (m.group(1) if m else "").lower()
     host = re.sub(r"^www\.", "", host)
-    host = re.sub(r":(80|443)$", "", host)
+    if scheme == "http":
+        host = re.sub(r":80$", "", host)
+    elif scheme == "https":
+        host = re.sub(r":443$", "", host)
     m = re.search(r"^[A-Za-z]+://[^/?#]+([^?#]*)", u)
     path = re.sub(r"/+$", "", m.group(1) if m else "") or "/"
     m = re.search(r"\?([^#]*)", u)
@@ -380,9 +409,17 @@ def test_canonicalize_url_matches_python_reference(spark):
 
     from dbt_analytics_spark.operators.text import canonicalize_url
 
-    word = st.text("abcdefgzXY09", min_size=1, max_size=6)
+    # Segments mix plain chars with percent escapes: unreserved (%61,
+    # %7E/%7e — decoded), reserved (%2F — kept), and the pathological
+    # truncated form %4%41 (pins the documented sequential-replace
+    # semantics on non-URL garbage).
+    word = st.text("abcdefgzXY09", min_size=1, max_size=6).flatmap(
+        lambda w: st.sampled_from(
+            [w, w + "%61", "%7E" + w, "%7e" + w, w + "%2F", "%4%41" + w]
+        )
+    )
     param = st.sampled_from(
-        ["a=1", "b=2", "z=9&", "utm_source=x", "utm_medium=y",
+        ["a=1", "b=2", "z=9&", "%62=2", "utm_source=x", "utm_medium=y",
          "gclid=g1", "fbclid=f", "ref=tw", "empty="]
     )
     urls = st.builds(
