@@ -99,7 +99,16 @@ def pack_sequences(
 
 
 def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
-    """Pack-level rollup: (pack_id, n_docs, pack_tokens, fill_ratio)."""
+    """Pack-level rollup: (pack_id, n_docs, pack_tokens, fill_ratio).
+
+    Long-sum overflow audit (the guarded_cents_spend question, answered
+    by bound here): pack_tokens sums within ONE pack, which the packer
+    caps at max_tokens — except oversize singleton packs, where the sum
+    is one doc's token count, itself < 2^33 (a token needs >= 1 byte; a
+    single document's text is bounded by the JVM string/Arrow buffer
+    limits, ~2^31 bytes). Either way pack_tokens < max(max_tokens, 2^33)
+    << 2^63 — no guard needed. Exactness at these magnitudes is pinned
+    by tests/test_long_sum_audit.py."""
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),

@@ -79,6 +79,15 @@ def token_budget_sample(
     # costs a tiny fraction of the tokenize pass it deduplicates.
     base = base.localCheckpoint(eager=False)
 
+    # Long-sum overflow audit: every token-count sum below (per-bucket
+    # __bsum, the __offset prefix, the global cum_tok) is bounded by the
+    # CORPUS'S TOTAL TOKEN COUNT, and a token costs >= 1 byte of input,
+    # so the sums are <= total corpus bytes — 100 TB ~= 2^47, a 1 PB
+    # corpus ~= 2^50, both orders of magnitude under 2^63. No count*max
+    # guard needed (contrast star_layout.guarded_cents_spend, where
+    # per-row values reach 10^7 cents and hot groups concentrate).
+    # Exactness past double's 2^53 integer limit is pinned by
+    # tests/test_long_sum_audit.py.
     # Phase 1: per-(group, bucket) token sums — a groups×buckets frame —
     # then each bucket's starting offset from a window over that tiny
     # frame. exclusive offset = cumulative sum minus the bucket's own.

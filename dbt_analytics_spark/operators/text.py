@@ -401,6 +401,8 @@ def bigram_lm_score(
         .agg(F.count(F.lit(1)).alias("c2"))
         .localCheckpoint()
     )
+    # Long-sum audit: c1 sums bigram counts, bounded by total corpus
+    # tokens <= corpus bytes (~2^47 at 100 TB) << 2^63 — no guard needed.
     c1 = c2.groupBy("w").agg(F.sum("c2").alias("c1"))
     vocab = c2.agg(
         F.count_distinct(F.col("nxt")).cast("double").alias("v_size")
@@ -632,6 +634,10 @@ def heavy_hitters(
     partials = toks.mapInPandas(
         sketch, "term string, est long, err long, floor long"
     )
+    # Long-sum overflow audit: est/err/floor are token COUNTS, so every
+    # sum below is bounded by the corpus's total token count <= total
+    # corpus bytes (~2^47 at 100 TB) — far under 2^63, no guard needed.
+    # See tests/test_long_sum_audit.py for the exactness pin past 2^53.
     total_floor = partials.filter(F.col("term").isNull()).agg(
         F.coalesce(F.sum("floor"), F.lit(0)).alias("total_floor")
     )
