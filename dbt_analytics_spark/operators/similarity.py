@@ -67,6 +67,29 @@ def _seq_self_dot(M: "np.ndarray") -> "np.ndarray":
     return acc
 
 
+def _batch_matrix(col: "pa.Array", n: int) -> "np.ndarray":
+    """(n, dim) float64 matrix from an Arrow list<float/double> column —
+    the fast path reads the SINGLE flat values buffer and reshapes
+    (zero-copy until the exact float32→float64 widen), skipping the
+    per-row python conversion loop that dominated the old transfer
+    (measured at sf10: row-loop ~0.3 s of a 1.9 s query). Sliced arrays
+    are honored via the offsets window; ragged rows (unequal lengths —
+    not a legal embedding column, but cheap to tolerate) fall back to
+    the per-row loop."""
+    import numpy as np
+
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(off)
+    if n and (widths == widths[0]).all() and widths[0] > 0:
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat[off[0]:off[-1]].reshape(n, -1).astype(
+            np.float64, copy=False
+        )
+    return np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+    )
+
+
 def _nearest_cells(pdf_vec_col, C: "np.ndarray"):
     """(cells, d2_chosen, M) — nearest centroid per row of an Arrow batch
     column of vectors. THE single definition of the k-means assignment
@@ -139,22 +162,32 @@ def cosine_topk(
 
     Spark shape (same contract as ``ivf_topk``): the query set is collected
     (broadcast-sized by contract) and rides to executors in the task
-    closure; ONE Arrow ``mapInPandas`` pass scores each corpus batch
-    against every query as numpy array math and emits at most k rows per
-    query per batch, so the only shuffle is the tiny global top-k merge
-    window keyed on query id (high-cardinality, unskewed). The corpus
-    never shuffles — at 100 TB the scan parallelizes per split and the
-    merge stays ~|queries|·k·n_splits rows.
+    closure; ONE Arrow ``mapInArrow`` pass scores each corpus batch
+    against every query as numpy array math and emits ~k rows per query
+    per batch (the batch's top-k by similarity, ties included), so the
+    only shuffle is the tiny global top-k merge window keyed on query id
+    (high-cardinality, unskewed). The corpus never shuffles — at 100 TB
+    the scan parallelizes per split and the merge stays
+    ~|queries|·k·n_splits rows.
 
-    Float semantics are BIT-IDENTICAL to the previous broadcast-join +
-    HOF-fold formulation (and to the DuckDB oracle): see
-    ``_seq_dot_matrix``. Guarded by the sim1/dd5 oracle hash checks and
-    tests/test_similarity_skew.py. Crossover vs the fold plan measured in
-    BENCH_NOTES.md ("cosine_topk scoring"): fold wins under ~50k corpus
-    rows (Python-worker round-trip dominates), Arrow wins 7.6× at
-    100k×400 and grows with |corpus|·|queries|.
+    Round-11 transfer path (decomposed at sf10, BENCH_NOTES "sim1
+    decomposition"): the corpus ships to Python as its STORED float type
+    (no JVM-side cast-to-double transform — that HOF pays a per-element
+    pass AND doubles the Arrow bytes), lands as one flat Arrow buffer
+    reshaped zero-copy to (n, dim), then widens float32→float64
+    numpy-side — an EXACT widening, so float semantics stay BIT-IDENTICAL
+    to the previous cast-in-JVM + HOF-fold formulation (and to the DuckDB
+    oracle): see ``_seq_dot_matrix``. The per-batch cut is a vectorized
+    kth-value threshold (no per-query lexsort): it emits every row with
+    sim >= the batch's kth-best per query — a tie-closed SUPERSET of the
+    batch top-k — and the global merge window orders
+    (sim DESC, corpus_id ASC) exactly as before, so the final k rows are
+    identical. Guarded by the sim1/dd5 oracle hash checks and
+    tests/test_similarity_skew.py. Measured at sf10 (200k×64, 20
+    queries): 1.87 s → ~1.0-1.2 s end-to-end (DuckDB 0.63 s).
     """
     import numpy as np
+    import pyarrow as pa
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     # NULL vectors are dropped on both sides (a None element would crash
@@ -173,36 +206,45 @@ def cosine_topk(
     )
     q_norm = np.sqrt(_seq_self_dot(Q))
     Qt = Q.T.copy()
+    qid_arr = np.asarray(q_ids)
 
     def search(batches):
-        for pdf in batches:
-            if not len(pdf) or not len(q_ids):
+        for b in batches:
+            col = b.column(b.schema.get_field_index("cvec"))
+            n = len(col)
+            if not n or not len(q_ids):
                 continue
-            ids = pdf["corpus_id"].to_numpy()
-            M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+            ids = b.column(b.schema.get_field_index("corpus_id")).to_numpy(
+                zero_copy_only=False
+            )
+            M = _batch_matrix(col, n)
             # cosine = dot / (sqrt(q_n2) * sqrt(c_n2)) — same op order as
             # _pair_cosine (mul commutes bit-exactly; sqrt/div are IEEE).
             sims = _seq_dot_matrix(M, Qt) / (
                 q_norm[None, :] * np.sqrt(_seq_self_dot(M))[:, None]
             )
-            out_q, out_c, out_s = [], [], []
-            for j, qid in enumerate(q_ids):
-                (idx,) = np.nonzero(ids != qid)
-                if not idx.size:
-                    continue
-                s = sims[idx, j]
-                # NaN sims (zero-norm vectors) become SQL NULL on the
-                # Arrow transfer (pandas float-NaN ⇒ null), and the global
-                # merge's desc sorts NULL LAST — so the per-batch cut must
-                # rank NaN smallest too, or results would depend on which
-                # batch the zero-norm row landed in.
-                order = np.lexsort((ids[idx], -np.where(np.isnan(s), -np.inf, s)))[:k]
-                take = idx[order]
-                out_q.extend([qid] * len(take))
-                out_c.extend(ids[take].tolist())
-                out_s.extend(sims[take, j].tolist())
-            yield pd.DataFrame(
-                {"query_id": out_q, "corpus_id": out_c, "cosine_sim": out_s}
+            # NaN sims (zero-norm vectors) rank smallest — the Arrow
+            # transfer turns them into SQL NULL (from_pandas below) and
+            # the global merge's desc sorts NULL LAST, so the per-batch
+            # cut must agree or results would depend on which batch the
+            # zero-norm row landed in.
+            s_m = np.where(np.isnan(sims), -np.inf, sims)
+            selfmask = ids[:, None] == qid_arr[None, :]
+            np.copyto(s_m, -np.inf, where=selfmask)
+            kk = min(k, n)
+            thr = -np.partition(-s_m, kk - 1, axis=0)[kk - 1, :]
+            emit = (s_m >= thr[None, :]) & ~selfmask
+            rr, cc = np.nonzero(emit)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid_arr[cc].tolist()),
+                    pa.array(ids[rr].tolist()),
+                    # from_pandas: NaN ⇒ null, matching the old pandas
+                    # transfer (a raw NaN double would sort FIRST under
+                    # Spark's desc and corrupt the merge).
+                    pa.array(sims[rr, cc], from_pandas=True),
+                ],
+                names=["query_id", "corpus_id", "cosine_sim"],
             )
 
     # No fan_out here: scoring is batch-vectorized, not per-row-heavy, so
@@ -211,9 +253,9 @@ def cosine_topk(
     # corpus to defaultParallelism partitions pays ~32 Python-worker
     # round-trips plus a shuffle for work one batch does in milliseconds.
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("corpus_id"), as_double_array(vec_col).alias("cvec")
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec")
     )
-    candidates = c.mapInPandas(
+    candidates = c.mapInArrow(
         search, f"query_id {id_type}, corpus_id {id_type}, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("corpus_id"))
