@@ -57,12 +57,11 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-10 prefix so an accidental
+    # queries/__init__.py). Freeze the round-11 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-10 rotation: the bucketed-layout rows
-    # j1b/w3b/q13b, the eight exact-regime siblings, sim6, and u4/w8 in;
-    # q7/p1/j2/j4/a1/a3/so1/ev6/ev7/w7/txt14/f7/smp5/dd11 out with
+    # list in the same commit (round-11 rotation: dd13, sem7-sem12, and
+    # smp7/smp8 in; f2b/f3b/sem2/sem4/sim2b/dd9b/smp3b/txt15b/w8 out with
     # in-prefix sibling evidence; see queries/__init__.py for the
     # rationale).
     from dbt_analytics_spark import queries as q
@@ -75,22 +74,22 @@ def test_driver_prefix_is_frozen():
         "w1_dedup_rank", "w3_pct_of_total", "u1_union_dedup",
         "t2_regex_match", "ev1_sessionize", "ev2_json_extract",
         "ev3_asof_join", "ev4_range_join", "a6_grouping_sets",
-        "u4_except_intersect_all", "w8_lag_lead_ignore_nulls",
-        "dd1_exact_dedup", "dd3_minhash_lsh", "dd3b_minhash_lsh_exact",
-        "dd9b_cross_dedup_exact", "dd4b_simhash_exact", "sim1_cosine_topk",
+        "u4_except_intersect_all", "dd1_exact_dedup", "dd3_minhash_lsh",
+        "dd3b_minhash_lsh_exact", "dd4b_simhash_exact", "sim1_cosine_topk",
         "sim3_ivf_topk", "txt1_token_stats", "txt2_quality",
-        "f2b_approx_distinct_bounded", "mm1_features", "sim4b_pq_exact",
-        "smp3b_pack_identity", "sim3b_ivf_exact", "sim6_ivf_index_exact",
-        "sim2b_lsh_exact", "dd10_exact_substring", "dd12_span_dedup",
-        "smp6_token_budget_sample", "txt15b_bpe_first_merge",
-        "f3b_approx_percentiles_bounded", "f8_cms_counts",
-        "txt16b_logreg_score", "sem1_entity_star_metrics",
-        "sem2_cumulative_metrics", "sem4_conversion_rate",
-        "sem6_period_over_period",
+        "mm1_features", "sim4b_pq_exact", "smp7_leakage_split",
+        "sim3b_ivf_exact", "sim6_ivf_index_exact", "dd10_exact_substring",
+        "dd12_span_dedup", "smp6_token_budget_sample",
+        "smp8_resample_to_target", "f8_cms_counts", "txt16b_logreg_score",
+        "dd13_url_dedup", "sem1_entity_star_metrics",
+        "sem6_period_over_period", "sem7_calendar_spine",
+        "sem8_calendar_window", "sem9_nested_derived",
+        "sem10_multihop_template", "sem11_cumulative_avg_max",
+        "sem12_conversion_constant_props",
     ]
     assert list(q.queries())[:50] == expected_prefix
     # The only prefix rows without a DuckDB oracle are the two
-    # rows-only-by-design sketch ops (their exact-regime siblings sim2b/
+    # rows-only-by-design sketch ops (their exact-regime siblings dd3b/
     # sim3b hold hash-checked prefix rows of their own).
     oracles = set(q.oracle_sql())
     assert [n for n in expected_prefix if n not in oracles] == [
