@@ -29,6 +29,11 @@ a project's metric definitions actually RUN here:
   the frame's min and max (per dim combination, via one ``sequence()``
   spine over the already-aggregated frame) and ``fill_nulls_with``
   replaces the metric's NULLs;
+- measures support ``non_additive_dimension`` (semi-additive measures,
+  e.g. account balances): within each query bucket only the rows at the
+  min/max of the named time dimension count, chosen per
+  ``window_groupings`` entity, then aggregated — compiled as one
+  window + equality filter + aggregation (``_non_additive_frame``);
 - derived metrics support aliased ``type_params.metrics`` inputs with
   ``offset_window: N <grain>`` (period-over-period) — compiled as a
   self-join of the tiny bucket frame shifted by TIME, never a ROWS lag
@@ -111,6 +116,14 @@ class Measure:
     name: str
     agg: str = "sum"
     expr: str | None = None  # defaults to the measure name; count: 1
+    #: MetricFlow ``non_additive_dimension``: a SEMI-ADDITIVE measure
+    #: (e.g. an account balance) must not sum across the named time
+    #: dimension — within each query bucket only the rows at the
+    #: min/max (``window_choice``) of that dimension count, chosen per
+    #: ``window_groupings`` entity (e.g. latest balance PER ACCOUNT,
+    #: then summed across accounts). ``{name, window_choice,
+    #: window_groupings}`` or None for ordinary additive measures.
+    non_additive: dict | None = None
 
 
 @dataclass
@@ -271,8 +284,12 @@ class SemanticLayer:
                     d["name"], d.get("type", "categorical"), d.get("expr"), grain
                 )
             for ms in sm.get("measures", []) or []:
+                nad = ms.get("non_additive_dimension")
                 sem.measures[ms["name"]] = Measure(
-                    ms["name"], ms.get("agg", "sum"), ms.get("expr")
+                    ms["name"],
+                    ms.get("agg", "sum"),
+                    ms.get("expr"),
+                    non_additive=dict(nad) if nad else None,
                 )
             for en in sm.get("entities", []) or []:
                 sem.entities[en["name"]] = Entity(
@@ -866,9 +883,24 @@ class SemanticLayer:
             df = df.filter(rendered_where)
 
         aggs = []
+        non_additive: list[tuple[str, Metric, Measure]] = []
         for mname in sorted(needed):
             metric = self.metrics[mname]
             ms = sem.measures[metric.measure]
+            if ms.non_additive:
+                if metric.type == "cumulative":
+                    raise ValueError(
+                        f"cumulative metric {mname!r}: measure {ms.name!r} "
+                        "is semi-additive (non_additive_dimension) — "
+                        "accumulating it across its own window dimension "
+                        "is undefined"
+                    )
+                # Semi-additive measures cannot ride the single groupBy
+                # (summing balances across the non-additive dimension is
+                # exactly the bug the feature exists to prevent); each
+                # gets its own window-choice frame joined in below.
+                non_additive.append((mname, metric, ms))
+                continue
             expr = F.expr(ms.expr or (ms.name if ms.agg != "count" else "1"))
             # Per-metric filters compile to conditional aggregation inside
             # the single groupBy (dbt: filters live on the metric), so a
@@ -901,6 +933,15 @@ class SemanticLayer:
             cframe = self._conversion_frame(cm, sem, df, dim_cols, out_names)
             grouped = cframe if grouped is None else _dim_join(
                 grouped, cframe, out_names
+            )
+
+        for mname, metric, ms in non_additive:
+            naf = self._non_additive_frame(
+                mname, metric, ms, sem, df, dim_cols, out_names,
+                rendered_filters,
+            )
+            grouped = naf if grouped is None else _dim_join(
+                grouped, naf, out_names
             )
 
         # The spine (bounds agg + dim-combo cross + left join) and each
@@ -1356,6 +1397,79 @@ class SemanticLayer:
             if metric.measure in sem.measures:
                 return sem.measures[metric.measure]
         raise KeyError(metric.measure)
+
+    def _non_additive_frame(
+        self,
+        mname: str,
+        metric: Metric,
+        ms: Measure,
+        sem: SemanticModel,
+        df: DataFrame,
+        dim_cols: list,
+        out_names: list[str],
+        rendered_filters: dict[str, str],
+    ) -> DataFrame:
+        """Compile one metric over a SEMI-ADDITIVE measure (MetricFlow
+        ``non_additive_dimension``): within each query bucket, only the
+        rows at the measure's ``window_choice`` (min/max) of the named
+        time dimension count — chosen per ``window_groupings`` entity —
+        then the measure agg runs across those rows. The canonical case:
+        monthly total balance = each account's balance at its LATEST
+        balance date in the month, summed across accounts.
+
+        Shape: one window (max/min of the non-additive dim over
+        query-dims × groupings) + an equality filter keeping ALL rows at
+        the chosen value (ties included — the same rows MetricFlow's
+        compiled equality join against the subquery max keeps), then one
+        aggregation at the query grain. Scale: the window shuffles on
+        (dims, groupings) — high-cardinality, unskewed when the grouping
+        entity is (accounts, users); the follow-up aggregation consumes
+        the already-filtered (much smaller) picked set. Rows with a NULL
+        non-additive dimension never match the chosen value and drop,
+        like MetricFlow's join-on-equality.
+        """
+        from pyspark.sql import Window
+
+        nad = ms.non_additive
+        choice = str(nad.get("window_choice", "max")).lower()
+        if choice not in ("min", "max"):
+            raise ValueError(
+                f"measure {ms.name!r}: non_additive_dimension "
+                f"window_choice must be min or max, got {choice!r}"
+            )
+        na_name = nad["name"]
+        na_dim = sem.dimensions.get(na_name)
+        na_expr = F.expr((na_dim.expr or na_dim.name) if na_dim else na_name)
+        groupings = list(nad.get("window_groupings") or [])
+
+        def g_expr(g: str) -> F.Column:
+            en = sem.entities.get(g)
+            return F.expr(en.expr or en.name) if en else F.expr(g)
+
+        rows = df
+        if metric.filter:
+            rows = rows.filter(
+                F.expr(rendered_filters.get(mname, metric.filter))
+            )
+        val = F.expr(ms.expr or (ms.name if ms.agg != "count" else "1"))
+        gcols = [f"__nag_{i}" for i in range(len(groupings))]
+        proj = rows.select(
+            *dim_cols,
+            *[g_expr(g).alias(c) for g, c in zip(groupings, gcols)],
+            na_expr.alias("__na"),
+            val.alias("__v"),
+        )
+        w = Window.partitionBy(*out_names, *gcols)
+        pick = (F.max if choice == "max" else F.min)(F.col("__na")).over(w)
+        picked = proj.withColumn("__pick", pick).filter(
+            F.col("__na") == F.col("__pick")
+        )
+        agg = _AGGS[ms.agg](F.col("__v")).alias(f"__m_{mname}")
+        return (
+            picked.groupBy(*out_names).agg(agg)
+            if out_names
+            else picked.agg(agg)
+        )
 
     def _conversion_frame(
         self,

@@ -69,6 +69,18 @@ _DOC = {
                     "agg": "max",
                     "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
                 },
+                {
+                    # Semi-additive (round 11): per customer, only the
+                    # LATEST order's value counts within each bucket.
+                    "name": "latest_order_value",
+                    "agg": "sum",
+                    "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
+                    "non_additive_dimension": {
+                        "name": "order_date",
+                        "window_choice": "max",
+                        "window_groupings": ["customer"],
+                    },
+                },
             ],
         },
         {
@@ -262,6 +274,13 @@ _DOC = {
                     ],
                 }
             },
+        },
+        {
+            # Semi-additive metric over the non_additive_dimension
+            # measure (round 11).
+            "name": "eom_order_value",
+            "type": "simple",
+            "measure": "latest_order_value",
         },
     ],
     "saved_queries": [
@@ -765,6 +784,46 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sem13 — non_additive_dimension (round 11, MetricFlow semi-additive
+# measures): within each month, only each customer's LATEST order value
+# counts (window_choice max over order_date per customer entity), then
+# summed across customers — beside an ordinary additive count from the
+# same model, so the window-choice frame full-outer-joins the single
+# groupBy. Compiled as one window (max date over bucket × customer) +
+# equality filter (date ties all count) + one aggregation.
+# ---------------------------------------------------------------------------
+
+def sem13_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["eom_order_value", "order_count"], group_by=["order_date__month"]
+    )
+    return _finish(
+        df, dates=["order_date__month"], doubles=["eom_order_value"]
+    )
+
+
+SEM13_SQL = """
+WITH base AS (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         o_orderdate,
+         MAX(o_orderdate) OVER (
+           PARTITION BY date_trunc('month', o_orderdate), o_custkey
+         ) AS mx
+  FROM orders
+)
+SELECT
+  CAST(mo AS DATE) AS order_date__month,
+  CAST(SUM(CASE WHEN o_orderdate = mx THEN p END) AS DOUBLE)
+    AS eom_order_value,
+  COUNT(*) AS order_count
+FROM base
+GROUP BY 1
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -781,4 +840,5 @@ REGISTRY = {
         sem12_conversion_constant_props,
         SEM12_SQL,
     ),
+    "sem13_semi_additive": (sem13_semi_additive, SEM13_SQL),
 }

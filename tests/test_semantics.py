@@ -705,6 +705,148 @@ metrics:
     assert got == {"2025-01": None, "2025-02": -20.0, "2025-03": 15.0}
 
 
+# ---------------------------------------------------------------------------
+# non_additive_dimension (round 11 — MetricFlow semi-additive measures):
+# balances must not sum across their time dimension; each query bucket
+# takes the min/max-dated rows per window_groupings entity, then
+# aggregates. Ties at the chosen date all count (MetricFlow's compiled
+# equality join keeps them too).
+# ---------------------------------------------------------------------------
+
+BAL_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: balances_sm
+    model: ref('balances')
+    entities:
+      - {name: account, type: primary, expr: acct}
+    dimensions:
+      - {name: day, type: time, grain: month}
+    measures:
+      - name: eom_balance
+        agg: sum
+        expr: balance
+        non_additive_dimension:
+          name: day
+          window_choice: max
+          window_groupings: [account]
+      - name: som_balance
+        agg: sum
+        expr: balance
+        non_additive_dimension:
+          name: day
+          window_choice: min
+          window_groupings: [account]
+metrics:
+  - {name: total_eom, type: simple, measure: eom_balance}
+  - {name: total_som, type: simple, measure: som_balance}
+  - name: big_eom
+    type: simple
+    measure: eom_balance
+    filter: balance >= 100
+  - {name: cum_eom, type: cumulative, type_params: {measure: eom_balance}}
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def sl_bal(spark):
+    p = Project(spark, name="sem_bal")
+    p.source_table(
+        "balances",
+        spark.createDataFrame(
+            [
+                ("a", 100.0, "2025-01-05"),
+                ("a", 150.0, "2025-01-20"),
+                ("a", 120.0, "2025-02-10"),
+                ("b", 50.0, "2025-01-10"),
+                ("b", 70.0, "2025-02-01"),
+                ("b", 60.0, "2025-02-25"),
+                # acct c: TWO rows at the same (max) date — both count.
+                ("c", 10.0, "2025-01-15"),
+                ("c", 20.0, "2025-01-15"),
+            ],
+            ["acct", "balance", "day"],
+        ).selectExpr("acct", "balance", "CAST(day AS DATE) AS day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(BAL_DOC)
+    return layer
+
+
+def test_semi_additive_eom_and_som_by_month(sl_bal):
+    rows = {
+        str(r["day"])[:7]: (r["total_eom"], r["total_som"])
+        for r in sl_bal.query(
+            ["total_eom", "total_som"], group_by=["day"]
+        ).collect()
+    }
+    # Jan EOM: a@01-20 (150) + b@01-10 (50) + c@01-15 ties (10+20) = 230;
+    # Jan SOM: a@01-05 (100) + 50 + 30 = 180.
+    # Feb EOM: a@02-10 (120) + b@02-25 (60) = 180; SOM: 120 + b@02-01 (70).
+    assert rows == {"2025-01": (230.0, 180.0), "2025-02": (180.0, 190.0)}
+
+
+def test_semi_additive_grand_total_takes_latest_overall(sl_bal):
+    row = sl_bal.query(["total_eom"]).collect()[0]
+    # No time bucket: each account's single latest row over ALL time —
+    # a@02-10 (120) + b@02-25 (60) + c@01-15 (30).
+    assert row["total_eom"] == 210.0
+
+
+def test_semi_additive_filter_applies_before_choice(sl_bal):
+    rows = {
+        str(r["day"])[:7]: r["big_eom"]
+        for r in sl_bal.query(["big_eom"], group_by=["day"]).collect()
+    }
+    # balance >= 100 leaves only acct a's rows: the choice runs AFTER the
+    # filter (Jan picks a@01-20's 150, not a filtered-away later row),
+    # and b/c contribute nothing (not zero).
+    assert rows == {"2025-01": 150.0, "2025-02": 120.0}
+
+
+def test_semi_additive_beside_additive_metric(sl_bal):
+    # Both metrics live on one model: the additive count rides the single
+    # groupBy, the semi-additive frame full-outer-joins in beside it.
+    sl_bal.load(
+        yaml.safe_load(
+            """
+semantic_models:
+  - name: balances_sm3
+    model: ref('balances')
+    entities:
+      - {name: account3, type: primary, expr: acct}
+    dimensions:
+      - {name: day3, type: time, expr: day, grain: month}
+    measures:
+      - {name: n_obs, agg: count}
+      - name: eom3
+        agg: sum
+        expr: balance
+        non_additive_dimension:
+          name: day3
+          window_choice: max
+          window_groupings: [account3]
+metrics:
+  - {name: obs_count, type: simple, measure: n_obs}
+  - {name: eom3_total, type: simple, measure: eom3}
+"""
+        )
+    )
+    rows = {
+        str(r["day3"])[:7]: (r["obs_count"], r["eom3_total"])
+        for r in sl_bal.query(
+            ["obs_count", "eom3_total"], group_by=["day3"]
+        ).collect()
+    }
+    assert rows == {"2025-01": (5, 230.0), "2025-02": (3, 180.0)}
+
+
+def test_semi_additive_cumulative_rejected(sl_bal):
+    with pytest.raises(ValueError, match="semi-additive"):
+        sl_bal.query(["cum_eom"], group_by=["day"]).collect()
+
+
 def test_grain_interval_parsing():
     from dbt_analytics_spark.plans.semantics import _grain_interval
 
