@@ -1042,11 +1042,21 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                                         f"conversion metric needs {fld}"
                                     )
                         for mi in m.inputs:
-                            if mi.offset_window and not mi.alias:
+                            if (
+                                mi.offset_window or mi.offset_to_grain
+                            ) and not mi.alias:
                                 raise ValueError(
                                     f"offset input {mi.name!r} needs an "
                                     "alias"
                                 )
+                            if mi.offset_window and mi.offset_to_grain:
+                                raise ValueError(
+                                    f"input {mi.name!r}: offset_window "
+                                    "and offset_to_grain are mutually "
+                                    "exclusive"
+                                )
+                            if mi.offset_to_grain:
+                                _grain_interval(mi.offset_to_grain)
                     except Exception as exc:  # noqa: BLE001 — report all
                         problems.append(f"{name}: {exc}")
                 for name, sq in sorted(sl.saved_queries.items()):

@@ -147,15 +147,18 @@ class MetricInput:
     """One entry of a derived metric's ``type_params.metrics`` list
     (MetricFlow metric inputs): a referenced metric, optionally re-aliased,
     time-offset (``offset_window: N <grain>`` reads the metric's value
-    from the bucket N grains earlier — period-over-period), and/or
-    filtered (``filter:`` restricts the INPUT's pre-aggregation rows
-    without touching other uses of the same metric — compiled as a
-    filtered clone of the referenced metric, i.e. its own conditional
-    aggregate in the same groupBy)."""
+    from the bucket N grains earlier — period-over-period;
+    ``offset_to_grain: <grain>`` reads it from the FIRST bucket of the
+    enclosing grain period — vs-start-of-month/year comparisons; the two
+    are mutually exclusive), and/or filtered (``filter:`` restricts the
+    INPUT's pre-aggregation rows without touching other uses of the same
+    metric — compiled as a filtered clone of the referenced metric, i.e.
+    its own conditional aggregate in the same groupBy)."""
 
     name: str
     alias: str | None = None
     offset_window: str | None = None
+    offset_to_grain: str | None = None
     filter: str | None = None
 
 
@@ -319,6 +322,7 @@ class SemanticLayer:
                         name=mi["name"],
                         alias=mi.get("alias"),
                         offset_window=mi.get("offset_window"),
+                        offset_to_grain=mi.get("offset_to_grain"),
                         filter=mi.get("filter"),
                     )
                 )
@@ -668,11 +672,12 @@ class SemanticLayer:
             for mi in metric.inputs:
                 inner = self.metrics[self._input_target(mi)]
                 key = mi.alias or mi.name
-                if mi.offset_window:
+                if mi.offset_window or mi.offset_to_grain:
                     # _apply_offsets materialized the input's (possibly
-                    # non-simple) value at t - offset into __m_<alias>;
-                    # the fill applies at read so join misses (no bucket
-                    # at t - offset) see it.
+                    # non-simple) value at the offset bucket (t - window,
+                    # or the grain-period start) into __m_<alias>; the
+                    # fill applies at read so join misses (no bucket
+                    # there) see it.
                     colname = f"__m_{mi.alias}"
                     if inner.fill_nulls_with is not None:
                         colname = (
@@ -1085,7 +1090,7 @@ class SemanticLayer:
             aliased = set()
             for mi in m.inputs:
                 aliased.add(mi.alias or mi.name)
-                if mi.offset_window:
+                if mi.offset_window or mi.offset_to_grain:
                     offs.append((m, mi))
                 walk(self.metrics[self._input_target(mi)])
             # expr may reference metrics with no inputs entry (bare-name
@@ -1174,13 +1179,37 @@ class SemanticLayer:
                     val = F.col(f"__m_{inner.name}")
                 else:
                     val = F.expr(self._metric_sql(inner))
-                shift = _grain_interval(mi.offset_window)
+                if mi.offset_window and mi.offset_to_grain:
+                    raise ValueError(
+                        f"derived metric {m.name!r}: input {mi.name!r} "
+                        "sets both offset_window and offset_to_grain — "
+                        "they are mutually exclusive"
+                    )
+                if mi.offset_window:
+                    # Period-over-period: the shifted frame's bucket moves
+                    # FORWARD by the window, so the join reads the value
+                    # from t - window.
+                    shift = _grain_interval(mi.offset_window)
+                    s_key = (F.col(tcol) + F.expr(shift)).alias(f"__s_{tcol}")
+                    probe = F.col(tcol)
+                else:
+                    # offset_to_grain: every bucket reads the value at the
+                    # FIRST bucket of its enclosing grain period
+                    # (vs-start-of-month/year) — join the raw shifted
+                    # bucket against date_trunc(grain, t). Validate the
+                    # grain through the same parser the spine uses.
+                    _grain_interval(mi.offset_to_grain)
+                    s_key = F.col(tcol).alias(f"__s_{tcol}")
+                    probe = F.date_trunc(
+                        mi.offset_to_grain.strip().lower().rstrip("s"),
+                        F.col(tcol),
+                    )
                 shifted = grouped.select(
                     *[F.col(c).alias(f"__s_{c}") for c in others],
-                    (F.col(tcol) + F.expr(shift)).alias(f"__s_{tcol}"),
+                    s_key,
                     val.alias(f"__m_{mi.alias}"),
                 )
-                cond = F.col(tcol).eqNullSafe(F.col(f"__s_{tcol}"))
+                cond = probe.eqNullSafe(F.col(f"__s_{tcol}"))
                 for c in others:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
                 grouped = grouped.join(shifted, cond, "left").drop(

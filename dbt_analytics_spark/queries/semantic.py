@@ -282,6 +282,23 @@ _DOC = {
             "type": "simple",
             "measure": "latest_order_value",
         },
+        {
+            # offset_to_grain (round 11): each day's revenue vs the
+            # value at its MONTH's first bucket.
+            "name": "rev_vs_month_start",
+            "type": "derived",
+            "type_params": {
+                "expr": "revenue - som_rev",
+                "metrics": [
+                    {"name": "revenue"},
+                    {
+                        "name": "revenue",
+                        "alias": "som_rev",
+                        "offset_to_grain": "month",
+                    },
+                ],
+            },
+        },
     ],
     "saved_queries": [
         {
@@ -824,6 +841,42 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sem14 — offset_to_grain (round 11, the last MetricFlow metric-input
+# param beside offset_window/alias/filter): each day bucket reads the
+# input metric's value at its MONTH's first bucket (vs-start-of-period),
+# compiled as a self-join of the tiny bucket frame on
+# date_trunc(month, t) = t2. Days whose month-start has no orders read
+# NULL (join miss), identically in both engines.
+# ---------------------------------------------------------------------------
+
+def sem14_offset_to_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["revenue", "rev_vs_month_start"], group_by=["order_date"]
+    )
+    return _finish(
+        df, dates=["order_date"], doubles=["revenue", "rev_vs_month_start"]
+    )
+
+
+SEM14_SQL = """
+WITH buckets AS (
+  SELECT
+    date_trunc('day', o_orderdate) AS dy,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  GROUP BY 1
+)
+SELECT
+  CAST(b.dy AS DATE) AS order_date,
+  CAST(b.rev AS DOUBLE) AS revenue,
+  CAST(b.rev - s.rev AS DOUBLE) AS rev_vs_month_start
+FROM buckets b
+LEFT JOIN buckets s ON s.dy = date_trunc('month', b.dy)
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -841,4 +894,5 @@ REGISTRY = {
         SEM12_SQL,
     ),
     "sem13_semi_additive": (sem13_semi_additive, SEM13_SQL),
+    "sem14_offset_to_grain": (sem14_offset_to_grain, SEM14_SQL),
 }

@@ -41,6 +41,7 @@ from dbt_analytics_spark.session import get_spark  # noqa: E402
 SF10 = "/root/repo/.scratch/sf10"
 SF40 = "/root/repo/.scratch/sf40"
 SF160 = "/root/repo/.scratch/sf160"
+SF640 = "/root/repo/.scratch/sf640"
 QUERIES = [
     "j1b_join_agg_bucketed",
     "w3b_pct_of_total_bucketed",
@@ -48,6 +49,14 @@ QUERIES = [
     "j1_join_agg",
 ]
 REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+#: Round-11 octave (VERDICT r10 item 8): SCAN_FLOOR_SCALES=sf160,sf640
+#: reruns only the top scales — j1b/w3b sat at 2.46x/2.25x "still
+#: falling" at 240M; 960M either crosses 2x or names the plateau.
+_SCALE_DIRS = {"sf10": SF10, "sf40": SF40, "sf160": SF160, "sf640": SF640}
+SCALES = [
+    _SCALE_DIRS[s]
+    for s in os.environ.get("SCAN_FLOOR_SCALES", "sf10,sf40,sf160").split(",")
+]
 
 
 def build_scaled(src_dir: str, dst_dir: str, ncopy: int) -> None:
@@ -95,14 +104,17 @@ def build_scaled(src_dir: str, dst_dir: str, ncopy: int) -> None:
 
 def main() -> None:
     build_scaled(SF10, SF40, 4)
-    build_scaled(SF40, SF160, 4)
+    if SF160 in SCALES or SF640 in SCALES:
+        build_scaled(SF40, SF160, 4)
+    if SF640 in SCALES:
+        build_scaled(SF160, SF640, 4)
     spark = get_spark("scan_floor_probe")
     from pyspark.sql import functions as F
 
     from dbt_analytics_spark.plans.star_layout import ensure_star_layout
 
     out: dict[str, dict] = {}
-    for sf_dir in (SF10, SF40, SF160):
+    for sf_dir in SCALES:
         tag = os.path.basename(sf_dir)
         t0 = time.perf_counter()
         orders_tbl, _ = ensure_star_layout(spark, sf_dir)

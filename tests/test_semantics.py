@@ -633,6 +633,52 @@ def test_offset_window_is_time_shift_not_row_lag(sl_gap):
     }
 
 
+def test_offset_to_grain_reads_period_start(sl_gap):
+    # offset_to_grain: year — every month bucket reads the input's value
+    # at the FIRST bucket of its year (Jan), so the delta is vs-start-of-
+    # year, not vs-previous-bucket.
+    sl_gap.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: vs_jan
+    type: derived
+    type_params:
+      expr: rev_filled - soy
+      metrics:
+        - name: rev_filled
+        - {name: rev_filled, alias: soy, offset_to_grain: year}
+"""
+        )
+    )
+    rows = sl_gap.query(
+        ["vs_jan"], group_by=["day"], where="seg = 'a'"
+    ).collect()
+    got = {str(r["day"])[:7]: r["vs_jan"] for r in rows}
+    # Jan reads itself (10-10=0); Feb 0-10; Mar 5-10.
+    assert got == {"2025-01": 0.0, "2025-02": -10.0, "2025-03": -5.0}
+
+
+def test_offset_window_and_to_grain_mutually_exclusive(sl_gap):
+    sl_gap.load(
+        yaml.safe_load(
+            """
+metrics:
+  - name: bad_both
+    type: derived
+    type_params:
+      expr: rev_filled - x
+      metrics:
+        - name: rev_filled
+        - {name: rev_filled, alias: x, offset_window: 1 month,
+           offset_to_grain: month}
+"""
+        )
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sl_gap.query(["bad_both"], group_by=["day"]).collect()
+
+
 def test_offset_requires_alias_and_time_dim(sl_gap):
     sl_gap.load(
         yaml.safe_load(
