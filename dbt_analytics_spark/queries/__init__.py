@@ -428,6 +428,21 @@ _BEYOND_DRIVER_CAP = [
     "smp3b_pack_identity",
     "txt15b_bpe_first_merge",
     "w8_lag_lead_ignore_nulls",
+    # ------------------------------------------------------------------
+    # Round-11 rotation, part 2: sem13_semi_additive and
+    # sem14_offset_to_grain landed AFTER the main r11 rotation commit, so
+    # they would otherwise sit local-only for a full round. INTO the
+    # prefix in exchange for:
+    #   u4_except_intersect_all — earned its driver row in
+    #     CORRECTNESS_r10 (hash-green); the set-op family keeps
+    #     u1_union_dedup's prefix row, and EXCEPT ALL / INTERSECT ALL
+    #     multiplicity semantics stay fully oracled in the local gate.
+    #   dd4b_simhash_exact — earned its driver row in CORRECTNESS_r10;
+    #     the banded exact-regime mechanism keeps dd3b's prefix row, and
+    #     the SimHash pair contract stays pytest-pinned
+    #     (test_dedup_simhash) + local-gated.
+    "u4_except_intersect_all",
+    "dd4b_simhash_exact",
 ]
 
 _ALL: dict = {}

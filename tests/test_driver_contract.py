@@ -62,8 +62,9 @@ def test_driver_prefix_is_frozen():
     # a query from driver verification. Intentional rotations update this
     # list in the same commit (round-11 rotation: dd13, sem7-sem12, and
     # smp7/smp8 in; f2b/f3b/sem2/sem4/sim2b/dd9b/smp3b/txt15b/w8 out with
-    # in-prefix sibling evidence; see queries/__init__.py for the
-    # rationale).
+    # in-prefix sibling evidence. Part 2: sem13/sem14 in — they landed
+    # after the main rotation commit — for u4/dd4b, both holding r10
+    # driver rows; see queries/__init__.py for the rationale).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
@@ -74,8 +75,8 @@ def test_driver_prefix_is_frozen():
         "w1_dedup_rank", "w3_pct_of_total", "u1_union_dedup",
         "t2_regex_match", "ev1_sessionize", "ev2_json_extract",
         "ev3_asof_join", "ev4_range_join", "a6_grouping_sets",
-        "u4_except_intersect_all", "dd1_exact_dedup", "dd3_minhash_lsh",
-        "dd3b_minhash_lsh_exact", "dd4b_simhash_exact", "sim1_cosine_topk",
+        "dd1_exact_dedup", "dd3_minhash_lsh",
+        "dd3b_minhash_lsh_exact", "sim1_cosine_topk",
         "sim3_ivf_topk", "txt1_token_stats", "txt2_quality",
         "mm1_features", "sim4b_pq_exact", "smp7_leakage_split",
         "sim3b_ivf_exact", "sim6_ivf_index_exact", "dd10_exact_substring",
@@ -85,7 +86,8 @@ def test_driver_prefix_is_frozen():
         "sem6_period_over_period", "sem7_calendar_spine",
         "sem8_calendar_window", "sem9_nested_derived",
         "sem10_multihop_template", "sem11_cumulative_avg_max",
-        "sem12_conversion_constant_props",
+        "sem12_conversion_constant_props", "sem13_semi_additive",
+        "sem14_offset_to_grain",
     ]
     assert list(q.queries())[:50] == expected_prefix
     # The only prefix rows without a DuckDB oracle are the two
