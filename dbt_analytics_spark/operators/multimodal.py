@@ -1,10 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode path is REAL for PPM (P6) images and PPM-stream "videos": a
-pure-Python header parse + numpy over the pixel bytes runs inside the
-mapInPandas UDFs (no external media libraries needed — the container has
-none). Feature extraction, nearest-neighbor resize, and frame sampling all
-operate on actual decoded pixels. Payloads that are not PPM (e.g. the
+The decode path is REAL for three public container formats parsable with
+pure Python + numpy (no external media libraries — the container has
+none):
+
+- PPM (P6) images, and PPM-stream "videos" (concatenated frames);
+- BMP images (uncompressed 24-bit BI_RGB, the Windows bitmap baseline) —
+  bottom-up row order and 4-byte row padding handled;
+- WAV audio (RIFF, PCM 8/16/32-bit int and IEEE float32/64) — multi-channel
+  payloads are mono-mixed for features.
+
+Feature extraction, nearest-neighbor resize, and frame sampling operate on
+actual decoded pixels/samples; resize re-encodes in the INPUT's codec
+(PPM→PPM, BMP→BMP). Payloads in none of these formats (e.g. the
 text-derived testdata bytes) fall back to a clearly-marked deterministic
 fake, keeping the Arrow plumbing exercised for arbitrary media bytes whose
 codecs (JPEG/PNG/mp4) would require PIL/ffmpeg.
@@ -16,6 +24,7 @@ flat regardless of partition size.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -99,6 +108,147 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
 
 
 # ---------------------------------------------------------------------------
+# BMP codec — uncompressed 24-bit BI_RGB (the bitmap baseline every OS
+# writes); bottom-up rows, 4-byte row padding
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up, BGR byte order, rows padded to 4 bytes)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixels, got {arr.shape}")
+    h, w = arr.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Decode an uncompressed 24-bit BI_RGB BMP to an (h, w, 3) uint8 RGB
+    array, or None when the payload is not such a BMP (other bit depths /
+    compressions fall through to the fake path like any foreign codec)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:  # BITMAPCOREHEADER etc. — not the baseline form
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    flip = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    if pixel_offset + row_size * height > len(payload):
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * height, offset=pixel_offset
+    ).reshape(height, row_size)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
+    """Try every REAL image codec; returns (pixels, codec) or None."""
+    pixels = decode_ppm(payload)
+    if pixels is not None:
+        return pixels, "ppm"
+    pixels = decode_bmp(payload)
+    if pixels is not None:
+        return pixels, "bmp"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# WAV codec — RIFF/WAVE with PCM (8/16/32-bit int) or IEEE-float data
+# ---------------------------------------------------------------------------
+
+_WAV_DTYPES = {
+    (1, 8): np.uint8,
+    (1, 16): np.dtype("<i2"),
+    (1, 32): np.dtype("<i4"),
+    (3, 32): np.dtype("<f4"),
+    (3, 64): np.dtype("<f8"),
+}
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Encode a float array in [-1, 1] (1-D mono or (n, channels)) as a
+    PCM WAV. Supports 16/32-bit int PCM."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    scale = float(2 ** (bits - 1) - 1)
+    dtype = _WAV_DTYPES[(1, bits)]
+    data = (np.clip(arr, -1.0, 1.0) * scale).astype(dtype).tobytes()
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Decode a RIFF/WAVE payload to (mono float64 samples in [-1, 1],
+    sample_rate), or None when the payload is not a supported WAV. Chunks
+    are walked in order (LIST/fact/etc. skipped), multi-channel data is
+    mono-mixed by mean."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= n:
+        chunk_id, chunk_size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and bits in (16, 32):  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1
+    dtype = _WAV_DTYPES.get((audio_format, bits))
+    if dtype is None or n_channels < 1 or sample_rate <= 0:
+        return None
+    frame_bytes = n_channels * bits // 8
+    n_frames = len(data) // frame_bytes
+    if n_frames == 0:
+        return np.zeros(0), sample_rate
+    raw = np.frombuffer(data, dtype=dtype, count=n_frames * n_channels)
+    if audio_format == 1:
+        scale = float(2 ** (bits - 1))
+        samples = (
+            (raw.astype(np.float64) - 128.0) / 128.0
+            if bits == 8  # 8-bit PCM is unsigned
+            else raw.astype(np.float64) / scale
+        )
+    else:
+        samples = raw.astype(np.float64)
+    return samples.reshape(n_frames, n_channels).mean(axis=1), sample_rate
+
+
+# ---------------------------------------------------------------------------
 # Feature extraction
 # ---------------------------------------------------------------------------
 
@@ -138,9 +288,9 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 
 
 def _decode_features(payload: bytes) -> list[float]:
-    pixels = decode_ppm(payload)
-    if pixels is not None:
-        return _pixel_features(pixels)
+    decoded = _decode_image(payload)
+    if decoded is not None:
+        return _pixel_features(decoded[0])
     return _fake_decode_features(payload)
 
 
@@ -184,6 +334,72 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio features
+# ---------------------------------------------------------------------------
+
+#: Output schema of the audio decode/feature stage.
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def _audio_feature_row(payload: bytes) -> tuple[bool, int, float, float, float, float]:
+    decoded = decode_wav(payload)
+    if decoded is None:
+        # Deterministic FAKE for non-WAV payloads (mp3/ogg/flac would need
+        # external codecs): byte-checksum stand-ins, decoded=False so
+        # downstream filters can tell real measurements from plumbing.
+        fake = _fake_decode_features(payload)
+        return False, 0, 0.0, fake[0], fake[1], fake[2]
+    samples, rate = decoded
+    n = len(samples)
+    if n == 0:
+        return True, int(rate), 0.0, 0.0, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(samples**2)))
+    peak = float(np.abs(samples).max())
+    zcr = (
+        float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+        if n > 1
+        else 0.0
+    )
+    return True, int(rate), n / rate, rms, peak, zcr
+
+
+def audio_features(binary_df: DataFrame) -> DataFrame:
+    """Decode + feature-extract WAV payloads via mapInPandas: duration,
+    RMS level, peak amplitude, zero-crossing rate (all on the mono mix).
+
+    Same scale contract as ``extract_features``: Arrow-batched, per-batch
+    memory bounded by arrow.maxRecordsPerBatch, shuffle-free (a pure map).
+    Non-WAV payloads yield decoded=False with deterministic fake values so
+    arbitrary audio bytes still exercise the plumbing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_audio_feature_row(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "decoded", "sample_rate", "duration_s",
+                    "rms", "peak", "zero_crossing_rate",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out.astype({"sample_rate": "int32"})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Resize
 # ---------------------------------------------------------------------------
 
@@ -219,9 +435,11 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    pixels = decode_ppm(payload)
-    if pixels is not None:
-        return encode_ppm(_resize_pixels(pixels, width, height))
+    decoded = _decode_image(payload)
+    if decoded is not None:
+        pixels, codec = decoded
+        out = _resize_pixels(pixels, width, height)
+        return encode_bmp(out) if codec == "bmp" else encode_ppm(out)
     return _fake_resize(payload, width, height)
 
 

@@ -162,3 +162,111 @@ def test_sample_frames_real_ppm_stream(spark):
     for r, src_idx in zip(rows, [0, 2, 3, 5]):
         frame_px = multimodal.decode_ppm(bytes(r["frame"]))
         assert frame_px is not None and np.array_equal(frame_px, src[src_idx])
+
+
+# ---------------------------------------------------------------------------
+# BMP + WAV codecs (round 11): the two additional pure-numpy-decodable
+# public formats. Round-trips are checked against independently-packed
+# byte layouts, and the Spark operators against numpy-computed values.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    # 5x3 exercises row padding (3*3=9 bytes -> padded to 12)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    payload = multimodal.encode_bmp(img)
+    assert payload[:2] == b"BM"
+    out = multimodal.decode_bmp(payload)
+    assert out is not None and out.shape == (5, 3, 3)
+    assert (out == img).all()
+    # hand-packed golden: 1x1 red pixel, bottom-up BGR with 1-byte padding
+    import struct as _s
+
+    golden = (
+        _s.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0)
+        + bytes([0, 0, 255, 0])  # BGR for red + pad byte
+    )
+    dec = multimodal.decode_bmp(golden)
+    assert dec is not None and dec.shape == (1, 1, 3)
+    assert dec[0, 0].tolist() == [255, 0, 0]
+    # non-BMP / unsupported depth fall through to None
+    assert multimodal.decode_bmp(b"BM tiny") is None
+    assert multimodal.decode_bmp(b"not a bitmap at all......") is None
+
+
+def test_extract_and_resize_bmp_payloads(spark):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, multimodal.encode_bmp(img))], "doc_id long, payload binary"
+    )
+    feats = multimodal.extract_features(df).collect()[0]
+    expected = multimodal._pixel_features(img)
+    assert feats["feature"] == pytest.approx(expected, abs=1e-6)
+    resized = multimodal.resize_images(df, width=3, height=4).collect()[0]
+    # codec preserved: BMP in -> BMP out, decodable, right dims
+    out = multimodal.decode_bmp(bytes(resized["payload"]))
+    assert out is not None and out.shape == (4, 3, 3)
+    assert (out == multimodal._resize_pixels(img, 3, 4)).all()
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    t = np.arange(1600) / 16000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    payload = multimodal.encode_wav(mono, sample_rate=16000, bits=16)
+    decoded = multimodal.decode_wav(payload)
+    assert decoded is not None
+    samples, rate = decoded
+    assert rate == 16000 and len(samples) == 1600
+    assert samples == pytest.approx(mono, abs=2 / 32767)
+    # stereo mono-mix: L = s, R = -s  =>  mix ~ 0
+    stereo = np.stack([mono, -mono], axis=1)
+    mixed, _ = multimodal.decode_wav(multimodal.encode_wav(stereo, 8000, 16))
+    assert np.abs(mixed).max() <= 2 / 32767
+    # an extra LIST chunk before fmt/data must be skipped (odd size -> pad)
+    import struct as _s
+
+    body = payload[12:]
+    extra = _s.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    wrapped = _s.pack("<4sI4s", b"RIFF", 4 + len(extra) + len(body), b"WAVE") + extra + body
+    rewalked = multimodal.decode_wav(wrapped)
+    assert rewalked is not None and len(rewalked[0]) == 1600
+    # float32 WAV (audio_format=3)
+    fmt = _s.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    data = mono[:100].astype("<f4").tobytes()
+    f32 = (
+        _s.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + _s.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + _s.pack("<4sI", b"data", len(data)) + data
+    )
+    fsamples, frate = multimodal.decode_wav(f32)
+    assert frate == 8000
+    assert fsamples == pytest.approx(mono[:100], abs=1e-6)
+    assert multimodal.decode_wav(b"RIFFxxxxNOPE") is None
+
+
+def test_audio_features_real_and_fake(spark):
+    rate = 8000
+    t = np.arange(rate) / rate  # exactly 1 s
+    tone = 0.25 * np.sin(2 * np.pi * 100 * t)
+    df = spark.createDataFrame(
+        [
+            (1, multimodal.encode_wav(tone, sample_rate=rate, bits=16)),
+            (2, b"definitely not audio"),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal.audio_features(df).collect()}
+    real = rows[1]
+    assert real["decoded"] is True
+    assert real["sample_rate"] == rate
+    assert real["duration_s"] == pytest.approx(1.0)
+    # RMS of a full-period sine = amplitude / sqrt(2)
+    assert real["rms"] == pytest.approx(0.25 / np.sqrt(2), rel=1e-3)
+    assert real["peak"] == pytest.approx(0.25, rel=1e-3)
+    # 100 Hz over 1 s = 200 zero crossings across 7999 sample pairs
+    assert real["zero_crossing_rate"] == pytest.approx(200 / (rate - 1), rel=0.02)
+    fake = rows[2]
+    assert fake["decoded"] is False and fake["sample_rate"] == 0
