@@ -1016,7 +1016,15 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                 for name, m in sorted(sl.metrics.items()):
                     try:
                         if m.type in ("simple", "cumulative"):
-                            sl._measure_of(m)
+                            ms = sl._measure_of(m)
+                            if ms.agg == "percentile":
+                                p = (ms.agg_params or {}).get("percentile")
+                                if p is None or not (0.0 <= float(p) <= 1.0):
+                                    raise ValueError(
+                                        f"measure {ms.name!r}: agg "
+                                        "'percentile' needs "
+                                        "agg_params.percentile in [0, 1]"
+                                    )
                         if m.type in ("ratio", "derived"):
                             sl._metric_sql(m)
                         if m.window:

@@ -81,6 +81,49 @@ _AGGS = {
 }
 
 
+def _measure_agg(ms: "Measure", expr: Column) -> Column:
+    """Compile a measure's aggregation over ``expr`` — the single place
+    every MetricFlow ``agg:`` type maps to a Spark aggregate.
+
+    Beyond the plain ``_AGGS`` entries:
+
+    - ``sum_boolean`` renders MetricFlow's ``SUM(CASE WHEN expr THEN 1
+      ELSE 0 END)`` exactly (NULL counts as false, matching the SQL CASE).
+    - ``median`` / ``percentile`` are EXACT by default (``F.median`` /
+      ``F.percentile`` — Spark buffers the group's values, like
+      Postgres/DuckDB ``percentile_cont``; fine at metric-query group
+      cardinalities, and ``use_approximate_percentile: true`` switches to
+      the bounded-memory t-digest ``percentile_approx`` for planet-scale
+      groups at the cost of oracle exactness).
+    - ``use_discrete_percentile: true`` matches ``percentile_disc``
+      semantics (smallest value whose cumulative frequency >= p, i.e. the
+      element at 1-based index ceil(p*n)) via sort + element_at.
+    """
+    if ms.agg == "sum_boolean":
+        return F.sum(F.when(expr, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+    if ms.agg == "median":
+        return F.median(expr)
+    if ms.agg == "percentile":
+        params = ms.agg_params or {}
+        p = params.get("percentile")
+        if p is None or not (0.0 <= float(p) <= 1.0):
+            raise ValueError(
+                f"measure {ms.name!r}: agg 'percentile' needs "
+                "agg_params.percentile in [0, 1]"
+            )
+        p = float(p)
+        if params.get("use_approximate_percentile"):
+            return F.percentile_approx(expr, F.lit(p))
+        if params.get("use_discrete_percentile"):
+            vals = F.array_sort(F.collect_list(expr))
+            idx = F.greatest(
+                F.lit(1), F.ceil(F.size(vals) * F.lit(p)).cast("int")
+            )
+            return F.element_at(vals, idx)
+        return F.percentile(expr, F.lit(p))
+    return _AGGS[ms.agg](expr)
+
+
 def _dim_join(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
     """Full-outer join two metric frames on shared dimension columns with
     null-safe equality (a NULL dim value is a real group and must line up),
@@ -124,6 +167,9 @@ class Measure:
     #: then summed across accounts). ``{name, window_choice,
     #: window_groupings}`` or None for ordinary additive measures.
     non_additive: dict | None = None
+    #: MetricFlow ``agg_params`` (percentile measures): ``{percentile,
+    #: use_discrete_percentile, use_approximate_percentile}`` or None.
+    agg_params: dict | None = None
 
 
 @dataclass
@@ -288,11 +334,13 @@ class SemanticLayer:
                 )
             for ms in sm.get("measures", []) or []:
                 nad = ms.get("non_additive_dimension")
+                agg_params = ms.get("agg_params")
                 sem.measures[ms["name"]] = Measure(
                     ms["name"],
                     ms.get("agg", "sum"),
                     ms.get("expr"),
                     non_additive=dict(nad) if nad else None,
+                    agg_params=dict(agg_params) if agg_params else None,
                 )
             for en in sm.get("entities", []) or []:
                 sem.entities[en["name"]] = Entity(
@@ -923,7 +971,7 @@ class SemanticLayer:
                 aggs.append(F.sum(expr).alias(f"__m_{mname}__csum"))
                 aggs.append(F.count(expr).alias(f"__m_{mname}__ccnt"))
             else:
-                aggs.append(_AGGS[ms.agg](expr).alias(f"__m_{mname}"))
+                aggs.append(_measure_agg(ms, expr).alias(f"__m_{mname}"))
 
         grouped = None
         if aggs:
@@ -1263,12 +1311,15 @@ class SemanticLayer:
         for name in cums:
             m = self.metrics[name]
             ms = self._measure_of(m)
-            if ms.agg not in ("sum", "count", "avg", "min", "max"):
+            if ms.agg not in (
+                "sum", "count", "avg", "min", "max", "sum_boolean"
+            ):
                 raise ValueError(
                     f"cumulative metric {name!r}: measure agg "
                     f"{ms.agg!r} does not decompose over buckets "
-                    "(count_distinct of overlapping frames cannot be "
-                    "re-aggregated from partials)"
+                    "(count_distinct / median / percentile of "
+                    "overlapping frames cannot be re-aggregated from "
+                    "partials)"
                 )
             if m.window:
                 n, unit = _parse_window(m.window)
@@ -1493,7 +1544,7 @@ class SemanticLayer:
         picked = proj.withColumn("__pick", pick).filter(
             F.col("__na") == F.col("__pick")
         )
-        agg = _AGGS[ms.agg](F.col("__v")).alias(f"__m_{mname}")
+        agg = _measure_agg(ms, F.col("__v")).alias(f"__m_{mname}")
         return (
             picked.groupBy(*out_names).agg(agg)
             if out_names

@@ -70,6 +70,29 @@ _DOC = {
                     "expr": "CAST(o_totalprice AS DECIMAL(18,2))",
                 },
                 {
+                    # Distributional aggs (round 11): MetricFlow's
+                    # sum_boolean / median / percentile measure types.
+                    "name": "n_urgent",
+                    "agg": "sum_boolean",
+                    "expr": "o_orderpriority = '1-URGENT'",
+                },
+                {"name": "median_price", "agg": "median", "expr": "o_totalprice"},
+                {
+                    "name": "p90_price",
+                    "agg": "percentile",
+                    "expr": "o_totalprice",
+                    "agg_params": {"percentile": 0.9},
+                },
+                {
+                    "name": "p90_price_disc",
+                    "agg": "percentile",
+                    "expr": "o_totalprice",
+                    "agg_params": {
+                        "percentile": 0.9,
+                        "use_discrete_percentile": True,
+                    },
+                },
+                {
                     # Semi-additive (round 11): per customer, only the
                     # LATEST order's value counts within each bucket.
                     "name": "latest_order_value",
@@ -137,6 +160,21 @@ _DOC = {
     "metrics": [
         {"name": "revenue", "type": "simple", "measure": "order_revenue"},
         {"name": "order_count", "type": "simple", "measure": "n_orders"},
+        {"name": "urgent_orders", "type": "simple", "measure": "n_urgent"},
+        {"name": "median_order_price", "type": "simple", "measure": "median_price"},
+        {"name": "p90_order_price", "type": "simple", "measure": "p90_price"},
+        {
+            "name": "p90_order_price_disc",
+            "type": "simple",
+            "measure": "p90_price_disc",
+        },
+        {
+            # Cumulative over a sum_boolean measure: bucket partials are
+            # plain counts, so the running re-sum decomposes exactly.
+            "name": "cum_urgent_orders",
+            "type": "cumulative",
+            "measure": "n_urgent",
+        },
         {
             # Filtered metric: compiles to a conditional aggregate inside
             # the SAME groupBy (never a second scan).
@@ -877,6 +915,46 @@ LEFT JOIN buckets s ON s.dy = date_trunc('month', b.dy)
 """
 
 
+# ---------------------------------------------------------------------------
+# sem15 — distributional measure aggs (round 11): MetricFlow sum_boolean,
+# median, and percentile (continuous AND discrete) measures in one
+# compiled aggregation, plus a cumulative over the sum_boolean measure
+# (bucket partials are counts — the running re-sum decomposes exactly).
+# Cross-engine exactness probed before wiring: Spark F.median /
+# F.percentile / the ceil(p*n) discrete rule bit-match DuckDB median /
+# quantile_cont / quantile_disc on this data.
+# ---------------------------------------------------------------------------
+
+def sem15_distributional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        [
+            "urgent_orders",
+            "median_order_price",
+            "p90_order_price",
+            "p90_order_price_disc",
+        ],
+        group_by=["order_status"],
+    )
+    return _finish(
+        df,
+        doubles=["median_order_price", "p90_order_price", "p90_order_price_disc"],
+    )
+
+
+SEM15_SQL = """
+SELECT
+  o_orderstatus AS order_status,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+       AS BIGINT) AS urgent_orders,
+  CAST(median(o_totalprice) AS DOUBLE) AS median_order_price,
+  CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90_order_price,
+  CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_order_price_disc
+FROM orders
+GROUP BY 1
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -895,4 +973,5 @@ REGISTRY = {
     ),
     "sem13_semi_additive": (sem13_semi_additive, SEM13_SQL),
     "sem14_offset_to_grain": (sem14_offset_to_grain, SEM14_SQL),
+    "sem15_distributional_aggs": (sem15_distributional_aggs, SEM15_SQL),
 }

@@ -1499,3 +1499,118 @@ def test_multihop_chain_is_two_pruned_joins(sl_multihop):
     assert plan.count("Join") == 2, plan
     hop = next(l for l in plan.splitlines() if "AS __pk_account" in l)
     assert "tier" not in hop, hop  # unrequested dim never ships
+
+
+# ---------------------------------------------------------------------------
+# Distributional measure aggs (round 11): sum_boolean / median / percentile
+# ---------------------------------------------------------------------------
+
+DIST_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: txns
+    model: ref('txns_model')
+    dimensions:
+      - {name: seg, type: categorical}
+      - {name: day, type: time, grain: day}
+    measures:
+      - {name: n_big, agg: sum_boolean, expr: amount >= 10}
+      - {name: med_amount, agg: median, expr: amount}
+      - name: p50_amount
+        agg: percentile
+        expr: amount
+        agg_params: {percentile: 0.5}
+      - name: p50_amount_disc
+        agg: percentile
+        expr: amount
+        agg_params: {percentile: 0.5, use_discrete_percentile: true}
+      - name: p50_amount_approx
+        agg: percentile
+        expr: amount
+        agg_params: {percentile: 0.5, use_approximate_percentile: true}
+      - name: p_bad
+        agg: percentile
+        expr: amount
+metrics:
+  - {name: big_txns, type: simple, measure: n_big}
+  - {name: med_txn, type: simple, measure: med_amount}
+  - {name: p50_txn, type: simple, measure: p50_amount}
+  - {name: p50_txn_disc, type: simple, measure: p50_amount_disc}
+  - {name: p50_txn_approx, type: simple, measure: p50_amount_approx}
+  - {name: bad_pct, type: simple, measure: p_bad}
+  - {name: cum_big_txns, type: cumulative, measure: n_big}
+  - {name: cum_med_txn, type: cumulative, measure: med_amount}
+metrics_aux: []
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def dist_sl(spark):
+    p = Project(spark, name="sem_dist")
+    p.source_table(
+        "txns_model",
+        spark.createDataFrame(
+            [
+                (1, "a", 10.0, "2025-01-01"),
+                (2, "a", 20.0, "2025-01-15"),
+                (3, "a", 30.0, "2025-01-20"),
+                (4, "b", 5.0, "2025-02-01"),
+                (5, "b", 7.0, "2025-02-02"),
+                (6, "b", 40.0, "2025-02-03"),
+                (7, "b", 2.0, "2025-02-04"),
+            ],
+            ["txn_id", "seg", "amount", "day"],
+        ).selectExpr("txn_id", "seg", "amount", "CAST(day AS DATE) AS day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(DIST_DOC)
+    return layer
+
+
+def test_distributional_aggs_by_dimension(dist_sl):
+    rows = {
+        r["seg"]: r
+        for r in dist_sl.query(
+            ["big_txns", "med_txn", "p50_txn", "p50_txn_disc"],
+            group_by=["seg"],
+        ).collect()
+    }
+    # a: [10, 20, 30] — all >= 10; odd count, median = p50 = 20
+    assert rows["a"]["big_txns"] == 3
+    assert rows["a"]["med_txn"] == 20.0
+    assert rows["a"]["p50_txn"] == 20.0
+    assert rows["a"]["p50_txn_disc"] == 20.0
+    # b: [2, 5, 7, 40] — one >= 10; even count: median/cont interpolate to
+    # 6.0, DISCRETE picks the element at ceil(0.5*4) = index 2 -> 5.0
+    assert rows["b"]["big_txns"] == 1
+    assert rows["b"]["med_txn"] == 6.0
+    assert rows["b"]["p50_txn"] == 6.0
+    assert rows["b"]["p50_txn_disc"] == 5.0
+
+
+def test_approximate_percentile_runs(dist_sl):
+    # Approximate path: bounded-memory sketch, value within the group's
+    # range (exactness is NOT contracted — that's the point of the flag).
+    row = dist_sl.query(["p50_txn_approx"]).collect()[0]
+    assert 2.0 <= row["p50_txn_approx"] <= 40.0
+
+
+def test_percentile_requires_agg_params(dist_sl):
+    with pytest.raises(ValueError, match="agg_params.percentile"):
+        dist_sl.query(["bad_pct"]).collect()
+
+
+def test_cumulative_sum_boolean_decomposes(dist_sl):
+    rows = {
+        str(r["day__month"])[:7]: r["cum_big_txns"]
+        for r in dist_sl.query(
+            ["cum_big_txns"], group_by=["day__month"]
+        ).collect()
+    }
+    assert rows == {"2025-01": 3, "2025-02": 4}
+
+
+def test_cumulative_median_rejected(dist_sl):
+    with pytest.raises(ValueError, match="does not decompose"):
+        dist_sl.query(["cum_med_txn"], group_by=["day__month"]).collect()
