@@ -1614,3 +1614,61 @@ def test_cumulative_sum_boolean_decomposes(dist_sl):
 def test_cumulative_median_rejected(dist_sl):
     with pytest.raises(ValueError, match="does not decompose"):
         dist_sl.query(["cum_med_txn"], group_by=["day__month"]).collect()
+
+
+# ---------------------------------------------------------------------------
+# Property: percentile measure rules vs independent references (round 11).
+# Discrete = sorted values at 1-based ceil(p*n) (percentile_disc / DuckDB
+# quantile_disc); continuous = linear interpolation at rank p*(n-1)
+# (percentile_cont / numpy 'linear'). Three-way: Spark agg vs pure-Python
+# vs DuckDB, on arbitrary value multisets.
+# ---------------------------------------------------------------------------
+
+_pct_vals = st.lists(
+    st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 4.0),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=_pct_vals, pnum=st.integers(min_value=1, max_value=19))
+def test_percentile_rules_match_references(spark, vals, pnum):
+    import math
+
+    import duckdb
+
+    from dbt_analytics_spark.plans.semantics import Measure, _measure_agg
+
+    p = pnum / 20.0
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    disc = Measure("d", "percentile", "x",
+                   agg_params={"percentile": p, "use_discrete_percentile": True})
+    cont = Measure("c", "percentile", "x", agg_params={"percentile": p})
+    med = Measure("m", "median", "x")
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        _measure_agg(disc, F.col("x")).alias("d"),
+        _measure_agg(cont, F.col("x")).alias("c"),
+        _measure_agg(med, F.col("x")).alias("m"),
+    ).collect()[0]
+
+    s = sorted(vals)
+    n = len(s)
+    ref_disc = s[max(1, math.ceil(p * n)) - 1]
+    rank = p * (n - 1)
+    lo, frac = int(rank // 1), rank % 1
+    ref_cont = s[lo] if frac == 0 else s[lo] + (s[lo + 1] - s[lo]) * frac
+    assert row["d"] == ref_disc
+    assert row["c"] == pytest.approx(ref_cont, abs=1e-9)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    dd, dc, dm = con.execute(
+        f"SELECT quantile_disc(x, {p}), quantile_cont(x, {p}), median(x) FROM t"
+    ).fetchone()
+    assert row["d"] == dd
+    assert row["c"] == pytest.approx(dc, abs=1e-9)
+    assert row["m"] == pytest.approx(dm, abs=1e-9)
