@@ -334,6 +334,67 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Video features — temporal stats over the really-decoded frame stream
+# ---------------------------------------------------------------------------
+
+#: Output schema of the per-video temporal feature stage.
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("mean_frame_diff", T.DoubleType()),
+    ]
+)
+
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def _video_feature_row(payload: bytes) -> tuple[bool, int, float, float]:
+    frames = split_ppm_stream(payload)
+    if not frames:
+        fake = _fake_decode_features(payload)
+        return False, 0, fake[0], fake[1]
+    lumas = []
+    for f in frames:
+        pixels = decode_ppm(f).astype(np.float64)
+        lumas.append(pixels @ np.array(_LUMA) / 255.0)
+    mean_luma = float(np.mean([l.mean() for l in lumas]))
+    if len(lumas) < 2:
+        return True, len(lumas), mean_luma, 0.0
+    # Mean absolute per-pixel luminance change between consecutive frames
+    # (the standard cheap motion proxy); frames may differ in size across
+    # cuts — compare only same-shape consecutive pairs.
+    diffs = [
+        float(np.abs(b - a).mean())
+        for a, b in zip(lumas, lumas[1:])
+        if a.shape == b.shape
+    ]
+    return True, len(lumas), mean_luma, float(np.mean(diffs)) if diffs else 0.0
+
+
+def video_features(binary_df: DataFrame) -> DataFrame:
+    """Per-video temporal features over a concatenated-PPM stream payload:
+    frame count, mean luminance, mean absolute frame-to-frame luminance
+    change (motion proxy) — all on ACTUALLY decoded pixels. Non-PPM-stream
+    payloads yield decoded=False with deterministic fakes. Same bounded
+    Arrow-batch contract as extract_features/audio_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_video_feature_row(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=["decoded", "n_frames", "mean_luma", "mean_frame_diff"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out.astype({"n_frames": "int32"})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Audio features
 # ---------------------------------------------------------------------------
 

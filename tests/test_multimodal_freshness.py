@@ -270,3 +270,19 @@ def test_audio_features_real_and_fake(spark):
     assert real["zero_crossing_rate"] == pytest.approx(200 / (rate - 1), rel=0.02)
     fake = rows[2]
     assert fake["decoded"] is False and fake["sample_rate"] == 0
+
+
+def test_video_features_real_stream(spark):
+    # Two flat-gray frames (64, 128) then a fake payload: luma means are
+    # 64/255 and 128/255, diff is 64/255, all computed from real pixels.
+    f1 = multimodal.encode_ppm(np.full((4, 5, 3), 64, dtype=np.uint8))
+    f2 = multimodal.encode_ppm(np.full((4, 5, 3), 128, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, f1 + f2), (2, b"no video here")], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in multimodal.video_features(df).collect()}
+    real = rows[1]
+    assert real["decoded"] is True and real["n_frames"] == 2
+    assert real["mean_luma"] == pytest.approx((64 + 128) / 2 / 255.0, abs=1e-9)
+    assert real["mean_frame_diff"] == pytest.approx(64 / 255.0, abs=1e-9)
+    assert rows[2]["decoded"] is False and rows[2]["n_frames"] == 0
