@@ -286,3 +286,50 @@ def test_video_features_real_stream(spark):
     assert real["mean_luma"] == pytest.approx((64 + 128) / 2 / 255.0, abs=1e-9)
     assert real["mean_frame_diff"] == pytest.approx(64 / 255.0, abs=1e-9)
     assert rows[2]["decoded"] is False and rows[2]["n_frames"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Property: codec round-trips on arbitrary shapes/params (pure Python+numpy,
+# no Spark job — cheap enough for many examples).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    out = multimodal.decode_bmp(multimodal.encode_bmp(img))
+    assert out is not None and (out == img).all()
+    # BMP payloads must never be mistaken for PPM and vice versa
+    assert multimodal.decode_ppm(multimodal.encode_bmp(img)) is None
+    assert multimodal.decode_bmp(multimodal.encode_ppm(img)) is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    bits=st.sampled_from([16, 32]),
+    channels=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, bits, channels, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1, 1, size=(n, channels))
+    payload = multimodal.encode_wav(samples, sample_rate=rate, bits=bits)
+    decoded = multimodal.decode_wav(payload)
+    assert decoded is not None
+    mono, got_rate = decoded
+    assert got_rate == rate and len(mono) == n
+    # quantization error bounded by 1 LSB of the int width
+    tol = 2.0 / (2 ** (bits - 1) - 1)
+    assert np.abs(mono - samples.mean(axis=1)).max() <= tol if n else True
