@@ -426,3 +426,24 @@ def test_semantic_spine_offset_single_fact_pass(spark):
     # fact table 4x (measured at sf0.01 before the fix).
     plan = _plan(REGISTRY["sem6_period_over_period"][0](spark, SF))
     assert "Scan parquet" not in plan, plan
+
+
+def test_semantic_distributional_aggs_single_pass(spark):
+    # sem15: sum_boolean + median + continuous/discrete percentile must
+    # compile into ONE scan and ONE shuffle (the groupBy exchange) — the
+    # value-buffering aggs run as ObjectHashAggregate with a partial
+    # stage, never a second scan, join, or sort-based fallback plan.
+    import re
+
+    plan = _plan(REGISTRY["sem15_distributional_aggs"][0](spark, SF))
+    # Formatted explain prints each node twice (tree + "(N) Op" detail
+    # header) — count the detail headers.
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(schemas) == 1, schemas
+    # Column pruning: only the three referenced order columns are read.
+    assert all(
+        "o_totalprice" in l and "o_orderpriority" in l and "o_custkey" not in l
+        for l in schemas
+    ), schemas
