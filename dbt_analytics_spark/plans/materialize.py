@@ -35,6 +35,57 @@ if TYPE_CHECKING:
 _PARTITION_OVERWRITE_LOCK = threading.Lock()
 
 
+def _heal_orphan_location(project: "Project", target: str) -> bool:
+    """Remove the PROVABLY-ORPHAN managed location blocking a CTAS.
+
+    A run killed between writing a managed table's directory and
+    registering it in the catalog leaves the directory behind with no
+    catalog entry; every later ``saveAsTable`` on that name then fails
+    with LOCATION_ALREADY_EXISTS until someone deletes the directory by
+    hand. Heal exactly that case and nothing else: only when the catalog
+    does NOT know ``target`` (so no live table's data can be destroyed),
+    and only the warehouse-derived managed path for this name (both the
+    default-db ``<wh>/<tbl>`` and ``<wh>/<db>.db/<tbl>`` layouts).
+    Deletion goes through the Hadoop FileSystem API so it works on any
+    warehouse scheme (local, HDFS, S3A), not just file://.
+    """
+    spark = project.spark
+    if spark.catalog.tableExists(target):
+        return False
+    db, _, tbl = target.rpartition(".")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    candidates = []
+    if not db or db.lower() == "default":
+        candidates.append(f"{warehouse}/{tbl.lower()}")
+    if db:
+        candidates.append(f"{warehouse}/{db.lower()}.db/{tbl.lower()}")
+    hconf = spark._jsc.hadoopConfiguration()
+    healed = False
+    for cand in candidates:
+        path = spark._jvm.org.apache.hadoop.fs.Path(cand)
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+            healed = True
+    return healed
+
+
+def _save_as_table(project: "Project", writer, target: str) -> None:
+    """``writer.saveAsTable(target)`` with one orphan-location heal+retry
+    (see _heal_orphan_location) — the crash-recovery contract every CTAS
+    materialization in this module shares."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        writer.saveAsTable(target)
+    except AnalysisException as exc:
+        if "LOCATION_ALREADY_EXISTS" not in str(
+            exc
+        ) or not _heal_orphan_location(project, target):
+            raise
+        writer.saveAsTable(target)
+
+
 def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
     if node.kind == "snapshot":
         # One SCD-2 pass per run against the stored snapshot table
@@ -103,7 +154,7 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
             writer = writer.bucketBy(node.n_buckets, *node.bucket_by).sortBy(
                 *node.bucket_by
             )
-        writer.saveAsTable(target)
+        _save_as_table(project, writer, target)
         return None
     if kind == "view":
         df.createOrReplaceTempView(node.name)
@@ -206,7 +257,11 @@ def _apply_microbatch(project: "Project", node: "Node", df: DataFrame) -> int:
 
     first_run = not (project.relation_exists(node.name) and not project.full_refresh)
     if first_run:
-        data.limit(0).write.mode("overwrite").partitionBy("__batch").saveAsTable(target)
+        _save_as_table(
+            project,
+            data.limit(0).write.mode("overwrite").partitionBy("__batch"),
+            target,
+        )
         batches = [r["__batch"] for r in data.select("__batch").distinct().collect()]
     else:
         hw = spark.table(target).agg(F.max("__batch")).collect()[0][0]
@@ -410,18 +465,23 @@ def _ivf_initial_build(project: "Project", node: "Node", df: DataFrame) -> None:
     else:
         C = _sim._sample_centroids(vecs, node.unique_key, vec, n_cells)
     cent_tbl = project.qualified(f"{node.name}__ivf_centroids")
-    spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
-        "cell int, centroid array<double>",
-    ).write.mode("overwrite").format(node.file_format).saveAsTable(cent_tbl)
+    _save_as_table(
+        project,
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(np.asarray(C))],
+            "cell int, centroid array<double>",
+        ).write.mode("overwrite").format(node.file_format),
+        cent_tbl,
+    )
     out = df.withColumn(
         "__ivf_cell", _sim.ivf_cell_udf(C)(_sim.as_double_array(F.col(vec)))
     )
-    (
+    _save_as_table(
+        project,
         out.write.mode("overwrite")
         .format(node.file_format)
-        .partitionBy(*_ivf_parts(node))
-        .saveAsTable(project.qualified(node.name))
+        .partitionBy(*_ivf_parts(node)),
+        project.qualified(node.name),
     )
     return None
 
@@ -618,7 +678,7 @@ def _apply_incremental(project: "Project", node: "Node", new_rows: DataFrame) ->
                 writer = writer.bucketBy(
                     node.n_buckets, *node.bucket_by
                 ).sortBy(*node.bucket_by)
-            writer.saveAsTable(target)
+            _save_as_table(project, writer, target)
             project.spark.catalog.refreshTable(target)
             return project.spark.table(target).count()
         # Additive schema-change policies widened the target: fall through
