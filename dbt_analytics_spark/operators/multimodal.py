@@ -7,15 +7,18 @@ none):
 - PPM (P6) images, and PPM-stream "videos" (concatenated frames);
 - BMP images (uncompressed 24-bit BI_RGB, the Windows bitmap baseline) —
   bottom-up row order and 4-byte row padding handled;
-- WAV audio (RIFF, PCM 8/16/32-bit int and IEEE float32/64) — multi-channel
-  payloads are mono-mixed for features.
+- PNG images (stdlib zlib inflate + numpy scanline unfiltering — 8-bit
+  gray/RGB/palette/gray-alpha/RGBA, filters None/Sub/Up/Average/Paeth;
+  Adam7 interlace and 16-bit depth fall through);
+- WAV audio (RIFF, PCM 8/16/32-bit int and IEEE float32/64, extensible
+  fmt via SubFormat GUID) — multi-channel payloads are mono-mixed.
 
 Feature extraction, nearest-neighbor resize, and frame sampling operate on
 actual decoded pixels/samples; resize re-encodes in the INPUT's codec
-(PPM→PPM, BMP→BMP). Payloads in none of these formats (e.g. the
+(PPM→PPM, BMP→BMP, PNG→PNG). Payloads in none of these formats (e.g. the
 text-derived testdata bytes) fall back to a clearly-marked deterministic
 fake, keeping the Arrow plumbing exercised for arbitrary media bytes whose
-codecs (JPEG/PNG/mp4) would require PIL/ffmpeg.
+codecs (JPEG/mp4/mp3) would require PIL/ffmpeg.
 
 Scale design: mapInPandas streams Arrow batches; per-batch work is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory stays
@@ -158,6 +161,193 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
     return rgb[::-1] if flip else rgb
 
 
+# ---------------------------------------------------------------------------
+# PNG codec — pure stdlib zlib + numpy (no PIL): 8-bit gray / RGB /
+# palette / gray+alpha / RGBA, non-interlaced; scanline filters 0-4
+# implemented both directions (RFC 2083 §6)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: samples per pixel by PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over widened-int arrays:
+    nearest of (left, up, upper-left) to left+up-upper_left, ties in that
+    order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit non-interlaced
+    truecolor PNG. ``filter_type`` (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth) selects the per-scanline filter — all five forward filters
+    are implemented so round-trip property tests can drive every
+    unfilter path in decode_png."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixels, got {arr.shape}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    h, w = arr.shape[:2]
+    bpp = 3
+    raw = arr.reshape(h, w * bpp).astype(np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    tag = bytes([filter_type])
+    lines = []
+    for y in range(h):
+        row = raw[y]
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        else:
+            ul = np.zeros_like(prev)
+            ul[bpp:] = prev[:-bpp]
+            filt = row - _paeth(left, prev, ul)
+        lines.append(tag + (filt % 256).astype(np.uint8).tobytes())
+        prev = row  # the filter references RECONSTRUCTED bytes = raw here
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Decode an 8-bit non-interlaced PNG (gray, truecolor, palette,
+    gray+alpha, RGBA) to an (h, w, 3) uint8 RGB array — alpha channels
+    dropped, gray replicated to RGB, PLTE applied. Unsupported shapes
+    (bit depth != 8, Adam7 interlace, truncated/corrupt zlib streams,
+    unknown filter bytes) return None so the caller falls back to the
+    fake path like any foreign codec. Scanline unfiltering: None/Up are
+    whole-row vectorized, Sub is a per-lane cumsum, Average/Paeth walk
+    pixels with the three lane bytes vectorized (bounded by the Arrow
+    batch's image sizes, never the table size)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, n = 8, len(payload)
+    ihdr = plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        length = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if tag == b"IHDR":
+            if len(body) != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            pal = np.frombuffer(body, dtype=np.uint8)
+            if len(pal) == 0 or len(pal) % 3:
+                return None
+            plte = pal.reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    ch = _PNG_CHANNELS.get(color)
+    if (
+        depth != 8
+        or comp != 0
+        or filt_method != 0
+        or interlace != 0
+        or ch is None
+        or w <= 0
+        or h <= 0
+        or (color == 3 and plte is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    data = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes = data[:, 0]
+    if (ftypes > 4).any():
+        return None
+    filt = data[:, 1:].astype(np.int16)
+    out = np.empty((h, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    zeros = np.zeros(ch, dtype=np.int16)
+    for y in range(h):
+        f, row = int(ftypes[y]), filt[y]
+        if f == 0:
+            r = row
+        elif f == 1:
+            # recon[x] = filt[x] + recon[x-ch]: per-lane running sum.
+            # int64 accumulator — an int16 cumsum overflows past w=128.
+            r = (
+                row.reshape(w, ch).cumsum(axis=0, dtype=np.int64) % 256
+            ).reshape(stride).astype(np.int16)
+        elif f == 2:
+            r = (row + prev) % 256
+        else:
+            r = np.empty(stride, dtype=np.int16)
+            for x in range(0, stride, ch):
+                left = r[x - ch : x] if x else zeros
+                up = prev[x : x + ch]
+                if f == 3:
+                    r[x : x + ch] = (row[x : x + ch] + (left + up) // 2) % 256
+                else:
+                    ul = prev[x - ch : x] if x else zeros
+                    r[x : x + ch] = (
+                        row[x : x + ch] + _paeth(left, up, ul)
+                    ) % 256
+        out[y] = r
+        prev = r
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 2:
+        return np.ascontiguousarray(img)
+    if color == 6:
+        return np.ascontiguousarray(img[:, :, :3])
+    if color == 0:
+        return np.repeat(img, 3, axis=2)
+    if color == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    idx = img[:, :, 0]  # palette
+    if int(idx.max(initial=0)) >= len(plte):
+        return None
+    return plte[idx]
+
+
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
     """Try every REAL image codec; returns (pixels, codec) or None."""
     pixels = decode_ppm(payload)
@@ -166,6 +356,9 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
     pixels = decode_bmp(payload)
     if pixels is not None:
         return pixels, "bmp"
+    pixels = decode_png(payload)
+    if pixels is not None:
+        return pixels, "png"
     return None
 
 
@@ -187,6 +380,10 @@ def encode_wav(
 ) -> bytes:
     """Encode a float array in [-1, 1] (1-D mono or (n, channels)) as a
     PCM WAV. Supports 16/32-bit int PCM."""
+    if bits not in (16, 32):
+        # 8-bit WAV is UNSIGNED-centered; the signed scale below would
+        # wrap negatives (-1.0 -> 129). Reject rather than corrupt.
+        raise ValueError(f"encode_wav supports 16/32-bit PCM, got bits={bits}")
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -214,20 +411,31 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, n = 12, len(payload)
-    fmt = data = None
+    fmt = fmt_body = data = None
     while pos + 8 <= n:
         chunk_id, chunk_size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif chunk_id == b"data":
             data = body
         pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         return None
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and bits in (16, 32):  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The REAL format lives in the fmt extension's SubFormat GUID
+        # (bytes 24-40 of the fmt body); its first u16 is the format tag
+        # (1 = PCM, 3 = IEEE float). Assuming PCM here would reinterpret
+        # an extensible float32 WAV as int32 — garbage samples flagged
+        # decoded=True. Anything else (e.g. ALAW GUIDs) is unsupported.
+        if fmt_body is None or len(fmt_body) < 40:
+            return None
+        sub_format = struct.unpack_from("<H", fmt_body, 24)[0]
+        if sub_format not in (1, 3):
+            return None
+        audio_format = sub_format
     dtype = _WAV_DTYPES.get((audio_format, bits))
     if dtype is None or n_channels < 1 or sample_rate <= 0:
         return None
@@ -275,7 +483,7 @@ def _pixel_features(pixels: np.ndarray) -> list[float]:
 
 def _fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic FALLBACK for payloads whose codec is unavailable here
-    (JPEG/PNG/audio/video would need PIL/ffmpeg): derives FEATURE_DIM floats
+    (JPEG/mp4/mp3 would need PIL/ffmpeg): derives FEATURE_DIM floats
     from byte-slice checksums so arbitrary media bytes still flow through
     the same Arrow plumbing with stable values."""
     if not payload:
@@ -359,7 +567,18 @@ def _video_feature_row(payload: bytes) -> tuple[bool, int, float, float]:
     lumas = []
     for f in frames:
         pixels = decode_ppm(f).astype(np.float64)
-        lumas.append(pixels @ np.array(_LUMA) / 255.0)
+        # Elementwise mul-add in fixed order, NOT a BLAS matmul: dgemv
+        # fuses multiply-adds (FMA), which no SQL engine reproduces —
+        # this order bit-matches DuckDB's r*w0 + g*w1 + b*w2 (verified
+        # exhaustively over all byte values in the mm4 oracle test).
+        lumas.append(
+            (
+                pixels[..., 0] * _LUMA[0]
+                + pixels[..., 1] * _LUMA[1]
+                + pixels[..., 2] * _LUMA[2]
+            )
+            / 255.0
+        )
     mean_luma = float(np.mean([l.mean() for l in lumas]))
     if len(lumas) < 2:
         return True, len(lumas), mean_luma, 0.0
@@ -461,6 +680,89 @@ def audio_features(binary_df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic media synthesis from byte columns — turns any document
+# table into a REAL-decodable audio/video corpus (for tests, oracles, and
+# pipeline dry-runs at scale) with byte-arithmetic-replayable features.
+# ---------------------------------------------------------------------------
+
+#: Output schema of the synth stages.
+SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def wav_from_bytes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    limit_bytes: int = 256,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Synthesize a 16-bit PCM WAV per row from the first ``limit_bytes``
+    UTF-8 bytes of ``text_col``: one sample per byte, value (b-128)/128.
+    Every decoded feature downstream is then EXACT integer arithmetic on
+    the source bytes (quantized sample = trunc((b-128)*32767/128), all
+    float steps exact powers-of-two), so a SQL oracle can replay them
+    bit-for-bit. Arrow-batched map, shuffle-free."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                bs = (txt or "").encode("utf-8")[:limit_bytes]
+                arr = (
+                    np.frombuffer(bs, dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                ) / 128.0
+                payloads.append(
+                    encode_wav(arr, sample_rate=sample_rate, bits=16)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def ppm_video_from_bytes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 2,
+) -> DataFrame:
+    """Synthesize an ``n_frames``-frame PPM-stream video per row: frame k
+    is a 2x2 UNIFORM gray image at the value of the text's k-th UTF-8
+    byte. Uniform frames make every downstream luminance statistic a
+    single-expression function of the source bytes (the mean of equal
+    values is bit-exact in any summation order), so a SQL oracle can
+    replay video_features exactly. Rows shorter than ``n_frames`` bytes
+    get an EMPTY payload (the documented fake-path trigger)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf[text_col]:
+                bs = (txt or "").encode("utf-8")[:n_frames]
+                if len(bs) < n_frames:
+                    payloads.append(b"")
+                    continue
+                payloads.append(
+                    b"".join(
+                        encode_ppm(np.full((2, 2, 3), b, np.uint8))
+                        for b in bs
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "payload": payloads}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Resize
 # ---------------------------------------------------------------------------
 
@@ -500,7 +802,11 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     if decoded is not None:
         pixels, codec = decoded
         out = _resize_pixels(pixels, width, height)
-        return encode_bmp(out) if codec == "bmp" else encode_ppm(out)
+        if codec == "bmp":
+            return encode_bmp(out)
+        if codec == "png":
+            return encode_png(out)
+        return encode_ppm(out)
     return _fake_resize(payload, width, height)
 
 

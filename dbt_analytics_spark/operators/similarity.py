@@ -19,6 +19,32 @@ from pyspark.sql import functions as F
 from .util import fan_out
 
 
+def _arrow_type_for(spark_simple_type: str):
+    """Arrow type matching a Spark simpleString type name, for pinning
+    mapInArrow emit schemas. Python-list pa.array inference widens every
+    integer to int64 and so crashes on non-bigint id columns (and on
+    empty emits, where inference has nothing to go on)."""
+    import pyarrow as pa
+
+    mapping = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+    }
+    if spark_simple_type not in mapping:
+        raise TypeError(
+            f"unsupported id column type {spark_simple_type!r}; "
+            "expected an integer, float, string, date or timestamp type"
+        )
+    return mapping[spark_simple_type]
+
+
 def as_double_array(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -190,6 +216,11 @@ def cosine_topk(
     import pyarrow as pa
 
     id_type = corpus.schema[id_col].dataType.simpleString()
+    # The declared mapInArrow schema uses the id column's ACTUAL Spark
+    # type; pa.array(list) inference would always produce int64/str and
+    # mismatch any narrower id (int, smallint) — including on empty
+    # emits — so every emitted array pins an explicit Arrow type.
+    pa_id = _arrow_type_for(id_type)
     # NULL vectors are dropped on both sides (a None element would crash
     # the numpy batch conversion; the old fold plan gave such rows NULL
     # sims that never reached top-k anyway).
@@ -237,12 +268,12 @@ def cosine_topk(
             rr, cc = np.nonzero(emit)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(qid_arr[cc].tolist()),
-                    pa.array(ids[rr].tolist()),
+                    pa.array(qid_arr[cc].tolist(), type=pa_id),
+                    pa.array(ids[rr].tolist(), type=pa_id),
                     # from_pandas: NaN ⇒ null, matching the old pandas
                     # transfer (a raw NaN double would sort FIRST under
                     # Spark's desc and corrupt the merge).
-                    pa.array(sims[rr, cc], from_pandas=True),
+                    pa.array(sims[rr, cc], from_pandas=True, type=pa.float64()),
                 ],
                 names=["query_id", "corpus_id", "cosine_sim"],
             )

@@ -35,6 +35,24 @@ if TYPE_CHECKING:
 _PARTITION_OVERWRITE_LOCK = threading.Lock()
 
 
+# Directories younger than this are treated as possibly another process's
+# in-flight CTAS (directory written, catalog not yet updated) and are NOT
+# healed. Override per-session with the Spark conf below; 0 disables the
+# age check entirely (single-writer deployments, tests).
+_ORPHAN_HEAL_MIN_AGE_CONF = "spark.dbt_analytics.orphanHealMinAgeSeconds"
+_ORPHAN_HEAL_MIN_AGE_DEFAULT = 600.0
+
+
+def _newest_mtime_ms(fs, path, jvm) -> int:
+    """Newest modification time (epoch ms) of the directory or any file
+    under it — an in-flight writer keeps this recent."""
+    newest = fs.getFileStatus(path).getModificationTime()
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        newest = max(newest, it.next().getModificationTime())
+    return newest
+
+
 def _heal_orphan_location(project: "Project", target: str) -> bool:
     """Remove the PROVABLY-ORPHAN managed location blocking a CTAS.
 
@@ -46,12 +64,27 @@ def _heal_orphan_location(project: "Project", target: str) -> bool:
     does NOT know ``target`` (so no live table's data can be destroyed),
     and only the warehouse-derived managed path for this name (both the
     default-db ``<wh>/<tbl>`` and ``<wh>/<db>.db/<tbl>`` layouts).
+
+    Cross-process guard: a CONCURRENT run mid-CTAS on the same name looks
+    identical from here (directory exists, catalog entry not yet written),
+    and the in-process lock cannot see it. The discriminator is write
+    recency — an in-flight writer's newest file mtime is seconds old,
+    while a killed session's orphan is as old as the crash — so the heal
+    refuses directories whose newest mtime is younger than
+    ``spark.dbt_analytics.orphanHealMinAgeSeconds`` (default 600; set 0 to
+    disable the check where single-writer is guaranteed). A refused heal
+    re-raises the original loud LOCATION_ALREADY_EXISTS naming the path.
     Deletion goes through the Hadoop FileSystem API so it works on any
     warehouse scheme (local, HDFS, S3A), not just file://.
     """
     spark = project.spark
     if spark.catalog.tableExists(target):
         return False
+    min_age_s = float(
+        spark.conf.get(
+            _ORPHAN_HEAL_MIN_AGE_CONF, str(_ORPHAN_HEAL_MIN_AGE_DEFAULT)
+        )
+    )
     db, _, tbl = target.rpartition(".")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
     candidates = []
@@ -64,9 +97,22 @@ def _heal_orphan_location(project: "Project", target: str) -> bool:
     for cand in candidates:
         path = spark._jvm.org.apache.hadoop.fs.Path(cand)
         fs = path.getFileSystem(hconf)
-        if fs.exists(path):
-            fs.delete(path, True)
-            healed = True
+        if not fs.exists(path):
+            continue
+        if min_age_s > 0:
+            age_s = (
+                time.time() * 1000 - _newest_mtime_ms(fs, path, spark._jvm)
+            ) / 1000.0
+            if age_s < min_age_s:
+                raise RuntimeError(
+                    f"managed location {cand} exists without a catalog "
+                    f"entry but was written {age_s:.0f}s ago (< "
+                    f"{min_age_s:.0f}s) — possibly another run's in-flight "
+                    f"CTAS. Not healing. If no other run is active, delete "
+                    f"the directory or set {_ORPHAN_HEAL_MIN_AGE_CONF}=0."
+                )
+        fs.delete(path, True)
+        healed = True
     return healed
 
 
@@ -74,11 +120,16 @@ def _save_as_table(project: "Project", writer, target: str) -> None:
     """``writer.saveAsTable(target)`` with one orphan-location heal+retry
     (see _heal_orphan_location) — the crash-recovery contract every CTAS
     materialization in this module shares."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.errors.exceptions.captured import (
+        AnalysisException,
+        SparkRuntimeException,
+    )
 
     try:
         writer.saveAsTable(target)
-    except AnalysisException as exc:
+    except (AnalysisException, SparkRuntimeException) as exc:
+        # Spark 4 raises LOCATION_ALREADY_EXISTS as SparkRuntimeException
+        # from saveAsTable (AnalysisException on some DDL paths).
         if "LOCATION_ALREADY_EXISTS" not in str(
             exc
         ) or not _heal_orphan_location(project, target):

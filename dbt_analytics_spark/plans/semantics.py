@@ -71,6 +71,39 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:  # pragma: no cover
     from .registry import Project
 
+import re as _re
+
+# One tokenizer for metric-expr walking AND substitution, so the set of
+# names _collect_offset_inputs walks is exactly the set _metric_sql
+# substitutes. Matches (in order): single-quoted string literals
+# (with '' escapes), double-quoted / backtick-quoted identifiers, then
+# bare identifiers. Strings and quoted identifiers are passed through
+# untouched — a metric name inside 'a string literal' is not a metric
+# reference, and neither is a SQL function name followed by "(".
+_EXPR_TOKEN = _re.compile(
+    r"(?P<str>'(?:[^']|'')*')"
+    r"|(?P<qid>\"[^\"]*\"|`[^`]*`)"
+    r"|(?P<id>[a-zA-Z_][a-zA-Z0-9_]*)"
+)
+
+
+def _is_call(m: "_re.Match") -> bool:
+    """True when the matched bare identifier is a function-call name
+    (next non-space char is an opening paren)."""
+    rest = m.string[m.end():]
+    return rest.lstrip()[:1] == "("
+
+
+def _expr_bare_names(expr: str) -> list[str]:
+    """Bare identifiers in a SQL expr that could be metric references:
+    not inside string literals, not quoted, not function-call names."""
+    out = []
+    for m in _EXPR_TOKEN.finditer(expr or ""):
+        if m.lastgroup == "id" and not _is_call(m):
+            out.append(m.group("id"))
+    return out
+
+
 _AGGS = {
     "sum": F.sum,
     "count": F.count,
@@ -496,8 +529,6 @@ class SemanticLayer:
                     self.metrics[ref], acc, conv_acc, _seen
                 )
         elif metric.type == "derived":
-            import re
-
             if metric.inputs:
                 for mi in metric.inputs:
                     self._simple_metrics_needed(
@@ -507,7 +538,10 @@ class SemanticLayer:
                         _seen,
                     )
                 return
-            for name in re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", metric.expr or ""):
+            # Same tokenizer as _metric_sql's substitution: names inside
+            # string literals / quoted identifiers / function calls are
+            # not metric references and must not pull in aggregates.
+            for name in _expr_bare_names(metric.expr or ""):
                 if name in self.metrics:
                     self._simple_metrics_needed(
                         self.metrics[name], acc, conv_acc, _seen
@@ -714,8 +748,6 @@ class SemanticLayer:
             den = self._metric_sql(self.metrics[metric.denominator], stack)
             sql = f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE))"
         elif metric.type == "derived":
-            import re
-
             amap: dict[str, str] = {}
             for mi in metric.inputs:
                 inner = self.metrics[self._input_target(mi)]
@@ -735,17 +767,22 @@ class SemanticLayer:
                 else:
                     amap[key] = self._metric_sql(inner, stack)
 
-            def sub(m: re.Match) -> str:
-                name = m.group(0)
+            def sub(m: "_re.Match") -> str:
+                # Strings / quoted identifiers pass through untouched;
+                # so do function-call names — 'revenue' in a literal or
+                # a UDF named like a metric is not a metric reference
+                # (same tokenizer as _collect_offset_inputs, so the
+                # walked set and the substituted set always agree).
+                if m.lastgroup != "id" or _is_call(m):
+                    return m.group(0)
+                name = m.group("id")
                 if name in amap:
                     return amap[name]
                 if name in self.metrics:
                     return self._metric_sql(self.metrics[name], stack)
                 return name
 
-            sql = "(" + re.sub(
-                r"[a-zA-Z_][a-zA-Z0-9_]*", sub, metric.expr or ""
-            ) + ")"
+            sql = "(" + _EXPR_TOKEN.sub(sub, metric.expr or "") + ")"
         else:
             raise ValueError(f"unknown metric type {metric.type!r}")
         if metric.fill_nulls_with is not None:
@@ -1120,8 +1157,6 @@ class SemanticLayer:
         error). Ratio legs and bare expr references are walked as well;
         ``seen`` bounds diamonds (a true cycle already failed in
         _metric_sql's up-front validation)."""
-        import re
-
         offs: list[tuple[Metric, MetricInput]] = []
         seen: set[str] = set()
 
@@ -1142,10 +1177,12 @@ class SemanticLayer:
                     offs.append((m, mi))
                 walk(self.metrics[self._input_target(mi)])
             # expr may reference metrics with no inputs entry (bare-name
-            # substitution — sem9's derived-over-derived shape).
-            for name in re.findall(
-                r"[a-zA-Z_][a-zA-Z0-9_]*", m.expr or ""
-            ):
+            # substitution — sem9's derived-over-derived shape). Same
+            # tokenizer as _metric_sql's sub: a metric name inside a
+            # string literal or used as a function name is NOT walked,
+            # so no unrelated offset metric gets pulled into the join
+            # set with __m_ columns that were never computed.
+            for name in _expr_bare_names(m.expr or ""):
                 if name in self.metrics and name not in aliased:
                     walk(self.metrics[name])
 

@@ -859,6 +859,112 @@ FROM f GROUP BY frame_idx
 
 
 # ---------------------------------------------------------------------------
+# MM3 — REAL WAV decode + audio features, oracle-gated end-to-end.
+# The corpus is synthesized from document bytes (one 16-bit PCM sample per
+# byte — operators/multimodal.py:wav_from_bytes), so every decoded feature
+# is exact integer arithmetic on the source bytes: quantized sample =
+# trunc((b-128)*32767/128) (each float step is a power-of-two scale or an
+# exact small-int product), sum of squares < 2^53 so any summation order
+# is exact, and the projected integer bases recover bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    wavs = multimodal.wav_from_bytes(docs, limit_bytes=256)
+    feats = multimodal.audio_features(wavs)
+    n = F.round(F.col("duration_s") * 16000).cast("int")
+    return feats.select(
+        "doc_id",
+        "decoded",
+        "sample_rate",
+        n.alias("n_samples"),
+        # rms^2 * n * 2^30 = sum of squared int16 samples, exactly
+        # (rms = sqrt(sum/n/2^30); the round() absorbs the sqrt/square
+        # rounding, < 2^-13 absolute at n <= 256).
+        F.round(
+            F.col("rms") * F.col("rms") * n * F.lit(1073741824.0)
+        ).cast("bigint").alias("sum_sq_i16"),
+        F.round(F.col("peak") * 32768).cast("int").alias("peak_i16"),
+        F.round(
+            F.col("zero_crossing_rate") * F.greatest(n - 1, F.lit(0))
+        ).cast("int").alias("n_sign_changes"),
+    )
+
+
+MM3_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         least(octet_length(encode(text)), 256) AS nb,
+         hex(encode(text)) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, nb,
+         [CAST(trunc(
+             (('0x' || substr(hx, 2 * p - 1, 2))::INT - 128)
+             * 32767.0::DOUBLE / 128.0::DOUBLE
+          ) AS BIGINT) FOR p IN range(1, nb + 1)] AS i16
+  FROM h
+)
+SELECT doc_id,
+       TRUE AS decoded,
+       16000 AS sample_rate,
+       CAST(nb AS INTEGER) AS n_samples,
+       CAST(COALESCE(list_sum([x * x FOR x IN i16]), 0) AS BIGINT) AS sum_sq_i16,
+       CAST(COALESCE(list_max([abs(x) FOR x IN i16]), 0) AS INTEGER) AS peak_i16,
+       CAST(COALESCE(list_sum(
+         [CASE WHEN (i16[p] < 0) <> (i16[p + 1] < 0) THEN 1 ELSE 0 END
+          FOR p IN range(1, nb)]
+       ), 0) AS INTEGER) AS n_sign_changes
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MM4 — REAL PPM-stream video decode + temporal features, oracle-gated.
+# Two UNIFORM 2x2 gray frames per doc (frame k = text byte k), so the
+# per-frame luminance mean is bit-exact in any summation order and the
+# luma expression itself (elementwise mul-add, no FMA — see
+# _video_feature_row) matches DuckDB's r*w0+g*w1+b*w2 bit-for-bit.
+# Docs shorter than 2 bytes get an empty payload -> documented fake path.
+# ---------------------------------------------------------------------------
+
+def mm4_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    videos = multimodal.ppm_video_from_bytes(docs, n_frames=2)
+    return multimodal.video_features(videos).select(
+        "doc_id", "decoded", "n_frames", "mean_luma", "mean_frame_diff"
+    )
+
+
+MM4_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS nb,
+         hex(encode(text)) AS hx
+  FROM documents
+), v AS (
+  SELECT doc_id, nb,
+         CASE WHEN nb >= 2 THEN ('0x' || substr(hx, 1, 2))::INT END AS v0,
+         CASE WHEN nb >= 2 THEN ('0x' || substr(hx, 3, 2))::INT END AS v1
+  FROM h
+), l AS (
+  SELECT doc_id, nb,
+         (v0 * 0.299::DOUBLE + v0 * 0.587::DOUBLE + v0 * 0.114::DOUBLE)
+           / 255.0::DOUBLE AS l0,
+         (v1 * 0.299::DOUBLE + v1 * 0.587::DOUBLE + v1 * 0.114::DOUBLE)
+           / 255.0::DOUBLE AS l1
+  FROM v
+)
+SELECT doc_id,
+       nb >= 2 AS decoded,
+       CAST(CASE WHEN nb >= 2 THEN 2 ELSE 0 END AS INTEGER) AS n_frames,
+       CASE WHEN nb >= 2 THEN (l0 + l1) / 2 ELSE 0.0::DOUBLE END AS mean_luma,
+       CASE WHEN nb >= 2 THEN abs(l1 - l0) ELSE 0.0::DOUBLE END AS mean_frame_diff
+FROM l
+"""
+
+
+# ---------------------------------------------------------------------------
 # TXT5 — BPE-ish token statistics (GPT-2-style pretokenizer regex; the fast
 # token-count estimate for training-data budgeting)
 # ---------------------------------------------------------------------------
@@ -2648,6 +2754,8 @@ REGISTRY = {
     "f2b_approx_distinct_bounded": (f2b_approx_distinct_bounded, F2B_SQL),
     "mm1_features": (mm1_features, MM1_SQL),
     "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
+    "mm3_audio_features": (mm3_audio_features, MM3_SQL),
+    "mm4_video_features": (mm4_video_features, MM4_SQL),
     "dd6_decontaminate": (dd6_decontaminate, DD6_SQL),
     "dd7_cluster_dedup": (dd7_cluster_dedup, DD7_SQL),
     "smp1_stratified_sample": (smp1_stratified_sample, SMP1_SQL),

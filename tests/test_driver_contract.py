@@ -57,14 +57,12 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-11 prefix so an accidental
+    # queries/__init__.py). Freeze the round-12 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-11 rotation: dd13, sem7-sem12, and
-    # smp7/smp8 in; f2b/f3b/sem2/sem4/sim2b/dd9b/smp3b/txt15b/w8 out with
-    # in-prefix sibling evidence. Part 2: sem13/sem14 in — they landed
-    # after the main rotation commit — for u4/dd4b, both holding r10
-    # driver rows; see queries/__init__.py for the rationale).
+    # list in the same commit (round-12 rotation: sem15 + the new
+    # mm3/mm4 REAL-decode multimodal oracles in; sem7/dd12/smp6 out with
+    # in-prefix sibling evidence — see queries/__init__.py).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
@@ -78,16 +76,16 @@ def test_driver_prefix_is_frozen():
         "dd1_exact_dedup", "dd3_minhash_lsh",
         "dd3b_minhash_lsh_exact", "sim1_cosine_topk",
         "sim3_ivf_topk", "txt1_token_stats", "txt2_quality",
-        "mm1_features", "sim4b_pq_exact", "smp7_leakage_split",
+        "mm1_features", "mm3_audio_features", "mm4_video_features",
+        "sim4b_pq_exact", "smp7_leakage_split",
         "sim3b_ivf_exact", "sim6_ivf_index_exact", "dd10_exact_substring",
-        "dd12_span_dedup", "smp6_token_budget_sample",
         "smp8_resample_to_target", "f8_cms_counts", "txt16b_logreg_score",
         "dd13_url_dedup", "sem1_entity_star_metrics",
-        "sem6_period_over_period", "sem7_calendar_spine",
+        "sem6_period_over_period",
         "sem8_calendar_window", "sem9_nested_derived",
         "sem10_multihop_template", "sem11_cumulative_avg_max",
         "sem12_conversion_constant_props", "sem13_semi_additive",
-        "sem14_offset_to_grain",
+        "sem14_offset_to_grain", "sem15_distributional_aggs",
     ]
     assert list(q.queries())[:50] == expected_prefix
     # The only prefix rows without a DuckDB oracle are the two

@@ -1405,3 +1405,53 @@ def test_dedup_insert_heals_crash_between_target_and_companions(spark, monkeypat
     res = rerun([(4, ocean), (5, ocean.replace("deep", "shallow")), (6, fresh2)])
     assert res["corpus_heal_t"].status == "success"
     assert sorted(r["doc_id"] for r in spark.table("corpus_heal_t").collect()) == [1, 2, 3, 6]
+
+
+def test_orphan_location_heal_age_gated(spark):
+    """A killed session's orphan warehouse directory (catalog entry never
+    written) blocks CTAS with LOCATION_ALREADY_EXISTS. The heal must (a)
+    refuse a FRESH directory — indistinguishable from another process's
+    in-flight CTAS — with an error naming the path and the conf, and (b)
+    remove a stale one and retry the write cleanly."""
+    import os
+    import time as _time
+
+    from dbt_analytics_spark.plans.materialize import (
+        _ORPHAN_HEAL_MIN_AGE_CONF,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = os.path.join(
+        warehouse.removeprefix("file:"), "orphan_heal_t"
+    )
+    spark.sql("DROP TABLE IF EXISTS orphan_heal_t")
+    # Fabricate the orphan: directory + a data-ish file, no catalog entry.
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-00000.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+
+    def build() -> str:
+        p = Project(spark, name="orphanheal")
+
+        @p.model(name="orphan_heal_t")
+        def orphan_heal_t(ctx):
+            return ctx.spark.createDataFrame([(1, "a")], ["id", "v"])
+
+        return {r.node: r for r in p.run()}["orphan_heal_t"]
+
+    # Fresh orphan (mtime = now) → refused, loud, names path + conf.
+    res = build()
+    assert res.status == "error"
+    assert "orphan_heal_t" in (res.message or "")
+    assert _ORPHAN_HEAL_MIN_AGE_CONF in (res.message or "")
+
+    # Age the directory past the threshold → healed, run succeeds.
+    old = _time.time() - 3600
+    for root, dirs, files in os.walk(loc):
+        for name in [*files, *dirs]:
+            os.utime(os.path.join(root, name), (old, old))
+    os.utime(loc, (old, old))
+    res = build()
+    assert res.status == "success"
+    assert spark.table("orphan_heal_t").count() == 1
+    spark.sql("DROP TABLE IF EXISTS orphan_heal_t")

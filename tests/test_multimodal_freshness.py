@@ -333,3 +333,231 @@ def test_wav_roundtrip_property(n, rate, bits, channels, seed):
     # quantization error bounded by 1 LSB of the int width
     tol = 2.0 / (2 ** (bits - 1) - 1)
     assert np.abs(mono - samples.mean(axis=1)).max() <= tol if n else True
+
+
+def _extensible_wav(sub_format: int, data: bytes, bits: int, rate: int = 8000) -> bytes:
+    """WAVE_FORMAT_EXTENSIBLE container: fmt tag 0xFFFE + 22-byte
+    extension whose SubFormat GUID's first u16 carries the REAL format."""
+    import struct as _s
+
+    block = bits // 8
+    guid = _s.pack("<H", sub_format) + b"\x00\x00" + bytes.fromhex(
+        "0000100080000080" "00aa00389b71"
+    )
+    ext = _s.pack("<HI", bits, 0) + guid  # valid bits, channel mask, SubFormat
+    fmt = _s.pack("<HHIIHH", 0xFFFE, 1, rate, rate * block, block, bits) + _s.pack("<H", 22) + ext
+    return (
+        _s.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + _s.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + _s.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def test_wav_extensible_subformat_guid_drives_decode():
+    """0xFFFE WAVs must decode by the SubFormat GUID, not assumed PCM:
+    an extensible IEEE-float32 payload reinterpreted as int32 yields
+    garbage flagged decoded=True (the r11 bug)."""
+    t = np.arange(200) / 8000.0
+    mono = 0.25 * np.sin(2 * np.pi * 440 * t)
+    # SubFormat = IEEE float (3), 32-bit payload
+    f32 = _extensible_wav(3, mono.astype("<f4").tobytes(), 32)
+    decoded = multimodal.decode_wav(f32)
+    assert decoded is not None
+    assert decoded[0] == pytest.approx(mono, abs=1e-6)
+    # SubFormat = PCM (1), 16-bit payload
+    pcm = _extensible_wav(1, (mono * 32767).astype("<i2").tobytes(), 16)
+    decoded = multimodal.decode_wav(pcm)
+    assert decoded is not None
+    assert decoded[0] == pytest.approx(mono, abs=2 / 32767)
+    # Unknown SubFormat (ALAW = 6) -> unsupported, None (fake path)
+    assert multimodal.decode_wav(_extensible_wav(6, b"\x00" * 64, 16)) is None
+    # Truncated extension (no GUID) -> None, never assumed PCM
+    import struct as _s
+
+    short_fmt = _s.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    trunc = (
+        _s.pack("<4sI4s", b"RIFF", 4 + 8 + len(short_fmt) + 8 + 4, b"WAVE")
+        + _s.pack("<4sI", b"fmt ", len(short_fmt)) + short_fmt
+        + _s.pack("<4sI", b"data", 4) + b"\x00" * 4
+    )
+    assert multimodal.decode_wav(trunc) is None
+
+
+def test_encode_wav_rejects_8_bit():
+    """8-bit WAV is unsigned-centered; the signed scale would wrap
+    negatives into loud positive samples. Reject loudly."""
+    with pytest.raises(ValueError, match="16/32-bit"):
+        multimodal.encode_wav(np.zeros(4), bits=8)
+    with pytest.raises(ValueError, match="16/32-bit"):
+        multimodal.encode_wav(np.zeros(4), bits=24)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r12): stdlib zlib + numpy scanline unfiltering
+# ---------------------------------------------------------------------------
+
+
+def _manual_png(w, h, color, raw_rows, plte=None):
+    """Hand-assemble a PNG with filter 0 rows for non-RGB color types the
+    encoder doesn't write (gray/palette/gray-alpha/RGBA)."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(tag, body):
+        return _s.pack(">I", len(body)) + tag + body + _s.pack(
+            ">I", _z.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + r.tobytes() for r in raw_rows)
+    body = _z.compress(scan)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    return out + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, filter_type, seed):
+    """Every scanline filter (None/Sub/Up/Average/Paeth) must round-trip
+    bit-exactly through encode -> zlib -> unfilter."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = multimodal.encode_png(img, filter_type=filter_type)
+    out = multimodal.decode_png(payload)
+    assert out is not None and out.dtype == np.uint8
+    assert (out == img).all()
+
+
+def test_png_color_types_and_fallbacks():
+    rng = np.random.default_rng(7)
+    # grayscale (0) -> replicated to RGB
+    g = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    out = multimodal.decode_png(_manual_png(9, 5, 0, list(g)))
+    assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
+    # RGBA (6) -> alpha dropped
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    out = multimodal.decode_png(_manual_png(6, 4, 6, [r.reshape(-1) for r in rgba]))
+    assert (out == rgba[:, :, :3]).all()
+    # gray+alpha (4) -> gray replicated
+    ga = rng.integers(0, 256, size=(3, 5, 2), dtype=np.uint8)
+    out = multimodal.decode_png(_manual_png(5, 3, 4, [r.reshape(-1) for r in ga]))
+    assert (out == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    # palette (3) -> PLTE lookup
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 7), dtype=np.uint8)
+    out = multimodal.decode_png(_manual_png(7, 6, 3, list(idx), plte=plte))
+    assert (out == plte[idx]).all()
+    # palette index out of range -> None (not a crash)
+    bad_idx = np.full((2, 2), 200, dtype=np.uint8)
+    assert multimodal.decode_png(_manual_png(2, 2, 3, list(bad_idx), plte=plte)) is None
+    # interlaced / 16-bit / truncated -> None (fake path)
+    import struct as _s
+    import zlib as _z
+
+    good = multimodal.encode_png(rng.integers(0, 256, (3, 3, 3), dtype=np.uint8))
+    assert multimodal.decode_png(good[:40]) is None
+    ihdr16 = _s.pack(">IIBBBBB", 3, 3, 16, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return _s.pack(">I", len(body)) + tag + body + _s.pack(
+            ">I", _z.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    p16 = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(
+        b"IDAT", _z.compress(b"\x00" * 57)
+    ) + chunk(b"IEND", b"")
+    assert multimodal.decode_png(p16) is None
+    # corrupt zlib stream -> None
+    bad = good.replace(b"IDAT", b"IDAT")  # locate idat, then flip bytes after
+    i = bad.index(b"IDAT") + 4
+    bad = bad[:i] + bytes([bad[i] ^ 0xFF]) + bad[i + 1 :]
+    assert multimodal.decode_png(bad) is None
+    # not a PNG at all
+    assert multimodal.decode_png(b"hello world") is None
+    assert multimodal.decode_ppm(good) is None and multimodal.decode_bmp(good) is None
+
+
+def test_png_flows_through_image_pipeline(spark):
+    """PNG payloads must ride the REAL decode path end-to-end: features
+    from actual pixels, resize re-encoding PNG->PNG."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    payload = multimodal.encode_png(img, filter_type=4)
+    pixels, codec = multimodal._decode_image(payload)
+    assert codec == "png" and (pixels == img).all()
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    resized = multimodal.resize_images(df, width=6, height=5).collect()[0]
+    out = multimodal.decode_png(bytes(resized["payload"]))
+    assert out is not None and out.shape == (5, 6, 3)
+
+
+# ---------------------------------------------------------------------------
+# mm3/mm4 oracle-exactness preconditions (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_luma_bit_matches_duckdb_for_all_byte_values():
+    """_video_feature_row's elementwise luma must bit-match DuckDB's
+    r*w0 + g*w1 + b*w2 for every possible uniform-gray byte — the MM4
+    oracle's exactness precondition (a BLAS matmul would FMA and break
+    this; exhaustive over the whole input domain)."""
+    import duckdb
+
+    np_l = (
+        np.arange(256).astype(np.float64) * 0.299
+        + np.arange(256).astype(np.float64) * 0.587
+        + np.arange(256).astype(np.float64) * 0.114
+    ) / 255.0
+    # And via the actual operator path on uniform frames:
+    op_l = []
+    for v in range(256):
+        payload = multimodal.encode_ppm(np.full((2, 2, 3), v, np.uint8))
+        row = multimodal._video_feature_row(payload + payload)
+        assert row[0] is True and row[1] == 2 and row[3] == 0.0
+        op_l.append(row[2])
+    con = duckdb.connect()
+    dd = [
+        r[0]
+        for r in con.execute(
+            "SELECT (v*0.299::DOUBLE + v*0.587::DOUBLE + v*0.114::DOUBLE)"
+            "/255.0::DOUBLE FROM range(256) t(v) ORDER BY v"
+        ).fetchall()
+    ]
+    assert all(dd[v] == np_l[v] == op_l[v] for v in range(256))
+
+
+def test_wav_synth_quantization_matches_trunc_rule():
+    """wav_from_bytes quantization must equal trunc((b-128)*32767/128)
+    for every byte value — the MM3 oracle's sample rule (exhaustive)."""
+    all_bytes = bytes(range(256))
+    arr = (np.frombuffer(all_bytes, np.uint8).astype(np.float64) - 128.0) / 128.0
+    payload = multimodal.encode_wav(arr, sample_rate=16000, bits=16)
+    import struct as _s
+
+    di = payload.index(b"data") + 8
+    i16 = np.frombuffer(payload[di : di + 512], dtype="<i2")
+    expect = np.trunc((np.arange(256) - 128) * 32767.0 / 128.0).astype(np.int64)
+    assert (i16.astype(np.int64) == expect).all()
+    # and the decode side divides by 2^15 exactly
+    samples, rate = multimodal.decode_wav(payload)
+    assert rate == 16000 and (samples == i16 / 32768.0).all()
+
+
+def test_synth_operators_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a"), (3, "")],
+        "doc_id long, text string",
+    )
+    wav = {r["doc_id"]: bytes(r["payload"]) for r in multimodal.wav_from_bytes(df).collect()}
+    assert multimodal.decode_wav(wav[1])[0].shape == (11,)
+    assert multimodal.decode_wav(wav[3])[0].shape == (0,)
+    vid = {r["doc_id"]: bytes(r["payload"]) for r in multimodal.ppm_video_from_bytes(df).collect()}
+    assert len(multimodal.split_ppm_stream(vid[1])) == 2
+    assert vid[2] == b"" and vid[3] == b""  # sub-n_frames docs -> fake path

@@ -1672,3 +1672,88 @@ def test_percentile_rules_match_references(spark, vals, pnum):
     assert row["d"] == dd
     assert row["c"] == pytest.approx(dc, abs=1e-9)
     assert row["m"] == pytest.approx(dm, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Expr tokenizer: metric names inside string literals or used as function
+# names are NOT metric references (r11 ADVICE — the regex walk used to pull
+# string-literal collisions into the offset-join set, and substitution
+# corrupted literals).
+# ---------------------------------------------------------------------------
+
+TOKEN_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: tok_txns
+    model: ref('tok_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+      - {name: day, type: time, grain: month}
+    measures:
+      - {name: amt, agg: sum, expr: amount}
+metrics:
+  - name: rev_tok
+    type: simple
+    measure: amt
+  - name: floor
+    type: simple
+    type_params:
+      measure: {name: amt, fill_nulls_with: 0}
+  - name: mom_tok
+    type: derived
+    type_params:
+      expr: rev_tok - prev_tok
+      metrics:
+        - name: rev_tok
+        - {name: rev_tok, alias: prev_tok, offset_window: 1 month}
+  - name: lit_trap
+    type: derived
+    type_params:
+      expr: rev_tok + length('mom_tok') * 0
+  - name: call_trap
+    type: derived
+    type_params:
+      expr: floor(rev_tok * 1.0) + floor
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def sl_tok(spark):
+    p = Project(spark, name="sem_tok")
+    p.source_table(
+        "tok_txns",
+        spark.createDataFrame(
+            [("a", 10.5, "2025-01-05"), ("a", 4.25, "2025-02-20")],
+            ["seg", "amount", "day"],
+        ).selectExpr("seg", "amount", "CAST(day AS DATE) AS day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(TOKEN_DOC)
+    return layer
+
+
+def test_metric_name_in_string_literal_is_not_a_reference(sl_tok):
+    # 'mom_tok' appears only inside a string literal: the derived-with-
+    # offset metric must NOT be pulled into the offset join set (the old
+    # walk raised AnalysisException on its never-computed __m_ columns),
+    # and substitution must leave the literal intact.
+    rows = sl_tok.query(["lit_trap"], group_by=["day"]).collect()
+    got = {str(r["day"])[:7]: r["lit_trap"] for r in rows}
+    assert got == {"2025-01": 10.5, "2025-02": 4.25}
+
+
+def test_metric_named_like_sql_function(sl_tok):
+    # floor( ... ) is the SQL function; the bare trailing floor is the
+    # metric. floor(10.5)=10 + metric 10.5 = 20.5.
+    rows = sl_tok.query(["call_trap"], group_by=["day"]).collect()
+    got = {str(r["day"])[:7]: r["call_trap"] for r in rows}
+    assert got == {"2025-01": 20.5, "2025-02": 8.25}
+
+
+def test_offset_metric_still_walked_when_actually_referenced(sl_tok):
+    # Control: a REAL bare reference to the offset-bearing metric still
+    # compiles (the tokenizer must not over-prune).
+    rows = sl_tok.query(["mom_tok"], group_by=["day"]).collect()
+    got = {str(r["day"])[:7]: r["mom_tok"] for r in rows}
+    assert got["2025-02"] == pytest.approx(4.25 - 10.5)

@@ -361,3 +361,40 @@ def test_all_ann_paths_tolerate_null_vectors(spark):
     assert lsh_bucket_topk(corpus, queries, k=2, dim=8).count() >= 2
     C, _ = kmeans_fit(corpus, n_cells=4, max_iter=2)
     assert C.shape == (4, 8)
+
+
+def test_cosine_topk_non_bigint_id_types(spark):
+    """The mapInArrow emit pins Arrow array types to the id column's
+    DECLARED Spark type; list inference (always int64/str) used to crash
+    on int/smallint ids and empty emits (r11 ADVICE)."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from dbt_analytics_spark.operators.similarity import cosine_topk
+
+    vecs = [[float((i * 5 + j) % 9 + 1) for j in range(4)] for i in range(12)]
+
+    def run(id_type, conv):
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", id_type),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+        df = spark.createDataFrame(
+            [Row(vec_id=conv(i), embedding=vecs[i]) for i in range(12)],
+            schema,
+        )
+        q = df.limit(2)
+        out = cosine_topk(df, q, k=3)
+        assert out.schema["query_id"].dataType == id_type
+        got = out.collect()
+        assert len(got) == 6
+        return {(r["query_id"], r["corpus_id"]) for r in got}
+
+    as_big = run(T.LongType(), int)
+    assert run(T.IntegerType(), int) == as_big
+    assert run(T.ShortType(), int) == as_big
+    assert run(T.StringType(), lambda i: f"d{i:03d}") == {
+        (f"d{a:03d}", f"d{b:03d}") for a, b in as_big
+    }
