@@ -44,7 +44,13 @@ a project's metric definitions actually RUN here:
   then ratio/derived exprs over the aggregated columns. Catalyst sees a
   single groupBy — partial aggregation, pushdown and AQE all apply, and
   metric filters become ``F.when`` conditions inside the aggregate, so a
-  filtered metric never forces a second scan.
+  filtered metric never forces a second scan. A ``where`` referencing
+  ``{{ Metric('name') }}`` compiles as a POST-AGGREGATION predicate on
+  the compiled metric frame (MetricFlow's metric-valued filters — HAVING
+  semantics): the referenced metrics join the aggregation closure as
+  hidden ``__m_`` columns, Dimension templates then resolve to group_by
+  outputs, and offset-bearing metrics are rejected (their value depends
+  on other buckets of the frame being filtered).
 
 Cross-model **entity joins** (MetricFlow's join resolution, incl.
 multi-hop): a ``group_by`` of ``entity__dim`` — or a chain
@@ -571,8 +577,78 @@ class SemanticLayer:
         return chain, target, idx
 
     #: MetricFlow filter templates: {{ Dimension('ref') }},
-    #: {{ TimeDimension('ref', 'grain') }}, {{ Entity('name') }}.
+    #: {{ TimeDimension('ref', 'grain') }}, {{ Entity('name') }},
+    #: {{ Metric('name') }} (post-aggregation — see _render_post_agg_filter).
     _TMPL_RE = None  # compiled lazily (class body has no re import)
+
+    @classmethod
+    def _tmpl_re(cls):
+        import re
+
+        if cls._TMPL_RE is None:
+            cls._TMPL_RE = re.compile(
+                r"\{\{\s*(Dimension|TimeDimension|Entity|Metric)\(\s*"
+                r"'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)\s*\}\}"
+            )
+        return cls._TMPL_RE
+
+    def _metric_filter_refs(self, s: str | None) -> list[str]:
+        """Metric names referenced via ``{{ Metric('name') }}`` templates
+        in a filter string (deduped, first-seen order). A filter that
+        references any metric compiles as a POST-AGGREGATION predicate —
+        MetricFlow's metric-valued filters — instead of a row filter."""
+        if not s or "{{" not in s:
+            return []
+        out: list[str] = []
+        for m in self._tmpl_re().finditer(s):
+            if m.group(1) == "Metric" and m.group(2) not in out:
+                out.append(m.group(2))
+        return out
+
+    def _render_post_agg_filter(
+        self,
+        s: str,
+        out_names: list[str],
+        time_grain: str | None,
+        time_grains: dict[str, str],
+    ) -> str:
+        """Render a metric-valued filter as a predicate over the COMPILED
+        metric frame (HAVING semantics — MetricFlow compiles Metric()
+        filters as an outer-query predicate): ``Metric('m')`` substitutes
+        the metric's post-aggregation SQL over the ``__m_`` columns
+        (_metric_sql — so ratio/derived metrics work without being in the
+        queried list), and Dimension/TimeDimension templates may reference
+        only group_by output columns (pre-aggregation row context no
+        longer exists). Entity() is rejected for the same reason."""
+
+        def repl(m: "_re.Match") -> str:
+            kind, ref, grain = m.group(1), m.group(2), m.group(3)
+            if kind == "Metric":
+                mt = self.metrics.get(ref)
+                if mt is None:
+                    raise KeyError(f"unknown metric {ref!r} in filter")
+                return f"({self._metric_sql(mt)})"
+            if kind == "Entity":
+                raise ValueError(
+                    "Entity() is not available in a metric-valued filter "
+                    "— the predicate runs post-aggregation, where only "
+                    "group_by columns and metrics exist"
+                )
+            candidates = [ref]
+            if kind == "TimeDimension":
+                eff = grain or time_grain
+                if eff:
+                    candidates.insert(0, f"{ref}__{eff}")
+            for cand in candidates:
+                if cand in out_names:
+                    return cand
+            raise ValueError(
+                f"{kind}({ref!r}) in a metric-valued filter must be one "
+                f"of the query's group_by columns {out_names!r} — the "
+                "predicate runs post-aggregation"
+            )
+
+        return self._tmpl_re().sub(repl, s)
 
     def _render_filter(
         self,
@@ -593,18 +669,18 @@ class SemanticLayer:
 
         if "{{" not in s:
             return s
-        if SemanticLayer._TMPL_RE is None:
-            SemanticLayer._TMPL_RE = re.compile(
-                r"\{\{\s*(Dimension|TimeDimension|Entity|Metric)\(\s*"
-                r"'([^']+)'(?:\s*,\s*'([^']+)')?\s*\)\s*\}\}"
-            )
 
         def repl(m: "re.Match") -> str:
             kind, ref, grain = m.group(1), m.group(2), m.group(3)
             if kind == "Metric":
+                # query() routes any filter containing Metric() through
+                # _render_post_agg_filter; reaching here means a
+                # PER-METRIC (pre-aggregation) filter referenced a metric
+                # value, which has no row-level meaning.
                 raise ValueError(
-                    "Metric() filter templates are not supported — filter "
-                    "on dimensions/entities, or post-filter the result"
+                    "Metric() templates are only supported in the query's "
+                    "where filter (compiled post-aggregation), not in a "
+                    "metric's own pre-aggregation filter"
                 )
             if kind == "Entity":
                 en = sem.entities.get(ref)
@@ -654,7 +730,7 @@ class SemanticLayer:
                 cols.append((col, expr))
             return col
 
-        return SemanticLayer._TMPL_RE.sub(repl, s)
+        return self._tmpl_re().sub(repl, s)
 
     def _input_target(self, mi: MetricInput) -> str:
         """Effective metric name for a derived-metric input: the metric
@@ -802,9 +878,28 @@ class SemanticLayer:
         (MetricFlow's ``metric_time__month`` convention), else
         ``time_grain``/its default applies."""
         mobjs = [self.metrics[m] for m in metrics]
+        # A where filter referencing {{ Metric('name') }} compiles as a
+        # POST-AGGREGATION predicate (MetricFlow's metric-valued filters):
+        # the referenced metrics join the aggregation closure (computed as
+        # __m_ columns, never in the output) and the WHOLE filter runs on
+        # the compiled metric frame instead of fact rows.
+        filter_metric_names = self._metric_filter_refs(where)
+        filter_mobjs = []
+        for fname in filter_metric_names:
+            fm = self.metrics.get(fname)
+            if fm is None:
+                raise KeyError(f"unknown metric {fname!r} in filter")
+            filter_mobjs.append(fm)
+        if self._collect_offset_inputs(filter_mobjs):
+            # An offset metric's value depends on OTHER buckets; filtering
+            # buckets by it while those same buckets feed the offsets is
+            # ambiguous (MetricFlow forbids it too).
+            raise ValueError(
+                "Metric() filters cannot reference offset-bearing metrics"
+            )
         needed: set[str] = set()
         conv_names: set[str] = set()
-        for m in mobjs:
+        for m in (*mobjs, *filter_mobjs):
             self._simple_metrics_needed(m, needed, conv_names)
             if m.type in ("ratio", "derived"):
                 # Validate references up front: a cycle among derived
@@ -919,7 +1014,7 @@ class SemanticLayer:
         # needed metric's filter may add hidden entity-chain joins.
         rendered_where = (
             self._render_filter(sem, where, joins, time_grain)
-            if where
+            if where and not filter_metric_names
             else None
         )
         rendered_filters = {
@@ -1052,6 +1147,18 @@ class SemanticLayer:
             grouped, needed, out_names, time_outs, time_grains
         )
         grouped = self._apply_offsets(grouped, mobjs, out_names, time_outs)
+
+        if where and filter_metric_names:
+            # HAVING on the compiled frame: __m_ columns (cumulatives
+            # already accumulated in place) + group_by outputs are all in
+            # scope here; filter metrics aggregate but never surface.
+            grouped = grouped.filter(
+                F.expr(
+                    self._render_post_agg_filter(
+                        where, out_names, time_grain, time_grains
+                    )
+                )
+            )
 
         out_cols = [c for c in grouped.columns if not c.startswith("__m_")]
         metric_cols = []

@@ -955,6 +955,37 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sem16 — Metric() filter templates (round 12): a metric-valued where
+# filter compiles as a POST-AGGREGATION predicate on the compiled metric
+# frame (MetricFlow's outer-query HAVING), here on a RATIO metric's value
+# that is not itself in the queried list.
+# ---------------------------------------------------------------------------
+
+def sem16_metric_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _layer(spark, sf_dir)
+    df = sl.query(
+        ["revenue", "order_count"],
+        group_by=["customer__c_mktsegment", "order_status"],
+        where="{{ Metric('avg_order_value') }} > 250000",
+    )
+    return _finish(df, doubles=["revenue"])
+
+
+SEM16_SQL = """
+SELECT
+  c.c_mktsegment AS customer__c_mktsegment,
+  o.o_orderstatus AS order_status,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS order_count
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+HAVING CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) > 250000
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -974,4 +1005,5 @@ REGISTRY = {
     "sem13_semi_additive": (sem13_semi_additive, SEM13_SQL),
     "sem14_offset_to_grain": (sem14_offset_to_grain, SEM14_SQL),
     "sem15_distributional_aggs": (sem15_distributional_aggs, SEM15_SQL),
+    "sem16_metric_filter": (sem16_metric_filter, SEM16_SQL),
 }

@@ -1757,3 +1757,121 @@ def test_offset_metric_still_walked_when_actually_referenced(sl_tok):
     rows = sl_tok.query(["mom_tok"], group_by=["day"]).collect()
     got = {str(r["day"])[:7]: r["mom_tok"] for r in rows}
     assert got["2025-02"] == pytest.approx(4.25 - 10.5)
+
+
+# ---------------------------------------------------------------------------
+# Metric() filter templates (r12): post-aggregation predicates on the
+# compiled metric frame.
+# ---------------------------------------------------------------------------
+
+METRIC_FILTER_DOC = yaml.safe_load(
+    """
+semantic_models:
+  - name: mf_txns
+    model: ref('mf_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+      - {name: day, type: time, grain: month}
+    measures:
+      - {name: amt, agg: sum, expr: amount}
+      - {name: n, agg: count}
+metrics:
+  - name: mf_rev
+    type: simple
+    measure: amt
+  - name: mf_cnt
+    type: simple
+    measure: n
+  - name: mf_aov
+    type: ratio
+    type_params: {numerator: mf_rev, denominator: mf_cnt}
+  - name: mf_mom
+    type: derived
+    type_params:
+      expr: mf_rev - prev
+      metrics:
+        - {name: mf_rev, alias: prev, offset_window: 1 month}
+"""
+)
+
+
+@pytest.fixture(scope="module")
+def sl_mf(spark):
+    p = Project(spark, name="sem_mf")
+    p.source_table(
+        "mf_txns",
+        spark.createDataFrame(
+            [
+                ("a", 10.0, "2025-01-05"),
+                ("a", 30.0, "2025-01-07"),
+                ("b", 4.0, "2025-01-09"),
+                ("b", 2.0, "2025-01-11"),
+            ],
+            ["seg", "amount", "day"],
+        ).selectExpr("seg", "amount", "CAST(day AS DATE) AS day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(METRIC_FILTER_DOC)
+    return layer
+
+
+def test_metric_filter_is_post_aggregation(sl_mf):
+    # avg per seg: a = 20, b = 3. Filter on the RATIO metric's value
+    # keeps seg a only; the filter metric is computed but never output.
+    rows = sl_mf.query(
+        ["mf_rev"],
+        group_by=["seg"],
+        where="{{ Metric('mf_aov') }} > 10",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["seg"] == "a" and rows[0]["mf_rev"] == 40.0
+    assert "mf_aov" not in rows[0].asDict()
+
+
+def test_metric_filter_mixes_with_groupby_dimension(sl_mf):
+    rows = sl_mf.query(
+        ["mf_cnt"],
+        group_by=["seg"],
+        where="{{ Metric('mf_rev') }} < 100 AND {{ Dimension('seg') }} <> 'b'",
+    ).collect()
+    assert [(r["seg"], r["mf_cnt"]) for r in rows] == [("a", 2)]
+
+
+def test_metric_filter_rejects_offset_metrics(sl_mf):
+    with pytest.raises(ValueError, match="offset"):
+        sl_mf.query(
+            ["mf_rev"],
+            group_by=["day"],
+            where="{{ Metric('mf_mom') }} > 0",
+        )
+
+
+def test_metric_filter_rejects_non_groupby_dimension(sl_mf):
+    with pytest.raises(ValueError, match="group_by"):
+        sl_mf.query(
+            ["mf_rev"],
+            group_by=["seg"],
+            where="{{ Metric('mf_aov') }} > 0 AND {{ Dimension('day') }} IS NOT NULL",
+        )
+
+
+def test_metric_template_in_pre_agg_metric_filter_still_rejected(sl_mf):
+    doc = yaml.safe_load(
+        """
+metrics:
+  - name: mf_bad
+    type: simple
+    measure: amt
+    filter: "{{ Metric('mf_rev') }} > 0"
+"""
+    )
+    sl_mf.load({"metrics": doc["metrics"]})
+    with pytest.raises(ValueError, match="pre-aggregation"):
+        sl_mf.query(["mf_bad"], group_by=["seg"])
+
+
+def test_unknown_metric_in_filter_errors(sl_mf):
+    with pytest.raises(KeyError, match="nope"):
+        sl_mf.query(
+            ["mf_rev"], group_by=["seg"], where="{{ Metric('nope') }} > 0"
+        )
