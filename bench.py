@@ -254,6 +254,75 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # Drift gate (VERDICT r11 item 6): a query whose in-run drift band
+    # ((max-min)/min over repeats) exceeds the threshold was measured
+    # under a load spike — its samples are noise. Re-measure such queries
+    # (both engines) up to N times, keep the lower-band sample set, and
+    # LOUDLY mark the JSON when a query still exceeds the gate so the
+    # artifact self-documents as contention-suspect instead of being read
+    # as a regression. SPARK_GRAFT_BENCH_DRIFT_MAX=0 disables.
+    drift_max = float(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_MAX", "3"))
+    drift_retries = int(os.environ.get("SPARK_GRAFT_BENCH_DRIFT_RETRIES", "2"))
+
+    def _band_of(v: list[float]) -> float:
+        return (max(v) - min(v)) / min(v) if v else 0.0
+
+    def _suspects() -> list[str]:
+        return [
+            n
+            for n in headline
+            if _band_of(raw.get(n) or []) > drift_max
+            or _band_of(raw_duck.get(n) or []) > drift_max
+        ]
+
+    drift_gate = "ok"
+    if drift_max > 0 and repeats > 1:
+        retried: set[str] = set()
+        for _attempt in range(drift_retries):
+            bad = _suspects()
+            if not bad:
+                break
+            for name in bad:
+                retried.add(name)
+                print(
+                    f"# drift gate: re-measuring {name} (band "
+                    f"{_band_of(raw.get(name) or []):.2f}/"
+                    f"{_band_of(raw_duck.get(name) or []):.2f} > {drift_max})",
+                    file=sys.stderr,
+                )
+                new_s: list[float] = []
+                new_d: list[float] = []
+                _, sql = REGISTRY[name]
+                for _ in range(repeats):
+                    e, _n = _time_spark(name)
+                    new_s.append(round(e, 4))
+                    if oracle_on and sql is not None:
+                        new_d.append(round(_time_duck(sql), 4))
+                if _band_of(new_s) < _band_of(raw.get(name) or new_s):
+                    raw[name] = new_s
+                if new_d and _band_of(new_d) < _band_of(
+                    raw_duck.get(name) or new_d
+                ):
+                    raw_duck[name] = new_d
+                times[name] = min(raw[name])
+                if raw_duck.get(name):
+                    duckdb_times[name] = min(raw_duck[name])
+                    ratios[name] = (
+                        round(times[name] / duckdb_times[name], 2)
+                        if duckdb_times[name] > 0
+                        else None
+                    )
+        leftover = _suspects()
+        if leftover:
+            drift_gate = (
+                f"FAIL after {drift_retries} retries: {sorted(leftover)} "
+                f"still exceed a {drift_max}x drift band — timings are "
+                "contention-suspect; re-run this benchmark on a quiet host"
+            )
+            print(f"# drift gate {drift_gate}", file=sys.stderr)
+        elif retried:
+            drift_gate = f"ok after re-measuring {sorted(retried)}"
+
     times = {k: round(v, 4) for k, v in times.items()}
     duckdb_times = {
         k: (round(v, 4) if v is not None else None)
@@ -299,6 +368,10 @@ def main() -> None:
                 "raw_times": raw,
                 "duckdb_raw_times": raw_duck,
                 "load_gate": load_gate,
+                # Drift gate: "ok", "ok after re-measuring [...]", or a
+                # loud FAIL naming queries whose band never came under
+                # SPARK_GRAFT_BENCH_DRIFT_MAX — treat those as unmeasured.
+                "drift_gate": drift_gate,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
             }

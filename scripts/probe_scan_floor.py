@@ -49,6 +49,9 @@ QUERIES = [
     "j1_join_agg",
 ]
 REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+#: Max in-run drift band ((max-min)/min) before a scale's block re-runs
+#: (see the drift gate below); 0 disables.
+DRIFT_MAX = float(os.environ.get("SCAN_FLOOR_DRIFT_MAX", "3"))
 #: Round-11 octave (VERDICT r10 item 8): SCAN_FLOOR_SCALES=sf160,sf640
 #: reruns only the top scales — j1b/w3b sat at 2.46x/2.25x "still
 #: falling" at 240M; 960M either crosses 2x or names the plateau.
@@ -150,27 +153,67 @@ def main() -> None:
         spark_floor()
         con.execute(DUCK_FLOOR).fetchall()
 
-        sp: dict[str, list[float]] = {n: [] for n in QUERIES + ["scan_floor"]}
-        dk: dict[str, list[float]] = {n: [] for n in QUERIES + ["scan_floor"]}
-        for _ in range(REPEATS):
-            for name in QUERIES:
-                builder, sql = REGISTRY[name]
+        def measure_block() -> tuple[dict, dict]:
+            sp = {n: [] for n in QUERIES + ["scan_floor"]}
+            dk = {n: [] for n in QUERIES + ["scan_floor"]}
+            for _ in range(REPEATS):
+                for name in QUERIES:
+                    builder, sql = REGISTRY[name]
+                    t0 = time.perf_counter()
+                    builder(spark, sf_dir).count()
+                    sp[name].append(round(time.perf_counter() - t0, 4))
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    dk[name].append(round(time.perf_counter() - t0, 4))
                 t0 = time.perf_counter()
-                builder(spark, sf_dir).count()
-                sp[name].append(round(time.perf_counter() - t0, 4))
+                spark_floor()
+                sp["scan_floor"].append(round(time.perf_counter() - t0, 4))
                 t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                dk[name].append(round(time.perf_counter() - t0, 4))
-            t0 = time.perf_counter()
-            spark_floor()
-            sp["scan_floor"].append(round(time.perf_counter() - t0, 4))
-            t0 = time.perf_counter()
-            con.execute(DUCK_FLOOR).fetchall()
-            dk["scan_floor"].append(round(time.perf_counter() - t0, 4))
-        con.close()
+                con.execute(DUCK_FLOOR).fetchall()
+                dk["scan_floor"].append(round(time.perf_counter() - t0, 4))
+            return sp, dk
 
         band = lambda v: round((max(v) - min(v)) / min(v), 3)  # noqa: E731
+
+        # Drift gate (VERDICT r11 item 6): the r11 sf160 block published
+        # with a 44x band — numbers like that are load noise, not
+        # measurement. Re-run the whole interleaved block (both engines)
+        # while any query's band exceeds DRIFT_MAX, keep the lower-band
+        # sample set per query, and mark the scale FAIL if it never
+        # settles instead of publishing it as if measured.
+        sp, dk = measure_block()
+        gate = "ok"
+        retried = False
+        for _attempt in range(2):
+            bad = [k for k in sp if band(sp[k]) > DRIFT_MAX or band(dk[k]) > DRIFT_MAX]
+            if not bad:
+                break
+            retried = True
+            print(
+                f"# {tag}: drift gate re-running block — {bad} exceed "
+                f"{DRIFT_MAX}x band",
+                file=sys.stderr,
+            )
+            nsp, ndk = measure_block()
+            for k in sp:
+                if band(nsp[k]) < band(sp[k]):
+                    sp[k] = nsp[k]
+                if band(ndk[k]) < band(dk[k]):
+                    dk[k] = ndk[k]
+        bad = [k for k in sp if band(sp[k]) > DRIFT_MAX or band(dk[k]) > DRIFT_MAX]
+        if bad:
+            gate = (
+                f"FAIL: {sorted(bad)} still exceed a {DRIFT_MAX}x drift "
+                "band after 2 block re-runs — treat this scale's numbers "
+                "as unmeasured and re-run on a quiet host"
+            )
+            print(f"# {tag}: drift gate {gate}", file=sys.stderr)
+        elif retried:
+            gate = "ok after block re-run"
+        con.close()
+
         out[tag] = {
+            "drift_gate": gate,
             "fact_rows": n_fact,
             "layout_build_s": layout_s,
             "spark_min": {k: min(v) for k, v in sp.items()},
