@@ -52,8 +52,20 @@ N_BUCKETS = 32
 #: zstd vs 0.52 s snappy vs 0.46 s uncompressed, j1b 0.60/0.73/0.67 s,
 #: and the smallest files — 196M vs 274M/409M — so zstd wins BOTH the
 #: decode path and the IO/storage bill; at 100 TB fewer bytes is the
-#: dominant term).
-LAYOUT_VERSION = 3
+#: dominant term). v4 added n_nationkey to the custmap dim: the r12
+#: stage decomposition (BENCH_J1B_STAGES_r12) measured the fact-join
+#: residual as STRING PAYLOAD carried through the hash-join probe —
+#: keys-only join 2.0 s at 240M rows vs 8.9 s carrying n_name/r_name —
+#: so join-heavy rollups prune to the int key, aggregate on it, and
+#: attach names to the tiny post-agg frame instead.
+#:
+#: Versions are PER TABLE: v4 touched only the dim derivation, and at
+#: the 100 TB north star a dim schema change must never force a rewrite
+#: of the fact — the orders table keeps its v3 contract (unchanged since
+#: v3's codec switch) while custmap moves to v4.
+LAYOUT_VERSION = 4
+ORDERS_VERSION = 3
+CUSTMAP_VERSION = 4
 
 #: Layout-time parquet codec (see LAYOUT_VERSION v3 note).
 LAYOUT_CODEC = "zstd"
@@ -121,9 +133,9 @@ def ensure_star_layout(
     per query. Idempotent per (sf_dir, n_buckets); testdata dirs are
     immutable per round, so existing tables/files are reused as-is.
     """
-    tag = f"{_tag(sf_dir)}_b{n_buckets}_v{LAYOUT_VERSION}"
-    orders_tbl = f"star_orders_{tag}"
-    custmap_tbl = f"star_custmap_{tag}"
+    tag = f"{_tag(sf_dir)}_b{n_buckets}"
+    orders_tbl = f"star_orders_{tag}_v{ORDERS_VERSION}"
+    custmap_tbl = f"star_custmap_{tag}_v{CUSTMAP_VERSION}"
     t = load_testdata(spark, sf_dir)
     custmap = (
         t["customer"]
@@ -135,7 +147,14 @@ def ensure_star_layout(
             F.broadcast(t["region"]),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .select("c_custkey", "c_name", "c_mktsegment", "n_name", "r_name")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "n_nationkey",
+            "n_name",
+            "r_name",
+        )
     )
     # o_cents: the money column pre-cast to EXACT integer cents at layout
     # time. o_totalprice is a 2-decimal value, so decimal(18,2)*100 is
@@ -151,6 +170,22 @@ def ensure_star_layout(
     _ensure_bucketed(spark, orders_tbl, orders, "o_custkey", n_buckets)
     _ensure_bucketed(spark, custmap_tbl, custmap, "c_custkey", n_buckets)
     return orders_tbl, custmap_tbl
+
+
+def nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 25-row ``(n_nationkey, n_name, r_name)`` frame, for attaching
+    names AFTER an int-key aggregation (see LAYOUT_VERSION v4 note: name
+    strings never ride the 100 TB fact-join probe — they broadcast-join
+    the post-agg frame, which is output-grain-sized by construction)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name", "r_name")
+    )
 
 
 #: Largest value a LongType sum can hold before wrapping (non-ANSI Spark

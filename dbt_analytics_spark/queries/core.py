@@ -284,30 +284,52 @@ def j1b_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build. The aggregation sums the layout's exact-cents long
     column (see star_layout: sum(o_cents)/100 == the decimal-cast sum
     bit-for-bit, minus the per-row decimal cast and 128-bit accumulation
-    the measured scan floor was paying). The raw-parquet j1 row stays
-    benched beside this one: this row prices the layout-amortized steady
-    state, that one the cold ad-hoc shape.
+    the measured scan floor was paying).
+
+    Int-key probe (layout v4): the r12 stage decomposition
+    (BENCH_J1B_STAGES_r12) split the remaining 2.5x-at-960M residual into
+    stage terms — keys-only bucket join 2.0 s at 240M rows, the SAME join
+    carrying the n_name/r_name strings 8.9 s. The per-row cost was never
+    the join; it was copying dictionary-decoded name strings through the
+    probe and hashing them in the groupBy, 240M times, for a 25-row
+    output. So the query joins only the pruned ``(c_custkey,
+    n_nationkey)`` columns (narrow int build side, cache-resident),
+    aggregates on the int key, and broadcast-joins the names onto the
+    25-row result — strings never touch the fact path. Measured at sf160:
+    4.58 s string-carry vs 3.43 s int-key (2.33x -> 1.74x vs DuckDB).
+    The raw-parquet j1 row stays benched beside this one: this row prices
+    the layout-amortized steady state, that one the cold ad-hoc shape.
     """
-    from ..plans.star_layout import ensure_star_layout, guarded_cents_spend
+    from ..plans.star_layout import (
+        ensure_star_layout,
+        guarded_cents_spend,
+        nation_names,
+    )
 
     orders_tbl, custmap_tbl = ensure_star_layout(spark, sf_dir)
-    o = spark.table(orders_tbl)
-    c = spark.table(custmap_tbl).hint("shuffle_hash")
-    return (
+    o = spark.table(orders_tbl).select("o_custkey", "o_cents")
+    c = (
+        spark.table(custmap_tbl)
+        .select("c_custkey", "n_nationkey")
+        .hint("shuffle_hash")
+    )
+    per_key = (
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            F.col("r_name").alias("region_name"),
-            F.col("n_name").alias("nation_name"),
-        )
+        .groupBy("n_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("o_cents").alias("__cents"),
             F.max("o_cents").alias("__mx"),
             F.min("o_cents").alias("__mn"),
         )
+    )
+    return (
+        per_key.join(
+            F.broadcast(nation_names(spark, sf_dir)), "n_nationkey"
+        )
         .select(
-            "region_name",
-            "nation_name",
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
             "n_orders",
             # Long-sum hot path, overflow-guarded by the count*max proof
             # (see star_layout.guarded_cents_spend: +3% measured at sf10
@@ -326,24 +348,42 @@ def j1b_join_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w3b_pct_of_total_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 on the engine-owned bucketed star layout — see j1b. The
     percent-of-total window runs over the 25-row nation aggregate, so the
-    only nontrivial physical work is the exchange-free bucketed join.
-    Cents arithmetic: nation and total spends are exact integer cent
-    sums; /100 through decimal reproduces the oracle's decimal values
-    bit-for-bit before the final double casts."""
-    from ..plans.star_layout import ensure_star_layout, guarded_cents_spend
+    only nontrivial physical work is the exchange-free bucketed join —
+    which, like j1b, probes on the pruned int key and attaches names
+    post-agg (layout v4: name strings through the 960M-row probe were the
+    measured residual, BENCH_J1B_STAGES_r12). Cents arithmetic: nation
+    and total spends are exact integer cent sums; /100 through decimal
+    reproduces the oracle's decimal values bit-for-bit before the final
+    double casts."""
+    from ..plans.star_layout import (
+        ensure_star_layout,
+        guarded_cents_spend,
+        nation_names,
+    )
 
     orders_tbl, custmap_tbl = ensure_star_layout(spark, sf_dir)
-    o = spark.table(orders_tbl)
-    c = spark.table(custmap_tbl).hint("shuffle_hash")
+    o = spark.table(orders_tbl).select("o_custkey", "o_cents")
+    c = (
+        spark.table(custmap_tbl)
+        .select("c_custkey", "n_nationkey")
+        .hint("shuffle_hash")
+    )
     per_nation = (
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(F.col("n_name").alias("nation_name"))
+        .groupBy("n_nationkey")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum("o_cents").alias("spend_cents"),
             F.max("o_cents").alias("__mx"),
             F.min("o_cents").alias("__mn"),
         )
+        .join(
+            F.broadcast(
+                nation_names(spark, sf_dir).select("n_nationkey", "n_name")
+            ),
+            "n_nationkey",
+        )
+        .withColumnRenamed("n_name", "nation_name")
     )
     w = Window.partitionBy()
     # Per-nation: long-sum hot path, overflow-guarded (count*max proof —

@@ -352,21 +352,39 @@ def test_bucketed_star_layout_join_exchange_free(spark):
     (plans/star_layout.py): the fact⋈dim join must be a bucket-local
     ShuffledHashJoin with NO exchange feeding it — each task builds a
     hash table from its own co-bucketed dim bucket (measured faster than
-    the exchange-free SMJ: 0.62 s vs 0.73 s at sf10), and neither side
-    ever broadcasts. The only exchanges in the whole plan are
-    the tiny post-join aggregations (25-nation grain): 1 for j1b's
-    groupBy, 2 for w3b's groupBy + empty-frame window. Results stay
-    row-identical to the raw-parquet j1/w3 (same DuckDB oracle wired in
-    the registry)."""
+    the exchange-free SMJ: 0.62 s vs 0.73 s at sf10), and the fact side
+    never broadcasts. Layout v4 (BENCH_J1B_STAGES_r12): the fact join
+    probes the PRUNED int key only — the custmap scan must read just
+    (c_custkey, n_nationkey), name strings never ride the probe — and
+    the names attach post-agg as a BroadcastHashJoin on the 25-row
+    frame. The only SHUFFLE exchanges in the whole plan are the tiny
+    post-join aggregations (25-nation grain): 1 for j1b's groupBy, 2 for
+    w3b's groupBy + empty-frame window. Results stay row-identical to
+    the raw-parquet j1/w3 (same DuckDB oracle wired in the registry)."""
+
+    def shuffles(plan: str) -> int:
+        return plan.count("Exchange") - plan.count("BroadcastExchange")
+
     j1b = REGISTRY["j1b_join_agg_bucketed"][0](spark, SF)
     plan = j1b._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
-    assert "BroadcastHashJoin" not in plan
-    assert plan.count("Exchange") == 1, plan
+    # broadcasts only on tiny frames, post-agg: the 25-row name attach +
+    # the nation⋈region hop inside it; the bucketed custmap scan is
+    # pruned to the two key columns
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    custmap_scans = [
+        ln for ln in plan.splitlines()
+        if "star_custmap" in ln and "ReadSchema" in ln
+    ]
+    assert custmap_scans, plan
+    assert all(
+        "n_name" not in ln and "r_name" not in ln for ln in custmap_scans
+    ), "name strings must not ride the fact-join probe"
+    assert shuffles(plan) == 1, plan
     w3b = REGISTRY["w3b_pct_of_total_bucketed"][0](spark, SF)
     plan = w3b._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
-    assert plan.count("Exchange") == 2, plan
+    assert shuffles(plan) == 2, plan
 
     # Same answer as the ad-hoc plan (value-level, not just count).
     raw = {
