@@ -215,47 +215,63 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.star_layout import nation_names
+
     t = load_testdata(spark, sf_dir)
-    dims = (
-        t["customer"].select("c_custkey", "c_nationkey")
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("c_custkey", "n_name", "r_name")
-    )
+    # Int-key discipline on the AD-HOC path too (r12 stage decomposition,
+    # BENCH_J1B_STAGES_r12: carrying n_name/r_name strings through the
+    # fact-join probe cost 4.4x the keys-only join): the fact only ever
+    # meets the pruned (c_custkey, c_nationkey) int map — a smaller
+    # broadcast than the old flattened-string dim — aggregates on the int
+    # key, and the 25-row post-agg frame broadcast-joins the names.
+    cust_nk = t["customer"].select("c_custkey", "c_nationkey")
+    names = nation_names(spark, sf_dir)
     if table_disk_bytes(sf_dir, "customer") <= DIM_BROADCAST_BUDGET:
-        # Star-schema fast path: broadcast the flattened (custkey → nation,
-        # region) dim, probe the fact once, and partial-aggregate straight
-        # to the 25-nation output grain — no wide shuffle anywhere
-        # (measured sf10: 1.85 s reduce-first vs 1.21 s this plan). The
-        # gate is the dim's TRUE on-disk size, not Catalyst's projection
-        # estimate, which at sf10 let the 15M-row fact ride broadcast.
-        joined = t["orders"].join(
-            F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
-        )
-        return (
-            joined
-            .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        # Star-schema fast path: broadcast the int map, probe the fact
+        # once, and partial-aggregate straight to the 25-nation output
+        # grain — no wide shuffle anywhere (measured sf10: 1.85 s
+        # reduce-first vs 1.21 s this plan). The gate is the dim's TRUE
+        # on-disk size, not Catalyst's projection estimate, which at sf10
+        # let the 15M-row fact ride broadcast.
+        per_key = (
+            t["orders"]
+            .join(
+                F.broadcast(cust_nk),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_nationkey")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+                F.sum(_money(F.col("o_totalprice")))
+                .cast("double")
+                .alias("total_spend"),
             )
         )
-    # Dim too big to broadcast (cluster-scale customer): collapse the fact
-    # to one row per custkey first so the shuffle join carries ~10x fewer
-    # rows and neither fact side is ever a broadcast build. count /
-    # decimal-sum regrouping is exact.
-    per_cust = t["orders"].groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("cust_orders"),
-        F.sum(_money(F.col("o_totalprice"))).alias("cust_spend"),
-    )
-    return (
-        per_cust
-        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(
-            F.sum("cust_orders").alias("n_orders"),
-            F.sum("cust_spend").cast("double").alias("total_spend"),
+    else:
+        # Dim too big to broadcast (cluster-scale customer): collapse the
+        # fact to one row per custkey first so the shuffle join carries
+        # ~10x fewer rows and neither fact side is ever a broadcast
+        # build. count / decimal-sum regrouping is exact.
+        per_cust = t["orders"].groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cust_orders"),
+            F.sum(_money(F.col("o_totalprice"))).alias("cust_spend"),
         )
+        per_key = (
+            per_cust
+            .join(cust_nk, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("cust_orders").alias("n_orders"),
+                F.sum("cust_spend").cast("double").alias("total_spend"),
+            )
+        )
+    return per_key.join(
+        F.broadcast(names), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("r_name").alias("region_name"),
+        F.col("n_name").alias("nation_name"),
+        "n_orders",
+        "total_spend",
     )
 
 
@@ -675,28 +691,33 @@ def w3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 15M-row orders side through the broadcast threshold at sf10 (a
     # fact-table broadcast build — 7.9 s vs 1.6 s, and at cluster scale a
     # driver OOM). Facts never ride broadcast; dims only within budget.
-    cust_map = (
-        t["customer"].select("c_custkey", "c_nationkey")
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", "n_name")
-    )
+    # Int-key discipline (BENCH_J1B_STAGES_r12, same as j1): the fact only
+    # meets the pruned (c_custkey, c_nationkey) int map; the n_name string
+    # attaches to the 25-row post-agg frame, never rides the probe.
+    cust_nk = t["customer"].select("c_custkey", "c_nationkey")
     if table_disk_bytes(sf_dir, "customer") <= DIM_BROADCAST_BUDGET:
-        per_nation = (
+        per_key = (
             t["orders"]
-            .join(F.broadcast(cust_map), F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy(F.col("n_name").alias("nation_name"))
+            .join(F.broadcast(cust_nk), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
             .agg(F.sum(_money(F.col("o_totalprice"))).alias("spend_dec"))
         )
     else:
         per_cust = t["orders"].groupBy("o_custkey").agg(
             F.sum(_money(F.col("o_totalprice"))).alias("cust_spend")
         )
-        per_nation = (
+        per_key = (
             per_cust
-            .join(cust_map, F.col("o_custkey") == F.col("c_custkey"))
-            .groupBy(F.col("n_name").alias("nation_name"))
+            .join(cust_nk, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
             .agg(F.sum("cust_spend").alias("spend_dec"))
         )
+    per_nation = per_key.join(
+        F.broadcast(
+            t["nation"].select("n_nationkey", F.col("n_name").alias("nation_name"))
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
     w = Window.partitionBy()
     return per_nation.select(
         "nation_name",
