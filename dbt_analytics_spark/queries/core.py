@@ -2127,18 +2127,31 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
     revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
-    return (
+    # Int-key discipline (BENCH_J1B_STAGES_r12): c_name/n_name are
+    # functionally dependent on c_custkey, so the agg groups on the key
+    # alone — strings never ride the fact probe or the aggregate — and
+    # the name columns attach AFTER the top-20 cut, to 20 rows.
+    top = (
         returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("c_custkey").alias("cust_key"),
-            F.col("c_name").alias("cust_name"),
-            F.col("n_name").alias("nation"),
-        )
+        .groupBy(F.col("o_custkey").alias("cust_key"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("cust_key"))
         .limit(20)
+    )
+    names = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    # the 20-row frame is the broadcast side; customer scans once,
+    # semi-filtered by the broadcast keys — never the other way around
+    return (
+        names.join(F.broadcast(top), F.col("cust_key") == F.col("c_custkey"))
+        .select(
+            "cust_key",
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("cust_key"))
     )
 
 
@@ -2212,17 +2225,22 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewrite Catalyst can't do statically (it can't see the filter's
     # selectivity through the dim join). Measured at sf10: 8.4 s with the
     # facts joined full-size first, ~2.1 s this way.
+    # Int-key discipline (BENCH_J1B_STAGES_r12): the nation NAMES are
+    # needed only in the 4-combination output grain, so the fact probes
+    # and the fact⋈fact shuffle carry int nation keys; names attach to
+    # the post-agg frame via the 25-row nation dim, twice.
+    nk = t["nation"].filter(F.col("n_name").isin(n1, n2)).select(
+        "n_nationkey", "n_name"
+    )
     supp = (
         t["supplier"]
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name").isin(n1, n2))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .join(F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_nationkey").alias("supp_nk"))
     )
     cust = (
         t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .filter(F.col("n_name").isin(n1, n2))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .join(F.broadcast(nk), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_nationkey").alias("cust_nk"))
     )
     revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
     li = (
@@ -2234,18 +2252,28 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     ords = t["orders"].join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-    return (
+    per_key = (
         li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(
-            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
-            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
-        )
+        .filter(F.col("supp_nk") != F.col("cust_nk"))
         .groupBy(
-            "supp_nation",
-            "cust_nation",
+            "supp_nk",
+            "cust_nk",
             F.year("l_shipdate").cast("int").alias("ship_year"),
         )
         .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    sn = nk.select(
+        F.col("n_nationkey").alias("supp_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = nk.select(
+        F.col("n_nationkey").alias("cust_nk"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        per_key.join(F.broadcast(sn), "supp_nk")
+        .join(F.broadcast(cn), "cust_nk")
+        .select("supp_nation", "cust_nation", "ship_year", "revenue")
     )
 
 
@@ -2278,10 +2306,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "AMERICA")
         .select("c_custkey")
     )
+    # Int-key discipline (BENCH_J1B_STAGES_r12): the only use of the
+    # supplier's nation NAME is an equality test against one literal, so
+    # evaluate it dim-side and broadcast (s_suppkey, boolean) — the string
+    # never rides the lineitem probe.
     supp = (
         t["supplier"]
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == "NATION_3").alias("is_target_nation"),
+        )
     )
     revenue = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
     base = (
@@ -2302,7 +2337,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums = base.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
         F.sum(
-            F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(
+            F.when(F.col("is_target_nation"), revenue).otherwise(
                 F.lit(0).cast("decimal(18,2)")
             )
         ).alias("nation_dec"),
