@@ -191,6 +191,22 @@ def materialize(project: "Project", node: "Node", df: DataFrame) -> int | None:
                 f"{project.qualified(node.name + '__ivf_commits')}"
             )
             return _ivf_initial_build(project, node, df)
+        if node.zorder_by:
+            # Z-order clustering (operators/zorder.py): layout-only —
+            # rows are globally ordered along the Morton curve of the
+            # named columns so row-group stats prune box predicates on
+            # any subset of them. One physical order per table: zorder_by
+            # and bucket_by cannot both hold.
+            if node.bucket_by:
+                raise ValueError(
+                    f"{node.name}: zorder_by and bucket_by are mutually "
+                    "exclusive — a table has one physical order"
+                )
+            from ..operators.zorder import zorder_dataframe
+
+            df = zorder_dataframe(
+                df, node.zorder_by, n_files=node.zorder_files or None
+            )
         writer = df.write.mode("overwrite").format(node.file_format)
         if node.partition_by:
             writer = writer.partitionBy(*node.partition_by)

@@ -103,6 +103,16 @@ class Node:
     partition_by: tuple[str, ...] = ()
     bucket_by: tuple[str, ...] = ()
     n_buckets: int = 0
+    #: Z-order clustering (operators/zorder.py): write the table globally
+    #: ordered along the Morton curve of these columns so parquet
+    #: row-group min/max stats prune box predicates on ANY subset of
+    #: them. Layout-only — content is row-identical. Mutually exclusive
+    #: with bucket_by (one physical order per table).
+    zorder_by: tuple[str, ...] = ()
+    #: Target file count for zorder_by (default: session shuffle
+    #: partitions) — at cluster scale, track the table's desired file
+    #: size, not core count.
+    zorder_files: int = 0
     #: Storage format for table-style materializations: any Spark-native
     #: batch format (parquet default; orc for ORC-standardized lakes —
     #: both give columnar scans with predicate pushdown).
@@ -152,6 +162,7 @@ class Node:
             "partition_by": list(self.partition_by),
             "bucket_by": list(self.bucket_by),
             "n_buckets": self.n_buckets,
+            "zorder_by": list(self.zorder_by),
             "file_format": self.file_format,
             "tags": sorted(self.tags),
             # dbt: a contract change is a state:modified change
@@ -443,6 +454,8 @@ class Project:
         partition_by: tuple[str, ...] = (),
         bucket_by: tuple[str, ...] = (),
         n_buckets: int = 0,
+        zorder_by: tuple[str, ...] = (),
+        zorder_files: int = 0,
         file_format: str = "parquet",
         pre_hooks: tuple[Callable, ...] = (),
         post_hooks: tuple[Callable, ...] = (),
@@ -491,6 +504,8 @@ class Project:
                 partition_by=tuple(partition_by),
                 bucket_by=tuple(bucket_by),
                 n_buckets=n_buckets,
+                zorder_by=tuple(zorder_by),
+                zorder_files=zorder_files,
                 file_format=file_format,
                 pre_hooks=pre_hooks,
                 post_hooks=post_hooks,

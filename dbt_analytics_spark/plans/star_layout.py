@@ -188,6 +188,41 @@ def nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Z-order layout version (independent of the star tables).
+ZORDER_VERSION = 1
+
+
+def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the Z-ordered orders table for ``sf_dir`` and
+    return its name: orders clustered along the Morton curve of
+    ``(o_custkey, o_orderdate)`` (operators/zorder.py) so box predicates
+    on either or both columns prune at row-group granularity. Same
+    engine-owned, cross-session-reusable contract as the bucketed star
+    layout above."""
+    from ..operators.zorder import zorder_dataframe
+
+    tbl = f"zord_orders_{_tag(sf_dir)}_v{ZORDER_VERSION}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    t = load_testdata(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        spark.sql(
+            f"CREATE TABLE {tbl} ({_schema_ddl(t['orders'])}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+        return tbl
+    (
+        zorder_dataframe(t["orders"], ["o_custkey", "o_orderdate"])
+        .write.option("compression", LAYOUT_CODEC)
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    return tbl
+
+
 #: Largest value a LongType sum can hold before wrapping (non-ANSI Spark
 #: wraps silently past 2^63 - 1).
 LONG_MAX = (1 << 63) - 1

@@ -463,6 +463,16 @@ _BEYOND_DRIVER_CAP = [
     "sem7_calendar_spine",
     "dd12_span_dedup",
     "smp6_token_budget_sample",
+    # ------------------------------------------------------------------
+    # New in round 12, beyond the cap pending a future rotation:
+    #   zo1_zorder_box_filter — box rollup on the engine-owned Z-ordered
+    #     layout (operators/zorder.py); fully oracled in the local gate,
+    #     layout-content-identity + row-group-pruning pinned in
+    #     tests/test_zorder.py.
+    #   sem16_metric_filter — Metric() filter templates as
+    #     post-aggregation predicates; fully oracled in the local gate.
+    "zo1_zorder_box_filter",
+    "sem16_metric_filter",
 ]
 
 _ALL: dict = {}

@@ -2496,6 +2496,50 @@ def q13b_custdist_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ZO1 — box-predicate rollup on the engine-owned Z-ORDERED layout
+# (plans/star_layout.ensure_zorder_layout + operators/zorder.py): orders
+# clustered along the Morton curve of (o_custkey, o_orderdate), so this
+# two-sided box prunes parquet row groups on BOTH columns via plain
+# min/max stats — single-column sort prunes only its own column. Same
+# oracle as the identical filter over raw parquet: the layout is
+# content-identical, only the physical order changes.
+# ---------------------------------------------------------------------------
+
+def zo1_zorder_box_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.star_layout import ensure_zorder_layout
+
+    tbl = ensure_zorder_layout(spark, sf_dir)
+    o = spark.table(tbl)
+    return (
+        o.filter(
+            (F.col("o_custkey") >= 100)
+            & (F.col("o_custkey") <= 500)
+            & (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-09-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money(F.col("o_totalprice")))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+ZO1_SQL = """
+SELECT o_orderstatus AS order_status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+  AND o_orderdate >= TIMESTAMP '1996-03-01'
+  AND o_orderdate < TIMESTAMP '1996-09-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q17-shape — small-quantity-order revenue: a correlated AVG subquery
 # (l_quantity < 0.5 * avg(l_quantity) per part) decorrelated into a
 # per-part aggregate joined back to the fact. The threshold compare uses
@@ -2835,6 +2879,7 @@ REGISTRY = {
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q13_custdist": (q13_custdist, Q13_SQL),
     "q13b_custdist_bucketed": (q13b_custdist_bucketed, Q13_SQL),
+    "zo1_zorder_box_filter": (zo1_zorder_box_filter, ZO1_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Z-order data-skipping probe: measured row-group pruning + wall-clock.
+
+Quantifies what the zorder_by layout (operators/zorder.py) buys on a box
+predicate over (o_custkey, o_orderdate) at sf10 (15M orders), against
+two controls on identical content:
+
+  raw      the testdata parquet as generated (insertion order)
+  linear   range-sorted by o_custkey only (the single-column best case)
+  zorder   Morton-clustered on both columns
+
+Reported per layout: parquet row groups whose min/max stats overlap the
+box on EACH dimension (footer-level truth via pyarrow — what any stats-
+pruning reader skips), plus Spark wall-clock for the filtered rollup,
+min-of-N interleaved. DuckDB runs the same rollup on the raw file as
+the cross-engine canary.
+
+Usage: python scripts/probe_zorder.py [repeats]  (env SPARK_GRAFT_SF_DIR)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from dbt_analytics_spark.operators.zorder import zorder_dataframe  # noqa: E402
+from dbt_analytics_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.scratch/sf10")
+OUT = "/root/repo/.scratch/zorder_probe"
+REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+CUST_LO, CUST_HI = 100_000, 140_000
+DATE_LO, DATE_HI = "1996-03-01", "1996-09-01"
+
+
+def rowgroups_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
+    total = hit = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            total += 1
+            stats = None
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col:
+                    stats = c.statistics
+            if stats is None or (stats.max >= lo and stats.min <= hi):
+                hit += 1
+    return hit, total
+
+
+def main() -> None:
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark("zorder_probe")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    layouts = {"raw": f"{SF_DIR}/orders.parquet"}
+    lin = f"{OUT}/linear"
+    zod = f"{OUT}/zorder"
+    if not os.path.isdir(lin):
+        (
+            orders.repartitionByRange(32, "o_custkey")
+            .sortWithinPartitions("o_custkey")
+            .write.mode("overwrite")
+            .parquet(lin)
+        )
+    if not os.path.isdir(zod):
+        zorder_dataframe(orders, ["o_custkey", "o_orderdate"]).write.mode(
+            "overwrite"
+        ).parquet(zod)
+    layouts["linear"] = lin
+    layouts["zorder"] = zod
+
+    d_lo = dt.datetime.fromisoformat(DATE_LO)
+    d_hi = dt.datetime.fromisoformat(DATE_HI)
+    skipping = {}
+    for name, path in layouts.items():
+        ck = rowgroups_overlapping(path, "o_custkey", CUST_LO, CUST_HI)
+        od = rowgroups_overlapping(path, "o_orderdate", d_lo, d_hi)
+        skipping[name] = {
+            "rowgroups": ck[1],
+            "overlap_custkey_box": ck[0],
+            "overlap_orderdate_box": od[0],
+        }
+        print(f"# {name}: {skipping[name]}", file=sys.stderr)
+
+    def rollup(path):
+        return (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("o_custkey") >= CUST_LO)
+                & (F.col("o_custkey") <= CUST_HI)
+                & (F.col("o_orderdate") >= F.lit(DATE_LO).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(DATE_HI).cast("timestamp_ntz"))
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)), F.sum("o_totalprice"))
+            .collect()
+        )
+
+    con = duckdb.connect()
+    DUCK = f"""
+        SELECT o_orderstatus, count(*), sum(o_totalprice)
+        FROM read_parquet('{SF_DIR}/orders.parquet')
+        WHERE o_custkey BETWEEN {CUST_LO} AND {CUST_HI}
+          AND o_orderdate >= TIMESTAMP '{DATE_LO}'
+          AND o_orderdate < TIMESTAMP '{DATE_HI}'
+        GROUP BY 1"""
+
+    for path in layouts.values():
+        rollup(path)
+    con.execute(DUCK).fetchall()
+
+    sp = {k: [] for k in layouts}
+    dk = []
+    for _ in range(REPEATS):
+        for k, path in layouts.items():
+            t0 = time.perf_counter()
+            rollup(path)
+            sp[k].append(round(time.perf_counter() - t0, 4))
+        t0 = time.perf_counter()
+        con.execute(DUCK).fetchall()
+        dk.append(round(time.perf_counter() - t0, 4))
+    con.close()
+
+    band = lambda v: round((max(v) - min(v)) / min(v), 3)  # noqa: E731
+    print(
+        json.dumps(
+            {
+                "metric": "zorder_data_skipping",
+                "box": {
+                    "o_custkey": [CUST_LO, CUST_HI],
+                    "o_orderdate": [DATE_LO, DATE_HI],
+                },
+                "skipping": skipping,
+                "spark_min": {k: min(v) for k, v in sp.items()},
+                "spark_drift_band": {k: band(v) for k, v in sp.items()},
+                "duckdb_raw_min": min(dk),
+                "duckdb_drift_band": band(dk),
+                "sf_dir": SF_DIR,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "spark_raw": sp,
+                "duckdb_raw": dk,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
