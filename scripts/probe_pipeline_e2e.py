@@ -119,8 +119,13 @@ def main() -> None:
 
     counts = {
         name: p.compile_node(name).count()
-        for name in ("corpus", "sampled", "chunks", "packs")
+        for name in ("corpus", "sampled", "chunks")
     }
+    # pack_sequences emits one row per input chunk with its pack
+    # assignment; the pack count is the distinct id count
+    packs = p.compile_node("packs")
+    counts["pack_rows"] = packs.count()
+    counts["packs"] = packs.select("pack_id").distinct().count()
     print(
         json.dumps(
             {
