@@ -42,19 +42,31 @@ CUST_LO, CUST_HI = 100_000, 140_000
 DATE_LO, DATE_HI = "1996-03-01", "1996-09-01"
 
 
-def rowgroups_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return glob.glob(os.path.join(path, "*.parquet"))
+
+
+def rowgroups_overlapping(path: str, boxes: dict) -> tuple[int, int]:
+    """(n_rowgroups overlapping EVERY box, n_rowgroups): a stats-pruning
+    reader skips a row group when ANY predicate column's [min,max] is
+    disjoint from its box."""
     total = hit = 0
-    for f in glob.glob(os.path.join(path, "*.parquet")):
+    for f in _parquet_files(path):
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
             rgm = md.row_group(rg)
             total += 1
-            stats = None
+            keep = True
             for ci in range(rgm.num_columns):
                 c = rgm.column(ci)
-                if c.path_in_schema == col:
-                    stats = c.statistics
-            if stats is None or (stats.max >= lo and stats.min <= hi):
+                if c.path_in_schema in boxes and c.statistics is not None:
+                    lo, hi = boxes[c.path_in_schema]
+                    s = c.statistics
+                    if s.max < lo or s.min > hi:
+                        keep = False
+            if keep:
                 hit += 1
     return hit, total
 
@@ -86,54 +98,74 @@ def main() -> None:
 
     d_lo = dt.datetime.fromisoformat(DATE_LO)
     d_hi = dt.datetime.fromisoformat(DATE_HI)
+    ck_box = {"o_custkey": (CUST_LO, CUST_HI)}
+    od_box = {"o_orderdate": (d_lo, d_hi)}
+    both_box = {**ck_box, **od_box}
+    # predicate MIX: single-column sort wins queries on ITS column and
+    # loses every other; z-order prunes on any subset
     skipping = {}
     for name, path in layouts.items():
-        ck = rowgroups_overlapping(path, "o_custkey", CUST_LO, CUST_HI)
-        od = rowgroups_overlapping(path, "o_orderdate", d_lo, d_hi)
+        n = rowgroups_overlapping(path, {})[1]
         skipping[name] = {
-            "rowgroups": ck[1],
-            "overlap_custkey_box": ck[0],
-            "overlap_orderdate_box": od[0],
+            "rowgroups": n,
+            "overlap_custkey_only": rowgroups_overlapping(path, ck_box)[0],
+            "overlap_orderdate_only": rowgroups_overlapping(path, od_box)[0],
+            "overlap_both": rowgroups_overlapping(path, both_box)[0],
         }
         print(f"# {name}: {skipping[name]}", file=sys.stderr)
 
-    def rollup(path):
+    cust_pred = (F.col("o_custkey") >= CUST_LO) & (F.col("o_custkey") <= CUST_HI)
+    date_pred = (
+        F.col("o_orderdate") >= F.lit(DATE_LO).cast("timestamp_ntz")
+    ) & (F.col("o_orderdate") < F.lit(DATE_HI).cast("timestamp_ntz"))
+    preds = {
+        "cust": cust_pred,
+        "date": date_pred,
+        "both": cust_pred & date_pred,
+    }
+
+    def rollup(path, pred):
         return (
             spark.read.parquet(path)
-            .filter(
-                (F.col("o_custkey") >= CUST_LO)
-                & (F.col("o_custkey") <= CUST_HI)
-                & (F.col("o_orderdate") >= F.lit(DATE_LO).cast("timestamp_ntz"))
-                & (F.col("o_orderdate") < F.lit(DATE_HI).cast("timestamp_ntz"))
-            )
+            .filter(pred)
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)), F.sum("o_totalprice"))
             .collect()
         )
 
     con = duckdb.connect()
-    DUCK = f"""
-        SELECT o_orderstatus, count(*), sum(o_totalprice)
-        FROM read_parquet('{SF_DIR}/orders.parquet')
-        WHERE o_custkey BETWEEN {CUST_LO} AND {CUST_HI}
-          AND o_orderdate >= TIMESTAMP '{DATE_LO}'
-          AND o_orderdate < TIMESTAMP '{DATE_HI}'
-        GROUP BY 1"""
+    duck_where = {
+        "cust": f"o_custkey BETWEEN {CUST_LO} AND {CUST_HI}",
+        "date": f"o_orderdate >= TIMESTAMP '{DATE_LO}' "
+        f"AND o_orderdate < TIMESTAMP '{DATE_HI}'",
+    }
+    duck_where["both"] = f"{duck_where['cust']} AND {duck_where['date']}"
+
+    def duck(pname):
+        return con.execute(
+            f"SELECT o_orderstatus, count(*), sum(o_totalprice) "
+            f"FROM read_parquet('{SF_DIR}/orders.parquet') "
+            f"WHERE {duck_where[pname]} GROUP BY 1"
+        ).fetchall()
 
     for path in layouts.values():
-        rollup(path)
-    con.execute(DUCK).fetchall()
+        for pred in preds.values():
+            rollup(path, pred)
+    for pname in preds:
+        duck(pname)
 
-    sp = {k: [] for k in layouts}
-    dk = []
+    sp = {f"{k}/{p}": [] for k in layouts for p in preds}
+    dk = {p: [] for p in preds}
     for _ in range(REPEATS):
         for k, path in layouts.items():
+            for pname, pred in preds.items():
+                t0 = time.perf_counter()
+                rollup(path, pred)
+                sp[f"{k}/{pname}"].append(round(time.perf_counter() - t0, 4))
+        for pname in preds:
             t0 = time.perf_counter()
-            rollup(path)
-            sp[k].append(round(time.perf_counter() - t0, 4))
-        t0 = time.perf_counter()
-        con.execute(DUCK).fetchall()
-        dk.append(round(time.perf_counter() - t0, 4))
+            duck(pname)
+            dk[pname].append(round(time.perf_counter() - t0, 4))
     con.close()
 
     band = lambda v: round((max(v) - min(v)) / min(v), 3)  # noqa: E731
@@ -148,8 +180,7 @@ def main() -> None:
                 "skipping": skipping,
                 "spark_min": {k: min(v) for k, v in sp.items()},
                 "spark_drift_band": {k: band(v) for k, v in sp.items()},
-                "duckdb_raw_min": min(dk),
-                "duckdb_drift_band": band(dk),
+                "duckdb_min": {k: min(v) for k, v in dk.items()},
                 "sf_dir": SF_DIR,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "spark_raw": sp,
