@@ -341,12 +341,61 @@ class SavedQuery:
     exports: list[dict] = field(default_factory=list)
 
 
+@dataclass
+class Rollup:
+    """An engine-maintained pre-aggregation of one semantic model at a
+    (dimension × time-grain) grain, holding PARTIAL aggregates that
+    re-aggregate exactly: sums/counts/sum_booleans re-sum, mins/maxes
+    re-min/max. ``query()`` routes to the rollup automatically when the
+    request is answerable from it (aggregate awareness) and falls back
+    to the fact silently otherwise."""
+
+    name: str
+    model: str  # semantic model name
+    dims: tuple[str, ...]  # dimension names stored (at their grains)
+    table: str  # physical relation holding the partials
+    measures: dict[str, str]  # measure name -> original agg kind
+    grains: dict[str, str] = field(default_factory=dict)  # time dim -> grain
+
+
+#: Measure agg kinds whose partials re-aggregate EXACTLY from a coarser
+#: grain. avg is representable (sum+count pair) but excluded from v1;
+#: count_distinct / median / percentile / non-additive measures are not
+#: decomposable and always fall back to the fact.
+_ROLLUP_COVERABLE = {"sum", "count", "min", "max", "sum_boolean"}
+
+#: Re-aggregation of a partial column, per original agg kind.
+_ROLLUP_REAGG = {
+    "sum": "sum",
+    "count": "sum",
+    "sum_boolean": "sum",
+    "min": "min",
+    "max": "max",
+}
+
+#: grain -> the coarser grains derivable from buckets stored at it.
+#: ISO weeks do not nest in months/quarters/years-by-truncation, so week
+#: derives only from day (and itself).
+_GRAIN_DERIVES = {
+    "day": {"day", "week", "month", "quarter", "year"},
+    "week": {"week"},
+    "month": {"month", "quarter", "year"},
+    "quarter": {"quarter", "year"},
+    "year": {"year"},
+}
+
+
 class SemanticLayer:
     def __init__(self, project: "Project"):
         self.project = project
         self.models: dict[str, SemanticModel] = {}
         self.metrics: dict[str, Metric] = {}
         self.saved_queries: dict[str, SavedQuery] = {}
+        #: semantic model name -> rollups over it (aggregate awareness)
+        self.rollups: dict[str, list[Rollup]] = {}
+        #: name of the rollup the LAST query() was answered from, or None
+        #: (observability + tests; MetricFlow has no equivalent surface)
+        self.last_rollup_used: str | None = None
 
     # ------------------------------------------------------------------
     # YAML loading (dbt schema-file sections)
@@ -865,6 +914,180 @@ class SemanticLayer:
             sql = f"coalesce({sql}, {metric.fill_nulls_with!r})"
         return sql
 
+    # ------------------------------------------------------------------
+    # Aggregate awareness: engine-maintained rollups
+    # ------------------------------------------------------------------
+
+    def materialize_rollup(
+        self, name: str, model: str, dims: list[str]
+    ) -> Rollup:
+        """Build (overwrite) a pre-aggregated rollup of semantic model
+        ``model`` at the grain of ``dims`` (each ``dim`` or
+        ``time_dim__grain``), storing partial aggregates for every
+        measure whose kind re-aggregates exactly (sum/count/min/max/
+        sum_boolean). One fact scan now; every eligible ``query()``
+        afterwards reads the rollup instead of the fact — the aggregate
+        awareness answer to repeated metric traffic at 100 TB (the same
+        trade the bucketed star layout makes for joins).
+
+        Partial-aggregate exactness: decimal sums re-sum exactly
+        (addition is associative), counts re-sum, min/max re-min/max —
+        the routed answer is bit-identical to the fact-grain answer, so
+        routing never weakens the oracle gate."""
+        sem = self.models[model]
+        df = self.project._resolve_for_adhoc(sem.model)
+        group_cols, grains, dim_names = [], {}, []
+        for d in dims:
+            parts = d.split("__")
+            dn = parts[0]
+            dim = sem.dimensions.get(dn)
+            if dim is None:
+                raise KeyError(f"unknown dimension {dn!r} on {model}")
+            expr = F.expr(dim.expr or dim.name)
+            if dim.type == "time":
+                g = parts[1] if len(parts) > 1 else dim.grain
+                if g not in _GRAIN_DERIVES:
+                    raise ValueError(f"unsupported rollup grain {g!r}")
+                expr = F.date_trunc(g, expr)
+                grains[dn] = g
+            elif len(parts) > 1:
+                raise ValueError(
+                    f"grain suffix on categorical dimension {dn!r}"
+                )
+            group_cols.append(expr.alias(f"d_{dn}"))
+            dim_names.append(dn)
+        kinds: dict[str, str] = {}
+        aggs = []
+        for ms in sem.measures.values():
+            if ms.non_additive or ms.agg not in _ROLLUP_COVERABLE:
+                continue
+            expr = F.expr(ms.expr or (ms.name if ms.agg != "count" else "1"))
+            if ms.agg == "sum_boolean":
+                col = F.sum(
+                    F.when(expr, F.lit(1)).otherwise(F.lit(0))
+                ).cast("bigint")
+            else:
+                col = _AGGS[ms.agg](expr)
+            aggs.append(col.alias(f"p_{ms.name}"))
+            kinds[ms.name] = ms.agg
+        if not aggs:
+            raise ValueError(
+                f"model {model!r} has no rollup-coverable measures"
+            )
+        table = self.project.qualified(f"{name}__rollup")
+        (
+            df.groupBy(*group_cols)
+            .agg(*aggs)
+            .write.mode("overwrite")
+            .saveAsTable(table)
+        )
+        rollup = Rollup(
+            name=name,
+            model=model,
+            dims=tuple(dim_names),
+            table=table,
+            measures=kinds,
+            grains=grains,
+        )
+        kept = [r for r in self.rollups.get(model, []) if r.name != name]
+        kept.append(rollup)
+        self.rollups[model] = kept
+        return rollup
+
+    def _route_rollup(
+        self,
+        sem: SemanticModel,
+        df: DataFrame,
+        measure_names: set[str],
+        mobjs: list[Metric],
+        needed: set[str],
+        conversions: list,
+        group_by: list[str] | None,
+        where: str | None,
+        time_grain: str | None,
+    ) -> tuple[SemanticModel, DataFrame, str | None]:
+        """Route the query to a registered rollup when every requested
+        measure, metric shape, and group-by dimension is answerable from
+        it; otherwise return the fact-grain inputs unchanged. The
+        rewrite swaps in a SYNTHESIZED semantic model over the rollup
+        table (dims point at stored d_ columns, measures re-aggregate p_
+        partials), so the whole downstream compiler — groupBy, ratio /
+        derived math, HAVING filters — runs unmodified."""
+        candidates = self.rollups.get(sem.name) or []
+        if not candidates:
+            return sem, df, None
+        # shapes a partial-aggregate table cannot answer
+        if conversions or where:
+            return sem, df, None
+        for n in needed:
+            m = self.metrics[n]
+            if m.filter or m.type == "cumulative" or m.join_to_timespine:
+                return sem, df, None
+        for m in mobjs:
+            if m.type in ("cumulative", "conversion"):
+                return sem, df, None
+        if self._collect_offset_inputs(mobjs):
+            return sem, df, None
+        for rollup in candidates:
+            if not measure_names <= set(rollup.measures):
+                continue
+            ok = True
+            for g in group_by or []:
+                parts = g.split("__")
+                dname = parts[0]
+                if dname == "metric_time":
+                    tds = [
+                        d.name
+                        for d in sem.dimensions.values()
+                        if d.type == "time"
+                    ]
+                    dname = tds[0] if tds else ""
+                    grain = parts[1] if len(parts) > 1 else ""
+                else:
+                    grain = parts[1] if len(parts) > 1 else ""
+                dim = sem.dimensions.get(dname)
+                if dim is None or dname not in rollup.dims:
+                    ok = False  # entity-chain / unknown dims: fact only
+                    break
+                if dim.type == "time":
+                    eff = grain or time_grain or dim.grain
+                    stored = rollup.grains.get(dname, dim.grain)
+                    if eff not in _GRAIN_DERIVES.get(stored, ()):
+                        ok = False  # finer than stored: not derivable
+                        break
+                elif grain:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            dims2 = {
+                dn: Dimension(
+                    name=dn,
+                    type=sem.dimensions[dn].type,
+                    expr=f"d_{dn}",
+                    # keep the ORIGINAL default grain so an ungrained
+                    # group_by truncates to what the user would have
+                    # gotten from the fact (derivability was checked)
+                    grain=sem.dimensions[dn].grain,
+                )
+                for dn in rollup.dims
+            }
+            meas2 = {
+                mn: Measure(
+                    name=mn, agg=_ROLLUP_REAGG[kind], expr=f"p_{mn}"
+                )
+                for mn, kind in rollup.measures.items()
+            }
+            sem2 = SemanticModel(
+                name=sem.name,
+                model=rollup.table,
+                dimensions=dims2,
+                measures=meas2,
+                entities={},
+            )
+            return sem2, self.project.spark.table(rollup.table), rollup.name
+        return sem, df, None
+
     def query(
         self,
         metrics: list[str],
@@ -916,6 +1139,12 @@ class SemanticLayer:
             measure_names |= {cm.base_measure, cm.conversion_measure}
         sem = self._model_for(measure_names)
         df = self.project._resolve_for_adhoc(sem.model)
+        # Aggregate awareness: answer from a pre-aggregated rollup when
+        # the request re-aggregates exactly from its partials.
+        sem, df, self.last_rollup_used = self._route_rollup(
+            sem, df, measure_names, mobjs, needed, conversions,
+            group_by, where, time_grain,
+        )
 
         dim_cols = []
         out_names: list[str] = []

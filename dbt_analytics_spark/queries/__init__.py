@@ -471,8 +471,12 @@ _BEYOND_DRIVER_CAP = [
     #     tests/test_zorder.py.
     #   sem16_metric_filter — Metric() filter templates as
     #     post-aggregation predicates; fully oracled in the local gate.
+    #   sem17_rollup_routing — aggregate awareness: the metric request
+    #     routed to an engine-maintained partial-aggregate rollup, with
+    #     the routed frame hash-checked against the fact-grain oracle.
     "zo1_zorder_box_filter",
     "sem16_metric_filter",
+    "sem17_rollup_routing",
 ]
 
 _ALL: dict = {}

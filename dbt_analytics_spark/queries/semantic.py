@@ -986,6 +986,49 @@ HAVING CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# sem17 — aggregate awareness (round 12): the same metric request is
+# ROUTED to an engine-maintained rollup (partial sums/counts at
+# (order_status, month) grain, plans/semantics.Rollup) and must stay
+# bit-identical to the fact-grain oracle — partial decimal sums re-sum
+# exactly, counts re-sum, the ratio divides post-agg. The builder raises
+# if routing did not happen, so the driver row genuinely exercises the
+# rollup path, not the fact fallback.
+# ---------------------------------------------------------------------------
+
+def sem17_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    sl = _layer(spark, sf_dir)
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    sl.materialize_rollup(
+        f"sem17_{tag}", "orders_sm", ["order_status", "order_date__month"]
+    )
+    df = sl.query(
+        ["revenue", "order_count", "avg_order_value"],
+        group_by=["order_status", "order_date__month"],
+    )
+    assert sl.last_rollup_used == f"sem17_{tag}", "rollup was not routed"
+    return _finish(
+        df,
+        dates=["order_date__month"],
+        doubles=["revenue", "avg_order_value"],
+    )
+
+
+SEM17_SQL = """
+SELECT
+  o_orderstatus AS order_status,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_date__month,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_order_value
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 REGISTRY = {
     "sem1_entity_star_metrics": (sem1_entity_star_metrics, SEM1_SQL),
     "sem2_cumulative_metrics": (sem2_cumulative_metrics, SEM2_SQL),
@@ -1006,4 +1049,5 @@ REGISTRY = {
     "sem14_offset_to_grain": (sem14_offset_to_grain, SEM14_SQL),
     "sem15_distributional_aggs": (sem15_distributional_aggs, SEM15_SQL),
     "sem16_metric_filter": (sem16_metric_filter, SEM16_SQL),
+    "sem17_rollup_routing": (sem17_rollup_routing, SEM17_SQL),
 }

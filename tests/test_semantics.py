@@ -1875,3 +1875,98 @@ def test_unknown_metric_in_filter_errors(sl_mf):
         sl_mf.query(
             ["mf_rev"], group_by=["seg"], where="{{ Metric('nope') }} > 0"
         )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate awareness: engine-maintained rollups (Rollup +
+# materialize_rollup + query() routing). Partial sums/counts/min/max
+# re-aggregate exactly, so routed answers must be BIT-identical to the
+# fact-grain answers; anything non-decomposable must fall back silently.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def sl_ru(spark):
+    p = Project(spark, name="sem_ru")
+    p.source_table(
+        "txns_model",
+        spark.createDataFrame(
+            [
+                (1, "a", 10.0, "2025-01-01"),
+                (2, "a", 20.0, "2025-01-15"),
+                (3, "b", 5.0, "2025-02-01"),
+                (4, "b", 7.0, "2025-02-02"),
+                (5, "a", 3.0, "2025-02-20"),
+            ],
+            ["txn_id", "seg", "amount", "day"],
+        ).selectExpr("txn_id", "seg", "amount", "CAST(day AS DATE) AS day"),
+    )
+    layer = SemanticLayer(p)
+    layer.load(DOC)
+    yield layer
+    spark.sql(f"DROP TABLE IF EXISTS {p.qualified('ru1__rollup')}")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_rollup_routes_and_matches_fact(sl_ru):
+    q = dict(
+        metrics=["revenue", "txn_count", "avg_txn_value"],
+        group_by=["seg", "day__month"],
+    )
+    fact = _rows(sl_ru.query(**q))
+    assert sl_ru.last_rollup_used is None
+    sl_ru.materialize_rollup("ru1", "txns", ["seg", "day__month"])
+    routed = _rows(sl_ru.query(**q))
+    assert sl_ru.last_rollup_used == "ru1"
+    assert routed == fact
+    # coarser grain derives from the stored month buckets
+    fact_y = _rows(sl_ru.query(["revenue"], group_by=["day__year"]))
+    assert sl_ru.last_rollup_used == "ru1"  # still routed
+    assert fact_y == _rows(sl_ru.query(["revenue"], group_by=["day__year"]))
+
+
+def test_rollup_plan_scans_rollup_not_fact(sl_ru):
+    sl_ru.materialize_rollup("ru1", "txns", ["seg", "day__month"])
+    df = sl_ru.query(["revenue"], group_by=["seg"])
+    assert sl_ru.last_rollup_used == "ru1"
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ru1__rollup" in plan
+    assert "txns_model" not in plan
+
+
+def test_rollup_fallbacks(sl_ru):
+    sl_ru.materialize_rollup("ru1", "txns", ["seg", "day__month"])
+    # finer grain than stored: fact
+    sl_ru.query(["revenue"], group_by=["day__day"])
+    assert sl_ru.last_rollup_used is None
+    # row-level where: fact
+    sl_ru.query(["revenue"], group_by=["seg"], where="amount > 1")
+    assert sl_ru.last_rollup_used is None
+    # pre-agg filtered metric: fact
+    sl_ru.query(["big_revenue"], group_by=["seg"])
+    assert sl_ru.last_rollup_used is None
+    # non-decomposable measure (count_distinct): fact
+    sl_ru.load(
+        {"metrics": [{"name": "seg_count", "type": "simple",
+                      "measure": "n_segs"}]}
+    )
+    assert sl_ru.query(["seg_count"], group_by=["day__month"]).count() > 0
+    assert sl_ru.last_rollup_used is None
+    # eligible again afterwards (routing is per query)
+    sl_ru.query(["revenue"], group_by=["seg"])
+    assert sl_ru.last_rollup_used == "ru1"
+
+
+def test_rollup_week_not_derivable_from_month(sl_ru):
+    sl_ru.materialize_rollup("ru1", "txns", ["seg", "day__month"])
+    sl_ru.query(["revenue"], group_by=["day__week"])
+    assert sl_ru.last_rollup_used is None
+
+
+def test_rollup_rejects_uncovered_dimension(sl_ru):
+    sl_ru.materialize_rollup("ru1", "txns", ["day__month"])
+    sl_ru.query(["revenue"], group_by=["seg"])
+    assert sl_ru.last_rollup_used is None
