@@ -919,7 +919,11 @@ class SemanticLayer:
     # ------------------------------------------------------------------
 
     def materialize_rollup(
-        self, name: str, model: str, dims: list[str]
+        self,
+        name: str,
+        model: str,
+        dims: list[str],
+        reuse_existing: bool = False,
     ) -> Rollup:
         """Build (overwrite) a pre-aggregated rollup of semantic model
         ``model`` at the grain of ``dims`` (each ``dim`` or
@@ -975,12 +979,60 @@ class SemanticLayer:
                 f"model {model!r} has no rollup-coverable measures"
             )
         table = self.project.qualified(f"{name}__rollup")
-        (
-            df.groupBy(*group_cols)
-            .agg(*aggs)
-            .write.mode("overwrite")
-            .saveAsTable(table)
-        )
+        rollup_df = df.groupBy(*group_cols).agg(*aggs)
+        spark = self.project.spark
+
+        def _existing_files_dir() -> str | None:
+            import os as _os
+            import re as _re
+
+            wh = _re.sub(
+                r"^file:", "", spark.conf.get("spark.sql.warehouse.dir")
+            )
+            path = _os.path.join(
+                wh,
+                table.lower().replace(".", ".db/", 1)
+                if "." in table
+                else table.lower(),
+            )
+            if _os.path.isdir(path) and any(
+                f.endswith(".parquet") for f in _os.listdir(path)
+            ):
+                return path
+            return None
+
+        build = True
+        if reuse_existing:
+            if spark.catalog.tableExists(table):
+                build = False
+            else:
+                # Same cross-session contract as the bucketed star layout
+                # (plans/star_layout.py): managed-table METADATA dies with
+                # the session's in-memory catalog but the FILES persist —
+                # when the rollup content is deterministic for the
+                # caller's inputs, re-register the existing files as an
+                # external table instead of rebuilding (and instead of
+                # leaving an orphan behind every session).
+                path = _existing_files_dir()
+                if path is not None:
+                    ddl = ", ".join(
+                        f"{f.name} {f.dataType.simpleString()}"
+                        for f in rollup_df.schema.fields
+                    )
+                    spark.sql(
+                        f"CREATE TABLE {table} ({ddl}) USING parquet "
+                        f"LOCATION '{path}'"
+                    )
+                    build = False
+        if build:
+            from .materialize import _save_as_table
+
+            # through the engine's CTAS path so a previous session's
+            # orphaned location heals (age-gated) instead of failing
+            # with LOCATION_ALREADY_EXISTS
+            _save_as_table(
+                self.project, rollup_df.write.mode("overwrite"), table
+            )
         rollup = Rollup(
             name=name,
             model=model,

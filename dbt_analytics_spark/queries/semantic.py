@@ -1002,7 +1002,13 @@ def sem17_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = _layer(spark, sf_dir)
     tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     sl.materialize_rollup(
-        f"sem17_{tag}", "orders_sm", ["order_status", "order_date__month"]
+        f"sem17_{tag}",
+        "orders_sm",
+        ["order_status", "order_date__month"],
+        # testdata dirs are immutable per round, so a previous session's
+        # rollup files are the SAME content — re-register instead of
+        # rebuilding (and never leave a catalog-less orphan per run)
+        reuse_existing=True,
     )
     df = sl.query(
         ["revenue", "order_count", "avg_order_value"],
