@@ -465,3 +465,20 @@ def test_semantic_distributional_aggs_single_pass(spark):
         "o_totalprice" in l and "o_orderpriority" in l and "o_custkey" not in l
         for l in schemas
     ), schemas
+
+
+def test_zorder_box_filter_pushes_both_predicates(spark):
+    """zo1 (queries/core.py): both box predicates must reach the parquet
+    scan as PushedFilters — row-group stats pruning on the Z-ordered
+    layout (operators/zorder.py) only fires for pushed predicates — and
+    the scan must prune to the four referenced columns."""
+    df = REGISTRY["zo1_zorder_box_filter"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    assert "GreaterThanOrEqual(o_custkey" in line, line
+    assert "o_orderdate" in line.split("ReadSchema")[0], line
+    assert "o_orderkey" not in line.split("ReadSchema")[-1], (
+        "scan should prune unreferenced columns"
+    )
