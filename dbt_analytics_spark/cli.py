@@ -845,13 +845,22 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("debug", parents=[common], help="check project/session health")
     sub.add_parser("clean", parents=[common], help="remove the target directory")
     sl = sub.add_parser("sl", parents=[common], help="semantic-layer metric queries")
-    sl.add_argument("action", choices=["query", "list", "export", "validate"])
+    sl.add_argument(
+        "action", choices=["query", "list", "export", "validate", "rollup"]
+    )
     sl.add_argument("--saved", default=None, help="run a saved_queries block by name")
     sl.add_argument("--metrics", default="", help="comma-separated metric names")
     sl.add_argument("--group-by", default="", help="comma-separated dimensions (dim or dim__grain)")
     sl.add_argument("--where", default=None)
     sl.add_argument("--grain", default=None, help="default grain for time dimensions")
     sl.add_argument("-n", "--limit", type=int, default=100)
+    sl.add_argument("--name", default=None, help="rollup: rollup name")
+    sl.add_argument("--model", default=None, help="rollup: semantic model to pre-aggregate")
+    sl.add_argument(
+        "--dims",
+        default="",
+        help="rollup: comma-separated dims (dim or time_dim__grain) to store",
+    )
     clone = sub.add_parser("clone", parents=[common], help="clone a materialized relation")
     clone.add_argument("node")
     clone.add_argument("new_name")
@@ -1083,6 +1092,25 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                     f"{len(sl.saved_queries)} saved queries validated"
                 )
                 return 0
+            if args.action == "rollup":
+                # Aggregate awareness (plans/semantics.Rollup): build an
+                # engine-maintained pre-aggregation; subsequent `sl query`
+                # invocations in this session route to it automatically
+                # when the request re-aggregates exactly from it.
+                if not (args.name and args.model and args.dims):
+                    print(
+                        "sl rollup: pass --name, --model and --dims",
+                        file=sys.stderr,
+                    )
+                    return 2
+                dims = [d.strip() for d in args.dims.split(",") if d.strip()]
+                r = sl.materialize_rollup(args.name, args.model, dims)
+                print(
+                    f"rollup {r.name} -> {r.table} "
+                    f"(dims: {', '.join(r.dims)}; measures: "
+                    f"{', '.join(sorted(r.measures))})"
+                )
+                return 0
             if args.action == "export":
                 targets = (
                     [args.saved] if args.saved else sorted(sl.saved_queries)
@@ -1091,6 +1119,12 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                     for rel in sl.run_exports(name):
                         print(f"exported {name} -> {rel}")
                 return 0
+            # pick up rollups built by previous invocations (aggregate
+            # awareness routes automatically when derivable)
+            try:
+                sl.discover_rollups()
+            except Exception:
+                pass
             if args.saved:
                 sl.run_saved(args.saved).limit(args.limit).show(truncate=False)
                 return 0

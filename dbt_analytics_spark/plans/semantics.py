@@ -1041,10 +1041,89 @@ class SemanticLayer:
             measures=kinds,
             grains=grains,
         )
+        # Persist the spec ON the table (TBLPROPERTIES) so a FUTURE
+        # session's layer can rediscover and route to it — the registry
+        # below is in-memory and dies with this layer.
+        import json as _json
+
+        spec = _json.dumps(
+            {
+                "name": name,
+                "model": model,
+                "dims": dim_names,
+                "measures": kinds,
+                "grains": grains,
+            }
+        ).replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('dbt_analytics.rollup' = '{spec}')"
+        )
+        rollup = Rollup(
+            name=name,
+            model=model,
+            dims=tuple(dim_names),
+            table=table,
+            measures=kinds,
+            grains=grains,
+        )
         kept = [r for r in self.rollups.get(model, []) if r.name != name]
         kept.append(rollup)
         self.rollups[model] = kept
         return rollup
+
+    def discover_rollups(self) -> int:
+        """Re-register rollups built by PREVIOUS sessions: scan the
+        current database for ``*__rollup`` tables carrying the
+        ``dbt_analytics.rollup`` property and register every one whose
+        semantic model this layer knows. Returns the number registered.
+        The CLI calls this before ``sl query`` so ``sl rollup`` in one
+        invocation accelerates queries in every later one."""
+        spark = self.project.spark
+        n = 0
+        for t in spark.catalog.listTables(
+            self.project.database or None
+        ):
+            if not t.name.endswith("__rollup"):
+                continue
+            full = (
+                f"{t.namespace[0]}.{t.name}"
+                if getattr(t, "namespace", None)
+                else t.name
+            )
+            try:
+                rows = spark.sql(
+                    f"SHOW TBLPROPERTIES {full} ('dbt_analytics.rollup')"
+                ).collect()
+            except Exception:
+                continue
+            if not rows or "does not have property" in (rows[0][-1] or ""):
+                continue
+            import json as _json
+
+            try:
+                spec = _json.loads(rows[0]["value"])
+            except (ValueError, KeyError):
+                continue
+            if spec.get("model") not in self.models:
+                continue
+            rollup = Rollup(
+                name=spec["name"],
+                model=spec["model"],
+                dims=tuple(spec["dims"]),
+                table=full,
+                measures=dict(spec["measures"]),
+                grains=dict(spec.get("grains", {})),
+            )
+            kept = [
+                r
+                for r in self.rollups.get(rollup.model, [])
+                if r.name != rollup.name
+            ]
+            kept.append(rollup)
+            self.rollups[rollup.model] = kept
+            n += 1
+        return n
 
     def _route_rollup(
         self,

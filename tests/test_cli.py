@@ -1028,3 +1028,63 @@ saved_queries:
     assert "bad_offset:" in out
     assert "sq_bad" in out and "nope" in out
     assert "FAIL revenue" not in out
+
+
+def test_cli_sl_rollup_builds_and_later_queries_route(project_dir, spark, capsys):
+    _write(
+        os.path.join(project_dir, "models", "semantics.yml"),
+        """
+semantic_models:
+  - name: txn_sem
+    model: ref('stg_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+    measures:
+      - {name: total_amount, agg: sum, expr: amount}
+      - {name: n_txns, agg: count}
+metrics:
+  - {name: revenue, type: simple, measure: total_amount}
+  - {name: txn_count, type: simple, measure: n_txns}
+""",
+    )
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_slr")
+    assert rc == 0
+    capsys.readouterr()
+    rc = _run(
+        spark,
+        [
+            "sl", "rollup", "--project-dir", project_dir,
+            "--name", "seg_ru", "--model", "txn_sem", "--dims", "seg",
+        ],
+        "cli_slr",
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "seg_ru" in out and "total_amount" in out
+    # a SEPARATE invocation (fresh Project + SemanticLayer) still answers
+    # correctly — and routes, per the discovery registry
+    rc = _run(
+        spark,
+        [
+            "sl", "query", "--project-dir", project_dir,
+            "--metrics", "revenue,txn_count", "--group-by", "seg",
+        ],
+        "cli_slr",
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "30.0" in out  # seg a: 10 + 20
+    # discovery registers the persisted spec into a brand-new layer
+    from dbt_analytics_spark.plans.semantics import SemanticLayer
+    from dbt_analytics_spark.plans import Project as _P
+
+    p = _P(spark, name="slr_check", database="cli_slr")
+    import yaml as _yaml
+
+    doc = _yaml.safe_load(open(os.path.join(project_dir, "models", "semantics.yml")))
+    p.source_table("stg_txns", spark.table("cli_slr.stg_txns"))
+    lay = SemanticLayer(p)
+    lay.load(doc)
+    assert lay.discover_rollups() >= 1
+    lay.query(["revenue"], group_by=["seg"]).count()
+    assert lay.last_rollup_used == "seg_ru"
