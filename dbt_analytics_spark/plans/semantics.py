@@ -356,6 +356,17 @@ class Rollup:
     table: str  # physical relation holding the partials
     measures: dict[str, str]  # measure name -> original agg kind
     grains: dict[str, str] = field(default_factory=dict)  # time dim -> grain
+    #: staleness guard (plans/fingerprint.py): digest of the SOURCE
+    #: relation's file listing at build time. _route_rollup recomputes it
+    #: per routed query and falls back to the fact on mismatch, so a
+    #: rollup built before an incremental append / rebuild of the fact
+    #: can never silently serve stale aggregates. None = unverifiable
+    #: (legacy spec): never routed.
+    fp_data: str | None = None
+    #: digest of the dim/measure DEFINITIONS the partials were compiled
+    #: from; a YAML edit that changes what a stored partial means makes
+    #: the rollup unroutable until rebuilt.
+    fp_defs: str | None = None
 
 
 #: Measure agg kinds whose partials re-aggregate EXACTLY from a coarser
@@ -982,39 +993,64 @@ class SemanticLayer:
         rollup_df = df.groupBy(*group_cols).agg(*aggs)
         spark = self.project.spark
 
-        def _existing_files_dir() -> str | None:
+        from .fingerprint import (
+            data_fingerprint,
+            dir_is_complete,
+            read_sidecar,
+            write_sidecar,
+        )
+
+        # Staleness stamps, captured at build time: the source relation's
+        # file-listing digest and the dim/measure definition digest. Every
+        # later reuse / discover / route decision verifies BOTH — an
+        # incremental append to the fact or a YAML edit invalidates the
+        # rollup instead of silently serving stale partials.
+        spec = {
+            "name": name,
+            "model": model,
+            "dims": dim_names,
+            "measures": kinds,
+            "grains": grains,
+            "fp_data": data_fingerprint(df),
+            "fp_defs": self._rollup_defs_fp(sem, dim_names, kinds),
+        }
+
+        def _table_dir() -> str:
             import os as _os
             import re as _re
 
             wh = _re.sub(
                 r"^file:", "", spark.conf.get("spark.sql.warehouse.dir")
             )
-            path = _os.path.join(
+            return _os.path.join(
                 wh,
                 table.lower().replace(".", ".db/", 1)
                 if "." in table
                 else table.lower(),
             )
-            if _os.path.isdir(path) and any(
-                f.endswith(".parquet") for f in _os.listdir(path)
-            ):
-                return path
-            return None
 
         build = True
         if reuse_existing:
             if spark.catalog.tableExists(table):
-                build = False
+                # Reuse only when the persisted spec (incl. both
+                # fingerprints) matches what THIS call would build —
+                # otherwise fall through and overwrite the stale table.
+                if self._read_rollup_spec(table) == spec:
+                    build = False
             else:
                 # Same cross-session contract as the bucketed star layout
                 # (plans/star_layout.py): managed-table METADATA dies with
                 # the session's in-memory catalog but the FILES persist —
-                # when the rollup content is deterministic for the
-                # caller's inputs, re-register the existing files as an
-                # external table instead of rebuilding (and instead of
-                # leaving an orphan behind every session).
-                path = _existing_files_dir()
-                if path is not None:
+                # re-register the existing files as an external table
+                # instead of rebuilding (and instead of leaving an orphan
+                # behind every session). Gated on (a) the _SUCCESS marker
+                # (a crashed partial write must never register as a
+                # complete table) and (b) the durable sidecar spec
+                # matching this call's spec exactly (a dims change under
+                # the same name must not read old files through a new
+                # schema as NULLs).
+                path = _table_dir()
+                if dir_is_complete(path) and read_sidecar(path) == spec:
                     ddl = ", ".join(
                         f"{f.name} {f.dataType.simpleString()}"
                         for f in rollup_df.schema.fields
@@ -1033,31 +1069,22 @@ class SemanticLayer:
             _save_as_table(
                 self.project, rollup_df.write.mode("overwrite"), table
             )
-        rollup = Rollup(
-            name=name,
-            model=model,
-            dims=tuple(dim_names),
-            table=table,
-            measures=kinds,
-            grains=grains,
-        )
+            # Durable copy of the spec beside the data files: TBLPROPERTIES
+            # die with an in-memory session catalog; the sidecar is what a
+            # later session's files-reuse path verifies against.
+            try:
+                write_sidecar(_table_dir(), spec)
+            except OSError:
+                pass  # non-local warehouse: TBLPROPERTIES path still works
         # Persist the spec ON the table (TBLPROPERTIES) so a FUTURE
         # session's layer can rediscover and route to it — the registry
         # below is in-memory and dies with this layer.
         import json as _json
 
-        spec = _json.dumps(
-            {
-                "name": name,
-                "model": model,
-                "dims": dim_names,
-                "measures": kinds,
-                "grains": grains,
-            }
-        ).replace("'", "''")
+        spec_sql = _json.dumps(spec).replace("'", "''")
         spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES "
-            f"('dbt_analytics.rollup' = '{spec}')"
+            f"('dbt_analytics.rollup' = '{spec_sql}')"
         )
         rollup = Rollup(
             name=name,
@@ -1066,19 +1093,65 @@ class SemanticLayer:
             table=table,
             measures=kinds,
             grains=grains,
+            fp_data=spec["fp_data"],
+            fp_defs=spec["fp_defs"],
         )
         kept = [r for r in self.rollups.get(model, []) if r.name != name]
         kept.append(rollup)
         self.rollups[model] = kept
         return rollup
 
+    def _rollup_defs_fp(
+        self, sem: SemanticModel, dim_names, measure_kinds
+    ) -> str:
+        """Digest of the dimension/measure DEFINITIONS a rollup's
+        partials were compiled from (exprs, types, grains, agg kinds).
+        Raises KeyError when a name no longer exists on the model —
+        callers treat that as definition drift."""
+        from .fingerprint import defs_fingerprint
+
+        dims = {}
+        for dn in dim_names:
+            d = sem.dimensions[dn]
+            dims[dn] = [d.type, d.expr or dn, d.grain if d.type == "time" else ""]
+        meas = {}
+        for mn in measure_kinds:
+            ms = sem.measures[mn]
+            meas[mn] = [ms.agg, ms.expr or (mn if ms.agg != "count" else "1")]
+        return defs_fingerprint({"dims": dims, "measures": meas})
+
+    def _read_rollup_spec(self, table: str) -> dict | None:
+        """The ``dbt_analytics.rollup`` TBLPROPERTIES spec of ``table``,
+        or None when absent/unparseable."""
+        import json as _json
+
+        try:
+            rows = self.project.spark.sql(
+                f"SHOW TBLPROPERTIES {table} ('dbt_analytics.rollup')"
+            ).collect()
+        except Exception:
+            return None
+        if not rows or "does not have property" in (rows[0][-1] or ""):
+            return None
+        try:
+            return _json.loads(rows[0]["value"])
+        except (ValueError, KeyError):
+            return None
+
     def discover_rollups(self) -> int:
         """Re-register rollups built by PREVIOUS sessions: scan the
         current database for ``*__rollup`` tables carrying the
         ``dbt_analytics.rollup`` property and register every one whose
-        semantic model this layer knows. Returns the number registered.
-        The CLI calls this before ``sl query`` so ``sl rollup`` in one
-        invocation accelerates queries in every later one."""
+        semantic model this layer knows AND whose definition fingerprint
+        still matches the current YAML (a rollup whose dim/measure exprs
+        drifted is skipped with a warning — its partials no longer mean
+        what the query would assume). Source-DATA freshness is verified
+        per query in _route_rollup, since the fact can change after
+        discovery. Returns the number registered. The CLI calls this
+        before ``sl query`` so ``sl rollup`` in one invocation
+        accelerates queries in every later one."""
+        import warnings
+
         spark = self.project.spark
         n = 0
         for t in spark.catalog.listTables(
@@ -1091,21 +1164,25 @@ class SemanticLayer:
                 if getattr(t, "namespace", None)
                 else t.name
             )
+            spec = self._read_rollup_spec(full)
+            if spec is None:
+                continue
+            sem = self.models.get(spec.get("model"))
+            if sem is None:
+                continue
             try:
-                rows = spark.sql(
-                    f"SHOW TBLPROPERTIES {full} ('dbt_analytics.rollup')"
-                ).collect()
-            except Exception:
-                continue
-            if not rows or "does not have property" in (rows[0][-1] or ""):
-                continue
-            import json as _json
-
-            try:
-                spec = _json.loads(rows[0]["value"])
-            except (ValueError, KeyError):
-                continue
-            if spec.get("model") not in self.models:
+                cur_defs = self._rollup_defs_fp(
+                    sem, spec["dims"], spec["measures"]
+                )
+            except KeyError:
+                cur_defs = None  # a dim/measure no longer exists
+            if spec.get("fp_defs") != cur_defs or cur_defs is None:
+                warnings.warn(
+                    f"rollup {spec.get('name')!r} ({full}): dimension/"
+                    "measure definitions changed since it was built; "
+                    "skipping — rebuild with sl rollup",
+                    stacklevel=2,
+                )
                 continue
             rollup = Rollup(
                 name=spec["name"],
@@ -1114,6 +1191,8 @@ class SemanticLayer:
                 table=full,
                 measures=dict(spec["measures"]),
                 grains=dict(spec.get("grains", {})),
+                fp_data=spec.get("fp_data"),
+                fp_defs=spec.get("fp_defs"),
             )
             kept = [
                 r
@@ -1147,6 +1226,7 @@ class SemanticLayer:
         candidates = self.rollups.get(sem.name) or []
         if not candidates:
             return sem, df, None
+        cur_fp: str | None = None  # source-data digest, computed lazily
         # shapes a partial-aggregate table cannot answer
         if conversions or where:
             return sem, df, None
@@ -1191,6 +1271,36 @@ class SemanticLayer:
                     break
             if not ok:
                 continue
+            # Staleness guard (the one supported workflow that could
+            # otherwise return a silently WRONG answer: build rollup ->
+            # incremental-append the fact -> query routes to stale
+            # partials). Definitions first (cheap, in-memory), then the
+            # source relation's file listing (metadata-only, one
+            # filesystem listing — no data scan).
+            try:
+                defs_ok = rollup.fp_defs == self._rollup_defs_fp(
+                    sem, rollup.dims, rollup.measures
+                )
+            except KeyError:
+                defs_ok = False
+            if not defs_ok:
+                continue
+            if cur_fp is None:
+                from .fingerprint import data_fingerprint
+
+                cur_fp = data_fingerprint(df)
+            if rollup.fp_data != cur_fp:
+                import warnings
+
+                warnings.warn(
+                    f"rollup {rollup.name!r} is stale (source relation "
+                    "changed since it was built); answering from the "
+                    "fact grain — rebuild with materialize_rollup()/"
+                    "sl rollup",
+                    stacklevel=3,
+                )
+                continue
+            rollup_dims = set(rollup.dims)
             dims2 = {
                 dn: Dimension(
                     name=dn,
@@ -1201,7 +1311,14 @@ class SemanticLayer:
                     # gotten from the fact (derivability was checked)
                     grain=sem.dimensions[dn].grain,
                 )
-                for dn in rollup.dims
+                # iterate in sem.dimensions order (NOT rollup.dims order)
+                # so the synthesized model's FIRST time dimension is the
+                # same one metric_time resolved to during the routing
+                # check above — with two time dims stored in a different
+                # order, rollup.dims order would truncate/group the wrong
+                # time dimension downstream.
+                for dn in sem.dimensions
+                if dn in rollup_dims
             }
             meas2 = {
                 mn: Measure(

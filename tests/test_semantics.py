@@ -1970,3 +1970,226 @@ def test_rollup_rejects_uncovered_dimension(sl_ru):
     sl_ru.materialize_rollup("ru1", "txns", ["day__month"])
     sl_ru.query(["revenue"], group_by=["seg"])
     assert sl_ru.last_rollup_used is None
+
+# ---------------------------------------------------------------------------
+# Rollup staleness guard (plans/fingerprint.py): a rollup built before an
+# append/rebuild of the fact, or before a YAML definition change, must
+# never be routed to — the routed answer would be silently WRONG. Data
+# freshness is verified per query (file-listing digest), definitions at
+# discover AND route time.
+# ---------------------------------------------------------------------------
+
+
+_TXN_COLS = ["txn_id", "seg", "amount", "day"]
+
+
+def _txn_df(spark, rows):
+    return spark.createDataFrame(rows, _TXN_COLS).selectExpr(
+        "txn_id", "seg", "amount", "CAST(day AS DATE) AS day"
+    )
+
+
+def _file_layer(spark, path, name="sem_fp"):
+    p = Project(spark, name=name)
+    p.source_table("txns_model", spark.read.parquet(path))
+    layer = SemanticLayer(p)
+    layer.load(DOC)
+    return p, layer
+
+
+@pytest.fixture()
+def fact_path(spark, tmp_path):
+    path = str(tmp_path / "txns")
+    _txn_df(
+        spark,
+        [
+            (1, "a", 10.0, "2025-01-01"),
+            (2, "a", 20.0, "2025-01-15"),
+            (3, "b", 5.0, "2025-02-01"),
+        ],
+    ).write.parquet(path)
+    yield path
+    spark.sql("DROP TABLE IF EXISTS rus__rollup")
+    # an EXTERNAL registration's drop keeps the files; clear them so the
+    # next test's CTAS never trips the orphan heal gate
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    shutil.rmtree(os.path.join(wh, "rus__rollup"), ignore_errors=True)
+
+
+def test_rollup_stale_after_fact_append_falls_back(spark, fact_path):
+    _, lay1 = _file_layer(spark, fact_path)
+    lay1.materialize_rollup("rus", "txns", ["seg"])
+    assert _rows(lay1.query(["revenue"], group_by=["seg"])) == [
+        ("a", 30.0),
+        ("b", 5.0),
+    ]
+    assert lay1.last_rollup_used == "rus"
+    # the fact grows AFTER the rollup was built (incremental append)
+    _txn_df(spark, [(4, "b", 7.0, "2025-02-02")]).write.mode(
+        "append"
+    ).parquet(fact_path)
+    # a new session discovers the rollup but must NOT route to it
+    _, lay2 = _file_layer(spark, fact_path)
+    assert lay2.discover_rollups() == 1
+    with pytest.warns(UserWarning, match="stale"):
+        rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+    assert lay2.last_rollup_used is None
+    assert rows == [("a", 30.0), ("b", 12.0)]  # includes the appended row
+
+
+def test_rollup_same_session_append_detected(spark, fact_path, tmp_path):
+    """Even the BUILDING session's own registry entry is re-verified per
+    query: the fingerprint check runs at route time, not registration."""
+    _, lay = _file_layer(spark, fact_path)
+    lay.materialize_rollup("rus", "txns", ["seg"])
+    _txn_df(spark, [(4, "b", 7.0, "2025-02-02")]).write.mode(
+        "append"
+    ).parquet(fact_path)
+    # re-resolve the source so the fact df sees the new file (a cached
+    # file index would hide the append from BOTH paths equally)
+    p2, lay2 = _file_layer(spark, fact_path)
+    lay2.rollups = lay.rollups  # same in-memory registration
+    with pytest.warns(UserWarning, match="stale"):
+        rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+    assert lay2.last_rollup_used is None
+    assert rows == [("a", 30.0), ("b", 12.0)]
+
+
+def test_rollup_rebuild_after_append_routes_again(spark, fact_path):
+    _, lay1 = _file_layer(spark, fact_path)
+    lay1.materialize_rollup("rus", "txns", ["seg"])
+    _txn_df(spark, [(4, "b", 7.0, "2025-02-02")]).write.mode(
+        "append"
+    ).parquet(fact_path)
+    _, lay2 = _file_layer(spark, fact_path)
+    # reuse_existing must detect the stale stamp and REBUILD, not reuse
+    lay2.materialize_rollup("rus", "txns", ["seg"], reuse_existing=True)
+    rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+    assert lay2.last_rollup_used == "rus"
+    assert rows == [("a", 30.0), ("b", 12.0)]
+
+
+def test_rollup_reuse_existing_still_reuses_when_fresh(spark, fact_path):
+    _, lay1 = _file_layer(spark, fact_path)
+    r1 = lay1.materialize_rollup("rus", "txns", ["seg"])
+    _, lay2 = _file_layer(spark, fact_path)
+    r2 = lay2.materialize_rollup("rus", "txns", ["seg"], reuse_existing=True)
+    assert r2.fp_data == r1.fp_data
+    rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+    assert lay2.last_rollup_used == "rus"
+    assert rows == [("a", 30.0), ("b", 5.0)]
+
+
+def test_rollup_defs_drift_skipped_at_discover(spark, fact_path):
+    _, lay1 = _file_layer(spark, fact_path)
+    lay1.materialize_rollup("rus", "txns", ["seg"])
+    # a new session whose YAML changed the measure's expr: the stored
+    # partials no longer mean what the query would assume
+    p2 = Project(spark, name="sem_fp2")
+    p2.source_table("txns_model", spark.read.parquet(fact_path))
+    lay2 = SemanticLayer(p2)
+    import copy
+
+    doc = copy.deepcopy(DOC)
+    for ms in doc["semantic_models"][0]["measures"]:
+        if ms["name"] == "total_amount":
+            ms["expr"] = "amount * 2"
+    lay2.load(doc)
+    with pytest.warns(UserWarning, match="definitions changed"):
+        assert lay2.discover_rollups() == 0
+    rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+    assert lay2.last_rollup_used is None
+    assert rows == [("a", 60.0), ("b", 10.0)]  # fact grain, new defs
+
+
+def test_rollup_defs_drift_same_session_route_refused(spark, fact_path):
+    _, lay = _file_layer(spark, fact_path)
+    lay.materialize_rollup("rus", "txns", ["seg"])
+    assert _rows(lay.query(["revenue"], group_by=["seg"]))
+    assert lay.last_rollup_used == "rus"
+    # redefine the measure IN-SESSION (sl.load is additive): route must
+    # refuse even though the registry entry predates the change
+    import copy
+
+    doc = copy.deepcopy(DOC)
+    for ms in doc["semantic_models"][0]["measures"]:
+        if ms["name"] == "total_amount":
+            ms["expr"] = "amount * 2"
+    lay.load(doc)
+    rows = _rows(lay.query(["revenue"], group_by=["seg"]))
+    assert lay.last_rollup_used is None
+    assert rows == [("a", 60.0), ("b", 10.0)]
+
+
+def _orphan_rollup_files(spark, fact_path, drop_success: bool):
+    """Build a rollup, then simulate a dead session: catalog entry gone,
+    files still in the warehouse (optionally without the _SUCCESS marker,
+    i.e. a crashed partial write)."""
+    import os
+    import shutil
+
+    _, lay1 = _file_layer(spark, fact_path)
+    r = lay1.materialize_rollup("rus", "txns", ["seg"])
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    tdir = os.path.join(wh, r.table.lower())
+    keep = tdir + ".keep"
+    shutil.copytree(tdir, keep)
+    spark.sql(f"DROP TABLE {r.table}")  # managed drop removes the files
+    shutil.move(keep, tdir)
+    if drop_success:
+        os.remove(os.path.join(tdir, "_SUCCESS"))
+    return tdir
+
+
+def test_rollup_files_reuse_requires_success_marker(spark, fact_path):
+    """A crashed write (no _SUCCESS) must never re-register as a table —
+    it gets REBUILT (through the orphan heal) instead."""
+    _orphan_rollup_files(spark, fact_path, drop_success=True)
+    spark.conf.set("spark.dbt_analytics.orphanHealMinAgeSeconds", "0")
+    try:
+        _, lay2 = _file_layer(spark, fact_path)
+        lay2.materialize_rollup("rus", "txns", ["seg"], reuse_existing=True)
+        rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+        assert lay2.last_rollup_used == "rus"
+        assert rows == [("a", 30.0), ("b", 5.0)]
+    finally:
+        spark.conf.unset("spark.dbt_analytics.orphanHealMinAgeSeconds")
+
+
+def test_rollup_files_reuse_registers_without_rebuild(spark, fact_path):
+    """Complete files + matching sidecar spec: a new session re-registers
+    them as an external table — zero rebuild (same part files after)."""
+    import os
+
+    tdir = _orphan_rollup_files(spark, fact_path, drop_success=False)
+    before = sorted(os.listdir(tdir))
+    _, lay2 = _file_layer(spark, fact_path)
+    lay2.materialize_rollup("rus", "txns", ["seg"], reuse_existing=True)
+    assert sorted(os.listdir(tdir)) == before  # reused, not rewritten
+    rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+    assert lay2.last_rollup_used == "rus"
+    assert rows == [("a", 30.0), ("b", 5.0)]
+
+
+def test_rollup_files_reuse_rejects_spec_mismatch(spark, fact_path):
+    """Old files under the same rollup name with a DIFFERENT stored spec
+    (e.g. a dims change) must be rebuilt, never read through the new
+    schema as NULLs."""
+    _orphan_rollup_files(spark, fact_path, drop_success=False)
+    spark.conf.set("spark.dbt_analytics.orphanHealMinAgeSeconds", "0")
+    try:
+        _, lay2 = _file_layer(spark, fact_path)
+        # same name, different dims than the sidecar records
+        lay2.materialize_rollup(
+            "rus", "txns", ["seg", "day__month"], reuse_existing=True
+        )
+        rows = _rows(
+            lay2.query(["revenue"], group_by=["seg", "day__month"])
+        )
+        assert lay2.last_rollup_used == "rus"
+        # fixture data: (a, 2025-01)=30.0 and (b, 2025-02)=5.0
+        assert [(r[0], r[2]) for r in rows] == [("a", 30.0), ("b", 5.0)]
+    finally:
+        spark.conf.unset("spark.dbt_analytics.orphanHealMinAgeSeconds")
