@@ -140,6 +140,16 @@ def _measure_agg(ms: "Measure", expr: Column) -> Column:
     """
     if ms.agg == "sum_boolean":
         return F.sum(F.when(expr, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+    if ms.agg == "_reagg_avg":
+        # Internal (aggregate-awareness routing only): re-aggregate an avg
+        # measure from its rollup partials — sum of partial sums over sum
+        # of partial non-null counts, cast to the type the fact-grain
+        # F.avg would have produced (Spark's own Average is sum/count, so
+        # the value is identical; the cast pins the decimal scale).
+        base = ms.expr  # "p_<name>"
+        col = F.sum(F.col(f"{base}__sum")) / F.sum(F.col(f"{base}__cnt"))
+        cast = (ms.agg_params or {}).get("cast")
+        return col.cast(cast) if cast else col
     if ms.agg == "median":
         return F.median(expr)
     if ms.agg == "percentile":
@@ -367,21 +377,30 @@ class Rollup:
     #: from; a YAML edit that changes what a stored partial means makes
     #: the rollup unroutable until rebuilt.
     fp_defs: str | None = None
+    #: avg measures only: measure name -> the fact-grain avg's result
+    #: type (recorded at build), so the routed sum/count division casts
+    #: to the exact same decimal scale.
+    casts: dict[str, str] = field(default_factory=dict)
 
 
 #: Measure agg kinds whose partials re-aggregate EXACTLY from a coarser
-#: grain. avg is representable (sum+count pair) but excluded from v1;
-#: count_distinct / median / percentile / non-additive measures are not
-#: decomposable and always fall back to the fact.
-_ROLLUP_COVERABLE = {"sum", "count", "min", "max", "sum_boolean"}
+#: grain. avg decomposes into a (sum, count-of-non-nulls) partial PAIR
+#: re-divided post-agg — identical to the fact-grain avg, which Spark
+#: itself computes as sum/count; count_distinct / median / percentile /
+#: non-additive measures are not decomposable and always fall back to
+#: the fact.
+_ROLLUP_COVERABLE = {"sum", "count", "min", "max", "sum_boolean", "avg"}
 
-#: Re-aggregation of a partial column, per original agg kind.
+#: Re-aggregation of a partial column, per original agg kind. avg maps
+#: to the internal ``_reagg_avg`` kind: sum(p__sum)/sum(p__cnt), cast to
+#: the fact-grain avg's exact result type (recorded at build time).
 _ROLLUP_REAGG = {
     "sum": "sum",
     "count": "sum",
     "sum_boolean": "sum",
     "min": "min",
     "max": "max",
+    "avg": "_reagg_avg",
 }
 
 #: grain -> the coarser grains derivable from buckets stored at it.
@@ -940,7 +959,8 @@ class SemanticLayer:
         ``model`` at the grain of ``dims`` (each ``dim`` or
         ``time_dim__grain``), storing partial aggregates for every
         measure whose kind re-aggregates exactly (sum/count/min/max/
-        sum_boolean). One fact scan now; every eligible ``query()``
+        sum_boolean, and avg as a sum+count partial pair re-divided at
+        query time). One fact scan now; every eligible ``query()``
         afterwards reads the rollup instead of the fact — the aggregate
         awareness answer to repeated metric traffic at 100 TB (the same
         trade the bucketed star layout makes for joins).
@@ -972,11 +992,26 @@ class SemanticLayer:
             group_cols.append(expr.alias(f"d_{dn}"))
             dim_names.append(dn)
         kinds: dict[str, str] = {}
+        casts: dict[str, str] = {}
         aggs = []
         for ms in sem.measures.values():
             if ms.non_additive or ms.agg not in _ROLLUP_COVERABLE:
                 continue
             expr = F.expr(ms.expr or (ms.name if ms.agg != "count" else "1"))
+            if ms.agg == "avg":
+                # avg decomposes into a (sum, non-null count) partial
+                # pair; the router divides re-summed partials and casts
+                # to the fact-grain avg's exact result type, recorded
+                # here (analysis only — no job).
+                aggs.append(F.sum(expr).alias(f"p_{ms.name}__sum"))
+                aggs.append(F.count(expr).alias(f"p_{ms.name}__cnt"))
+                casts[ms.name] = (
+                    df.select(F.avg(expr).alias("__t"))
+                    .schema[0]
+                    .dataType.simpleString()
+                )
+                kinds[ms.name] = ms.agg
+                continue
             if ms.agg == "sum_boolean":
                 col = F.sum(
                     F.when(expr, F.lit(1)).otherwise(F.lit(0))
@@ -1011,6 +1046,7 @@ class SemanticLayer:
             "dims": dim_names,
             "measures": kinds,
             "grains": grains,
+            "casts": casts,
             "fp_data": data_fingerprint(df),
             "fp_defs": self._rollup_defs_fp(sem, dim_names, kinds),
         }
@@ -1095,6 +1131,7 @@ class SemanticLayer:
             grains=grains,
             fp_data=spec["fp_data"],
             fp_defs=spec["fp_defs"],
+            casts=casts,
         )
         kept = [r for r in self.rollups.get(model, []) if r.name != name]
         kept.append(rollup)
@@ -1193,6 +1230,7 @@ class SemanticLayer:
                 grains=dict(spec.get("grains", {})),
                 fp_data=spec.get("fp_data"),
                 fp_defs=spec.get("fp_defs"),
+                casts=dict(spec.get("casts", {})),
             )
             kept = [
                 r
@@ -1322,7 +1360,14 @@ class SemanticLayer:
             }
             meas2 = {
                 mn: Measure(
-                    name=mn, agg=_ROLLUP_REAGG[kind], expr=f"p_{mn}"
+                    name=mn,
+                    agg=_ROLLUP_REAGG[kind],
+                    expr=f"p_{mn}",
+                    agg_params=(
+                        {"cast": rollup.casts.get(mn)}
+                        if kind == "avg"
+                        else None
+                    ),
                 )
                 for mn, kind in rollup.measures.items()
             }

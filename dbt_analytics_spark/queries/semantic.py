@@ -189,6 +189,13 @@ _DOC = {
             "type_params": {"numerator": "revenue", "denominator": "order_count"},
         },
         {
+            # Simple metric over an AVG measure (vs the ratio above):
+            # rollup-routable as a (sum, count) partial pair (sem17).
+            "name": "mean_order_price",
+            "type": "simple",
+            "measure": "avg_price",
+        },
+        {
             "name": "cum_revenue",
             "type": "cumulative",
             "measure": "order_revenue",
@@ -1011,14 +1018,17 @@ def sem17_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         reuse_existing=True,
     )
     df = sl.query(
-        ["revenue", "order_count", "avg_order_value"],
+        # mean_order_price rides an AVG measure: routed as sum+count
+        # partials re-divided, cast to the fact-grain avg's exact
+        # decimal(22,6) scale (round 13 — avg joined _ROLLUP_COVERABLE)
+        ["revenue", "order_count", "avg_order_value", "mean_order_price"],
         group_by=["order_status", "order_date__month"],
     )
     assert sl.last_rollup_used == f"sem17_{tag}", "rollup was not routed"
     return _finish(
         df,
         dates=["order_date__month"],
-        doubles=["revenue", "avg_order_value"],
+        doubles=["revenue", "avg_order_value", "mean_order_price"],
     )
 
 
@@ -1029,7 +1039,15 @@ SELECT
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
   COUNT(*) AS order_count,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-    / CAST(COUNT(*) AS DOUBLE) AS avg_order_value
+    / CAST(COUNT(*) AS DOUBLE) AS avg_order_value,
+  -- Spark's avg(DECIMAL(18,2)) is the exact rational sum/count rounded
+  -- HALF-UP at scale 6 (decimal(22,6)); emulate in integer space: cents
+  -- are exact BIGINTs, (2n + c) // (2c) is round-half-up for n >= 0,
+  -- and CAST(k AS DOUBLE)/1e6 is the correctly-rounded double of k/1e6
+  -- (k < 2^53), matching Spark's decimal->double cast bit-for-bit.
+  CAST((SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+          * 10000 * 2 + COUNT(*)) // (COUNT(*) * 2) AS DOUBLE) / 1000000.0
+    AS mean_order_price
 FROM orders
 GROUP BY 1, 2
 """

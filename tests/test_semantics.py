@@ -2193,3 +2193,59 @@ def test_rollup_files_reuse_rejects_spec_mismatch(spark, fact_path):
         assert [(r[0], r[2]) for r in rows] == [("a", 30.0), ("b", 5.0)]
     finally:
         spark.conf.unset("spark.dbt_analytics.orphanHealMinAgeSeconds")
+
+
+def test_rollup_avg_measure_routes_and_matches_fact(spark, fact_path):
+    """avg decomposes into (sum, non-null count) partials re-divided at
+    query time — the routed answer must be IDENTICAL to the fact-grain
+    F.avg, including its decimal result scale."""
+    import copy
+
+    doc = copy.deepcopy(DOC)
+    doc["metrics"].append(
+        {"name": "avg_val", "type": "simple", "measure": "avg_amount"}
+    )
+    # decimal variant too: avg's result-type cast must pin the scale
+    doc["semantic_models"][0]["measures"].append(
+        {
+            "name": "avg_dec",
+            "agg": "avg",
+            "expr": "CAST(amount AS DECIMAL(18,2))",
+        }
+    )
+    doc["metrics"].append(
+        {"name": "avg_val_dec", "type": "simple", "measure": "avg_dec"}
+    )
+    p = Project(spark, name="sem_avg")
+    p.source_table("txns_model", spark.read.parquet(fact_path))
+    lay = SemanticLayer(p)
+    lay.load(doc)
+    q = dict(
+        metrics=["avg_val", "avg_val_dec", "revenue"], group_by=["seg"]
+    )
+    fact_df = lay.query(**q)
+    fact_schema = fact_df.schema
+    fact = _rows(fact_df)
+    assert lay.last_rollup_used is None
+    lay.materialize_rollup("rus", "txns", ["seg"])
+    routed_df = lay.query(**q)
+    routed = _rows(routed_df)
+    assert lay.last_rollup_used == "rus"
+    assert routed == fact
+    assert routed_df.schema == fact_schema  # incl. the decimal avg scale
+    # nulls: avg ignores them — partial count must be non-null count
+    spark.createDataFrame(
+        [(9, "c", None, "2025-03-01")],
+        "txn_id: bigint, seg: string, amount: double, day: string",
+    ).selectExpr(
+        "txn_id", "seg", "amount", "CAST(day AS DATE) AS day"
+    ).write.mode("append").parquet(fact_path)
+    p2 = Project(spark, name="sem_avg2")
+    p2.source_table("txns_model", spark.read.parquet(fact_path))
+    lay2 = SemanticLayer(p2)
+    lay2.load(doc)
+    lay2.materialize_rollup("rus", "txns", ["seg"], reuse_existing=True)
+    fact2 = _rows(lay2.query(**q))
+    assert lay2.last_rollup_used == "rus"
+    lay2.rollups = {}
+    assert _rows(lay2.query(**q)) == fact2
