@@ -39,8 +39,22 @@ DEFAULT_TOTAL_BITS = 48
 ZVALUE_COL = "__zvalue"
 
 
+#: Saturation bound for fractional-key scaling: |x * 2^20| is clamped to
+#: 2^62 BEFORE the long cast. Without it, values above ~2^43 overflow the
+#: cast to NULL (non-ANSI) and park at the curve origin, silently
+#: destroying clustering for large-magnitude domains; clamping instead
+#: saturates them at the curve edge — still monotone, which is all the
+#: layout needs (results stay row-identical either way; only skipping
+#: quality is at stake).
+_FRAC_CLAMP = float(1 << 62)
+
+
 def _to_long(col: Column, dtype: T.DataType) -> Column:
-    """Lossless-enough monotone map of an orderable column to LongType."""
+    """Monotone map of an orderable column to LongType. Fractional types
+    scale by 2^20 (order preserved at bucket resolution) with the scaled
+    value computed IN DOUBLE and clamped to ±2^62 before the final cast
+    — magnitudes beyond ~2^42 saturate at the curve edge rather than
+    overflowing to NULL."""
     if isinstance(dtype, T.DateType):
         return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
@@ -48,9 +62,9 @@ def _to_long(col: Column, dtype: T.DataType) -> Column:
         # monotone, which is all the curve needs (session tz is UTC)
         return col.cast("timestamp").cast("long")
     if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
-        # scale by 2^20 before truncation so fractional keys keep order
-        # at bucket resolution
-        return (col.cast("double") * F.lit(1 << 20)).cast("long")
+        d = col.cast("double") * F.lit(float(1 << 20))
+        d = F.least(F.greatest(d, F.lit(-_FRAC_CLAMP)), F.lit(_FRAC_CLAMP))
+        return d.cast("long")
     return col.cast("long")
 
 
@@ -102,7 +116,16 @@ def with_zvalue(
             scaled.append(F.lit(0).cast("long"))
             continue
         span = mx - mn
-        s = ((longs[c] - F.lit(mn)) * F.lit(top) / F.lit(span)).cast("long")
+        # Bucket in DOUBLE, not long: (x - mn) * top wraps for
+        # near-full-range long domains (span within ~2^16 of 2^63).
+        # Double loses low bits past 2^53, but the bucket resolution is
+        # only `top + 1` (<= 2^16) values and double rounding is
+        # monotone, so bucketing quality is unaffected.
+        s = (
+            (longs[c].cast("double") - F.lit(float(mn)))
+            * F.lit(float(top))
+            / F.lit(float(span))
+        ).cast("long")
         # clamp defensively (float rounding at the top edge) and park
         # NULLs at the curve origin
         s = F.least(F.greatest(s, F.lit(0)), F.lit(top))

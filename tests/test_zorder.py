@@ -179,3 +179,32 @@ def test_materializer_zorder_bucket_conflict(spark, sf_dir):
     r = results["orders_conflict"]
     assert r.status == "error"
     assert "mutually exclusive" in (r.message or "")
+
+
+def test_with_zvalue_huge_double_magnitudes_saturate_not_null(spark):
+    """Doubles beyond ~2^43 used to overflow the 2^20-scaled long cast to
+    NULL (non-ANSI) and park at the curve origin; they must instead
+    saturate monotonically at the curve edge."""
+    df = spark.createDataFrame(
+        [Row(x=-1e18), Row(x=0.0), Row(x=1e17), Row(x=1e18)]
+    )
+    out = {r["x"]: r[ZVALUE_COL] for r in with_zvalue(df, ["x"]).collect()}
+    assert all(v is not None for v in out.values())
+    # monotone; values past the clamp share the edge bucket (saturation
+    # is non-strict by design — outliers tie at the curve edge instead
+    # of teleporting to the origin)
+    assert out[-1e18] < out[0.0] <= out[1e17] <= out[1e18]
+
+
+def test_with_zvalue_near_full_range_long_domain(spark):
+    """(x - mn) * top wraps in long arithmetic when the domain spans
+    nearly the full 2^63 range; the bucket math runs in double now."""
+    lo, hi = -(1 << 62), (1 << 62) - 1
+    df = spark.createDataFrame(
+        [Row(x=lo), Row(x=-1000), Row(x=1000), Row(x=hi)],
+        "x: long",
+    )
+    out = {r["x"]: r[ZVALUE_COL] for r in with_zvalue(df, ["x"]).collect()}
+    assert all(v is not None and v >= 0 for v in out.values())
+    assert out[lo] == 0
+    assert out[lo] < out[-1000] <= out[1000] < out[hi]
