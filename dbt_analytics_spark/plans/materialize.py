@@ -77,7 +77,7 @@ def _heal_orphan_location(project: "Project", target: str) -> bool:
     Deletion goes through the Hadoop FileSystem API so it works on any
     warehouse scheme (local, HDFS, S3A), not just file://.
     """
-    spark = project.spark
+    spark = project.spark if hasattr(project, "spark") else project
     if spark.catalog.tableExists(target):
         return False
     min_age_s = float(
@@ -116,10 +116,12 @@ def _heal_orphan_location(project: "Project", target: str) -> bool:
     return healed
 
 
-def _save_as_table(project: "Project", writer, target: str) -> None:
+def _save_as_table(project, writer, target: str) -> None:
     """``writer.saveAsTable(target)`` with one orphan-location heal+retry
     (see _heal_orphan_location) — the crash-recovery contract every CTAS
-    materialization in this module shares."""
+    materialization in this module shares. ``project`` may be a Project
+    or a bare SparkSession (engine-owned layout writes outside the node
+    graph: plans/star_layout.py)."""
     from pyspark.errors.exceptions.captured import (
         AnalysisException,
         SparkRuntimeException,

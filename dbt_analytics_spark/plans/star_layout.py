@@ -87,55 +87,29 @@ def _warehouse_path(spark: SparkSession, table: str) -> str:
     return os.path.join(re.sub(r"^file:", "", wh), table.lower())
 
 
-def _ensure_bucketed(
-    spark: SparkSession,
-    table: str,
-    build_df: DataFrame,
-    bucket_col: str,
-    n_buckets: int,
-) -> None:
-    if spark.catalog.tableExists(table):
-        return
-    path = _warehouse_path(spark, table)
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        # Files survive from a previous session whose in-memory catalog is
-        # gone: re-register them as an external bucketed table. Bucket ids
-        # ride in the file names, so the exchange-free join is preserved.
-        spark.sql(
-            f"CREATE TABLE {table} ({_schema_ddl(build_df)}) USING parquet "
-            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
-            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
-        )
-        return
-    (
-        build_df.write.bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .option("compression", LAYOUT_CODEC)
-        .mode("overwrite")
-        .saveAsTable(table)
-    )
+#: Sidecar file name for layout specs (see plans/fingerprint.py): the
+#: DURABLE copy of a layout table's contract (version, bucketing, source
+#: fingerprint), written beside the data files so a later session can
+#: VERIFY before re-registering or routing — underscore-prefixed, so
+#: every parquet reader treats it as hidden.
+LAYOUT_SIDECAR = "_dbt_layout_spec.json"
+
+#: Name of the layout the last maybe_star_layout() hit resolved to, or
+#: None (observability + tests; the join-side twin of
+#: SemanticLayer.last_rollup_used).
+last_route_used: str | None = None
 
 
-def ensure_star_layout(
-    spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
-) -> tuple[str, str]:
-    """Materialize (once) the bucketed star layout for ``sf_dir`` and
-    return the table names ``(orders_bucketed, custmap_bucketed)``.
+def _star_specs(
+    spark: SparkSession, sf_dir: str, n_buckets: int
+) -> list[tuple[str, DataFrame, str, dict]]:
+    """The build contract for each star-layout table of ``sf_dir``:
+    ``(table, build_df, bucket_col, spec)``. The spec embeds a source
+    fingerprint (file listing of the tables the layout derives from —
+    plans/fingerprint.py) so reuse and routing always verify the layout
+    still matches the CURRENT source files."""
+    from .fingerprint import data_fingerprint
 
-    ``orders`` keeps its full column set — the layout is a general
-    physical organization of the fact table, not a per-query extract —
-    bucketed+sorted on ``o_custkey``. The customer dim is stored
-    FLATTENED through its nation/region snowflake (broadcast joins at
-    build time; dims are tiny relative to the fact) and bucketed on
-    ``c_custkey``: snowflake hops are paid once at layout time, never
-    per query. Idempotent per (sf_dir, n_buckets); testdata dirs are
-    immutable per round, so existing tables/files are reused as-is.
-    """
-    tag = f"{_tag(sf_dir)}_b{n_buckets}"
-    orders_tbl = f"star_orders_{tag}_v{ORDERS_VERSION}"
-    custmap_tbl = f"star_custmap_{tag}_v{CUSTMAP_VERSION}"
     t = load_testdata(spark, sf_dir)
     custmap = (
         t["customer"]
@@ -167,9 +141,147 @@ def ensure_star_layout(
         "o_cents",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
     )
-    _ensure_bucketed(spark, orders_tbl, orders, "o_custkey", n_buckets)
-    _ensure_bucketed(spark, custmap_tbl, custmap, "c_custkey", n_buckets)
-    return orders_tbl, custmap_tbl
+    tag = f"{_tag(sf_dir)}_b{n_buckets}"
+    out = []
+    for tbl, df, col, ver in (
+        (f"star_orders_{tag}_v{ORDERS_VERSION}", orders, "o_custkey",
+         ORDERS_VERSION),
+        (f"star_custmap_{tag}_v{CUSTMAP_VERSION}", custmap, "c_custkey",
+         CUSTMAP_VERSION),
+    ):
+        out.append(
+            (
+                tbl,
+                df,
+                col,
+                {
+                    "table": tbl,
+                    "version": ver,
+                    "bucket_col": col,
+                    "n_buckets": n_buckets,
+                    "codec": LAYOUT_CODEC,
+                    "schema": _schema_ddl(df),
+                    "source_fp": data_fingerprint(df),
+                },
+            )
+        )
+    return out
+
+
+def _register_bucketed(
+    spark: SparkSession, table: str, spec: dict, path: str
+) -> None:
+    """Re-register persisted bucketed files as an external table. Bucket
+    ids ride in the file names, so the exchange-free join is preserved."""
+    spark.sql(
+        f"CREATE TABLE {table} ({spec['schema']}) USING parquet "
+        f"CLUSTERED BY ({spec['bucket_col']}) "
+        f"SORTED BY ({spec['bucket_col']}) "
+        f"INTO {spec['n_buckets']} BUCKETS LOCATION '{path}'"
+    )
+
+
+def _ensure_bucketed(
+    spark: SparkSession,
+    table: str,
+    build_df: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+    spec: dict,
+) -> None:
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    path = _warehouse_path(spark, table)
+    if spark.catalog.tableExists(table):
+        if read_sidecar(path, LAYOUT_SIDECAR) == spec:
+            return
+        # Registered but no longer matching this call's contract (source
+        # files changed, or pre-sidecar files): rebuild below.
+        spark.sql(f"DROP TABLE {table}")
+    elif dir_is_complete(path) and read_sidecar(path, LAYOUT_SIDECAR) == spec:
+        # Files survive from a previous session whose in-memory catalog
+        # is gone; the sidecar proves they are a COMPLETE write of THIS
+        # exact contract (a crashed partial write has no _SUCCESS, a
+        # stale or different layout fails the spec compare).
+        _register_bucketed(spark, table, spec, path)
+        return
+    from .materialize import _save_as_table
+
+    # through the engine's heal+retry CTAS path: a stale or partial
+    # leftover dir blocks saveAsTable with LOCATION_ALREADY_EXISTS and is
+    # removed by the age-gated orphan heal instead of failing forever
+    _save_as_table(
+        spark,
+        build_df.write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("compression", LAYOUT_CODEC)
+        .mode("overwrite"),
+        table,
+    )
+    try:
+        write_sidecar(path, spec, LAYOUT_SIDECAR)
+    except OSError:
+        pass  # non-local warehouse: same-session reuse still works
+
+
+def ensure_star_layout(
+    spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
+) -> tuple[str, str]:
+    """Materialize (once) the bucketed star layout for ``sf_dir`` and
+    return the table names ``(orders_bucketed, custmap_bucketed)``.
+
+    ``orders`` keeps its full column set — the layout is a general
+    physical organization of the fact table, not a per-query extract —
+    bucketed+sorted on ``o_custkey``. The customer dim is stored
+    FLATTENED through its nation/region snowflake (broadcast joins at
+    build time; dims are tiny relative to the fact) and bucketed on
+    ``c_custkey``: snowflake hops are paid once at layout time, never
+    per query. Idempotent per (sf_dir, n_buckets); reuse of existing
+    tables/files is gated on the sidecar spec (incl. the source-file
+    fingerprint) so a layout can never silently serve a rewritten
+    source or a crashed partial write.
+    """
+    names = []
+    for tbl, df, col, spec in _star_specs(spark, sf_dir, n_buckets):
+        _ensure_bucketed(spark, tbl, df, col, n_buckets, spec)
+        names.append(tbl)
+    return tuple(names)
+
+
+def maybe_star_layout(
+    spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
+) -> tuple[str, str] | None:
+    """Layout awareness for AD-HOC star joins — the join-side analogue
+    of the semantic layer's aggregate-awareness rollup routing: return
+    ``(orders_tbl, custmap_tbl)`` when the engine-owned bucketed layout
+    for ``sf_dir`` already exists and verifiably derives from the
+    CURRENT source files (re-registering persisted files when only the
+    in-memory catalog entry died with a previous session), else None.
+
+    NEVER builds: an ad-hoc query must not pay the one-time layout cost;
+    it falls back to its raw-parquet plan silently — the same
+    silent-fallback contract as rollup routing's fact fallback. Every
+    check is metadata-only (one file listing per source table)."""
+    global last_route_used
+    last_route_used = None
+    from .fingerprint import dir_is_complete, read_sidecar
+
+    try:
+        specs = _star_specs(spark, sf_dir, n_buckets)
+    except Exception:
+        return None  # source tables unreadable: nothing to route to
+    names = []
+    for tbl, _df, _col, spec in specs:
+        path = _warehouse_path(spark, tbl)
+        if read_sidecar(path, LAYOUT_SIDECAR) != spec:
+            return None  # absent, stale, or different contract
+        if not spark.catalog.tableExists(tbl):
+            if not dir_is_complete(path):
+                return None
+            _register_bucketed(spark, tbl, spec, path)
+        names.append(tbl)
+    last_route_used = f"star_{_tag(sf_dir)}_b{n_buckets}"
+    return tuple(names)
 
 
 def nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,28 +310,52 @@ def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     ``(o_custkey, o_orderdate)`` (operators/zorder.py) so box predicates
     on either or both columns prune at row-group granularity. Same
     engine-owned, cross-session-reusable contract as the bucketed star
-    layout above."""
+    layout above: reuse is gated on the _SUCCESS marker plus a sidecar
+    spec carrying the source-file fingerprint, so a rewritten source or
+    a crashed partial write forces a rebuild instead of silently serving
+    stale/incomplete rows."""
     from ..operators.zorder import zorder_dataframe
+    from .fingerprint import (
+        data_fingerprint,
+        dir_is_complete,
+        read_sidecar,
+        write_sidecar,
+    )
 
     tbl = f"zord_orders_{_tag(sf_dir)}_v{ZORDER_VERSION}"
-    if spark.catalog.tableExists(tbl):
-        return tbl
     t = load_testdata(spark, sf_dir)
+    spec = {
+        "table": tbl,
+        "version": ZORDER_VERSION,
+        "zorder_cols": ["o_custkey", "o_orderdate"],
+        "codec": LAYOUT_CODEC,
+        "schema": _schema_ddl(t["orders"]),
+        "source_fp": data_fingerprint(t["orders"]),
+    }
     path = _warehouse_path(spark, tbl)
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    if spark.catalog.tableExists(tbl):
+        if read_sidecar(path, LAYOUT_SIDECAR) == spec:
+            return tbl
+        spark.sql(f"DROP TABLE {tbl}")
+    elif dir_is_complete(path) and read_sidecar(path, LAYOUT_SIDECAR) == spec:
         spark.sql(
-            f"CREATE TABLE {tbl} ({_schema_ddl(t['orders'])}) USING parquet "
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
             f"LOCATION '{path}'"
         )
         return tbl
-    (
+    from .materialize import _save_as_table
+
+    _save_as_table(
+        spark,
         zorder_dataframe(t["orders"], ["o_custkey", "o_orderdate"])
         .write.option("compression", LAYOUT_CODEC)
-        .mode("overwrite")
-        .saveAsTable(tbl)
+        .mode("overwrite"),
+        tbl,
     )
+    try:
+        write_sidecar(path, spec, LAYOUT_SIDECAR)
+    except OSError:
+        pass
     return tbl
 
 

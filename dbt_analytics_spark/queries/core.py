@@ -215,7 +215,17 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.star_layout import nation_names
+    from ..plans.star_layout import maybe_star_layout, nation_names
+
+    # Layout awareness (round 13): when the engine already owns the
+    # bucketed star layout for this data — and the layout verifiably
+    # derives from the CURRENT source files (sidecar fingerprint) — the
+    # ad-hoc query inherits its exchange-free plan instead of paying the
+    # per-query broadcast/shuffle. Same silent-fallback contract as
+    # rollup routing; j1b shares this query's oracle, so routing never
+    # weakens the correctness gate. NEVER builds the layout.
+    if maybe_star_layout(spark, sf_dir) is not None:
+        return j1b_join_agg_bucketed(spark, sf_dir)
 
     t = load_testdata(spark, sf_dir)
     # Int-key discipline on the AD-HOC path too (r12 stage decomposition,
@@ -678,6 +688,14 @@ FROM flagged GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def w3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.star_layout import maybe_star_layout
+
+    # Layout awareness — see j1_join_agg: route to the engine-owned
+    # bucketed layout when it exists and is verifiably fresh; w3b shares
+    # this query's oracle. Silent fallback, never builds.
+    if maybe_star_layout(spark, sf_dir) is not None:
+        return w3b_pct_of_total_bucketed(spark, sf_dir)
+
     t = load_testdata(spark, sf_dir)
     # Size-gated star join (same strategy + measurements as j1): when the
     # customer dim's TRUE on-disk footprint fits the broadcast budget,
@@ -2428,6 +2446,14 @@ WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
 # ---------------------------------------------------------------------------
 
 def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.star_layout import maybe_star_layout
+
+    # Layout awareness — see j1_join_agg: route to the engine-owned
+    # bucketed layout when it exists and is verifiably fresh; q13b
+    # shares this query's oracle. Silent fallback, never builds.
+    if maybe_star_layout(spark, sf_dir) is not None:
+        return q13b_custdist_bucketed(spark, sf_dir)
+
     t = load_testdata(spark, sf_dir)
     per_cust = t["orders"].groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("c_count")

@@ -20,11 +20,24 @@ def _plan(df) -> str:
     return mode
 
 
+def _pin_raw_path(monkeypatch):
+    """Force the RAW-parquet plan for the ad-hoc star queries: j1/w3/q13
+    route to the bucketed layout whenever one exists in the shared test
+    warehouse (layout awareness, plans/star_layout.maybe_star_layout),
+    and these tests assert the raw plan's shape."""
+    from dbt_analytics_spark.plans import star_layout
+
+    monkeypatch.setattr(
+        star_layout, "maybe_star_layout", lambda *a, **k: None
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     ["q3_shipping_priority", "q5_local_supplier_volume", "j1_join_agg", "j2_left_join"],
 )
-def test_dim_joins_broadcast(spark, name):
+def test_dim_joins_broadcast(spark, name, monkeypatch):
+    _pin_raw_path(monkeypatch)
     plan = _plan(REGISTRY[name][0](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -268,6 +281,7 @@ def test_star_join_size_gate(spark, name, monkeypatch):
     # row-identical.
     from dbt_analytics_spark.queries import core
 
+    _pin_raw_path(monkeypatch)
     fast = REGISTRY[name][0](spark, SF)
     fast_plan = _plan(fast)
     assert "BroadcastHashJoin" in fast_plan
@@ -347,7 +361,7 @@ def test_q7_filters_facts_before_fact_join(spark):
     assert "NATION_" in plan
 
 
-def test_bucketed_star_layout_join_exchange_free(spark):
+def test_bucketed_star_layout_join_exchange_free(spark, monkeypatch):
     """j1b/w3b run on the engine-owned bucketed layout
     (plans/star_layout.py): the fact⋈dim join must be a bucket-local
     ShuffledHashJoin with NO exchange feeding it — each task builds a
@@ -361,6 +375,7 @@ def test_bucketed_star_layout_join_exchange_free(spark):
     post-join aggregations (25-nation grain): 1 for j1b's groupBy, 2 for
     w3b's groupBy + empty-frame window. Results stay row-identical to
     the raw-parquet j1/w3 (same DuckDB oracle wired in the registry)."""
+    _pin_raw_path(monkeypatch)  # keep the comparison leg genuinely raw
 
     def shuffles(plan: str) -> int:
         return plan.count("Exchange") - plan.count("BroadcastExchange")
@@ -398,13 +413,14 @@ def test_bucketed_star_layout_join_exchange_free(spark):
     assert raw == buck
 
 
-def test_bucketed_custdist_exchange_free_agg_and_join(spark):
+def test_bucketed_custdist_exchange_free_agg_and_join(spark, monkeypatch):
     """q13b (queries/core.py): the per-customer COUNT must aggregate
     DIRECTLY over the bucketed orders scan (no exchange feeding the
     customer-grain HashAggregate) and the zero-preserving left join must
     be a bucket-local SHJ — the exchanges left are the tiny c_count
     histogram and the final sort's range partitioning. Row-identical to
     the raw-parquet q13 (same DuckDB oracle in the registry)."""
+    _pin_raw_path(monkeypatch)  # keep the comparison leg genuinely raw
     q13b = REGISTRY["q13b_custdist_bucketed"][0](spark, SF)
     plan = q13b._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
@@ -482,3 +498,35 @@ def test_zorder_box_filter_pushes_both_predicates(spark):
     assert "o_orderkey" not in line.split("ReadSchema")[-1], (
         "scan should prune unreferenced columns"
     )
+
+
+def test_adhoc_star_queries_route_to_layout_exchange_free(spark):
+    """Layout awareness (round 13): once the engine-owned bucketed
+    layout exists, the AD-HOC j1/w3/q13 inherit its exchange-free plan
+    — bucket-local SHJ over the star tables, no per-query broadcast
+    build of the dim, no fact shuffle — under the same silent-fallback
+    contract as rollup routing."""
+    from dbt_analytics_spark.plans import star_layout
+
+    star_layout.ensure_star_layout(spark, SF)
+
+    def shuffles(plan: str) -> int:
+        return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+    j1 = REGISTRY["j1_join_agg"][0](spark, SF)
+    assert star_layout.last_route_used is not None
+    plan = j1._jdf.queryExecution().executedPlan().toString()
+    assert "star_orders" in plan and "ShuffledHashJoin" in plan
+    assert shuffles(plan) == 1, plan
+
+    w3 = REGISTRY["w3_pct_of_total"][0](spark, SF)
+    assert star_layout.last_route_used is not None
+    plan = w3._jdf.queryExecution().executedPlan().toString()
+    assert "star_orders" in plan and "ShuffledHashJoin" in plan
+    assert shuffles(plan) == 2, plan
+
+    q13 = REGISTRY["q13_custdist"][0](spark, SF)
+    assert star_layout.last_route_used is not None
+    plan = q13._jdf.queryExecution().executedPlan().toString()
+    assert "star_orders" in plan
+    assert plan.count("Exchange") == 2, plan
