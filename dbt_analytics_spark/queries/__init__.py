@@ -464,19 +464,32 @@ _BEYOND_DRIVER_CAP = [
     "dd12_span_dedup",
     "smp6_token_budget_sample",
     # ------------------------------------------------------------------
-    # New in round 12, beyond the cap pending a future rotation:
-    #   zo1_zorder_box_filter — box rollup on the engine-owned Z-ordered
-    #     layout (operators/zorder.py); fully oracled in the local gate,
-    #     layout-content-identity + row-group-pruning pinned in
-    #     tests/test_zorder.py.
-    #   sem16_metric_filter — Metric() filter templates as
-    #     post-aggregation predicates; fully oracled in the local gate.
-    #   sem17_rollup_routing — aggregate awareness: the metric request
-    #     routed to an engine-maintained partial-aggregate rollup, with
-    #     the routed frame hash-checked against the fact-grain oracle.
-    "zo1_zorder_box_filter",
-    "sem16_metric_filter",
-    "sem17_rollup_routing",
+    # Round-13 rotation (VERDICT r12 item 3): INTO the 50-prefix — the
+    # round-12 operators that sat local-only: zo1_zorder_box_filter (box
+    # rollup on the Z-ordered layout), sem16_metric_filter (Metric()
+    # templates as post-agg predicates), sem17_rollup_routing (aggregate
+    # awareness, routed frame vs fact-grain oracle — now also carrying
+    # the avg-measure partial pair and the r13 staleness fingerprints).
+    # Displaced in exchange — every one stays hash-green in the
+    # all-registry local gate and parity suite, with in-prefix sibling
+    # evidence:
+    #   sem8_calendar_window — the judge's named sem8/sem10 candidate
+    #     pair: the calendar-window/spine machinery keeps TWO stronger
+    #     in-prefix rows — sem11 (calendar avg window over decomposed
+    #     partials) and sem14 (offset_to_grain over the same bucket
+    #     spine); sem6's timespine join also stays.
+    #   sem10_multihop_template — the multi-hop entity-chain compiler is
+    #     a longer walk of sem1_entity_star_metrics' staying entity-join
+    #     machinery; the saved-query template path stays local-gated
+    #     (sem5) and pytest-pinned.
+    #   sim3_ivf_topk — rows-only by design (no oracle), so its driver
+    #     row carried the least evidence (the r6 f2_approx_distinct
+    #     precedent); the IVF/ANN family keeps THREE hash-checked prefix
+    #     rows (sim3b exact-regime, sim6 persistent index, sim4b PQ) and
+    #     recall contracts stay pytest-pinned (test_similarity_skew).
+    "sem8_calendar_window",
+    "sem10_multihop_template",
+    "sim3_ivf_topk",
 ]
 
 _ALL: dict = {}

@@ -57,17 +57,18 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-12 prefix so an accidental
+    # queries/__init__.py). Freeze the round-13 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-12 rotation: sem15 + the new
-    # mm3/mm4 REAL-decode multimodal oracles in; sem7/dd12/smp6 out with
-    # in-prefix sibling evidence — see queries/__init__.py).
+    # list in the same commit (round-13 rotation: zo1 + sem16 + sem17 in;
+    # sem8/sem10/sim3 out with in-prefix sibling evidence — see
+    # queries/__init__.py).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
         "q1_pricing_summary", "q8_market_share", "q13_custdist",
-        "q13b_custdist_bucketed", "p2_filter_ilike", "p3_case_classify",
+        "q13b_custdist_bucketed", "zo1_zorder_box_filter",
+        "p2_filter_ilike", "p3_case_classify",
         "j1_join_agg", "j1b_join_agg_bucketed", "w3b_pct_of_total_bucketed",
         "j3b_regex_lateral_top1", "j5_explode_split", "a4_count_distinct",
         "w1_dedup_rank", "w3_pct_of_total", "u1_union_dedup",
@@ -75,23 +76,24 @@ def test_driver_prefix_is_frozen():
         "ev3_asof_join", "ev4_range_join", "a6_grouping_sets",
         "dd1_exact_dedup", "dd3_minhash_lsh",
         "dd3b_minhash_lsh_exact", "sim1_cosine_topk",
-        "sim3_ivf_topk", "txt1_token_stats", "txt2_quality",
+        "txt1_token_stats", "txt2_quality",
         "mm1_features", "mm3_audio_features", "mm4_video_features",
         "sim4b_pq_exact", "smp7_leakage_split",
         "sim3b_ivf_exact", "sim6_ivf_index_exact", "dd10_exact_substring",
         "smp8_resample_to_target", "f8_cms_counts", "txt16b_logreg_score",
         "dd13_url_dedup", "sem1_entity_star_metrics",
-        "sem6_period_over_period",
-        "sem8_calendar_window", "sem9_nested_derived",
-        "sem10_multihop_template", "sem11_cumulative_avg_max",
+        "sem6_period_over_period", "sem9_nested_derived",
+        "sem11_cumulative_avg_max",
         "sem12_conversion_constant_props", "sem13_semi_additive",
         "sem14_offset_to_grain", "sem15_distributional_aggs",
+        "sem16_metric_filter", "sem17_rollup_routing",
     ]
     assert list(q.queries())[:50] == expected_prefix
-    # The only prefix rows without a DuckDB oracle are the two
-    # rows-only-by-design sketch ops (their exact-regime siblings dd3b/
-    # sim3b hold hash-checked prefix rows of their own).
+    # The only prefix row without a DuckDB oracle is the rows-only-by-
+    # design banded LSH miner (its exact-regime sibling dd3b holds a
+    # hash-checked prefix row of its own; sim3's rows-only row rotated
+    # out in r13 — the ANN family holds three hash-checked prefix rows).
     oracles = set(q.oracle_sql())
     assert [n for n in expected_prefix if n not in oracles] == [
-        "dd3_minhash_lsh", "sim3_ivf_topk",
+        "dd3_minhash_lsh",
     ]
