@@ -70,27 +70,11 @@ def main() -> None:
     # host is noise, not signal: wait (bounded) for the 1-min loadavg to
     # drop below the gate before measuring, and LOUDLY annotate the JSON
     # when the wait times out so a noisy run can't masquerade as a
-    # regression. Tunables: SPARK_GRAFT_BENCH_LOAD_MAX (default 4.0),
-    # SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 240; 0 disables).
-    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4"))
-    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "240"))
-    gate_deadline = time.monotonic() + load_wait
-    load_gate = "ok"
-    while os.getloadavg()[0] > load_max:
-        if time.monotonic() >= gate_deadline:
-            load_gate = (
-                f"TIMEOUT: started at loadavg {os.getloadavg()[0]:.1f} > "
-                f"{load_max} after waiting {load_wait:.0f}s — timings below "
-                "are contention-suspect"
-            )
-            print(f"# load gate {load_gate}", file=sys.stderr)
-            break
-        print(
-            f"# load gate: 1-min loadavg {os.getloadavg()[0]:.1f} > "
-            f"{load_max}, waiting for a quiet host...",
-            file=sys.stderr,
-        )
-        time.sleep(10)
+    # regression. Shared with every scripts/probe_*.py artifact
+    # (dbt_analytics_spark/bench_gate.py — same env tunables).
+    from dbt_analytics_spark.bench_gate import wait_for_quiet
+
+    load_gate = wait_for_quiet()
     spark = get_spark("bench")
     # Warm the session once so per-query times measure the queries, not
     # startup: JVM + parquet footers, whole-stage-codegen JIT for the

@@ -224,6 +224,32 @@ def _ensure_bucketed(
         pass  # non-local warehouse: same-session reuse still works
 
 
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    build_df: DataFrame,
+    bucket_col: str,
+    n_buckets: int,
+    version: int = LAYOUT_VERSION,
+) -> str:
+    """Public one-off bucketed layout (probe scripts, ad-hoc layouts):
+    same sidecar-verified, _SUCCESS-gated reuse contract as the star
+    tables, with the spec derived from the build frame itself."""
+    from .fingerprint import data_fingerprint
+
+    spec = {
+        "table": table,
+        "version": version,
+        "bucket_col": bucket_col,
+        "n_buckets": n_buckets,
+        "codec": LAYOUT_CODEC,
+        "schema": _schema_ddl(build_df),
+        "source_fp": data_fingerprint(build_df),
+    }
+    _ensure_bucketed(spark, table, build_df, bucket_col, n_buckets, spec)
+    return table
+
+
 def ensure_star_layout(
     spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
 ) -> tuple[str, str]:

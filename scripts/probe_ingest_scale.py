@@ -41,6 +41,9 @@ BATCH_N = 50_000
 
 
 def main() -> None:
+    from dbt_analytics_spark.bench_gate import wait_for_quiet
+
+    load_gate = wait_for_quiet()  # quiet host BEFORE any timing starts
     spark = get_spark("ingest-scale-probe")
     for d in DIRS:
         corpus = spark.read.parquet(os.path.join(d, "documents.parquet"))
@@ -114,6 +117,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
+                    "load_gate": load_gate,
                     "corpus": n_corpus,
                     "batch": n_batch,
                     "survivors_bare": n_surv,

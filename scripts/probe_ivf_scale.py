@@ -60,6 +60,9 @@ def synth(spark, lo: int, hi: int):
 
 
 def main() -> None:
+    from dbt_analytics_spark.bench_gate import wait_for_quiet
+
+    load_gate = wait_for_quiet()  # quiet host BEFORE any timing starts
     spark = get_spark("ivf-scale-probe")
     out = []
     for n_base in SIZES:
@@ -118,6 +121,7 @@ def main() -> None:
             "probe_hits": n_hits,
             "loadavg": os.getloadavg()[0],
         }
+        rec["load_gate"] = load_gate
         print(json.dumps(rec), flush=True)
         out.append(rec)
         for t in (tbl, f"{tbl}__ivf_centroids", f"{tbl}__ivf_commits"):

@@ -51,10 +51,11 @@ from probe_scan_floor import SF10, SF40, SF160, SF640, build_scaled  # noqa: E40
 
 from dbt_analytics_spark.session import get_spark  # noqa: E402
 from dbt_analytics_spark.sources.readers import load_testdata  # noqa: E402
+from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet  # noqa: E402
 from dbt_analytics_spark.plans.star_layout import (  # noqa: E402
     ensure_star_layout,
+    ensure_bucketed_table,
     guarded_cents_spend,
-    _ensure_bucketed,
     _tag,
     LAYOUT_VERSION,
 )
@@ -91,6 +92,10 @@ def band(v):
 def main() -> None:
     from pyspark.sql import functions as F
 
+    # quiet host BEFORE any work (VERDICT r12 item 4: the r12 run of this
+    # probe published under loadavg 29-46); emit_gated refuses the
+    # artifact if either gate fails at the end
+    load_gate = wait_for_quiet()
     build_scaled(SF10, SF40, 4)
     if SF160 in SCALES or SF640 in SCALES:
         build_scaled(SF40, SF160, 4)
@@ -111,7 +116,7 @@ def main() -> None:
         # --- intkey variant build side: (c_custkey, c_nationkey) bucketed
         t = load_testdata(spark, sf_dir)
         ik_tbl = f"star_custik_{_tag(sf_dir)}_b32_v{LAYOUT_VERSION}"
-        _ensure_bucketed(
+        ensure_bucketed_table(
             spark,
             ik_tbl,
             t["customer"].select("c_custkey", "c_nationkey"),
@@ -354,17 +359,22 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "j1b_stage_decomposition",
-                "protocol": f"min-of-{REPEATS}, variants interleaved with a "
-                "DuckDB j1 canary per round, one warm session",
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-                "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
-                "scales": out,
-            }
-        )
+    merged = {}
+    for tag, rec in out.items():
+        for k, v in rec["spark_raw"].items():
+            merged[f"{tag}/spark/{k}"] = v
+        merged[f"{tag}/duckdb_canary"] = rec["duckdb_raw"]
+    emit_gated(
+        {
+            "metric": "j1b_stage_decomposition",
+            "protocol": f"min-of-{REPEATS}, variants interleaved with a "
+            "DuckDB j1 canary per round, one warm session",
+            "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            "scales": out,
+        },
+        load_gate,
+        samples=merged,
+        drift_max=DRIFT_MAX,
     )
     spark.stop()
 

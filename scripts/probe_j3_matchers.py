@@ -126,6 +126,9 @@ def load_dim(spark):
 
 
 def main() -> None:
+    from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet
+
+    load_gate = wait_for_quiet()  # quiet host BEFORE any timing starts
     sizes = [int(a) for a in sys.argv[1:]] or [1_000_000, 6_000_000]
     spark = get_spark("j3probe")
     dim = load_dim(spark)
@@ -177,17 +180,18 @@ def main() -> None:
         result = {"metric": "j3_matcher_probe", "n_rows": n, "n_patterns": 795,
                   "times_sec": {}}
         repeats = int(os.environ.get("PROBE_REPEATS", "3"))
+        raw: dict[str, list[float]] = {}
         for k, fn in matchers.items():
             fn(docs).count()  # warm
-            best = None
+            raw[k] = []
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 fn(docs).count()
-                el = time.perf_counter() - t0
-                best = el if best is None else min(best, el)
-            result["times_sec"][k] = round(best, 3)
-            print(f"# n={n} {k}: {best:.2f}s", file=sys.stderr)
-        print(json.dumps(result))
+                raw[k].append(round(time.perf_counter() - t0, 4))
+            result["times_sec"][k] = round(min(raw[k]), 3)
+            print(f"# n={n} {k}: {min(raw[k]):.2f}s", file=sys.stderr)
+        result["raw_times"] = raw
+        emit_gated(result, load_gate, samples=raw)
 
 
 if __name__ == "__main__":

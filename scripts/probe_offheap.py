@@ -45,6 +45,9 @@ CONFIGS = {
 
 
 def main() -> None:
+    from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet
+
+    load_gate = wait_for_quiet()  # quiet host BEFORE any timing starts
     out: dict[str, dict] = {}
     for tag, extra in CONFIGS.items():
         os.environ["SPARK_DRIVER_MEMORY"] = (
@@ -86,8 +89,15 @@ def main() -> None:
                 f"(duck canary {min(dk[k]):.3f}s)",
                 file=sys.stderr,
             )
-    print(json.dumps({"metric": "offheap_ab_sf160", "repeats": REPEATS,
-                      "configs": out}))
+    merged = {}
+    for tag, rec in out.items():
+        for k, v in rec["spark_raw"].items():
+            merged[f"{tag}/{k}"] = v
+    emit_gated(
+        {"metric": "offheap_ab_sf160", "repeats": REPEATS, "configs": out},
+        load_gate,
+        samples=merged,
+    )
 
 
 if __name__ == "__main__":

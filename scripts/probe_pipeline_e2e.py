@@ -44,6 +44,9 @@ CHUNK, STRIDE, PACK_CAP = 64, 48, 256
 
 
 def main() -> None:
+    from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet
+
+    load_gate = wait_for_quiet()  # quiet host BEFORE the timed run
     spark = get_spark("pipeline_e2e_probe")
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     load0 = os.getloadavg()[0]
@@ -126,8 +129,8 @@ def main() -> None:
     packs = p.compile_node("packs")
     counts["pack_rows"] = packs.count()
     counts["packs"] = packs.select("pack_id").distinct().count()
-    print(
-        json.dumps(
+    emit_gated(
+        (
             {
                 "metric": "pipeline_e2e_docs_per_sec",
                 "value": round(n_docs / wall, 1),
@@ -148,7 +151,8 @@ def main() -> None:
                 "loadavg_before": round(load0, 2),
                 "loadavg_after": round(os.getloadavg()[0], 2),
             }
-        )
+        ),
+        load_gate,
     )
     # the probe owns its warehouse relations: drop + remove so reruns and
     # other probes in the same warehouse never trip over leftovers

@@ -106,6 +106,14 @@ def build_scaled(src_dir: str, dst_dir: str, ncopy: int) -> None:
 
 
 def main() -> None:
+    # Ambient-load gate BEFORE any work starts (VERDICT r12 item 4:
+    # BENCH_J1B_STAGES_r12 published under loadavg 29-46) — shared with
+    # bench.py via dbt_analytics_spark/bench_gate.py; the per-scale drift
+    # gate below still catches in-run movement, and emit_gated refuses
+    # the artifact when either gate failed.
+    from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet
+
+    load_gate = wait_for_quiet()
     build_scaled(SF10, SF40, 4)
     if SF160 in SCALES or SF640 in SCALES:
         build_scaled(SF40, SF160, 4)
@@ -233,14 +241,26 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    print(json.dumps({
-        "metric": "scan_floor_amortization",
-        "protocol": f"min-of-{REPEATS}, interleaved spark/duckdb A/B, "
-                    "one warm session, load shown per-query as drift bands",
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
-        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
-        "scales": out,
-    }))
+    # the kept (post-retry) sample sets feed the shared drift gate, so the
+    # artifact refuses to emit if any scale never settled
+    merged = {}
+    for tag, rec in out.items():
+        for k, v in rec["spark_raw"].items():
+            merged[f"{tag}/spark/{k}"] = v
+        for k, v in rec["duckdb_raw"].items():
+            merged[f"{tag}/duckdb/{k}"] = v
+    emit_gated(
+        {
+            "metric": "scan_floor_amortization",
+            "protocol": f"min-of-{REPEATS}, interleaved spark/duckdb A/B, "
+                        "one warm session, load shown per-query as drift bands",
+            "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+            "scales": out,
+        },
+        load_gate,
+        samples=merged,
+        drift_max=DRIFT_MAX,
+    )
     spark.stop()
 
 

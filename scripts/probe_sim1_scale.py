@@ -42,6 +42,9 @@ NAME = "sim1_cosine_topk"
 
 
 def main() -> None:
+    from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet
+
+    load_gate = wait_for_quiet()  # quiet host BEFORE any timing starts
     spark = get_spark("sim1_scale_probe")
     builder, sql = REGISTRY[NAME]
     out: dict[str, dict] = {}
@@ -80,13 +83,20 @@ def main() -> None:
             f"ratio {out[tag]['ratio']}",
             file=sys.stderr,
         )
-    print(json.dumps({
-        "metric": "sim1_scale_amortization",
-        "protocol": f"min-of-{REPEATS}, interleaved spark/duckdb A/B, "
-                    "one warm session",
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
-        "scales": out,
-    }))
+    merged = {}
+    for tag, rec in out.items():
+        merged[f"{tag}/spark"] = rec["spark_raw"]
+        merged[f"{tag}/duckdb"] = rec["duckdb_raw"]
+    emit_gated(
+        {
+            "metric": "sim1_scale_amortization",
+            "protocol": f"min-of-{REPEATS}, interleaved spark/duckdb A/B, "
+                        "one warm session",
+            "scales": out,
+        },
+        load_gate,
+        samples=merged,
+    )
     spark.stop()
 
 

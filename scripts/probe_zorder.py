@@ -76,6 +76,9 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet
+
+    load_gate = wait_for_quiet()  # quiet host BEFORE any timing starts
     spark = get_spark("zorder_probe")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
 
@@ -169,24 +172,24 @@ def main() -> None:
     con.close()
 
     band = lambda v: round((max(v) - min(v)) / min(v), 3)  # noqa: E731
-    print(
-        json.dumps(
-            {
-                "metric": "zorder_data_skipping",
-                "box": {
-                    "o_custkey": [CUST_LO, CUST_HI],
-                    "o_orderdate": [DATE_LO, DATE_HI],
-                },
-                "skipping": skipping,
-                "spark_min": {k: min(v) for k, v in sp.items()},
-                "spark_drift_band": {k: band(v) for k, v in sp.items()},
-                "duckdb_min": {k: min(v) for k, v in dk.items()},
-                "sf_dir": SF_DIR,
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-                "spark_raw": sp,
-                "duckdb_raw": dk,
-            }
-        )
+    emit_gated(
+        {
+            "metric": "zorder_data_skipping",
+            "box": {
+                "o_custkey": [CUST_LO, CUST_HI],
+                "o_orderdate": [DATE_LO, DATE_HI],
+            },
+            "skipping": skipping,
+            "spark_min": {k: min(v) for k, v in sp.items()},
+            "spark_drift_band": {k: band(v) for k, v in sp.items()},
+            "duckdb_min": {k: min(v) for k, v in dk.items()},
+            "sf_dir": SF_DIR,
+            "spark_raw": sp,
+            "duckdb_raw": dk,
+        },
+        load_gate,
+        samples={**{f"spark/{k}": v for k, v in sp.items()},
+                 **{f"duckdb/{k}": v for k, v in dk.items()}},
     )
     spark.stop()
 
