@@ -10,15 +10,20 @@ none):
 - PNG images (stdlib zlib inflate + numpy scanline unfiltering — 8-bit
   gray/RGB/palette/gray-alpha/RGBA, filters None/Sub/Up/Average/Paeth;
   Adam7 interlace and 16-bit depth fall through);
+- JPEG images (baseline sequential JFIF in pure numpy — Huffman entropy
+  decode, dequant, 8x8 IDCT, chroma upsampling for sampling factors in
+  1..2, DRI/RSTn restarts, YCbCr→RGB; progressive/arithmetic/12-bit
+  fall through);
 - WAV audio (RIFF, PCM 8/16/32-bit int and IEEE float32/64, extensible
   fmt via SubFormat GUID) — multi-channel payloads are mono-mixed.
 
 Feature extraction, nearest-neighbor resize, and frame sampling operate on
 actual decoded pixels/samples; resize re-encodes in the INPUT's codec
-(PPM→PPM, BMP→BMP, PNG→PNG). Payloads in none of these formats (e.g. the
-text-derived testdata bytes) fall back to a clearly-marked deterministic
-fake, keeping the Arrow plumbing exercised for arbitrary media bytes whose
-codecs (JPEG/mp4/mp3) would require PIL/ffmpeg.
+(PPM→PPM, BMP→BMP, PNG→PNG, JPEG→JPEG). Payloads in none of these formats
+(e.g. the text-derived testdata bytes) fall back to a clearly-marked
+deterministic fake, keeping the Arrow plumbing exercised for arbitrary
+media bytes whose codecs (progressive JPEG / mp4 / mp3) would require
+PIL/ffmpeg.
 
 Scale design: mapInPandas streams Arrow batches; per-batch work is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory stays
@@ -348,6 +353,601 @@ def decode_png(payload: bytes) -> np.ndarray | None:
     return plte[idx]
 
 
+# ---------------------------------------------------------------------------
+# JPEG codec — baseline sequential JFIF in pure numpy (no PIL/libjpeg):
+# Huffman entropy decode + dequant + 8x8 IDCT + YCbCr->RGB, with chroma
+# subsampling (any h/v in 1..2) and DRI/RSTn restart markers. The encoder
+# writes baseline 4:4:4 or 4:2:0 with the public ITU T.81 Annex K example
+# quantization + Huffman tables, so round-trip property tests can drive
+# every decode stage. Progressive (SOF2), arithmetic coding, 12-bit, and
+# hierarchical modes return None — those payloads fall through to the
+# clearly-marked fake like any foreign codec.
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: _ZIGZAG[i] = raster index of the i-th zigzag coeff
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: ITU T.81 Annex K.1 example quantization tables (luminance, chrominance)
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: ITU T.81 Annex K.3 example Huffman tables: (BITS counts, HUFFVAL)
+_JPEG_HUFF = {
+    ("dc", 0): (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("dc", 1): (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+            0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+            0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+            0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+            0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+            0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+            0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+            0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+            0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+            0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+            0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+            0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+            0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+            0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+            0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+            0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+            0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+            0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+            0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+            0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+            0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+            0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+            0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+            0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+            0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+            0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+            0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+            0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+            0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+            0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+            0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+            0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+            0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+            0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+            0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: F = C @ f @ C.T, f = C.T @ F @ C."""
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_decode_lut(counts: list[int], values: list[int]) -> dict:
+    """Canonical Huffman (T.81 C.2): (code_length, code) -> symbol."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _huff_encode_lut(counts: list[int], values: list[int]) -> dict:
+    """symbol -> (code, code_length), same canonical assignment."""
+    return {
+        v: (code, length)
+        for (length, code), v in _huff_decode_lut(counts, values).items()
+    }
+
+
+class _BitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # past-the-end pad bits (spec: fill with 1s/0s)
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, lut: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a SIZE-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _unstuff(seg: bytes) -> bytes:
+    return seg.replace(b"\xff\x00", b"\xff")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Decode a BASELINE sequential JFIF/JPEG (SOF0, 8-bit, 1 or 3
+    components, chroma sampling factors in 1..2, optional DRI/RSTn
+    restarts) to an (h, w, 3) uint8 RGB array. Non-baseline payloads
+    (progressive SOF2, arithmetic coding, 12-bit, hierarchical) and
+    corrupt streams return None so the caller falls back to the labeled
+    fake like any foreign codec. Pure numpy: Huffman decode walks the
+    entropy stream per symbol (bounded by the Arrow batch's image sizes),
+    dequant + inverse-zigzag + IDCT run as vectorized 8x8 matrix ops."""
+    try:
+        if not payload.startswith(b"\xff\xd8"):
+            return None
+        pos, n = 2, len(payload)
+        qtabs: dict[int, np.ndarray] = {}
+        huff: dict[tuple[str, int], dict] = {}
+        frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
+        restart = 0
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI before SOS: no image
+                return None
+            seglen = struct.unpack_from(">H", payload, pos)[0]
+            body = payload[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker == 0xDB:  # DQT: one or more tables
+                o = 0
+                while o < len(body):
+                    pq, tq = body[o] >> 4, body[o] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-8
+                    tab = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=o + 1
+                    ).astype(np.int64)
+                    raster = np.zeros(64, dtype=np.int64)
+                    raster[_ZIGZAG] = tab
+                    qtabs[tq] = raster.reshape(8, 8)
+                    o += 65
+            elif marker == 0xC4:  # DHT: one or more tables
+                o = 0
+                while o < len(body):
+                    tc, th = body[o] >> 4, body[o] & 0x0F
+                    counts = list(body[o + 1 : o + 17])
+                    nv = sum(counts)
+                    values = list(body[o + 17 : o + 17 + nv])
+                    huff[("dc" if tc == 0 else "ac", th)] = _huff_decode_lut(
+                        counts, values
+                    )
+                    o += 17 + nv
+            elif marker == 0xC0:  # SOF0 baseline
+                prec = body[0]
+                if prec != 8:
+                    return None
+                h = struct.unpack_from(">H", body, 1)[0]
+                w = struct.unpack_from(">H", body, 3)[0]
+                nc = body[5]
+                if nc not in (1, 3):
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid = body[6 + 3 * i]
+                    hv = body[7 + 3 * i]
+                    comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
+                if any(
+                    not (1 <= hs <= 2 and 1 <= vs <= 2)
+                    for _, hs, vs, _ in comps
+                ):
+                    return None
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # extended/progressive/lossless/arithmetic
+            elif marker == 0xDD:  # DRI
+                restart = struct.unpack_from(">H", body, 0)[0]
+            elif marker == 0xDA:  # SOS: entropy data follows
+                if frame is None:
+                    return None
+                ns = body[0]
+                scan = []  # (comp_index, dc_table, ac_table)
+                for i in range(ns):
+                    cs = body[1 + 2 * i]
+                    tda = body[2 + 2 * i]
+                    ci = next(
+                        j for j, c in enumerate(frame[2]) if c[0] == cs
+                    )
+                    scan.append((ci, tda >> 4, tda & 0x0F))
+                return _jpeg_scan(
+                    payload, pos, frame, scan, qtabs, huff, restart
+                )
+        return None
+    except (ValueError, IndexError, StopIteration, struct.error):
+        return None
+
+
+def _jpeg_scan(
+    payload: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list,
+    qtabs: dict,
+    huff: dict,
+    restart: int,
+) -> np.ndarray | None:
+    """Entropy-decode the (single, non-progressive) scan and reconstruct
+    RGB pixels."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # split entropy data into restart segments (RSTn may appear mid-scan)
+    segs: list[bytes] = []
+    start, p, n = pos, pos, len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            m = payload[p + 1]
+            if 0xD0 <= m <= 0xD7:
+                segs.append(_unstuff(payload[start:p]))
+                p += 2
+                start = p
+                continue
+            break  # EOI or next marker: end of scan
+        p += 1
+    segs.append(_unstuff(payload[start:p]))
+
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for _, hs, vs, _ in (comps[ci] for ci, _, _ in scan)
+    ]
+    pred = [0] * len(scan)
+    seg_iter = iter(segs)
+    reader = _BitReader(next(seg_iter))
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_in_seg == restart:
+                reader = _BitReader(next(seg_iter))
+                pred = [0] * len(scan)
+                mcu_in_seg = 0
+            for si, (ci, td, ta) in enumerate(scan):
+                _, hs, vs, tq = comps[ci]
+                dc_lut = huff[("dc", td)]
+                ac_lut = huff[("ac", ta)]
+                q = qtabs[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = reader.read_symbol(dc_lut)
+                        pred[si] += _extend(reader.receive(size), size)
+                        zz[0] = pred[si]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_lut)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[_ZIGZAG] = zz
+                        block = (coef.reshape(8, 8) * q).astype(np.float64)
+                        spatial = _DCT_C.T @ block @ _DCT_C
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[si][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_in_seg += 1
+
+    out = []
+    for si, (ci, _, _) in enumerate(scan):
+        _, hs, vs, _ = comps[ci]
+        plane = planes[si]
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out.append(plane[:h, :w] + 128.0)
+    if len(out) == 1:
+        g = np.clip(out[0], 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG-style quality scaling of a base table (public libjpeg
+    convention: 50 = base, 100 = all-ones)."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+def _encode_block(
+    writer: "_BitWriter",
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_lut: dict,
+    ac_lut: dict,
+) -> int:
+    """Forward DCT + quantize + Huffman-encode one 8x8 block; returns the
+    new DC predictor."""
+    coef = _DCT_C @ (block - 128.0) @ _DCT_C.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    size = int(abs(diff)).bit_length()
+    code, length = dc_lut[size]
+    writer.write(code, length)
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.nonzero(zz)[0].max(initial=0))
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_lut[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = abs(v).bit_length()
+        code, length = ac_lut[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_lut[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline sequential JFIF
+    JPEG using the public T.81 Annex K example tables (quality-scaled,
+    IJG convention). ``subsample=True`` writes 4:2:0 (2x2 luma blocks
+    per MCU, chroma averaged over 2x2 pixels) so round-trip tests drive
+    the decoder's upsampling path; False writes 4:4:4.
+    ``restart_interval=N`` emits DRI + an RSTn marker every N MCUs
+    (predictors reset, stream byte-aligned) — the error-resilience
+    feature real encoders use for parallel/robust decode."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixels, got {arr.shape}")
+    h, w = arr.shape[:2]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    ql = _quality_scale(_JPEG_QL, quality).reshape(8, 8).astype(np.float64)
+    qc = _quality_scale(_JPEG_QC, quality).reshape(8, 8).astype(np.float64)
+    luts = {
+        key: _huff_encode_lut(*_JPEG_HUFF[key]) for key in _JPEG_HUFF
+    }
+
+    hs = vs = 2 if subsample else 1
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+
+    def _pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    yp = _pad(y, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        # chroma at half resolution: average each 2x2 pixel group
+        cbp = _pad(cb, mcuy * 16, mcux * 16)
+        crp = _pad(cr, mcuy * 16, mcux * 16)
+        cbp = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = _pad(cb, mcuy * 8, mcux * 8)
+        crp = _pad(cr, mcuy * 8, mcux * 8)
+
+    writer = _BitWriter()
+    chunks: list[bytes] = []
+    pred = [0, 0, 0]
+    mcu_in_seg, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_seg == restart_interval:
+                chunks.append(writer.flush())
+                chunks.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                writer = _BitWriter()
+                pred = [0, 0, 0]
+                mcu_in_seg = 0
+            for by in range(vs):
+                for bx in range(hs):
+                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    pred[0] = _encode_block(
+                        writer, yp[y0 : y0 + 8, x0 : x0 + 8], ql,
+                        pred[0], luts[("dc", 0)], luts[("ac", 0)],
+                    )
+            y0, x0 = my * 8, mx * 8
+            pred[1] = _encode_block(
+                writer, cbp[y0 : y0 + 8, x0 : x0 + 8], qc,
+                pred[1], luts[("dc", 1)], luts[("ac", 1)],
+            )
+            pred[2] = _encode_block(
+                writer, crp[y0 : y0 + 8, x0 : x0 + 8], qc,
+                pred[2], luts[("dc", 1)], luts[("ac", 1)],
+            )
+            mcu_in_seg += 1
+    chunks.append(writer.flush())
+    entropy = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tq: int, tab: np.ndarray) -> bytes:
+        zz = tab.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        return seg(0xDB, bytes([tq]) + zz)
+
+    def dht(tc: int, th: int, key: tuple) -> bytes:
+        counts, values = _JPEG_HUFF[key]
+        return seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(values)
+        )
+
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3])
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, ql.astype(np.int64))
+        + dqt(1, qc.astype(np.int64))
+        + dri
+        + sof
+        + dht(0, 0, ("dc", 0))
+        + dht(1, 0, ("ac", 0))
+        + dht(0, 1, ("dc", 1))
+        + dht(1, 1, ("ac", 1))
+        + sos
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
     """Try every REAL image codec; returns (pixels, codec) or None."""
     pixels = decode_ppm(payload)
@@ -359,6 +959,9 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
     pixels = decode_png(payload)
     if pixels is not None:
         return pixels, "png"
+    pixels = decode_jpeg(payload)
+    if pixels is not None:
+        return pixels, "jpeg"
     return None
 
 
@@ -806,6 +1409,8 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
             return encode_bmp(out)
         if codec == "png":
             return encode_png(out)
+        if codec == "jpeg":
+            return encode_jpeg(out)
         return encode_ppm(out)
     return _fake_resize(payload, width, height)
 

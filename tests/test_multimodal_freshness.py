@@ -561,3 +561,117 @@ def test_synth_operators_shapes(spark):
     vid = {r["doc_id"]: bytes(r["payload"]) for r in multimodal.ppm_video_from_bytes(df).collect()}
     assert len(multimodal.split_ppm_stream(vid[1])) == 2
     assert vid[2] == b"" and vid[3] == b""  # sub-n_frames docs -> fake path
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (round 13): baseline sequential JFIF in pure numpy — Huffman
+# + dequant + IDCT + YCbCr, 4:4:4 and 4:2:0, DRI/RSTn restarts. Lossy, so
+# round-trip properties BOUND the reconstruction error instead of
+# asserting equality; everything non-baseline must fall through to None.
+# ---------------------------------------------------------------------------
+
+
+def _smooth_image(h, w, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / max(w, 1), yy * 255 / max(h, 1),
+         (xx + yy) * 255 / max(h + w, 1)],
+        axis=-1,
+    )
+    return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype("uint8")
+
+
+@given(
+    h=st.integers(min_value=8, max_value=40),
+    w=st.integers(min_value=8, max_value=40),
+    quality=st.sampled_from([75, 90, 95]),
+    subsample=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_roundtrip_property(h, w, quality, subsample, seed):
+    """Encode a smooth image, decode, bound reconstruction error — the
+    same property pattern as BMP/PNG, with a lossy-codec bound. The
+    shapes include non-multiples of 8 (edge-block padding both ways)."""
+    import numpy as np
+
+    img = _smooth_image(h, w, seed)
+    dec = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(img, quality=quality, subsample=subsample)
+    )
+    assert dec is not None and dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth content at quality >= 75 reconstructs within a tight band
+    assert err.mean() < 8, err.mean()
+    assert err.max() < 64, err.max()
+
+
+def test_jpeg_flat_image_is_exact():
+    import numpy as np
+
+    flat = np.full((24, 17, 3), 100, dtype=np.uint8)
+    dec = multimodal.decode_jpeg(multimodal.encode_jpeg(flat, quality=95))
+    assert dec is not None
+    assert int(np.abs(dec.astype(int) - 100).max()) == 0
+
+
+def test_jpeg_restart_markers_decode_identically():
+    import numpy as np
+
+    img = _smooth_image(40, 56, 11)
+    for subsample in (False, True):
+        base = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(img, subsample=subsample)
+        )
+        rst = multimodal.decode_jpeg(
+            multimodal.encode_jpeg(
+                img, subsample=subsample, restart_interval=2
+            )
+        )
+        # RSTn segmentation + predictor resets change the BITSTREAM, not
+        # the decoded pixels
+        assert np.array_equal(base, rst)
+
+
+def test_jpeg_non_baseline_falls_through():
+    img = _smooth_image(16, 16, 3)
+    enc = bytearray(multimodal.encode_jpeg(img))
+    idx = bytes(enc).find(b"\xff\xc0")
+    for sof in (0xC1, 0xC2, 0xCA):  # extended / progressive / arithmetic
+        enc[idx + 1] = sof
+        assert multimodal.decode_jpeg(bytes(enc)) is None
+    assert multimodal.decode_jpeg(b"not a jpeg") is None
+    assert multimodal.decode_jpeg(b"\xff\xd8\xff\xd9") is None
+    assert multimodal.decode_jpeg(bytes(enc)[:40]) is None  # truncated
+
+
+def test_jpeg_flows_through_image_pipeline(spark):
+    """extract_features and resize must treat JPEG payloads as REAL
+    decodes (decoded=true, features from actual pixels, resize
+    re-encoding in-codec) — the same plumbing contract as PPM/BMP/PNG."""
+    import numpy as np
+
+    import numpy as np
+
+    imgs = {i: _smooth_image(24, 24, i) for i in range(1, 4)}
+    payloads = {i: multimodal.encode_jpeg(px, quality=95) for i, px in imgs.items()}
+    df = spark.createDataFrame(sorted(payloads.items()), multimodal.SYNTH_SCHEMA)
+    feats = {r["doc_id"]: list(r["feature"])
+             for r in multimodal.extract_features(df).collect()}
+    for i, payload in payloads.items():
+        dec = multimodal.decode_jpeg(payload)
+        expected = multimodal._pixel_features(dec)
+        fake = multimodal._fake_decode_features(payload)
+        got = feats[i]
+        assert np.allclose(got, np.asarray(expected, dtype=np.float32)), i
+        assert not np.allclose(got, np.asarray(fake, dtype=np.float32)), (
+            "JPEG payload took the fake path"
+        )
+    resized = {r["doc_id"]: bytes(r["payload"])
+               for r in multimodal.resize_images(df, 8, 8).collect()}
+    for i in imgs:
+        out = multimodal.decode_jpeg(resized[i])  # re-encoded as JPEG
+        assert out is not None and out.shape == (8, 8, 3)
