@@ -42,30 +42,114 @@ def _rate(c):
 # (reference: models/spend_monthly.sql:12-27, metrics_monthly.sql:15-21)
 # ---------------------------------------------------------------------------
 
+def _guarded(value, n, mx, mn, what):
+    """count*max overflow proof for an exact long money sum (the star
+    layout's guarded_cents_spend contract, star_layout.py): a group's sum
+    of NON-NEGATIVE longs is <= count * max, so `count*max <= 2^63-1`
+    (checked in decimal — that product cannot itself wrap) proves the
+    long sum did not overflow; `min >= 0` machine-checks the
+    non-negativity precondition. Past either bound: raise loudly, never
+    return a wrapped number."""
+    long_max = (1 << 63) - 1
+    return (
+        F.when(
+            mn < 0,
+            F.raise_error(
+                F.lit(
+                    f"q1 {what}: negative scaled value observed — the "
+                    "count*max overflow proof is unsound for signed "
+                    "values; re-aggregate with decimal accumulation"
+                )
+            ).cast("double"),
+        )
+        .when(
+            n.cast("decimal(38,0)") * mx
+            > F.lit(long_max).cast("decimal(38,0)"),
+            F.raise_error(
+                F.lit(
+                    f"q1 {what}: long sum may have overflowed (count*max "
+                    "exceeds 2^63); re-aggregate with decimal accumulation"
+                )
+            ).cast("double"),
+        )
+        .otherwise(value)
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped rollup: groupBy agg with sums/avgs/conditional math.
 
     Scale: pure map-side-combinable aggregation on a low-cardinality key —
     one shuffle of tiny partial aggregates; AQE coalesces post-shuffle.
+
+    Money math runs in EXACT integer cents/long space, not decimal: the
+    r13 stage decomposition (scripts/probe_q1_decomp.py, 60M rows,
+    min-of-5 interleaved, load+drift gated) measured the 128-bit decimal
+    SUM accumulation as the dominant term — ONE decimal(18,2) sum cost
+    1.4s over the 0.5s scan floor, the shipped 4-decimal-sum plan 3.6s,
+    while this all-long plan runs 1.56s for identical output. Exactness:
+    for a double that is the nearest representation of a 2-decimal value
+    v, |x*100 - 100v| <= 100*ulp(v)/2 + ulp(100v)/2 << 0.5 for
+    |v| < 2^45, so round() provably recovers the true integer cents /
+    hundredths (0 mismatches vs the decimal cast at sf0.001/0.01);
+    products are then exact longs at scale 4 (disc_price) and scale 6
+    (charge), long sums re-round HALF_UP in integer space on the 6-row
+    output frame, and the long->double conversion goes through
+    decimal(38,0)/100 which is the same correctly-rounded value the
+    decimal plan produced. Overflow: each sum carries the layout's
+    count*max proof columns (measured +2%) and raises loudly past 2^63
+    instead of wrapping — at that scale the remedy is decimal
+    accumulation or a salted two-level rollup.
     """
     li = load_testdata(spark, sf_dir)["lineitem"]
-    disc_price = _money(F.col("l_extendedprice")) * _rate(F.lit(1) - F.col("l_discount"))
-    charge = disc_price * _rate(F.lit(1) + F.col("l_tax"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_h = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    tax_h = F.round((F.lit(1) + F.col("l_tax")) * 100).cast("long")
+    disc_i4 = cents * disc_h  # exact integer at scale 4
+    charge_i6 = disc_i4 * tax_h  # exact integer at scale 6
+
+    def dollars(col):  # exact long -> double via decimal, like the layout
+        return (col.cast("decimal(38,0)") / F.lit(100)).cast("double")
+
+    n = F.col("count_order")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            # Scale-4/6 decimal sums are rounded to cents BEFORE the double
-            # cast: once the scaled integer exceeds 2^53 (sum_charge crossed
-            # it at sf1), Spark's correctly-rounded BigDecimal.doubleValue
-            # and DuckDB's int128/10^scale cast can differ by one ulp. At
-            # scale 2 the cast stays exact to ~9e13 — far past any sf here.
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_money(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.sum(cents).alias("__s2"),
+            F.sum(disc_i4).alias("__s4"),
+            F.sum(charge_i6).alias("__s6"),
             F.count(F.lit(1)).alias("count_order"),
+            F.max(cents).alias("__mx2"),
+            F.min(cents).alias("__mn2"),
+            F.max(disc_i4).alias("__mx4"),
+            F.min(disc_i4).alias("__mn4"),
+            F.max(charge_i6).alias("__mx6"),
+            F.min(charge_i6).alias("__mn6"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            _guarded(
+                dollars(F.col("__s2")), n, F.col("__mx2"), F.col("__mn2"),
+                "sum_base_price",
+            ).alias("sum_base_price"),
+            # HALF_UP to cents in integer space: (x + half) div scale
+            _guarded(
+                dollars(F.expr("(__s4 + 50) div 100")),
+                n, F.col("__mx4"), F.col("__mn4"), "sum_disc_price",
+            ).alias("sum_disc_price"),
+            _guarded(
+                dollars(F.expr("(__s6 + 5000) div 10000")),
+                n, F.col("__mx6"), F.col("__mn6"), "sum_charge",
+            ).alias("sum_charge"),
+            (F.col("sum_qty") / n).alias("avg_qty"),
+            _guarded(
+                dollars(F.col("__s2")) / n,
+                n, F.col("__mx2"), F.col("__mn2"), "avg_price",
+            ).alias("avg_price"),
+            "count_order",
         )
     )
 
