@@ -46,7 +46,12 @@ QUERIES = [
     "j1b_join_agg_bucketed",
     "w3b_pct_of_total_bucketed",
     "q13b_custdist_bucketed",
+    # the AD-HOC star rows: since r13's layout awareness these route to
+    # the bucketed layout (it exists by the time they run — the probe
+    # builds it above) and must inherit its ratio
     "j1_join_agg",
+    "w3_pct_of_total",
+    "q13_custdist",
 ]
 REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 #: Max in-run drift band ((max-min)/min) before a scale's block re-runs
