@@ -53,6 +53,36 @@ def data_fingerprint(df: DataFrame) -> str:
     return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
+def files_fingerprint(paths: list[str]) -> str:
+    """Like :func:`data_fingerprint` but straight from filesystem paths —
+    no Spark plan analysis, pure os.stat, so a per-query staleness check
+    costs microseconds. Each path may be a single file or a directory of
+    part files; hidden entries (``.``/``_`` prefixed) are excluded, the
+    same listing rule Spark's file index applies. Missing paths
+    fingerprint as ``missing:`` entries (they still change the digest
+    when a source appears/disappears)."""
+    parts: list[str] = []
+    for p in sorted(paths):
+        if os.path.isfile(p):
+            files = [p]
+        elif os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            parts.append(f"missing:{p}")
+            continue
+        for f in files:
+            try:
+                st = os.stat(f)
+                parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+            except OSError:
+                parts.append(f)
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
 def defs_fingerprint(obj) -> str:
     """Digest of a JSON-serializable definition object (dimension /
     measure expressions, layout contract fields). Pairs with

@@ -100,16 +100,11 @@ LAYOUT_SIDECAR = "_dbt_layout_spec.json"
 last_route_used: str | None = None
 
 
-def _star_specs(
-    spark: SparkSession, sf_dir: str, n_buckets: int
-) -> list[tuple[str, DataFrame, str, dict]]:
-    """The build contract for each star-layout table of ``sf_dir``:
-    ``(table, build_df, bucket_col, spec)``. The spec embeds a source
-    fingerprint (file listing of the tables the layout derives from —
-    plans/fingerprint.py) so reuse and routing always verify the layout
-    still matches the CURRENT source files."""
-    from .fingerprint import data_fingerprint
-
+def _star_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The BUILD DataFrames of the star layout (only constructed on the
+    ensure/build path — routing never needs a plan)."""
     t = load_testdata(spark, sf_dir)
     custmap = (
         t["customer"]
@@ -141,27 +136,76 @@ def _star_specs(
         "o_cents",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
     )
-    tag = f"{_tag(sf_dir)}_b{n_buckets}"
+    return {"orders": orders, "custmap": custmap}
+
+
+#: static spec parts per (appId, sf_dir, n_buckets): table names, bucket
+#: cols, schema DDL, source-table lists. Cached because the ad-hoc router
+#: runs per QUERY — only the source fingerprint (pure os.stat) must stay
+#: fresh per call; plan analysis for the schema DDL must not.
+_SPEC_STATIC: dict[tuple, list[tuple[str, str, list[str], dict]]] = {}
+
+
+def _star_specs(
+    spark: SparkSession, sf_dir: str, n_buckets: int
+) -> list[tuple[str, str, dict]]:
+    """The layout contract for each star table of ``sf_dir``:
+    ``(table, bucket_col, spec)``. The spec embeds a source fingerprint
+    (file listing of the tables the layout derives from —
+    plans/fingerprint.py, recomputed FRESH on every call so staleness is
+    caught per query) so reuse and routing always verify the layout still
+    matches the CURRENT source files."""
+    from .fingerprint import files_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        n_buckets,
+    )
+    static = _SPEC_STATIC.get(key)
+    if static is None:
+        frames = _star_frames(spark, sf_dir)
+        tag = f"{_tag(sf_dir)}_b{n_buckets}"
+        static = [
+            (
+                f"star_orders_{tag}_v{ORDERS_VERSION}",
+                "o_custkey",
+                ["orders"],
+                {
+                    "version": ORDERS_VERSION,
+                    "schema": _schema_ddl(frames["orders"]),
+                },
+            ),
+            (
+                f"star_custmap_{tag}_v{CUSTMAP_VERSION}",
+                "c_custkey",
+                ["customer", "nation", "region"],
+                {
+                    "version": CUSTMAP_VERSION,
+                    "schema": _schema_ddl(frames["custmap"]),
+                },
+            ),
+        ]
+        _SPEC_STATIC[key] = static
     out = []
-    for tbl, df, col, ver in (
-        (f"star_orders_{tag}_v{ORDERS_VERSION}", orders, "o_custkey",
-         ORDERS_VERSION),
-        (f"star_custmap_{tag}_v{CUSTMAP_VERSION}", custmap, "c_custkey",
-         CUSTMAP_VERSION),
-    ):
+    for tbl, col, srcs, meta in static:
         out.append(
             (
                 tbl,
-                df,
                 col,
                 {
                     "table": tbl,
-                    "version": ver,
+                    "version": meta["version"],
                     "bucket_col": col,
                     "n_buckets": n_buckets,
                     "codec": LAYOUT_CODEC,
-                    "schema": _schema_ddl(df),
-                    "source_fp": data_fingerprint(df),
+                    "schema": meta["schema"],
+                    "source_fp": files_fingerprint(
+                        [
+                            os.path.join(sf_dir, f"{s}.parquet")
+                            for s in srcs
+                        ]
+                    ),
                 },
             )
         )
@@ -267,8 +311,12 @@ def ensure_star_layout(
     fingerprint) so a layout can never silently serve a rewritten
     source or a crashed partial write.
     """
+    frames = _star_frames(spark, sf_dir)
+    dfs = [frames["orders"], frames["custmap"]]
     names = []
-    for tbl, df, col, spec in _star_specs(spark, sf_dir, n_buckets):
+    for (tbl, col, spec), df in zip(
+        _star_specs(spark, sf_dir, n_buckets), dfs
+    ):
         _ensure_bucketed(spark, tbl, df, col, n_buckets, spec)
         names.append(tbl)
     return tuple(names)
@@ -297,7 +345,7 @@ def maybe_star_layout(
     except Exception:
         return None  # source tables unreadable: nothing to route to
     names = []
-    for tbl, _df, _col, spec in specs:
+    for tbl, _col, spec in specs:
         path = _warehouse_path(spark, tbl)
         if read_sidecar(path, LAYOUT_SIDECAR) != spec:
             return None  # absent, stale, or different contract
@@ -342,8 +390,8 @@ def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     stale/incomplete rows."""
     from ..operators.zorder import zorder_dataframe
     from .fingerprint import (
-        data_fingerprint,
         dir_is_complete,
+        files_fingerprint,
         read_sidecar,
         write_sidecar,
     )
@@ -356,7 +404,9 @@ def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
         "zorder_cols": ["o_custkey", "o_orderdate"],
         "codec": LAYOUT_CODEC,
         "schema": _schema_ddl(t["orders"]),
-        "source_fp": data_fingerprint(t["orders"]),
+        "source_fp": files_fingerprint(
+            [os.path.join(sf_dir, "orders.parquet")]
+        ),
     }
     path = _warehouse_path(spark, tbl)
     if spark.catalog.tableExists(tbl):
