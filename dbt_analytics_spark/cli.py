@@ -857,6 +857,12 @@ def build_parser() -> argparse.ArgumentParser:
     sl.add_argument("--name", default=None, help="rollup: rollup name")
     sl.add_argument("--model", default=None, help="rollup: semantic model to pre-aggregate")
     sl.add_argument(
+        "--refresh",
+        action="store_true",
+        help="rollup: refresh an existing rollup against the current "
+        "source (append-only incremental fast path; rebuilds otherwise)",
+    )
+    sl.add_argument(
         "--dims",
         default="",
         help="rollup: comma-separated dims (dim or time_dim__grain) to store",
@@ -1097,6 +1103,26 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
                 # engine-maintained pre-aggregation; subsequent `sl query`
                 # invocations in this session route to it automatically
                 # when the request re-aggregates exactly from it.
+                if args.refresh:
+                    # incremental refresh (append-only fast path; falls
+                    # back to a rebuild when the source was rewritten or
+                    # definitions drifted — plans/semantics.refresh_rollup)
+                    if not (args.name and args.model):
+                        print(
+                            "sl rollup --refresh: pass --name and --model",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    try:
+                        sl.discover_rollups()
+                    except Exception:
+                        pass
+                    r = sl.refresh_rollup(args.name, args.model)
+                    print(
+                        f"rollup {r.name} -> {r.table} "
+                        f"({sl.last_refresh_mode})"
+                    )
+                    return 0
                 if not (args.name and args.model and args.dims):
                     print(
                         "sl rollup: pass --name, --model and --dims",

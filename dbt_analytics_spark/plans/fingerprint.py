@@ -26,17 +26,18 @@ import os
 from pyspark.sql import DataFrame
 
 
-def data_fingerprint(df: DataFrame) -> str:
-    """Digest of the CURRENT physical state of ``df``'s source relation.
-
-    Built from the sorted input-file listing with per-file size + mtime
-    when the file is locally stat-able (``file:`` URIs), path-only
-    otherwise (remote filesystems: paths still change on overwrite since
-    Spark writes fresh part-file names per job). A relation with no
-    input files (in-memory temp view) fingerprints as its schema plus a
-    'mem:' tag — appends to such relations are not file-detectable and
-    callers should treat those artifacts as session-scoped.
-    """
+def data_listing(df: DataFrame) -> list[str]:
+    """The CURRENT physical state of ``df``'s source relation as a
+    sorted list of ``path|size|mtime_ns`` entries (path-only for files
+    that cannot be locally stat-ed — remote filesystems: paths still
+    change on overwrite since Spark writes fresh part-file names per
+    job). A relation with no input files (in-memory temp view) lists as
+    its schema plus a 'mem:' tag — appends to such relations are not
+    file-detectable and callers should treat those artifacts as
+    session-scoped. The listing (not just its digest) is what the
+    append-only incremental-refresh fast path diffs: old ⊂ new with
+    every old entry unchanged means the relation GREW by exactly the
+    new files."""
     parts: list[str] = []
     for f in sorted(df.inputFiles()):
         if f.startswith("file:"):
@@ -50,7 +51,12 @@ def data_fingerprint(df: DataFrame) -> str:
         parts.append(f)
     if not parts:
         parts = ["mem:" + df.schema.simpleString()]
-    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+    return parts
+
+
+def data_fingerprint(df: DataFrame) -> str:
+    """Digest of :func:`data_listing` — the per-query staleness stamp."""
+    return hashlib.md5("\n".join(data_listing(df)).encode()).hexdigest()
 
 
 def files_fingerprint(paths: list[str]) -> str:

@@ -403,6 +403,11 @@ _ROLLUP_REAGG = {
     "avg": "_reagg_avg",
 }
 
+#: Sidecar holding the source relation's file LISTING at build time —
+#: the append-only incremental refresh diffs it against the current
+#: listing (plans/fingerprint.data_listing).
+_ROLLUP_FILES_SIDECAR = "_dbt_rollup_files.json"
+
 #: grain -> the coarser grains derivable from buckets stored at it.
 #: ISO weeks do not nest in months/quarters/years-by-truncation, so week
 #: derives only from day (and itself).
@@ -426,6 +431,9 @@ class SemanticLayer:
         #: name of the rollup the LAST query() was answered from, or None
         #: (observability + tests; MetricFlow has no equivalent surface)
         self.last_rollup_used: str | None = None
+        #: how the LAST refresh_rollup() satisfied its contract:
+        #: 'noop' | 'incremental' | 'rebuild' (observability + tests)
+        self.last_refresh_mode: str | None = None
 
     # ------------------------------------------------------------------
     # YAML loading (dbt schema-file sections)
@@ -971,6 +979,20 @@ class SemanticLayer:
         routing never weakens the oracle gate."""
         sem = self.models[model]
         df = self.project._resolve_for_adhoc(sem.model)
+        dim_names, grains, kinds, casts, rollup_df = self._rollup_partials(
+            sem, df, dims, model
+        )
+        return self._write_rollup(
+            name, model, sem, df, dims, dim_names, grains, kinds, casts,
+            rollup_df, reuse_existing,
+        )
+
+    def _rollup_partials(
+        self, sem: SemanticModel, df: DataFrame, dims: list[str], model: str
+    ):
+        """Compile the partial-aggregate frame of ``df`` at the grain of
+        ``dims`` — shared by the initial build and the incremental
+        refresh (which runs it over the DELTA files only)."""
         group_cols, grains, dim_names = [], {}, []
         for d in dims:
             parts = d.split("__")
@@ -1024,15 +1046,79 @@ class SemanticLayer:
             raise ValueError(
                 f"model {model!r} has no rollup-coverable measures"
             )
+        return (
+            dim_names,
+            grains,
+            kinds,
+            casts,
+            df.groupBy(*group_cols).agg(*aggs),
+        )
+
+    def _rollup_table_dir(self, table: str) -> str:
+        import os as _os
+        import re as _re
+
+        wh = _re.sub(
+            r"^file:",
+            "",
+            self.project.spark.conf.get("spark.sql.warehouse.dir"),
+        )
+        return _os.path.join(
+            wh,
+            table.lower().replace(".", ".db/", 1)
+            if "." in table
+            else table.lower(),
+        )
+
+    def _stamp_rollup(
+        self, table: str, spec: dict, listing: list[str]
+    ) -> None:
+        """Persist a rollup's metadata: TBLPROPERTIES (in-catalog
+        rediscovery), the spec sidecar (durable cross-session copy —
+        TBLPROPERTIES die with an in-memory catalog), and the source
+        file LISTING sidecar (what the append-only incremental refresh
+        diffs)."""
+        import json as _json
+
+        from .fingerprint import write_sidecar
+
+        spec_sql = _json.dumps(spec).replace("'", "''")
+        self.project.spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('dbt_analytics.rollup' = '{spec_sql}')"
+        )
+        try:
+            write_sidecar(self._rollup_table_dir(table), spec)
+            write_sidecar(
+                self._rollup_table_dir(table),
+                {"source_files": listing},
+                name=_ROLLUP_FILES_SIDECAR,
+            )
+        except OSError:
+            pass  # non-local warehouse: TBLPROPERTIES path still works
+
+    def _write_rollup(
+        self,
+        name: str,
+        model: str,
+        sem: SemanticModel,
+        df: DataFrame,
+        dims: list[str],
+        dim_names: list[str],
+        grains: dict[str, str],
+        kinds: dict[str, str],
+        casts: dict[str, str],
+        rollup_df: DataFrame,
+        reuse_existing: bool,
+    ) -> Rollup:
         table = self.project.qualified(f"{name}__rollup")
-        rollup_df = df.groupBy(*group_cols).agg(*aggs)
         spark = self.project.spark
 
         from .fingerprint import (
             data_fingerprint,
+            data_listing,
             dir_is_complete,
             read_sidecar,
-            write_sidecar,
         )
 
         # Staleness stamps, captured at build time: the source relation's
@@ -1040,6 +1126,7 @@ class SemanticLayer:
         # later reuse / discover / route decision verifies BOTH — an
         # incremental append to the fact or a YAML edit invalidates the
         # rollup instead of silently serving stale partials.
+        listing = data_listing(df)
         spec = {
             "name": name,
             "model": model,
@@ -1051,19 +1138,7 @@ class SemanticLayer:
             "fp_defs": self._rollup_defs_fp(sem, dim_names, kinds),
         }
 
-        def _table_dir() -> str:
-            import os as _os
-            import re as _re
-
-            wh = _re.sub(
-                r"^file:", "", spark.conf.get("spark.sql.warehouse.dir")
-            )
-            return _os.path.join(
-                wh,
-                table.lower().replace(".", ".db/", 1)
-                if "." in table
-                else table.lower(),
-            )
+        _table_dir = lambda: self._rollup_table_dir(table)  # noqa: E731
 
         build = True
         if reuse_existing:
@@ -1105,23 +1180,11 @@ class SemanticLayer:
             _save_as_table(
                 self.project, rollup_df.write.mode("overwrite"), table
             )
-            # Durable copy of the spec beside the data files: TBLPROPERTIES
-            # die with an in-memory session catalog; the sidecar is what a
-            # later session's files-reuse path verifies against.
-            try:
-                write_sidecar(_table_dir(), spec)
-            except OSError:
-                pass  # non-local warehouse: TBLPROPERTIES path still works
-        # Persist the spec ON the table (TBLPROPERTIES) so a FUTURE
-        # session's layer can rediscover and route to it — the registry
-        # below is in-memory and dies with this layer.
-        import json as _json
-
-        spec_sql = _json.dumps(spec).replace("'", "''")
-        spark.sql(
-            f"ALTER TABLE {table} SET TBLPROPERTIES "
-            f"('dbt_analytics.rollup' = '{spec_sql}')"
-        )
+        # Persist the spec ON the table (TBLPROPERTIES + durable
+        # sidecars) so a FUTURE session's layer can rediscover, verify,
+        # and incrementally refresh it — the registry below is in-memory
+        # and dies with this layer.
+        self._stamp_rollup(table, spec, listing)
         rollup = Rollup(
             name=name,
             model=model,
@@ -1137,6 +1200,157 @@ class SemanticLayer:
         kept.append(rollup)
         self.rollups[model] = kept
         return rollup
+
+    def refresh_rollup(self, name: str, model: str) -> Rollup:
+        """Refresh rollup ``name`` against the CURRENT source state.
+
+        Fast path (append-only): when the semantic model's backing
+        relation is a catalog TABLE — the one relation kind where a new
+        data file provably contains exactly the appended rows, nothing
+        recomputed through view logic — and the build-time file listing
+        is an UNCHANGED subset of the current one, aggregate ONLY the
+        new files to partials and fold them into the stored rollup:
+        refresh cost scales with the DELTA, never the fact. That is the
+        100 TB answer to the staleness guard's "rebuild" remedy — an
+        hourly-append fact never pays a full re-aggregation.
+
+        Everything else (source rewritten or shrunk, definition drift,
+        non-table relation, missing/changed old files, schema change,
+        no listing sidecar) falls back to a full rebuild through
+        :meth:`materialize_rollup`; an already-fresh rollup is a no-op.
+        ``self.last_refresh_mode`` records 'noop' | 'incremental' |
+        'rebuild'. Partial exactness is unchanged: sums/counts (and avg
+        sum+count pairs) re-sum, min/max re-min/max, so the refreshed
+        table equals a from-scratch build bit-for-bit."""
+        from .fingerprint import data_fingerprint, data_listing, read_sidecar
+
+        sem = self.models[model]
+        spark = self.project.spark
+        rollup = next(
+            (r for r in self.rollups.get(model, []) if r.name == name), None
+        )
+        # reconstruct the original dims argument (dim or dim__grain)
+        dims_arg = (
+            [
+                f"{dn}__{rollup.grains[dn]}" if dn in rollup.grains else dn
+                for dn in rollup.dims
+            ]
+            if rollup is not None
+            else None
+        )
+
+        def _rebuild() -> Rollup:
+            self.last_refresh_mode = "rebuild"
+            return self.materialize_rollup(
+                name, model, dims_arg, reuse_existing=False
+            )
+
+        if rollup is None or dims_arg is None:
+            raise KeyError(
+                f"rollup {name!r} on {model!r} is not registered — build "
+                "it with materialize_rollup() / discover_rollups() first"
+            )
+        df = self.project._resolve_for_adhoc(sem.model)
+        cur_listing = data_listing(df)
+        cur_fp = data_fingerprint(df)
+        try:
+            defs_ok = rollup.fp_defs == self._rollup_defs_fp(
+                sem, rollup.dims, rollup.measures
+            )
+        except KeyError:
+            defs_ok = False
+        if not defs_ok:
+            return _rebuild()
+        if rollup.fp_data == cur_fp:
+            self.last_refresh_mode = "noop"
+            return rollup
+        # append-only detection: the relation must be a catalog TABLE
+        # (not a view/ephemeral whose inputs are upstream files — re-
+        # reading those raw would skip the view's logic) and every
+        # build-time file must still be present UNCHANGED.
+        files_sc = read_sidecar(
+            self._rollup_table_dir(rollup.table), _ROLLUP_FILES_SIDECAR
+        )
+        old_listing = (files_sc or {}).get("source_files")
+        is_table = not self.project._is_view_node(
+            sem.model
+        ) and spark.catalog.tableExists(self.project.qualified(sem.model))
+        if (
+            not is_table
+            or not old_listing
+            or any(e.startswith("mem:") for e in old_listing)
+            or not set(old_listing) < set(cur_listing)
+        ):
+            return _rebuild()
+        delta_paths = [
+            e.split("|", 1)[0]
+            for e in sorted(set(cur_listing) - set(old_listing))
+        ]
+        delta_df = spark.read.parquet(*delta_paths)
+        if delta_df.schema != df.schema:
+            return _rebuild()  # appended files under a changed schema
+        dim_names, grains, kinds, casts, delta_partials = (
+            self._rollup_partials(sem, delta_df, dims_arg, model)
+        )
+        if kinds != rollup.measures or casts != rollup.casts:
+            return _rebuild()
+        # fold: union the stored partials with the delta's and
+        # re-aggregate per kind — sums/counts/avg-pairs re-sum, min/max
+        # re-min/max; exactness identical to a from-scratch build
+        reaggs = []
+        for mn, kind in kinds.items():
+            if kind == "avg":
+                reaggs.append(F.sum(f"p_{mn}__sum").alias(f"p_{mn}__sum"))
+                reaggs.append(F.sum(f"p_{mn}__cnt").alias(f"p_{mn}__cnt"))
+            else:
+                fn = _AGGS[_ROLLUP_REAGG[kind]]
+                reaggs.append(fn(f"p_{mn}").alias(f"p_{mn}"))
+        merged = (
+            spark.table(rollup.table)
+            .unionByName(delta_partials)
+            .groupBy(*[f"d_{dn}" for dn in dim_names])
+            .agg(*reaggs)
+        )
+        from .materialize import _save_as_table
+
+        # two-step swap: Spark cannot overwrite a table it is reading,
+        # so stage the merged frame first (both frames are output-grain-
+        # sized — tiny next to the fact either way)
+        staging = f"{rollup.table}__refreshing"
+        _save_as_table(self.project, merged.write.mode("overwrite"), staging)
+        _save_as_table(
+            self.project,
+            spark.table(staging).write.mode("overwrite"),
+            rollup.table,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        spec = {
+            "name": name,
+            "model": model,
+            "dims": list(rollup.dims),
+            "measures": kinds,
+            "grains": grains,
+            "casts": casts,
+            "fp_data": cur_fp,
+            "fp_defs": rollup.fp_defs,
+        }
+        self._stamp_rollup(rollup.table, spec, cur_listing)
+        fresh = Rollup(
+            name=name,
+            model=model,
+            dims=rollup.dims,
+            table=rollup.table,
+            measures=kinds,
+            grains=grains,
+            fp_data=cur_fp,
+            fp_defs=rollup.fp_defs,
+            casts=casts,
+        )
+        kept = [r for r in self.rollups.get(model, []) if r.name != name]
+        kept.append(fresh)
+        self.rollups[model] = kept
+        self.last_refresh_mode = "incremental"
+        return fresh
 
     def _rollup_defs_fp(
         self, sem: SemanticModel, dim_names, measure_kinds

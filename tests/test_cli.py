@@ -1088,3 +1088,46 @@ metrics:
     assert lay.discover_rollups() >= 1
     lay.query(["revenue"], group_by=["seg"]).count()
     assert lay.last_rollup_used == "seg_ru"
+
+
+def test_cli_sl_rollup_refresh(project_dir, spark, capsys):
+    _write(
+        os.path.join(project_dir, "models", "semantics.yml"),
+        """
+semantic_models:
+  - name: txn_sem
+    model: ref('stg_txns')
+    dimensions:
+      - {name: seg, type: categorical}
+    measures:
+      - {name: total_amount, agg: sum, expr: amount}
+metrics:
+  - {name: revenue, type: simple, measure: total_amount}
+""",
+    )
+    rc = _run(spark, ["run", "--project-dir", project_dir], "cli_slrf")
+    assert rc == 0
+    capsys.readouterr()
+    rc = _run(
+        spark,
+        [
+            "sl", "rollup", "--project-dir", project_dir,
+            "--name", "seg_rf", "--model", "txn_sem", "--dims", "seg",
+        ],
+        "cli_slrf",
+    )
+    assert rc == 0
+    capsys.readouterr()
+    # fresh source: refresh is a no-op; a later invocation refreshes
+    # the discovered rollup without rebuilding
+    rc = _run(
+        spark,
+        [
+            "sl", "rollup", "--refresh", "--project-dir", project_dir,
+            "--name", "seg_rf", "--model", "txn_sem",
+        ],
+        "cli_slrf",
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "seg_rf" in out and "noop" in out

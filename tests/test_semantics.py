@@ -2249,3 +2249,126 @@ def test_rollup_avg_measure_routes_and_matches_fact(spark, fact_path):
     assert lay2.last_rollup_used == "rus"
     lay2.rollups = {}
     assert _rows(lay2.query(**q)) == fact2
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup refresh (refresh_rollup): append-only sources fold
+# ONLY the delta files' partials into the stored rollup — refresh cost
+# scales with the delta, never the fact — and anything non-append-only
+# (rewrite, definition drift, non-table relation) rebuilds. The refreshed
+# table must equal a from-scratch build bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def table_layer(spark):
+    """A semantic layer whose model is backed by a catalog TABLE (the
+    relation kind the append-only fast path requires)."""
+    spark.sql("DROP TABLE IF EXISTS txns_model")
+    _txn_df(
+        spark,
+        [
+            (1, "a", 10.0, "2025-01-01"),
+            (2, "a", 20.0, "2025-01-15"),
+            (3, "b", 5.0, "2025-02-01"),
+        ],
+    ).write.saveAsTable("txns_model")
+    p = Project(spark, name="sem_rf")
+    lay = SemanticLayer(p)
+    lay.load(DOC)
+    lay.load(
+        {"metrics": [{"name": "avg_val", "type": "simple",
+                      "measure": "avg_amount"}]}
+    )
+    yield spark, lay
+    spark.sql("DROP TABLE IF EXISTS txns_model")
+    spark.sql("DROP TABLE IF EXISTS rfr__rollup")
+    spark.sql("DROP TABLE IF EXISTS rfr2__rollup")
+
+
+def test_refresh_noop_when_fresh(table_layer):
+    spark, lay = table_layer
+    lay.materialize_rollup("rfr", "txns", ["seg"])
+    r = lay.refresh_rollup("rfr", "txns")
+    assert lay.last_refresh_mode == "noop"
+    assert r.table.endswith("rfr__rollup")
+
+
+def test_refresh_incremental_append_matches_full_rebuild(table_layer):
+    spark, lay = table_layer
+    lay.materialize_rollup("rfr", "txns", ["seg", "day__month"])
+    _txn_df(
+        spark,
+        [(4, "b", 7.0, "2025-02-02"), (5, "c", 2.5, "2025-03-01")],
+    ).write.mode("append").saveAsTable("txns_model")
+    # stale now: routing refuses until refreshed
+    with pytest.warns(UserWarning, match="stale"):
+        lay.query(["revenue"], group_by=["seg"]).collect()
+    assert lay.last_rollup_used is None
+    lay.refresh_rollup("rfr", "txns")
+    assert lay.last_refresh_mode == "incremental"
+    q = dict(
+        metrics=["revenue", "txn_count", "avg_val"],
+        group_by=["seg", "day__month"],
+    )
+    routed = _rows(lay.query(**q))
+    assert lay.last_rollup_used == "rfr"
+    # routed == fact grain (incl. the avg partial pair)
+    lay2_rollups, lay.rollups = lay.rollups, {}
+    fact = _rows(lay.query(**q))
+    lay.rollups = lay2_rollups
+    assert routed == fact
+    # the refreshed table is bit-identical to a from-scratch build
+    fresh = lay.materialize_rollup("rfr2", "txns", ["seg", "day__month"])
+    a = _rows(spark.table("rfr__rollup"))
+    b = _rows(spark.table(fresh.table))
+    assert a == b
+
+
+def test_refresh_incremental_twice(table_layer):
+    spark, lay = table_layer
+    lay.materialize_rollup("rfr", "txns", ["seg"])
+    for i, amt in ((10, 1.0), (11, 2.0)):
+        _txn_df(spark, [(i, "a", amt, "2025-04-01")]).write.mode(
+            "append"
+        ).saveAsTable("txns_model")
+        lay.refresh_rollup("rfr", "txns")
+        assert lay.last_refresh_mode == "incremental"
+    rows = _rows(lay.query(["revenue"], group_by=["seg"]))
+    assert lay.last_rollup_used == "rfr"
+    assert rows == [("a", 33.0), ("b", 5.0)]
+
+
+def test_refresh_rebuilds_on_source_rewrite(table_layer):
+    spark, lay = table_layer
+    lay.materialize_rollup("rfr", "txns", ["seg"])
+    _txn_df(
+        spark, [(1, "a", 1.0, "2025-01-01"), (2, "b", 2.0, "2025-01-02")]
+    ).write.mode("overwrite").saveAsTable("txns_model")
+    lay.refresh_rollup("rfr", "txns")
+    assert lay.last_refresh_mode == "rebuild"
+    rows = _rows(lay.query(["revenue"], group_by=["seg"]))
+    assert lay.last_rollup_used == "rfr"
+    assert rows == [("a", 1.0), ("b", 2.0)]
+
+
+def test_refresh_rebuilds_for_non_table_relation(spark, fact_path):
+    _, lay1 = _file_layer(spark, fact_path, name="sem_rf_v")
+    lay1.materialize_rollup("rus", "txns", ["seg"])
+    _txn_df(spark, [(9, "b", 1.0, "2025-03-01")]).write.mode(
+        "append"
+    ).parquet(fact_path)
+    # new session's view of the grown path-backed (non-table) relation
+    p2, lay2 = _file_layer(spark, fact_path, name="sem_rf_v2")
+    assert lay2.discover_rollups() == 1
+    lay2.refresh_rollup("rus", "txns")
+    assert lay2.last_refresh_mode == "rebuild"  # no append-only proof
+    rows = _rows(lay2.query(["revenue"], group_by=["seg"]))
+    assert lay2.last_rollup_used == "rus"
+    assert rows == [("a", 30.0), ("b", 6.0)]
+
+
+def test_refresh_unknown_rollup_raises(table_layer):
+    _, lay = table_layer
+    with pytest.raises(KeyError, match="not registered"):
+        lay.refresh_rollup("nope", "txns")
