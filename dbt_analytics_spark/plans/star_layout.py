@@ -99,6 +99,16 @@ LAYOUT_SIDECAR = "_dbt_layout_spec.json"
 #: SemanticLayer.last_rollup_used).
 last_route_used: str | None = None
 
+#: Fact-size floor for AD-HOC routing: below this on-disk orders size
+#: the raw broadcast-probe plan is already scheduler-floor-bound and the
+#: bucketed path's fixed costs LOSE (measured: sf0.1 = 2.7 MB, raw j1
+#: 0.215 s vs routed 0.336 s; sf10 = 176 MB, raw 1.24 s vs routed
+#: 0.98 s and 1.6-1.8x vs 6.4x data-bound at 240M+). Same cost-model
+#: discipline as the DIM_BROADCAST_BUDGET gate: route only where the
+#: exchange-free plan wins. Tests pin it to 0 to exercise routing at
+#: toy scale.
+ROUTE_MIN_FACT_BYTES = 32 << 20
+
 
 def _star_frames(
     spark: SparkSession, sf_dir: str
@@ -335,11 +345,19 @@ def maybe_star_layout(
     NEVER builds: an ad-hoc query must not pay the one-time layout cost;
     it falls back to its raw-parquet plan silently — the same
     silent-fallback contract as rollup routing's fact fallback. Every
-    check is metadata-only (one file listing per source table)."""
+    check is metadata-only (one file listing per source table). Facts
+    below ROUTE_MIN_FACT_BYTES stay on the raw plan — at toy scale the
+    bucketed path's fixed costs lose to the broadcast probe."""
     global last_route_used
     last_route_used = None
+    from ..sources.readers import table_disk_bytes
     from .fingerprint import dir_is_complete, read_sidecar
 
+    try:
+        if table_disk_bytes(sf_dir, "orders") < ROUTE_MIN_FACT_BYTES:
+            return None
+    except OSError:
+        return None
     try:
         specs = _star_specs(spark, sf_dir, n_buckets)
     except Exception:

@@ -20,11 +20,23 @@ SF = "/root/testdata/sf0.001"
 TABLES = ("orders", "customer", "nation", "region")
 
 
+@pytest.fixture(autouse=True)
+def _route_at_toy_scale(monkeypatch):
+    """Routing is fact-size gated (ROUTE_MIN_FACT_BYTES: below ~32 MB
+    the raw broadcast plan wins); these tests exercise the routing
+    machinery itself at toy scale, so pin the gate open."""
+    monkeypatch.setattr(star_layout, "ROUTE_MIN_FACT_BYTES", 0)
+
+
 @pytest.fixture()
 def sf_copy(tmp_path):
     """A private, MUTABLE copy of the star tables so staleness tests can
-    rewrite sources without touching the shared testdata."""
-    d = str(tmp_path / "sfc")
+    rewrite sources without touching the shared testdata. The dir name
+    is unique per test: layout table names derive from it, so tests
+    never collide on each other's warehouse leftovers."""
+    import uuid
+
+    d = str(tmp_path / f"sfc_{uuid.uuid4().hex[:8]}")
     os.makedirs(d)
     for t in TABLES:
         shutil.copy(os.path.join(SF, f"{t}.parquet"), d)
@@ -130,3 +142,14 @@ def test_route_refuses_partial_write(spark, sf_copy):
     open(os.path.join(dirs[o_tbl], "_SUCCESS"), "w").close()
     assert star_layout.maybe_star_layout(spark, sf_copy) is not None
     assert len(_j1_rows(spark, sf_copy)) == 25
+
+
+def test_route_respects_fact_size_gate(spark, sf_copy, monkeypatch):
+    """Below ROUTE_MIN_FACT_BYTES the raw broadcast plan wins — the
+    router must decline even when a fresh layout exists."""
+    star_layout.ensure_star_layout(spark, sf_copy)
+    assert star_layout.maybe_star_layout(spark, sf_copy) is not None
+    monkeypatch.setattr(star_layout, "ROUTE_MIN_FACT_BYTES", 1 << 60)
+    assert star_layout.maybe_star_layout(spark, sf_copy) is None
+    assert star_layout.last_route_used is None
+    assert len(_j1_rows(spark, sf_copy)) == 25  # raw fallback

@@ -500,14 +500,17 @@ def test_zorder_box_filter_pushes_both_predicates(spark):
     )
 
 
-def test_adhoc_star_queries_route_to_layout_exchange_free(spark):
+def test_adhoc_star_queries_route_to_layout_exchange_free(spark, monkeypatch):
     """Layout awareness (round 13): once the engine-owned bucketed
     layout exists, the AD-HOC j1/w3/q13 inherit its exchange-free plan
     — bucket-local SHJ over the star tables, no per-query broadcast
     build of the dim, no fact shuffle — under the same silent-fallback
-    contract as rollup routing."""
+    contract as rollup routing. (Fact-size gate pinned open: routing is
+    gated to facts past ROUTE_MIN_FACT_BYTES where the layout plan
+    wins; this test exercises the machinery at toy scale.)"""
     from dbt_analytics_spark.plans import star_layout
 
+    monkeypatch.setattr(star_layout, "ROUTE_MIN_FACT_BYTES", 0)
     star_layout.ensure_star_layout(spark, SF)
 
     def shuffles(plan: str) -> int:
