@@ -69,6 +69,17 @@ def main() -> None:
     disc_i4d = cents_d * disc_hd
     charge_i6d = disc_i4d * tax_hd
 
+    # floor(x + 0.5) == round-half-up for NON-NEGATIVE x, and the long
+    # cast is a plain conversion where Spark's Round(double) goes through
+    # BigDecimal.setScale per row
+    cents_f = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_hf = ((F.lit(1) - F.col("l_discount")) * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    tax_hf = ((F.lit(1) + F.col("l_tax")) * 100 + F.lit(0.5)).cast("long")
+    disc_i4f = cents_f * disc_hf
+    charge_i6f = disc_i4f * tax_hf
+
     def dollars(col):  # exact long->double via decimal, like the layout
         return (col.cast("decimal(38,0)") / F.lit(100)).cast("double")
 
@@ -131,6 +142,39 @@ def main() -> None:
                 F.min(disc_i4d).alias("__mn4"),
                 F.max(charge_i6d).alias("__mx6"),
                 F.min(charge_i6d).alias("__mn6"),
+            )
+            .select(
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                dollars(F.col("__s2")).alias("sum_base_price"),
+                dollars(F.expr("(__s4 + 50) div 100")).alias(
+                    "sum_disc_price"
+                ),
+                dollars(F.expr("(__s6 + 5000) div 10000")).alias(
+                    "sum_charge"
+                ),
+                (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+                (
+                    dollars(F.col("__s2")) / F.col("count_order")
+                ).alias("avg_price"),
+                "count_order",
+            ),
+            # floor(x+0.5) casts instead of Round(double)'s per-row
+            # BigDecimal.setScale — the cheapest exact-cents recovery
+            "cents_floor": lambda: li.groupBy(*keys)
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(cents_f).alias("__s2"),
+                F.sum(disc_i4f).alias("__s4"),
+                F.sum(charge_i6f).alias("__s6"),
+                F.count(F.lit(1)).alias("count_order"),
+                F.max(cents_f).alias("__mx2"),
+                F.min(cents_f).alias("__mn2"),
+                F.max(disc_i4f).alias("__mx4"),
+                F.min(disc_i4f).alias("__mn4"),
+                F.max(charge_i6f).alias("__mx6"),
+                F.min(charge_i6f).alias("__mn6"),
             )
             .select(
                 "l_returnflag",
