@@ -63,7 +63,17 @@ def _to_long(col: Column, dtype: T.DataType) -> Column:
         return col.cast("timestamp").cast("long")
     if isinstance(dtype, (T.DoubleType, T.FloatType, T.DecimalType)):
         d = col.cast("double") * F.lit(float(1 << 20))
-        d = F.least(F.greatest(d, F.lit(-_FRAC_CLAMP)), F.lit(_FRAC_CLAMP))
+        # greatest/least SKIP nulls (they don't propagate), so an
+        # unguarded clamp turns NULL into -_FRAC_CLAMP — one NULL row
+        # would then drag the collected min to -2^62 and collapse all
+        # real values into a sliver of top buckets. Clamp only non-null
+        # inputs; NULL stays NULL here, is ignored by the min/max
+        # bounds aggregate, and parks at bucket 0 via the coalesce in
+        # with_zvalue, as documented.
+        d = F.when(
+            col.isNotNull(),
+            F.least(F.greatest(d, F.lit(-_FRAC_CLAMP)), F.lit(_FRAC_CLAMP)),
+        )
         return d.cast("long")
     return col.cast("long")
 

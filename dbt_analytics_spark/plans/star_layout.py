@@ -149,11 +149,27 @@ def _star_frames(
     return {"orders": orders, "custmap": custmap}
 
 
+#: Source tables each star layout table derives from (static knowledge
+#: of the star's shape; the fingerprints over them are computed fresh
+#: per call).
+_STAR_SOURCES: list[list[str]] = [
+    ["orders"],
+    ["customer", "nation", "region"],
+]
+
 #: static spec parts per (appId, sf_dir, n_buckets): table names, bucket
-#: cols, schema DDL, source-table lists. Cached because the ad-hoc router
-#: runs per QUERY — only the source fingerprint (pure os.stat) must stay
-#: fresh per call; plan analysis for the schema DDL must not.
-_SPEC_STATIC: dict[tuple, list[tuple[str, str, list[str], dict]]] = {}
+#: cols, schema DDL. Cached because the ad-hoc router runs per QUERY —
+#: only the source fingerprint (pure os.stat) must stay fresh per call;
+#: plan analysis for the schema DDL must not. The cached entry carries
+#: the source fingerprints observed when the schema was derived: if the
+#: fresh per-call fingerprints differ, the sources were rewritten and
+#: the cached schema DDL may be stale, so the entry is dropped and the
+#: schema re-derived from the CURRENT files (otherwise a rebuild via
+#: ensure_star_layout could write a sidecar carrying a stale schema
+#: string for a table built from fresh frames).
+_SPEC_STATIC: dict[
+    tuple, tuple[tuple[str, ...], list[tuple[str, str, dict]]]
+] = {}
 
 
 def _star_specs(
@@ -172,15 +188,20 @@ def _star_specs(
         os.path.abspath(sf_dir),
         n_buckets,
     )
-    static = _SPEC_STATIC.get(key)
-    if static is None:
+    fps = tuple(
+        files_fingerprint(
+            [os.path.join(sf_dir, f"{s}.parquet") for s in srcs]
+        )
+        for srcs in _STAR_SOURCES
+    )
+    cached = _SPEC_STATIC.get(key)
+    if cached is None or cached[0] != fps:
         frames = _star_frames(spark, sf_dir)
         tag = f"{_tag(sf_dir)}_b{n_buckets}"
         static = [
             (
                 f"star_orders_{tag}_v{ORDERS_VERSION}",
                 "o_custkey",
-                ["orders"],
                 {
                     "version": ORDERS_VERSION,
                     "schema": _schema_ddl(frames["orders"]),
@@ -189,16 +210,16 @@ def _star_specs(
             (
                 f"star_custmap_{tag}_v{CUSTMAP_VERSION}",
                 "c_custkey",
-                ["customer", "nation", "region"],
                 {
                     "version": CUSTMAP_VERSION,
                     "schema": _schema_ddl(frames["custmap"]),
                 },
             ),
         ]
-        _SPEC_STATIC[key] = static
+        _SPEC_STATIC[key] = (fps, static)
+    static = _SPEC_STATIC[key][1]
     out = []
-    for tbl, col, srcs, meta in static:
+    for (tbl, col, meta), fp in zip(static, fps):
         out.append(
             (
                 tbl,
@@ -210,12 +231,7 @@ def _star_specs(
                     "n_buckets": n_buckets,
                     "codec": LAYOUT_CODEC,
                     "schema": meta["schema"],
-                    "source_fp": files_fingerprint(
-                        [
-                            os.path.join(sf_dir, f"{s}.parquet")
-                            for s in srcs
-                        ]
-                    ),
+                    "source_fp": fp,
                 },
             )
         )

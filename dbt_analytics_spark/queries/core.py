@@ -42,23 +42,60 @@ def _rate(c):
 # (reference: models/spend_monthly.sql:12-27, metrics_monthly.sql:15-21)
 # ---------------------------------------------------------------------------
 
-def _guarded(value, n, mx, mn, what):
+#: floor(x*100 + 0.5) provably recovers exact cents only while the
+#: scaled per-row value stays below 2^45 * 100 (docstring proof in
+#: q1_pricing_summary); past it, double ulp spacing exceeds the 0.5
+#: rounding margin and the recovery can silently mis-round by one
+#: hundredth. Machine-checked against the collected per-group max so
+#: the "provably exact" claim raises, like the overflow claim, instead
+#: of degrading silently.
+_CENTS_EXACT_BOUND = (1 << 45) * 100
+
+
+def _guarded(value, n, mx, mn, what, mnraw=None):
     """count*max overflow proof for an exact long money sum (the star
     layout's guarded_cents_spend contract, star_layout.py): a group's sum
     of NON-NEGATIVE longs is <= count * max, so `count*max <= 2^63-1`
     (checked in decimal — that product cannot itself wrap) proves the
     long sum did not overflow; `min >= 0` machine-checks the
-    non-negativity precondition. Past either bound: raise loudly, never
-    return a wrapped number."""
+    non-negativity precondition; `max <= 2^45*100` machine-checks the
+    floor-cast exactness precondition. ``mnraw``, when supplied, is the
+    min of the RAW double inputs — it catches negatives in (-0.005, 0)
+    whose scaled cents truncate to 0 and would slip past the scaled
+    min>=0 check. Past any bound: raise loudly, never return a wrapped
+    or mis-rounded number."""
     long_max = (1 << 63) - 1
-    return (
-        F.when(
-            mn < 0,
+    guard = F.when(
+        mn < 0,
+        F.raise_error(
+            F.lit(
+                f"q1 {what}: negative scaled value observed — the "
+                "count*max overflow proof is unsound for signed "
+                "values; re-aggregate with decimal accumulation"
+            )
+        ).cast("double"),
+    )
+    if mnraw is not None:
+        guard = guard.when(
+            mnraw < 0,
             F.raise_error(
                 F.lit(
-                    f"q1 {what}: negative scaled value observed — the "
-                    "count*max overflow proof is unsound for signed "
-                    "values; re-aggregate with decimal accumulation"
+                    f"q1 {what}: negative raw money value observed — "
+                    "cast-to-long truncates toward zero, so inputs in "
+                    "(-0.005, 0) scale to 0 cents and evade the scaled "
+                    "min>=0 check; re-aggregate with decimal accumulation"
+                )
+            ).cast("double"),
+        )
+    return (
+        guard.when(
+            mx > F.lit(_CENTS_EXACT_BOUND),
+            F.raise_error(
+                F.lit(
+                    f"q1 {what}: scaled value exceeds 2^45*100 — "
+                    "floor(x*100+0.5) cents recovery is no longer "
+                    "provably exact at this magnitude; re-aggregate "
+                    "with decimal accumulation"
                 )
             ).cast("double"),
         )
@@ -128,6 +165,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column non-negative; count * max(greatest(...)) bounds every sum
     # conservatively.
     mx, mn = F.col("__mx"), F.col("__mn")
+    mnraw = F.col("__mnraw")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -138,26 +176,35 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
             F.max(F.greatest(cents, disc_i4, charge_i6)).alias("__mx"),
             F.min(F.least(cents, disc_i4, charge_i6)).alias("__mn"),
+            # raw-double min: catches negatives in (-0.005, 0) whose
+            # scaled cents truncate to 0 and evade the scaled check
+            F.min(
+                F.least(
+                    F.col("l_extendedprice"),
+                    F.lit(1.0) - F.col("l_discount"),
+                    F.lit(1.0) + F.col("l_tax"),
+                )
+            ).alias("__mnraw"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
             "sum_qty",
             _guarded(
-                dollars(F.col("__s2")), n, mx, mn, "sum_base_price"
+                dollars(F.col("__s2")), n, mx, mn, "sum_base_price", mnraw
             ).alias("sum_base_price"),
             # HALF_UP to cents in integer space: (x + half) div scale
             _guarded(
                 dollars(F.expr("(__s4 + 50) div 100")),
-                n, mx, mn, "sum_disc_price",
+                n, mx, mn, "sum_disc_price", mnraw,
             ).alias("sum_disc_price"),
             _guarded(
                 dollars(F.expr("(__s6 + 5000) div 10000")),
-                n, mx, mn, "sum_charge",
+                n, mx, mn, "sum_charge", mnraw,
             ).alias("sum_charge"),
             (F.col("sum_qty") / n).alias("avg_qty"),
             _guarded(
-                dollars(F.col("__s2")) / n, n, mx, mn, "avg_price"
+                dollars(F.col("__s2")) / n, n, mx, mn, "avg_price", mnraw
             ).alias("avg_price"),
             "count_order",
         )

@@ -153,3 +153,42 @@ def test_route_respects_fact_size_gate(spark, sf_copy, monkeypatch):
     assert star_layout.maybe_star_layout(spark, sf_copy) is None
     assert star_layout.last_route_used is None
     assert len(_j1_rows(spark, sf_copy)) == 25  # raw fallback
+
+
+def test_spec_cache_invalidates_on_mid_session_schema_change(spark, sf_copy):
+    """_SPEC_STATIC caches the derived schema DDL per (appId, sf_dir,
+    n_buckets); if source files are rewritten with a CHANGED schema
+    mid-session, a rebuild must write a sidecar carrying the FRESH
+    schema, not the stale cached string (otherwise spec-equality gating
+    forces one wasted rebuild in the next session)."""
+    specs_before = star_layout._star_specs(
+        spark, sf_copy, star_layout.N_BUCKETS
+    )
+    # rewrite orders with an extra column mid-session
+    orders = spark.read.parquet(os.path.join(sf_copy, "orders.parquet"))
+    widened = orders.withColumn("o_extra", F.lit(1).cast("int"))
+    tmp_new = sf_copy + "_neworders"
+    widened.coalesce(1).write.parquet(tmp_new)
+    os.remove(os.path.join(sf_copy, "orders.parquet"))
+    os.rename(tmp_new, os.path.join(sf_copy, "orders.parquet"))
+    _fresh_session_view()
+    specs_after = star_layout._star_specs(
+        spark, sf_copy, star_layout.N_BUCKETS
+    )
+    assert "o_extra" not in specs_before[0][2]["schema"]
+    assert "o_extra" in specs_after[0][2]["schema"]
+    # and a rebuild writes the fresh schema into the sidecar
+    spark.conf.set("spark.dbt_analytics.orphanHealMinAgeSeconds", "0")
+    try:
+        o_tbl, _ = star_layout.ensure_star_layout(spark, sf_copy)
+    finally:
+        spark.conf.unset("spark.dbt_analytics.orphanHealMinAgeSeconds")
+    from dbt_analytics_spark.plans.fingerprint import read_sidecar
+
+    side = read_sidecar(
+        star_layout._warehouse_path(spark, o_tbl),
+        star_layout.LAYOUT_SIDECAR,
+    )
+    assert side is not None and "o_extra" in side["schema"]
+    # the freshly built layout routes without a redundant rebuild
+    assert star_layout.maybe_star_layout(spark, sf_copy) is not None

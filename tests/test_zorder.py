@@ -208,3 +208,22 @@ def test_with_zvalue_near_full_range_long_domain(spark):
     assert all(v is not None and v >= 0 for v in out.values())
     assert out[lo] == 0
     assert out[lo] < out[-1000] <= out[1000] < out[hi]
+
+
+def test_with_zvalue_null_fractional_preserves_bucket_spread(spark):
+    """greatest/least skip NULLs, so an unguarded saturation clamp turned
+    NULL into -2^62 — one NULL row then dragged the collected min to the
+    clamp edge and collapsed every real value into a sliver of top
+    buckets. NULL must stay NULL through the clamp (parking at the
+    origin), leaving real values spanning the full bucket range."""
+    df = spark.createDataFrame(
+        [Row(x=1.0), Row(x=2.0), Row(x=None)], "x: double"
+    )
+    out = [r[ZVALUE_COL] for r in with_zvalue(df, ["x"]).orderBy("x").collect()]
+    null_z, z1, z2 = out[0], out[1], out[2]
+    assert null_z == 0  # NULL parks at the curve origin
+    bits = min(48, 63)
+    top = (1 << bits) - 1
+    # real values span the whole bucket range: min -> 0, max -> top
+    assert z1 == 0
+    assert z2 == top
