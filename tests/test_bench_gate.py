@@ -69,3 +69,13 @@ def test_emit_gated_force_override_self_documents(capsys, monkeypatch):
     emit_gated({"metric": "m"}, "TIMEOUT: busy", samples={})
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["load_gate"].startswith("TIMEOUT")
+
+
+def test_combine_gates_ok_only_when_all_windows_quiet():
+    from dbt_analytics_spark.bench_gate import combine_gates
+
+    assert combine_gates({"start": "ok", "measured": "ok"}) == "ok"
+    g = combine_gates(
+        {"start": "ok", "measured": "TIMEOUT: loadavg 17.5 > 4.0"}
+    )
+    assert "measured" in g and "17.5" in g and g != "ok"
