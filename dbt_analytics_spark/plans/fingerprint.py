@@ -59,14 +59,15 @@ def data_fingerprint(df: DataFrame) -> str:
     return hashlib.md5("\n".join(data_listing(df)).encode()).hexdigest()
 
 
-def files_fingerprint(paths: list[str]) -> str:
-    """Like :func:`data_fingerprint` but straight from filesystem paths —
-    no Spark plan analysis, pure os.stat, so a per-query staleness check
-    costs microseconds. Each path may be a single file or a directory of
-    part files; hidden entries (``.``/``_`` prefixed) are excluded, the
-    same listing rule Spark's file index applies. Missing paths
-    fingerprint as ``missing:`` entries (they still change the digest
-    when a source appears/disappears)."""
+def files_listing(paths: list[str]) -> list[str]:
+    """The ``path|size|mtime_ns`` entries behind :func:`files_fingerprint`
+    — exposed so incremental-refresh paths can DIFF two states: old ⊂ new
+    with every old entry unchanged means the sources GREW by exactly the
+    new files (the append-only fast path). Each path may be a single file
+    or a directory of part files; hidden entries (``.``/``_`` prefixed)
+    are excluded, the same listing rule Spark's file index applies.
+    Missing paths list as ``missing:`` entries (they still change the
+    digest when a source appears/disappears)."""
     parts: list[str] = []
     for p in sorted(paths):
         if os.path.isfile(p):
@@ -86,7 +87,14 @@ def files_fingerprint(paths: list[str]) -> str:
                 parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
             except OSError:
                 parts.append(f)
-    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+    return parts
+
+
+def files_fingerprint(paths: list[str]) -> str:
+    """Like :func:`data_fingerprint` but straight from filesystem paths —
+    no Spark plan analysis, pure os.stat, so a per-query staleness check
+    costs microseconds (digest of :func:`files_listing`)."""
+    return hashlib.md5("\n".join(files_listing(paths)).encode()).hexdigest()
 
 
 def defs_fingerprint(obj) -> str:

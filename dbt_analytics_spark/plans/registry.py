@@ -381,6 +381,16 @@ class Project:
         self._defer_favor_state: bool = False
         #: Selection of the in-flight run (read by _resolve_materialized).
         self._current_selection: set[str] = set()
+        #: Engine-level layout awareness (plans/layout_catalog.py): when a
+        #: source node's scan is covered by a fresh engine-owned layout
+        #: (bucketed star tables, sidecar-verified), the resolver swaps
+        #: the scan for the layout-backed, row- and schema-identical
+        #: projection — user models inherit the exchange-free join plan
+        #: without naming the layout. Silent fallback; never builds; the
+        #: ROUTE_MIN_FACT_BYTES gate keeps toy-scale projects on the raw
+        #: plan, so this default-on flag changes nothing until a layout
+        #: exists AND the data is big enough for it to win.
+        self.layout_routing: bool = True
 
     def set_defer(self, database: str, favor_state: bool = False) -> None:
         """Resolve refs to nodes OUTSIDE the current run's selection from
@@ -664,7 +674,7 @@ class Project:
         if node.fn is None:  # exposures carry lineage only — nothing to build
             raise ValueError(f"{node.kind} node {name!r} has no query to compile")
         ctx = ModelContext(self, node, self.compile_node)
-        df = node.fn(ctx)
+        df = self._maybe_route_source(node, node.fn(ctx))
         self._built[name] = df
         return df
 
@@ -930,7 +940,24 @@ class Project:
             return self.read_relation(name)
         # Ephemeral (or not-yet-materialized) upstream: lazy composition.
         ctx = ModelContext(self, node, self._resolve_materialized)
-        return node.fn(ctx)
+        return self._maybe_route_source(node, node.fn(ctx))
+
+    def _maybe_route_source(self, node: Node, df: DataFrame) -> DataFrame:
+        """Layout awareness (plans/layout_catalog.py): a raw source
+        scan covered by a fresh engine-owned layout resolves to the
+        layout's row- and schema-identical projection — every downstream
+        model (SQL-string or Python) inherits the bucketed plan. Silent
+        fallback on any miss or error; never builds. Applied on BOTH
+        resolution paths (compile_node and _resolve_materialized)."""
+        if node.kind != "source" or not self.layout_routing:
+            return df
+        try:
+            from .layout_catalog import route_source
+
+            routed = route_source(self.spark, df)
+        except Exception:
+            routed = None
+        return df if routed is None else routed
 
     def run_unit_test(
         self,

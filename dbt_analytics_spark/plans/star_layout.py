@@ -63,9 +63,18 @@ N_BUCKETS = 32
 #: the 100 TB north star a dim schema change must never force a rewrite
 #: of the fact — the orders table keeps its v3 contract (unchanged since
 #: v3's codec switch) while custmap moves to v4.
-LAYOUT_VERSION = 4
-ORDERS_VERSION = 3
-CUSTMAP_VERSION = 4
+#:
+#: r14 (engine-level layout routing, plans/layout_catalog.py): both
+#: tables become SUBSTITUTABLE for their covered source relation — the
+#: sidecar now records covers/source_columns/covers_paths — and custmap
+#: therefore carries ALL customer columns (v5 adds c_nationkey and
+#: c_acctbal), so `SELECT <customer columns> FROM custmap` is
+#: schema-identical AND row-identical (count parity machine-checked at
+#: build) to the raw customer scan. Orders bumps to v4 for the new
+#: sidecar fields.
+LAYOUT_VERSION = 5
+ORDERS_VERSION = 4
+CUSTMAP_VERSION = 5
 
 #: Layout-time parquet codec (see LAYOUT_VERSION v3 note).
 LAYOUT_CODEC = "zstd"
@@ -114,39 +123,62 @@ def _star_frames(
     spark: SparkSession, sf_dir: str
 ) -> dict[str, DataFrame]:
     """The BUILD DataFrames of the star layout (only constructed on the
-    ensure/build path — routing never needs a plan)."""
+    ensure/build path — routing never needs a plan).
+
+    Both tables are IDENTITY-PLUS-ENRICHMENT over their covered source
+    relation (the layout-routing substitution contract,
+    plans/layout_catalog.py): every source column rides along unchanged,
+    extras are appended, row count is preserved (machine-checked for
+    custmap at build — its snowflake hops are inner joins, so a dangling
+    FK would drop rows and the build refuses). That makes
+    ``SELECT <source columns> FROM layout`` interchangeable with the raw
+    scan in ANY plan."""
     t = load_testdata(spark, sf_dir)
-    custmap = (
-        t["customer"]
-        .join(
-            F.broadcast(t["nation"]),
+    return {
+        "orders": _derive_orders(t["orders"]),
+        "custmap": _derive_custmap(t["customer"], t["nation"], t["region"]),
+    }
+
+
+def _derive_custmap(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """The custmap derivation, shared by full build and incremental
+    refresh (a refresh runs it over the DELTA customer files only)."""
+    return (
+        customer.join(
+            F.broadcast(nation),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .join(
-            F.broadcast(t["region"]),
+            F.broadcast(region),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
+        # ALL customer columns first (the substitution contract), then
+        # the flattened snowflake enrichment.
         .select(
-            "c_custkey",
-            "c_name",
-            "c_mktsegment",
+            *customer.columns,
             "n_nationkey",
             "n_name",
             "r_name",
         )
     )
-    # o_cents: the money column pre-cast to EXACT integer cents at layout
-    # time. o_totalprice is a 2-decimal value, so decimal(18,2)*100 is
-    # exact, long sums are exact, and sum(o_cents)/100 reproduces the
-    # decimal-cast sum bit-for-bit — while the per-row decimal cast and
-    # 128-bit decimal accumulation leave the scan hot path (measured at
-    # sf10: 0.62 s cents-long join+agg vs 0.87 s decimal, and the decimal
-    # cast alone costs ~0.2 s of the 15M-row scan).
-    orders = t["orders"].withColumn(
+
+
+def _derive_orders(orders: DataFrame) -> DataFrame:
+    """The orders derivation (shared by build and refresh).
+
+    o_cents: the money column pre-cast to EXACT integer cents at layout
+    time. o_totalprice is a 2-decimal value, so decimal(18,2)*100 is
+    exact, long sums are exact, and sum(o_cents)/100 reproduces the
+    decimal-cast sum bit-for-bit — while the per-row decimal cast and
+    128-bit decimal accumulation leave the scan hot path (measured at
+    sf10: 0.62 s cents-long join+agg vs 0.87 s decimal, and the decimal
+    cast alone costs ~0.2 s of the 15M-row scan)."""
+    return orders.withColumn(
         "o_cents",
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
     )
-    return {"orders": orders, "custmap": custmap}
 
 
 #: Source tables each star layout table derives from (static knowledge
@@ -181,23 +213,29 @@ def _star_specs(
     plans/fingerprint.py, recomputed FRESH on every call so staleness is
     caught per query) so reuse and routing always verify the layout still
     matches the CURRENT source files."""
-    from .fingerprint import files_fingerprint
+    import hashlib
+
+    from .fingerprint import files_listing
 
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
         n_buckets,
     )
-    fps = tuple(
-        files_fingerprint(
+    listings = [
+        files_listing(
             [os.path.join(sf_dir, f"{s}.parquet") for s in srcs]
         )
         for srcs in _STAR_SOURCES
+    ]
+    fps = tuple(
+        hashlib.md5("\n".join(ls).encode()).hexdigest() for ls in listings
     )
+    tag = f"{_tag(sf_dir)}_b{n_buckets}"
     cached = _SPEC_STATIC.get(key)
     if cached is None or cached[0] != fps:
         frames = _star_frames(spark, sf_dir)
-        tag = f"{_tag(sf_dir)}_b{n_buckets}"
+        t = load_testdata(spark, sf_dir)
         static = [
             (
                 f"star_orders_{tag}_v{ORDERS_VERSION}",
@@ -205,6 +243,8 @@ def _star_specs(
                 {
                     "version": ORDERS_VERSION,
                     "schema": _schema_ddl(frames["orders"]),
+                    "covers": "orders",
+                    "source_columns": list(t["orders"].columns),
                 },
             ),
             (
@@ -213,13 +253,18 @@ def _star_specs(
                 {
                     "version": CUSTMAP_VERSION,
                     "schema": _schema_ddl(frames["custmap"]),
+                    "covers": "customer",
+                    "source_columns": list(t["customer"].columns),
                 },
             ),
         ]
         _SPEC_STATIC[key] = (fps, static)
     static = _SPEC_STATIC[key][1]
     out = []
-    for (tbl, col, meta), fp in zip(static, fps):
+    fact_path = os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
+    for (tbl, col, meta), fp, listing, srcs in zip(
+        static, fps, listings, _STAR_SOURCES
+    ):
         out.append(
             (
                 tbl,
@@ -232,6 +277,31 @@ def _star_specs(
                     "codec": LAYOUT_CODEC,
                     "schema": meta["schema"],
                     "source_fp": fp,
+                    # Engine-level routing contract (layout_catalog.py):
+                    # this layout is row- and schema-identical to
+                    # `SELECT source_columns FROM <covers relation>`; it
+                    # may substitute that relation's scan in ANY plan
+                    # while source_paths still fingerprint to source_fp.
+                    "covers": meta["covers"],
+                    "covers_paths": [
+                        os.path.abspath(
+                            os.path.join(sf_dir, f"{srcs[0]}.parquet")
+                        )
+                    ],
+                    "source_paths": [
+                        os.path.abspath(
+                            os.path.join(sf_dir, f"{s}.parquet")
+                        )
+                        for s in srcs
+                    ],
+                    "source_columns": meta["source_columns"],
+                    # the full path|size|mtime listing behind source_fp:
+                    # refresh diffs old vs new to find the appended delta
+                    "source_listing": listing,
+                    # route only when the GROUP's fact is big enough for
+                    # the bucketed plan to win (ROUTE_MIN_FACT_BYTES)
+                    "route_gate_paths": [fact_path],
+                    "group": f"star_{tag}",
                 },
             )
         )
@@ -258,13 +328,15 @@ def _ensure_bucketed(
     bucket_col: str,
     n_buckets: int,
     spec: dict,
-) -> None:
+) -> bool:
+    """Returns True when the table was BUILT this call (callers use this
+    to run build-time proofs exactly once), False on verified reuse."""
     from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
 
     path = _warehouse_path(spark, table)
     if spark.catalog.tableExists(table):
         if read_sidecar(path, LAYOUT_SIDECAR) == spec:
-            return
+            return False
         # Registered but no longer matching this call's contract (source
         # files changed, or pre-sidecar files): rebuild below.
         spark.sql(f"DROP TABLE {table}")
@@ -274,7 +346,7 @@ def _ensure_bucketed(
         # exact contract (a crashed partial write has no _SUCCESS, a
         # stale or different layout fails the spec compare).
         _register_bucketed(spark, table, spec, path)
-        return
+        return False
     from .materialize import _save_as_table
 
     # through the engine's heal+retry CTAS path: a stale or partial
@@ -292,6 +364,7 @@ def _ensure_bucketed(
         write_sidecar(path, spec, LAYOUT_SIDECAR)
     except OSError:
         pass  # non-local warehouse: same-session reuse still works
+    return True
 
 
 def ensure_bucketed_table(
@@ -343,9 +416,169 @@ def ensure_star_layout(
     for (tbl, col, spec), df in zip(
         _star_specs(spark, sf_dir, n_buckets), dfs
     ):
-        _ensure_bucketed(spark, tbl, df, col, n_buckets, spec)
+        built = _ensure_bucketed(spark, tbl, df, col, n_buckets, spec)
+        if built and spec["covers"] == "customer":
+            # Row-parity proof for the substitution contract
+            # (layout_catalog.py): custmap's snowflake hops are INNER
+            # joins, so a dangling c_nationkey/n_regionkey would drop
+            # customer rows and a routed `SELECT ... FROM custmap`
+            # would silently lose them. Machine-check count parity at
+            # build (one metadata-cheap count each; build is one-time)
+            # and refuse the layout rather than ship a lossy substitute.
+            built_n = spark.table(tbl).count()
+            src_n = load_testdata(spark, sf_dir)["customer"].count()
+            if built_n != src_n:
+                spark.sql(f"DROP TABLE {tbl}")
+                raise ValueError(
+                    f"star layout {tbl}: row-parity proof failed "
+                    f"({built_n} layout rows vs {src_n} customer rows — "
+                    "dangling FK in the snowflake); layout refused"
+                )
         names.append(tbl)
     return tuple(names)
+
+
+def _append_only_delta(
+    old: dict | None, new: dict, covered_paths: list[str]
+) -> list[str] | None:
+    """The appended delta files when ``new``'s sources GREW from
+    ``old``'s by files under the COVERED relation only — else None
+    (caller falls back to a full rebuild). Append-only means: every old
+    listing entry present and unchanged in the new listing (same path,
+    size, mtime), and every NEW entry a well-formed file entry under the
+    covered relation's path (a grown nation/region in custmap's snowflake
+    changes derived rows everywhere — only a grown covered source is
+    delta-foldable)."""
+    if old is None or old.get("pending"):
+        return None
+    static_keys = set(new) - {"source_fp", "source_listing"}
+    if {k: old.get(k) for k in static_keys} != {
+        k: new[k] for k in static_keys
+    }:
+        return None
+    old_listing = old.get("source_listing")
+    if not old_listing:
+        return None  # pre-listing sidecar: no diff basis
+    old_set, new_set = set(old_listing), set(new["source_listing"])
+    if not old_set <= new_set:
+        return None  # something changed or vanished: rebuild
+    covered = [os.path.abspath(p) for p in covered_paths]
+    delta: list[str] = []
+    for entry in sorted(new_set - old_set):
+        path = entry.split("|", 1)[0]
+        if "|" not in entry or entry.startswith("missing:"):
+            return None  # un-stat-able entry: no safe diff
+        if not any(
+            path == c or path.startswith(c + os.sep) for c in covered
+        ):
+            return None  # a non-covered source grew: derived rows shift
+        delta.append(path)
+    return delta if delta else None
+
+
+def _read_like_engine(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Read specific parquet files with the SAME normalization the
+    engine's source reader applies (sources/readers.py): TIMESTAMP_NTZ
+    columns cast to TIMESTAMP under the pinned-UTC session, so a delta
+    frame appends cleanly to a table built from load_testdata frames."""
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(*files)
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
+def refresh_star_layout(
+    spark: SparkSession, sf_dir: str, n_buckets: int = N_BUCKETS
+) -> dict[str, str]:
+    """Incremental refresh of the bucketed star layout — the layout twin
+    of the semantic layer's ``refresh_rollup`` (plans/semantics.py): an
+    APPEND-ONLY source change folds only the delta files into the
+    existing buckets instead of paying the full rebuild (155.8 s at 240M
+    rows, BENCH_SCANFLOOR_r13; the delta append scales with the delta).
+
+    Per table: if the sidecar already matches the current sources the
+    table is ``fresh``; if the covered source grew append-only, the
+    delta files run through the SAME derivation as a full build and are
+    appended as additional per-bucket files (bucket ids are hash-stable
+    across jobs, so bucket joins stay exchange-free — verified in
+    tests), status ``refreshed``; anything else (rewritten files, grown
+    snowflake dims, schema/contract drift, a pending marker from a
+    crashed refresh) pays the full ``rebuilt`` path.
+
+    Crash safety: the sidecar is flipped to a PENDING marker before the
+    append and finalized after, so routing (which requires exact spec
+    match / non-pending) never serves a half-appended table, and a crash
+    at any point degrades to a rebuild, never to silent duplicates.
+
+    Operational note: each refresh adds one small file per touched
+    bucket; compact periodically (operators/compaction.py) or rebuild on
+    a schedule, the same discipline lakehouse OPTIMIZE applies."""
+    from ..sources import readers
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    statuses: dict[str, str] = {}
+    # the reader cache pins the file listing seen at first load; a
+    # refresh exists precisely because that listing changed
+    readers._CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None
+    )
+    specs = _star_specs(spark, sf_dir, n_buckets)
+    rebuild_frames: dict[str, DataFrame] | None = None
+    for (tbl, col, spec), srcs in zip(specs, _STAR_SOURCES):
+        path = _warehouse_path(spark, tbl)
+        old = read_sidecar(path, LAYOUT_SIDECAR)
+        if old == spec:
+            # current: just make sure a catalog entry exists (files may
+            # survive a previous session whose catalog died)
+            if not spark.catalog.tableExists(tbl) and dir_is_complete(path):
+                _register_bucketed(spark, tbl, spec, path)
+            statuses[tbl] = "fresh"
+            continue
+        delta = (
+            _append_only_delta(old, spec, spec["covers_paths"])
+            if dir_is_complete(path)
+            else None
+        )
+        if delta is not None:
+            if not spark.catalog.tableExists(tbl):
+                _register_bucketed(spark, tbl, old, path)
+            src = _read_like_engine(spark, delta)
+            if spec["covers"] == "orders":
+                delta_df = _derive_orders(src)
+            else:
+                t = load_testdata(spark, sf_dir)
+                delta_df = _derive_custmap(src, t["nation"], t["region"])
+                # delta row-parity proof (same contract as the build):
+                # a dangling FK in the delta would silently drop rows
+                if delta_df.count() != src.count():
+                    delta = None
+        if delta is not None:
+            try:
+                write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
+                (
+                    delta_df.write.bucketBy(n_buckets, col)
+                    .sortBy(col)
+                    .option("compression", LAYOUT_CODEC)
+                    .mode("append")
+                    .saveAsTable(tbl)
+                )
+                write_sidecar(path, spec, LAYOUT_SIDECAR)
+            except OSError:
+                delta = None  # sidecar unwritable: fall through to rebuild
+            else:
+                statuses[tbl] = f"refreshed (+{len(delta)} files)"
+                continue
+        if rebuild_frames is None:
+            rebuild_frames = _star_frames(spark, sf_dir)
+        build_df = rebuild_frames[
+            "orders" if spec["covers"] == "orders" else "custmap"
+        ]
+        _ensure_bucketed(spark, tbl, build_df, col, n_buckets, spec)
+        statuses[tbl] = "rebuilt"
+    return statuses
 
 
 def maybe_star_layout(
@@ -408,8 +641,88 @@ def nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Z-order layout version (independent of the star tables).
-ZORDER_VERSION = 1
+#: Z-order layout version (independent of the star tables). v2 added
+#: the source_listing field (incremental refresh's diff basis).
+ZORDER_VERSION = 2
+
+
+def _zorder_spec(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    import hashlib
+
+    from .fingerprint import files_listing
+
+    tbl = f"zord_orders_{_tag(sf_dir)}_v{ZORDER_VERSION}"
+    t = load_testdata(spark, sf_dir)
+    listing = files_listing([os.path.join(sf_dir, "orders.parquet")])
+    return tbl, {
+        "table": tbl,
+        "version": ZORDER_VERSION,
+        "zorder_cols": ["o_custkey", "o_orderdate"],
+        "codec": LAYOUT_CODEC,
+        "schema": _schema_ddl(t["orders"]),
+        "source_fp": hashlib.md5("\n".join(listing).encode()).hexdigest(),
+        "source_listing": listing,
+        "covers_paths": [
+            os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
+        ],
+        "source_paths": [
+            os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
+        ],
+    }
+
+
+def refresh_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental refresh of the Z-ordered orders table: an append-only
+    source change Z-orders ONLY the delta files and appends them (plain
+    parquet append — no bucketing contract to respect). Each delta batch
+    is Morton-clustered within itself, so its row groups still carry
+    tight min/max stats and box predicates prune them; GLOBAL clustering
+    degrades gracefully as deltas accumulate — compact or rebuild on a
+    schedule, the lakehouse OPTIMIZE discipline. Any non-append change
+    (or a pending marker from a crashed refresh) pays the full rebuild
+    via ensure_zorder_layout. Returns the status string
+    (fresh/refreshed/rebuilt)."""
+    from ..operators.zorder import zorder_dataframe
+    from ..sources import readers
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    readers._CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None
+    )
+    tbl, spec = _zorder_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    old = read_sidecar(path, LAYOUT_SIDECAR)
+    if old == spec:
+        ensure_zorder_layout(spark, sf_dir)  # re-register if needed
+        return "fresh"
+    delta = (
+        _append_only_delta(old, spec, spec["covers_paths"])
+        if dir_is_complete(path)
+        else None
+    )
+    if delta is not None:
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({old['schema']}) USING parquet "
+                f"LOCATION '{path}'"
+            )
+        try:
+            write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
+            (
+                zorder_dataframe(
+                    _read_like_engine(spark, delta),
+                    spec["zorder_cols"],
+                )
+                .write.option("compression", LAYOUT_CODEC)
+                .mode("append")
+                .saveAsTable(tbl)
+            )
+            write_sidecar(path, spec, LAYOUT_SIDECAR)
+            return f"refreshed (+{len(delta)} files)"
+        except OSError:
+            pass  # sidecar unwritable: fall through to rebuild
+    ensure_zorder_layout(spark, sf_dir)
+    return "rebuilt"
 
 
 def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -423,25 +736,10 @@ def ensure_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
     a crashed partial write forces a rebuild instead of silently serving
     stale/incomplete rows."""
     from ..operators.zorder import zorder_dataframe
-    from .fingerprint import (
-        dir_is_complete,
-        files_fingerprint,
-        read_sidecar,
-        write_sidecar,
-    )
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
 
-    tbl = f"zord_orders_{_tag(sf_dir)}_v{ZORDER_VERSION}"
+    tbl, spec = _zorder_spec(spark, sf_dir)
     t = load_testdata(spark, sf_dir)
-    spec = {
-        "table": tbl,
-        "version": ZORDER_VERSION,
-        "zorder_cols": ["o_custkey", "o_orderdate"],
-        "codec": LAYOUT_CODEC,
-        "schema": _schema_ddl(t["orders"]),
-        "source_fp": files_fingerprint(
-            [os.path.join(sf_dir, "orders.parquet")]
-        ),
-    }
     path = _warehouse_path(spark, tbl)
     if spark.catalog.tableExists(tbl):
         if read_sidecar(path, LAYOUT_SIDECAR) == spec:
