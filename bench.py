@@ -29,6 +29,11 @@ from dbt_analytics_spark.session import get_spark  # noqa: E402
 #: joins, windows, spine, text/dedup/similarity pipeline ops).
 HEADLINE = [
     "q1_pricing_summary",
+    # q1 on the cents-enriched lineitem layout (one-time build paid in
+    # the untimed warmup, like j1b's star tables); the ad-hoc q1 row
+    # stays benched beside it and ROUTES to the layout when fresh and
+    # above the fact-size gate.
+    "q1b_pricing_summary_layout",
     "j1_join_agg",
     # the same star join on the engine-owned bucketed layout (one-time
     # build cost paid in the untimed warmup, like a real warehouse): the

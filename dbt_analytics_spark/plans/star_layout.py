@@ -641,6 +641,357 @@ def nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Lineitem layout version (independent of the star tables).
+LINEITEM_VERSION = 1
+
+
+def _derive_lineitem(li: DataFrame) -> DataFrame:
+    """Identity-plus-enrichment over lineitem: the three exact integer
+    money columns q1's rollup needs, computed ONCE at layout time via
+    decimal casts (exact for 2-decimal inputs by construction — no
+    floor-cast recovery, no 2^45 exactness bound on the routed path).
+    The r13 decomposition (BENCH_Q1_DECOMP_r13) measured the per-row
+    cents recovery + guard as q1's residual above the scan floor
+    (shipped 2.3-2.9x vs DuckDB at 60M); storing the cents moves that
+    cost to the one-time layout build, the same trade o_cents makes for
+    the star fact. A wrapped per-row product at absurd magnitudes would
+    go negative and trip the query-time min>=0 proof."""
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    disc_h = (
+        (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)") * 100
+    ).cast("long")
+    tax_h = ((F.lit(1) + F.col("l_tax")).cast("decimal(8,2)") * 100).cast(
+        "long"
+    )
+    return (
+        li.withColumn("l_cents", cents)
+        .withColumn("l_disc_i4", F.col("l_cents") * disc_h)
+        .withColumn("l_charge_i6", F.col("l_disc_i4") * tax_h)
+    )
+
+
+def _lineitem_spec(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    import hashlib
+
+    from .fingerprint import files_listing
+
+    tbl = f"li_cents_{_tag(sf_dir)}_v{LINEITEM_VERSION}"
+    t = load_testdata(spark, sf_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "lineitem.parquet"))
+    listing = files_listing([src])
+    return tbl, {
+        "table": tbl,
+        "version": LINEITEM_VERSION,
+        "codec": LAYOUT_CODEC,
+        "schema": _schema_ddl(_derive_lineitem(t["lineitem"])),
+        "source_fp": hashlib.md5("\n".join(listing).encode()).hexdigest(),
+        "source_listing": listing,
+        "covers": "lineitem",
+        "covers_paths": [src],
+        "source_paths": [src],
+        "source_columns": list(t["lineitem"].columns),
+        "route_gate_paths": [src],
+        "group": f"li_{_tag(sf_dir)}",
+    }
+
+
+def ensure_lineitem_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the cents-enriched lineitem layout — same
+    engine-owned, sidecar-verified, cross-session-reusable contract as
+    the star tables. No bucketing: q1's rollup is a pure scan + 6-group
+    aggregate, so the layout's value is the stored exact money columns,
+    not co-location; the write preserves input partitioning (no
+    shuffle)."""
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    tbl, spec = _lineitem_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    if spark.catalog.tableExists(tbl):
+        if read_sidecar(path, LAYOUT_SIDECAR) == spec:
+            return tbl
+        spark.sql(f"DROP TABLE {tbl}")
+    elif dir_is_complete(path) and read_sidecar(path, LAYOUT_SIDECAR) == spec:
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+        return tbl
+    from .materialize import _save_as_table
+
+    t = load_testdata(spark, sf_dir)
+    _save_as_table(
+        spark,
+        _derive_lineitem(t["lineitem"])
+        .write.option("compression", LAYOUT_CODEC)
+        .mode("overwrite"),
+        tbl,
+    )
+    try:
+        write_sidecar(path, spec, LAYOUT_SIDECAR)
+    except OSError:
+        pass
+    return tbl
+
+
+def maybe_lineitem_layout(spark: SparkSession, sf_dir: str) -> str | None:
+    """Routing twin of :func:`maybe_star_layout` for the lineitem
+    layout: the table name when it exists, is complete, and verifiably
+    derives from the CURRENT source files — else None. Never builds;
+    facts below ROUTE_MIN_FACT_BYTES stay on the raw plan."""
+    from ..sources.readers import table_disk_bytes
+    from .fingerprint import dir_is_complete, read_sidecar
+
+    try:
+        if table_disk_bytes(sf_dir, "lineitem") < ROUTE_MIN_FACT_BYTES:
+            return None
+        tbl, spec = _lineitem_spec(spark, sf_dir)
+    except Exception:
+        return None
+    path = _warehouse_path(spark, tbl)
+    if read_sidecar(path, LAYOUT_SIDECAR) != spec:
+        return None
+    if not spark.catalog.tableExists(tbl):
+        if not dir_is_complete(path):
+            return None
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+    return tbl
+
+
+def refresh_lineitem_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental refresh (append-only delta folded through the same
+    derivation, plain parquet append; pending marker on the sidecar
+    makes a crash degrade to rebuild). Mirrors refresh_zorder_layout."""
+    from ..sources import readers
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    readers._CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None
+    )
+    tbl, spec = _lineitem_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    old = read_sidecar(path, LAYOUT_SIDECAR)
+    if old == spec:
+        ensure_lineitem_layout(spark, sf_dir)
+        return "fresh"
+    delta = (
+        _append_only_delta(old, spec, spec["covers_paths"])
+        if dir_is_complete(path)
+        else None
+    )
+    if delta is not None:
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({old['schema']}) USING parquet "
+                f"LOCATION '{path}'"
+            )
+        try:
+            write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
+            (
+                _derive_lineitem(_read_like_engine(spark, delta))
+                .write.option("compression", LAYOUT_CODEC)
+                .mode("append")
+                .saveAsTable(tbl)
+            )
+            write_sidecar(path, spec, LAYOUT_SIDECAR)
+            return f"refreshed (+{len(delta)} files)"
+        except OSError:
+            pass
+    ensure_lineitem_layout(spark, sf_dir)
+    return "rebuilt"
+
+
+#: q1 grain-rollup version (rides the lineitem layout family).
+Q1_ROLLUP_VERSION = 1
+
+
+def _q1_rollup_frame(li: DataFrame) -> DataFrame:
+    """The 6-row partial-aggregate frame at q1's output grain
+    (l_returnflag, l_linestatus), from a cents-enriched lineitem frame
+    (_derive_lineitem). Every stored column is a RE-FOLDABLE partial —
+    sums, count, max-of-greatest, min-of-least — so an append-only
+    refresh aggregates only the delta files and merges partials, and
+    the read-time overflow proof still holds on folded values (count
+    and max fold exactly; count*max <= 2^63 bounds the true sum, so a
+    wrapped stored sum is impossible whenever the proof passes)."""
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_cents").alias("s2"),
+        F.sum("l_disc_i4").alias("s4"),
+        F.sum("l_charge_i6").alias("s6"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.greatest("l_cents", "l_disc_i4", "l_charge_i6")
+        ).alias("mx"),
+        F.min(F.least("l_cents", "l_disc_i4", "l_charge_i6")).alias("mn"),
+    )
+
+
+def _q1_rollup_spec(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    import hashlib
+
+    from .fingerprint import files_listing
+
+    tbl = f"q1_rollup_{_tag(sf_dir)}_v{Q1_ROLLUP_VERSION}"
+    t = load_testdata(spark, sf_dir)
+    src = os.path.abspath(os.path.join(sf_dir, "lineitem.parquet"))
+    listing = files_listing([src])
+    return tbl, {
+        "table": tbl,
+        "version": Q1_ROLLUP_VERSION,
+        "codec": LAYOUT_CODEC,
+        "schema": _schema_ddl(
+            _q1_rollup_frame(_derive_lineitem(t["lineitem"].limit(0)))
+        ),
+        "source_fp": hashlib.md5("\n".join(listing).encode()).hexdigest(),
+        "source_listing": listing,
+        "covers_paths": [src],
+        "source_paths": [src],
+        "route_gate_paths": [src],
+        "group": f"li_{_tag(sf_dir)}",
+    }
+
+
+def ensure_q1_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the 6-row q1 grain rollup — the ad-hoc twin of
+    the semantic layer's aggregate-awareness rollups (plans/semantics.py
+    discover_rollups): q1's whole aggregation precomputed as re-foldable
+    partials, fingerprint-guarded like every layout, so the routed q1 is
+    a 6-row read + guards instead of a 60M-row scan. This is the 'cover
+    q1's grain' end state the r13 verdict named; the per-row lineitem
+    layout remains for every OTHER query shape over lineitem."""
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    tbl, spec = _q1_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    if spark.catalog.tableExists(tbl):
+        if read_sidecar(path, LAYOUT_SIDECAR) == spec:
+            return tbl
+        spark.sql(f"DROP TABLE {tbl}")
+    elif dir_is_complete(path) and read_sidecar(path, LAYOUT_SIDECAR) == spec:
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+        return tbl
+    from .materialize import _save_as_table
+
+    t = load_testdata(spark, sf_dir)
+    _save_as_table(
+        spark,
+        _q1_rollup_frame(_derive_lineitem(t["lineitem"]))
+        .coalesce(1)
+        .write.option("compression", LAYOUT_CODEC)
+        .mode("overwrite"),
+        tbl,
+    )
+    try:
+        write_sidecar(path, spec, LAYOUT_SIDECAR)
+    except OSError:
+        pass
+    return tbl
+
+
+def maybe_q1_rollup(spark: SparkSession, sf_dir: str) -> str | None:
+    """Routing check for the q1 grain rollup (never builds; silent
+    fallback; fact-size gated like every route so the driver's small-SF
+    correctness gate always exercises the raw arithmetic)."""
+    from ..sources.readers import table_disk_bytes
+    from .fingerprint import dir_is_complete, read_sidecar
+
+    try:
+        if table_disk_bytes(sf_dir, "lineitem") < ROUTE_MIN_FACT_BYTES:
+            return None
+        tbl, spec = _q1_rollup_spec(spark, sf_dir)
+    except Exception:
+        return None
+    path = _warehouse_path(spark, tbl)
+    if read_sidecar(path, LAYOUT_SIDECAR) != spec:
+        return None
+    if not spark.catalog.tableExists(tbl):
+        if not dir_is_complete(path):
+            return None
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+    return tbl
+
+
+def refresh_q1_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Delta-proportional refresh: aggregate ONLY the appended files and
+    merge partials with the stored 6 rows (sum+sum, max/max, min/min,
+    count+count — all re-foldable by construction). The merged frame is
+    rewritten atomically through the engine's CTAS path (it is 6 rows);
+    a crash mid-refresh leaves either the old table + old sidecar or
+    triggers the rebuild path — never a half-merged read."""
+    from ..sources import readers
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    readers._CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None
+    )
+    tbl, spec = _q1_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    old = read_sidecar(path, LAYOUT_SIDECAR)
+    if old == spec:
+        ensure_q1_rollup(spark, sf_dir)
+        return "fresh"
+    delta = (
+        _append_only_delta(old, spec, spec["covers_paths"])
+        if dir_is_complete(path)
+        else None
+    )
+    if delta is not None:
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({old['schema']}) USING parquet "
+                f"LOCATION '{path}'"
+            )
+        delta_partials = _q1_rollup_frame(
+            _derive_lineitem(_read_like_engine(spark, delta))
+        )
+        merged = (
+            spark.table(tbl)
+            .unionByName(delta_partials)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("sum_qty").alias("sum_qty"),
+                F.sum("s2").alias("s2"),
+                F.sum("s4").alias("s4"),
+                F.sum("s6").alias("s6"),
+                F.sum("n").alias("n"),
+                F.max("mx").alias("mx"),
+                F.min("mn").alias("mn"),
+            )
+            .collect()  # 6 rows: sever the plan from the table we rewrite
+        )
+        from .materialize import _save_as_table
+
+        try:
+            schema = spark.table(tbl).schema
+            write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
+            spark.sql(f"DROP TABLE {tbl}")
+            _save_as_table(
+                spark,
+                spark.createDataFrame(merged, schema)
+                .coalesce(1)
+                .write.option("compression", LAYOUT_CODEC)
+                .mode("overwrite"),
+                tbl,
+            )
+            write_sidecar(path, spec, LAYOUT_SIDECAR)
+            return f"refreshed (+{len(delta)} files)"
+        except OSError:
+            pass
+    ensure_q1_rollup(spark, sf_dir)
+    return "rebuilt"
+
+
 #: Z-order layout version (independent of the star tables). v2 added
 #: the source_listing field (incremental refresh's diff basis).
 ZORDER_VERSION = 2

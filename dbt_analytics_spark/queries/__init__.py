@@ -278,7 +278,6 @@ _BEYOND_DRIVER_CAP = [
     "dd7_cluster_dedup",
     "txt4_fingerprint",
     "txt10_repetition",
-    "txt13_lm_score",
     "smp4_temperature_mixture",
     "f6_histogram",
     # Round-9 session-3 rotation: the semantic layer's three distinct
@@ -375,13 +374,11 @@ _BEYOND_DRIVER_CAP = [
     "a1_multi_grain_rollup",
     "a3_conditional_agg",
     "so1_order_limit",
-    "ev6_retention_cohorts",
     "ev7_event_transitions",
     "w7_analytic_suite",
     "txt14_nb_langid",
     "f7_drift_psi",
     "smp5_fixed_k_sample",
-    "dd11_semdedup",
     # ------------------------------------------------------------------
     # Round-11 rotation (VERDICT r10 item 3 + the standing "nothing sits
     # local-only for 3+ rounds" rule): INTO the 50-prefix —
@@ -490,6 +487,33 @@ _BEYOND_DRIVER_CAP = [
     "sem8_calendar_window",
     "sem10_multihop_template",
     "sim3_ivf_topk",
+    # ------------------------------------------------------------------
+    # Round-14 rotation (VERDICT r13 item 6 + the new q1b layout row):
+    # INTO the 50-prefix — q1b_pricing_summary_layout (q1 on the
+    # cents-enriched lineitem layout, q1's routing target — same oracle
+    # as q1 so the routed path is always hash-checked), plus the three
+    # never-driver-benched rows the judge named: ev6_retention_cohorts,
+    # dd11_semdedup, txt13_lm_score. Displaced in exchange — every one
+    # stays hash-green in the all-registry local gate and parity suite,
+    # with in-prefix sibling evidence:
+    #   q8_market_share — 2-row output (the standing "single-row outputs
+    #     are thin evidence" note); the TPC-H star family keeps
+    #     q1/q13/q13b + the entering q1b, and the 6-table join shape
+    #     stays plan-pinned + local-gated.
+    #   sim4b_pq_exact — the exact-regime ANN family keeps TWO prefix
+    #     rows (sim3b all-cells-probed, sim6 persistent index); PQ's
+    #     refine-covers-everything mechanism is the same
+    #     exact-regime pattern and stays local-gated + pytest-pinned.
+    #   smp8_resample_to_target — sampling family keeps smp7's row
+    #     (same md5-draw mechanism); budget/mixture surfaces stay
+    #     local-gated.
+    #   sem9_nested_derived — the semantic family holds nine other
+    #     prefix rows; nested derived metrics compose sem11's
+    #     decomposed-partials machinery (stays) and stay local-gated.
+    "q8_market_share",
+    "sim4b_pq_exact",
+    "smp8_resample_to_target",
+    "sem9_nested_derived",
 ]
 
 _ALL: dict = {}

@@ -57,32 +57,33 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-13 prefix so an accidental
+    # queries/__init__.py). Freeze the round-14 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-13 rotation: zo1 + sem16 + sem17 in;
-    # sem8/sem10/sim3 out with in-prefix sibling evidence — see
-    # queries/__init__.py).
+    # list in the same commit (round-14 rotation: q1b + ev6 + dd11 +
+    # txt13 in; q8/sim4b/smp8/sem9 out with in-prefix sibling evidence —
+    # see queries/__init__.py).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
-        "q1_pricing_summary", "q8_market_share", "q13_custdist",
+        "q1_pricing_summary", "q1b_pricing_summary_layout", "q13_custdist",
         "q13b_custdist_bucketed", "zo1_zorder_box_filter",
         "p2_filter_ilike", "p3_case_classify",
         "j1_join_agg", "j1b_join_agg_bucketed", "w3b_pct_of_total_bucketed",
         "j3b_regex_lateral_top1", "j5_explode_split", "a4_count_distinct",
         "w1_dedup_rank", "w3_pct_of_total", "u1_union_dedup",
         "t2_regex_match", "ev1_sessionize", "ev2_json_extract",
-        "ev3_asof_join", "ev4_range_join", "a6_grouping_sets",
+        "ev3_asof_join", "ev4_range_join", "ev6_retention_cohorts",
+        "a6_grouping_sets",
         "dd1_exact_dedup", "dd3_minhash_lsh",
         "dd3b_minhash_lsh_exact", "sim1_cosine_topk",
         "txt1_token_stats", "txt2_quality",
         "mm1_features", "mm3_audio_features", "mm4_video_features",
-        "sim4b_pq_exact", "smp7_leakage_split",
+        "smp7_leakage_split", "txt13_lm_score",
         "sim3b_ivf_exact", "sim6_ivf_index_exact", "dd10_exact_substring",
-        "smp8_resample_to_target", "f8_cms_counts", "txt16b_logreg_score",
+        "dd11_semdedup", "f8_cms_counts", "txt16b_logreg_score",
         "dd13_url_dedup", "sem1_entity_star_metrics",
-        "sem6_period_over_period", "sem9_nested_derived",
+        "sem6_period_over_period",
         "sem11_cumulative_avg_max",
         "sem12_conversion_constant_props", "sem13_semi_additive",
         "sem14_offset_to_grain", "sem15_distributional_aggs",
