@@ -533,3 +533,37 @@ def test_adhoc_star_queries_route_to_layout_exchange_free(spark, monkeypatch):
     plan = q13._jdf.queryExecution().executedPlan().toString()
     assert "star_orders" in plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_user_sql_model_star_join_routes_exchange_free(
+    spark, tmp_path, monkeypatch
+):
+    """Engine-level layout awareness (plans/layout_catalog.py, VERDICT
+    r13 item 1 'Done' criterion): a USER-AUTHORED SQL-string star join —
+    written against raw source tables, never naming the layout —
+    inherits the bucketed layout's plan when it exists and is fresh.
+    Pinned here: both routed scans are bucketed (co-located on the join
+    key — the property that removes the fact-side exchange at any dim
+    size) and the only shuffle exchange in the plan is the tiny output-
+    grain groupBy. Row identity vs the raw plan is pinned in
+    tests/test_layout_catalog.py under the same fixture."""
+    import os
+    import shutil
+    import uuid
+
+    from dbt_analytics_spark.plans import star_layout
+    from tests.test_layout_catalog import TABLES, _user_project
+
+    monkeypatch.setattr(star_layout, "ROUTE_MIN_FACT_BYTES", 0)
+    d = str(tmp_path / f"sfpq_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    for t in TABLES:
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), d)
+    star_layout.ensure_star_layout(spark, d)
+    df = _user_project(spark, d).compile_node("user_star")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "star_orders" in plan and "star_custmap" in plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, (
+        plan
+    )
