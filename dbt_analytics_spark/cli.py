@@ -870,7 +870,75 @@ def build_parser() -> argparse.ArgumentParser:
     clone = sub.add_parser("clone", parents=[common], help="clone a materialized relation")
     clone.add_argument("node")
     clone.add_argument("new_name")
+    lay = sub.add_parser(
+        "layout",
+        parents=[common],
+        help="engine-owned physical layouts (bucketed star, z-order, "
+        "cents-enriched lineitem, q1 grain rollup): list / ensure / "
+        "refresh",
+    )
+    lay.add_argument("layout_action", choices=["list", "ensure", "refresh"])
+    lay.add_argument(
+        "--data", default=None, help="source data directory (ensure/refresh)"
+    )
+    lay.add_argument(
+        "--kind",
+        default="all",
+        choices=["star", "zorder", "lineitem", "q1-rollup", "all"],
+        help="which layout family to ensure/refresh",
+    )
     return p
+
+
+def _cmd_layout(spark, args) -> int:
+    """dbt-style operator surface for the layout family: `layout list`
+    prints every substitution-capable layout the catalog discovers (with
+    per-use freshness verdicts); `layout ensure --data DIR` builds (or
+    verifies) them; `layout refresh --data DIR` folds append-only deltas
+    (plans/star_layout.refresh_*; falls back to rebuild on any
+    non-append change)."""
+    from .plans import layout_catalog, star_layout
+
+    act = args.layout_action
+    if act == "list":
+        found = layout_catalog.discover_layouts(spark)
+        if not found:
+            print("no layouts in the warehouse")
+            return 0
+        for tbl, spec in found:
+            fresh = layout_catalog._fresh_and_routable(spark, spec)
+            print(
+                f"{tbl}  covers={spec['covers']}  "
+                f"group={spec.get('group', '-')}  "
+                f"{'FRESH' if fresh else 'stale-or-gated'}"
+            )
+        return 0
+    if not args.data:
+        print(f"layout {act}: pass --data DIR", file=sys.stderr)
+        return 2
+    kinds = (
+        ["star", "zorder", "lineitem", "q1-rollup"]
+        if args.kind == "all"
+        else [args.kind]
+    )
+    fns = {
+        "ensure": {
+            "star": star_layout.ensure_star_layout,
+            "zorder": star_layout.ensure_zorder_layout,
+            "lineitem": star_layout.ensure_lineitem_layout,
+            "q1-rollup": star_layout.ensure_q1_rollup,
+        },
+        "refresh": {
+            "star": star_layout.refresh_star_layout,
+            "zorder": star_layout.refresh_zorder_layout,
+            "lineitem": star_layout.refresh_lineitem_layout,
+            "q1-rollup": star_layout.refresh_q1_rollup,
+        },
+    }[act]
+    for kind in kinds:
+        out = fns[kind](spark, args.data)
+        print(f"{kind}: {out}")
+    return 0
 
 
 def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> int:
@@ -920,6 +988,10 @@ def main(argv: list[str] | None = None, spark: "SparkSession | None" = None) -> 
 
         spark = get_spark("dbt-analytics-spark-cli")
     try:
+        if args.command == "layout":
+            # layout commands operate on a DATA directory + the session
+            # warehouse — no project load needed (or present)
+            return _cmd_layout(spark, args)
         project = load_project(
             spark,
             project_dir,

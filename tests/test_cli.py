@@ -1131,3 +1131,33 @@ metrics:
     assert rc == 0
     out = capsys.readouterr().out
     assert "seg_rf" in out and "noop" in out
+
+
+def test_cli_layout_ensure_list_refresh(spark, tmp_path, capsys, monkeypatch):
+    """The `layout` command: ensure builds the family over a data dir,
+    list shows catalog-discovered layouts with freshness verdicts,
+    refresh reports fresh/refreshed/rebuilt per kind."""
+    import shutil as _sh
+    import uuid as _uuid
+
+    from dbt_analytics_spark.plans import star_layout
+
+    monkeypatch.setattr(star_layout, "ROUTE_MIN_FACT_BYTES", 0)
+    d = str(tmp_path / f"sfcli_{_uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    for t in ("orders", "customer", "nation", "region", "lineitem"):
+        _sh.copy(f"/root/testdata/sf0.001/{t}.parquet", d)
+    rc = main(["layout", "ensure", "--data", d, "--kind", "all"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "star:" in out and "q1-rollup:" in out
+    rc = main(["layout", "list"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"covers=orders" in out and "FRESH" in out
+    rc = main(["layout", "refresh", "--data", d], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fresh" in out  # nothing changed: every kind reports fresh
+    rc = main(["layout", "refresh"], spark=spark)
+    assert rc == 2  # --data required
