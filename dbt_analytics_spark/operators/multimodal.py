@@ -10,10 +10,12 @@ none):
 - PNG images (stdlib zlib inflate + numpy scanline unfiltering — 8-bit
   gray/RGB/palette/gray-alpha/RGBA, filters None/Sub/Up/Average/Paeth;
   Adam7 interlace and 16-bit depth fall through);
-- JPEG images (baseline sequential JFIF in pure numpy — Huffman entropy
-  decode, dequant, 8x8 IDCT, chroma upsampling for sampling factors in
-  1..2, DRI/RSTn restarts, YCbCr→RGB; progressive/arithmetic/12-bit
-  fall through);
+- JPEG images (baseline sequential SOF0 AND progressive SOF2 in pure
+  numpy — Huffman entropy decode, spectral selection + successive
+  approximation with EOBn end-of-band runs and the G.1.2.3 correction-
+  bit refinement, dequant, 8x8 IDCT, chroma upsampling for sampling
+  factors in 1..2, DRI/RSTn restarts, YCbCr→RGB; arithmetic coding,
+  12-bit, lossless, and hierarchical fall through);
 - WAV audio (RIFF, PCM 8/16/32-bit int and IEEE float32/64, extensible
   fmt via SubFormat GUID) — multi-channel payloads are mono-mixed.
 
@@ -22,8 +24,7 @@ actual decoded pixels/samples; resize re-encodes in the INPUT's codec
 (PPM→PPM, BMP→BMP, PNG→PNG, JPEG→JPEG). Payloads in none of these formats
 (e.g. the text-derived testdata bytes) fall back to a clearly-marked
 deterministic fake, keeping the Arrow plumbing exercised for arbitrary
-media bytes whose codecs (progressive JPEG / mp4 / mp3) would require
-PIL/ffmpeg.
+media bytes whose codecs (mp4 / mp3) would require ffmpeg.
 
 Scale design: mapInPandas streams Arrow batches; per-batch work is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory stays
@@ -545,10 +546,12 @@ def _unstuff(seg: bytes) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
-    """Decode a BASELINE sequential JFIF/JPEG (SOF0, 8-bit, 1 or 3
-    components, chroma sampling factors in 1..2, optional DRI/RSTn
-    restarts) to an (h, w, 3) uint8 RGB array. Non-baseline payloads
-    (progressive SOF2, arithmetic coding, 12-bit, hierarchical) and
+    """Decode a JFIF/JPEG to an (h, w, 3) uint8 RGB array: BASELINE
+    sequential (SOF0) and PROGRESSIVE (SOF2 — spectral selection +
+    successive approximation, DC and AC first/refinement scans, EOBn
+    runs, T.81 G.1/G.2), 8-bit, 1 or 3 components, chroma sampling
+    factors in 1..2, optional DRI/RSTn restarts. Still-unsupported
+    payloads (arithmetic coding, 12-bit, lossless, hierarchical) and
     corrupt streams return None so the caller falls back to the labeled
     fake like any foreign codec. Pure numpy: Huffman decode walks the
     entropy stream per symbol (bounded by the Arrow batch's image sizes),
@@ -561,6 +564,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         huff: dict[tuple[str, int], dict] = {}
         frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
         restart = 0
+        progressive = False
+        dims = None  # (hmax, vmax, mcux, mcuy)
+        coeffs: list[np.ndarray] | None = None
+        scanned = False
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
                 return None
@@ -568,8 +575,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
-            if marker == 0xD9:  # EOI before SOS: no image
-                return None
+            if marker == 0xD9:  # EOI
+                break
             seglen = struct.unpack_from(">H", payload, pos)[0]
             body = payload[pos + 2 : pos + seglen]
             pos += seglen
@@ -597,7 +604,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                         counts, values
                     )
                     o += 17 + nv
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec = body[0]
                 if prec != 8:
                     return None
@@ -617,9 +624,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                 ):
                     return None
                 frame = (h, w, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                dims = (hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax)))
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/progressive/lossless/arithmetic
+                return None  # extended/lossless/arithmetic/hierarchical
             elif marker == 0xDD:  # DRI
                 restart = struct.unpack_from(">H", body, 0)[0]
             elif marker == 0xDA:  # SOS: entropy data follows
@@ -634,11 +645,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
                         j for j, c in enumerate(frame[2]) if c[0] == cs
                     )
                     scan.append((ci, tda >> 4, tda & 0x0F))
-                return _jpeg_scan(
-                    payload, pos, frame, scan, qtabs, huff, restart
+                if not progressive:
+                    return _jpeg_scan(
+                        payload, pos, frame, scan, qtabs, huff, restart
+                    )
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if coeffs is None:
+                    hmax, vmax, mcux, mcuy = dims
+                    coeffs = [
+                        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                        for _, hs, vs, _ in frame[2]
+                    ]
+                pos = _prog_scan(
+                    payload, pos, frame, dims, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, huff, restart, coeffs,
                 )
+                scanned = True
+        if progressive and scanned:
+            return _prog_reconstruct(frame, dims, coeffs, qtabs)
         return None
-    except (ValueError, IndexError, StopIteration, struct.error):
+    except (ValueError, IndexError, StopIteration, struct.error, KeyError):
         return None
 
 
@@ -659,20 +687,7 @@ def _jpeg_scan(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    # split entropy data into restart segments (RSTn may appear mid-scan)
-    segs: list[bytes] = []
-    start, p, n = pos, pos, len(payload)
-    while p + 1 < n:
-        if payload[p] == 0xFF and payload[p + 1] != 0x00:
-            m = payload[p + 1]
-            if 0xD0 <= m <= 0xD7:
-                segs.append(_unstuff(payload[start:p]))
-                p += 2
-                start = p
-                continue
-            break  # EOI or next marker: end of scan
-        p += 1
-    segs.append(_unstuff(payload[start:p]))
+    segs, _endpos = _entropy_segments(payload, pos)
 
     planes = [
         np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
@@ -731,6 +746,37 @@ def _jpeg_scan(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
         out.append(plane[:h, :w] + 128.0)
+    return _finish_rgb(out)
+
+
+def _entropy_segments(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split a scan's entropy data into restart segments (RSTn may
+    appear mid-scan); returns the unstuffed segments plus the offset of
+    the terminating marker (where header parsing resumes — progressive
+    streams carry more scans after it)."""
+    segs: list[bytes] = []
+    start, p, n = pos, pos, len(payload)
+    ended_at_marker = False
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            m = payload[p + 1]
+            if 0xD0 <= m <= 0xD7:
+                segs.append(_unstuff(payload[start:p]))
+                p += 2
+                start = p
+                continue
+            ended_at_marker = True
+            break  # EOI or next marker: end of scan
+        p += 1
+    if not ended_at_marker:
+        p = n  # truncated stream (no terminator): keep the tail bytes
+    segs.append(_unstuff(payload[start:p]))
+    return segs, p
+
+
+def _finish_rgb(out: list[np.ndarray]) -> np.ndarray:
+    """Level-shifted planes -> uint8 RGB (shared by the baseline and
+    progressive reconstruction paths)."""
     if len(out) == 1:
         g = np.clip(out[0], 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
@@ -739,6 +785,215 @@ def _jpeg_scan(
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _ni_blocks(frame: tuple, dims: tuple, ci: int) -> tuple[int, int]:
+    """A component's NON-INTERLEAVED block grid (T.81 A.2.2: ceil of the
+    scaled dimensions over 8 — one data unit per MCU in a 1-component
+    scan), as (block_rows, block_cols)."""
+    h, w, comps = frame
+    hmax, vmax = dims[0], dims[1]
+    _, hs, vs, _ = comps[ci]
+    cw = -(-(w * hs) // hmax)
+    ch = -(-(h * vs) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _prog_scan(
+    payload: bytes,
+    pos: int,
+    frame: tuple,
+    dims: tuple,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    restart: int,
+    coeffs: list[np.ndarray],
+) -> int:
+    """Decode ONE progressive scan (T.81 G.2) into the per-component
+    coefficient store (zigzag order), returning the payload offset of
+    the scan's terminating marker. Four scan kinds: DC first (Ah=0,
+    Huffman diff coding of the point-transformed DC, interleaved or
+    not), DC refinement (one raw bit per block), AC first (Ah=0,
+    run/size coding with EOBn end-of-band runs, single component only),
+    AC refinement (correction-bit algorithm, G.1.2.3). Restart markers
+    reset predictors and the EOB run."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = dims
+    segs, endpos = _entropy_segments(payload, pos)
+    seg_iter = iter(segs)
+    reader = _BitReader(next(seg_iter))
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        if len(scan) > 1:
+            preds = [0] * len(scan)
+            in_seg = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and in_seg == restart:
+                        reader = _BitReader(next(seg_iter))
+                        preds = [0] * len(scan)
+                        in_seg = 0
+                    for si, (ci, td, _ta) in enumerate(scan):
+                        _, hs, vs, _ = comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coeffs[ci][my * vs + by, mx * hs + bx]
+                                if ah == 0:
+                                    size = reader.read_symbol(
+                                        huff[("dc", td)]
+                                    )
+                                    preds[si] += _extend(
+                                        reader.receive(size), size
+                                    )
+                                    blk[0] = preds[si] << al
+                                elif reader.read_bit():
+                                    blk[0] |= 1 << al
+                    in_seg += 1
+        else:
+            ci, td, _ta = scan[0]
+            bh, bw = _ni_blocks(frame, dims, ci)
+            pred0, in_seg = 0, 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and in_seg == restart:
+                        reader = _BitReader(next(seg_iter))
+                        pred0, in_seg = 0, 0
+                    blk = coeffs[ci][by, bx]
+                    if ah == 0:
+                        size = reader.read_symbol(huff[("dc", td)])
+                        pred0 += _extend(reader.receive(size), size)
+                        blk[0] = pred0 << al
+                    elif reader.read_bit():
+                        blk[0] |= 1 << al
+                    in_seg += 1
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be 1-component")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("bad spectral selection")
+        ci, _td, ta = scan[0]
+        ac_lut = huff[("ac", ta)]
+        bh, bw = _ni_blocks(frame, dims, ci)
+        p1, m1 = 1 << al, -(1 << al)
+        eobrun, in_seg = 0, 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and in_seg == restart:
+                    reader = _BitReader(next(seg_iter))
+                    eobrun, in_seg = 0, 0
+                blk = coeffs[ci][by, bx]
+                if ah == 0:
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = reader.read_symbol(ac_lut)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index out of range")
+                            blk[k] = _extend(reader.receive(s), s) << al
+                            k += 1
+                else:
+                    eobrun = _refine_ac_block(
+                        reader, ac_lut, blk, ss, se, p1, m1, eobrun
+                    )
+                in_seg += 1
+    return endpos
+
+
+def _refine_ac_block(
+    reader: "_BitReader",
+    ac_lut: dict,
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    p1: int,
+    m1: int,
+    eobrun: int,
+) -> int:
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3): newly-nonzero coefficients arrive as (run, 1) symbols with
+    a sign bit; every already-nonzero coefficient passed over — in runs,
+    in ZRLs, and in the EOB-run tail — consumes one correction bit that
+    may add +-2^Al toward larger magnitude."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            sval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: a run of 16 zero-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                sval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= se:
+                blk[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_reconstruct(
+    frame: tuple, dims: tuple, coeffs: list[np.ndarray], qtabs: dict
+) -> np.ndarray:
+    """Dequantize + inverse-zigzag + IDCT every accumulated coefficient
+    block (vectorized over all blocks per component) and color-convert —
+    the progressive twin of _jpeg_scan's tail."""
+    h, w, comps = frame
+    hmax, vmax = dims[0], dims[1]
+    out = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        zz = coeffs[ci]
+        bh, bw = zz.shape[0], zz.shape[1]
+        nat = np.zeros((bh, bw, 64), dtype=np.int64)
+        nat[:, :, _ZIGZAG] = zz
+        blocks = nat.reshape(bh, bw, 8, 8) * qtabs[tq]
+        spatial = np.einsum(
+            "ij,abjk,kl->abil", _DCT_C.T, blocks.astype(np.float64), _DCT_C
+        )
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out.append(plane[:h, :w] + 128.0)
+    return _finish_rgb(out)
 
 
 class _BitWriter:
@@ -944,6 +1199,292 @@ def encode_jpeg(
         + dht(1, 1, ("ac", 1))
         + sos
         + entropy
+        + b"\xff\xd9"
+    )
+
+
+#: Fixed FLAT Huffman tables for the progressive encoder: progressive AC
+#: scans emit EOBn symbols (0x10..0xE0) that the T.81 Annex K example
+#: tables do not contain (real encoders build optimal tables per scan);
+#: a flat canonical table covering every possible symbol keeps the
+#: bitstream valid for ANY decoder — compactness is not the goal here,
+#: exercising the full decode surface is. DC: all 16 size symbols at
+#: length 5 (max code 01111, never all-ones). AC: symbols 0x00..0x7F at
+#: length 8, 0x80..0xFF at length 9 (canonical prefix-free, max code
+#: 0b101111111).
+_PROG_DC_HUFF = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_PROG_AC_HUFF = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 128] + [0] * 7,
+    list(range(256)),
+)
+
+
+def _prog_emit_eobrun(
+    writer: "_BitWriter", ac_lut: dict, eobrun: int, bits: list[int]
+) -> int:
+    """Flush a pending end-of-band run (EOBn symbol + extension bits)
+    followed by the buffered correction bits (T.81 G.1.2.3 order)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_lut[nbits << 4]
+        writer.write(code, length)
+        if nbits:
+            writer.write(eobrun - (1 << nbits), nbits)
+    for b in bits:
+        writer.write(b, 1)
+    bits.clear()
+    return 0
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
+    JPEG. The scan script exercises every progressive decode path: an
+    interleaved DC first scan at Al=1, per-component AC first scans (the
+    luma band split Ss=1..5 / 6..63 to drive spectral selection; EOBn
+    end-of-band runs throughout), a DC refinement scan (raw bits), and
+    per-component AC refinement scans (the G.1.2.3 correction-bit
+    algorithm). Coefficients, quant tables, and color math are identical
+    to encode_jpeg's, so progressive encode->decode must reproduce the
+    baseline pipeline's pixels BIT-FOR-BIT — the round-trip property the
+    tests pin."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixels, got {arr.shape}")
+    h, w = arr.shape[:2]
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql = _quality_scale(_JPEG_QL, quality).reshape(8, 8).astype(np.float64)
+    qc = _quality_scale(_JPEG_QC, quality).reshape(8, 8).astype(np.float64)
+    hs = vs = 2 if subsample else 1
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+
+    def _pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    yp = _pad(y, mcuy * vs * 8, mcux * hs * 8)
+    if subsample:
+        cbp = _pad(cb, mcuy * 16, mcux * 16)
+        crp = _pad(cr, mcuy * 16, mcux * 16)
+        cbp = cbp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = crp.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = _pad(cb, mcuy * 8, mcux * 8)
+        crp = _pad(cr, mcuy * 8, mcux * 8)
+
+    def _blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blk = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = np.einsum("ij,abjk,kl->abil", _DCT_C, blk, _DCT_C.T)
+        quant = np.round(coef / q).astype(np.int64)
+        return quant.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+
+    zzs = [_blocks(yp, ql), _blocks(cbp, qc), _blocks(crp, qc)]
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    dc_lut = _huff_encode_lut(*_PROG_DC_HUFF)
+    ac_lut = _huff_encode_lut(*_PROG_AC_HUFF)
+
+    def _ni_dims(ci: int) -> tuple[int, int]:
+        chs, cvs = samp[ci]
+        cw = -(-(w * chs) // hs)
+        ch = -(-(h * cvs) // vs)
+        return -(-ch // 8), -(-cw // 8)
+
+    def sos_header(comps_scan: list[int], ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = bytes([len(comps_scan)])
+        for ci in comps_scan:
+            body += bytes([ci + 1, 0x00])  # dc/ac table 0 everywhere
+        return (
+            bytes([0xFF, 0xDA])
+            + struct.pack(">H", len(body) + 5)
+            + body
+            + bytes([ss, se, (ah << 4) | al])
+        )
+
+    def dc_first_scan(al: int) -> bytes:
+        writer = _BitWriter()
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    chs, cvs = samp[ci]
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            v = int(zzs[ci][my * cvs + by, mx * chs + bx, 0])
+                            vt = v >> al  # DC point transform: arith shift
+                            diff = vt - preds[ci]
+                            preds[ci] = vt
+                            size = abs(diff).bit_length()
+                            code, length = dc_lut[size]
+                            writer.write(code, length)
+                            if size:
+                                writer.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << size) - 1,
+                                    size,
+                                )
+        return sos_header([0, 1, 2], 0, 0, 0, al) + writer.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        writer = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    chs, cvs = samp[ci]
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            v = int(zzs[ci][my * cvs + by, mx * chs + bx, 0])
+                            writer.write((v >> al) & 1, 1)
+        return sos_header([0, 1, 2], 0, 0, 1, al) + writer.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        writer = _BitWriter()
+        bh, bw = _ni_dims(ci)
+        eobrun = 0
+        for by in range(bh):
+            for bx in range(bw):
+                blk = zzs[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    if t == 0:
+                        run += 1
+                        continue
+                    if eobrun:
+                        eobrun = _prog_emit_eobrun(writer, ac_lut, eobrun, [])
+                    while run > 15:
+                        code, length = ac_lut[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size = abs(t).bit_length()
+                    code, length = ac_lut[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(
+                        t if t >= 0 else t + (1 << size) - 1, size
+                    )
+                    run = 0
+                if run > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun = _prog_emit_eobrun(writer, ac_lut, eobrun, [])
+        _prog_emit_eobrun(writer, ac_lut, eobrun, [])
+        return sos_header([ci], ss, se, 0, al) + writer.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        # Two correction-bit pools (T.81 G.1.2.3 / the BE-vs-BR split):
+        # run_bits belong to blocks already folded into the pending EOB
+        # run and flush WITH the EOBn symbol (the decoder reads them
+        # while tail-refining those blocks); blk_bits belong to the
+        # CURRENT block and flush after its own ZRL / (run,1)+sign
+        # symbols (the decoder reads them while advancing over
+        # already-nonzero coefficients). Mixing the pools desyncs the
+        # decoder's bit/symbol alternation.
+        writer = _BitWriter()
+        bh, bw = _ni_dims(ci)
+        eobrun = 0
+        run_bits: list[int] = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = zzs[ci][by, bx]
+                blk_bits: list[int] = []
+                absv = [int(abs(blk[k])) >> al for k in range(ss, se + 1)]
+                # position of the last newly-nonzero coefficient:
+                # trailing runs/corrections fold into the EOB run
+                eobpos = ss - 1
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eobpos = ss + i
+                run = 0
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobpos:
+                        eobrun = _prog_emit_eobrun(
+                            writer, ac_lut, eobrun, run_bits
+                        )
+                        code, length = ac_lut[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                        for b in blk_bits:
+                            writer.write(b, 1)
+                        blk_bits.clear()
+                    if t > 1:
+                        blk_bits.append(t & 1)
+                        continue
+                    eobrun = _prog_emit_eobrun(
+                        writer, ac_lut, eobrun, run_bits
+                    )
+                    code, length = ac_lut[(run << 4) | 1]
+                    writer.write(code, length)
+                    writer.write(1 if int(blk[k]) >= 0 else 0, 1)
+                    for b in blk_bits:
+                        writer.write(b, 1)
+                    blk_bits.clear()
+                    run = 0
+                if run > 0 or blk_bits:
+                    eobrun += 1
+                    run_bits.extend(blk_bits)
+                    if eobrun == 0x7FFF:
+                        eobrun = _prog_emit_eobrun(
+                            writer, ac_lut, eobrun, run_bits
+                        )
+        _prog_emit_eobrun(writer, ac_lut, eobrun, run_bits)
+        return sos_header([ci], ss, se, 1, al) + writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tq: int, tab: np.ndarray) -> bytes:
+        zz = tab.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        return seg(0xDB, bytes([tq]) + zz)
+
+    sof = seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3])
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(_PROG_DC_HUFF[0]) + bytes(_PROG_DC_HUFF[1])
+    ) + seg(
+        0xC4, bytes([0x10]) + bytes(_PROG_AC_HUFF[0]) + bytes(_PROG_AC_HUFF[1])
+    )
+    scans = [
+        dc_first_scan(1),
+        ac_first_scan(0, 1, 5, 1),
+        ac_first_scan(0, 6, 63, 1),
+        ac_first_scan(1, 1, 63, 1),
+        ac_first_scan(2, 1, 63, 1),
+        dc_refine_scan(0),
+        ac_refine_scan(0, 1, 5, 0),
+        ac_refine_scan(0, 6, 63, 0),
+        ac_refine_scan(1, 1, 63, 0),
+        ac_refine_scan(2, 1, 63, 0),
+    ]
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, ql.astype(np.int64))
+        + dqt(1, qc.astype(np.int64))
+        + sof
+        + dht
+        + b"".join(scans)
         + b"\xff\xd9"
     )
 

@@ -675,3 +675,151 @@ def test_jpeg_flows_through_image_pipeline(spark):
     for i in imgs:
         out = multimodal.decode_jpeg(resized[i])  # re-encoded as JPEG
         assert out is not None and out.shape == (8, 8, 3)
+
+
+@given(
+    h=st.integers(min_value=8, max_value=40),
+    w=st.integers(min_value=8, max_value=40),
+    quality=st.sampled_from([75, 90, 95]),
+    subsample=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_progressive_matches_baseline_bit_for_bit(
+    h, w, quality, subsample, seed
+):
+    """Progressive encode->decode must reproduce the BASELINE pipeline's
+    pixels exactly: both paths share the forward transform and quant
+    tables, so the coefficients are identical and only the entropy
+    layers differ — any mistake in the EOBn / successive-approximation
+    machinery breaks pixel equality. Shapes include non-multiples of 8
+    (non-interleaved edge grids differ from the MCU grid)."""
+    import numpy as np
+
+    img = _smooth_image(h, w, seed)
+    base = multimodal.decode_jpeg(
+        multimodal.encode_jpeg(img, quality=quality, subsample=subsample)
+    )
+    prog = multimodal.decode_jpeg(
+        multimodal.encode_jpeg_progressive(
+            img, quality=quality, subsample=subsample
+        )
+    )
+    assert prog is not None
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_is_sof2_and_multiscan():
+    enc = multimodal.encode_jpeg_progressive(_smooth_image(24, 24, 5))
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert enc.count(b"\xff\xda") == 10  # the full scan script
+
+
+def test_jpeg_progressive_ac_first_eobn_hand_vector():
+    """Independent spec vector for the EOBn decode path (not a
+    round-trip): a 2-block single-component AC-first scan where block 1
+    ends with EOB2 declaring a 2-block end-of-band run covering block 2.
+    Huffman table: the flat progressive AC table (symbol s at length 8
+    for s < 128: code == symbol)."""
+    import numpy as np
+
+    from dbt_analytics_spark.operators.multimodal import (
+        _PROG_AC_HUFF,
+        _BitReader,
+        _huff_decode_lut,
+        _prog_scan,
+    )
+
+    lut = _huff_decode_lut(*_PROG_AC_HUFF)
+    # block 1: (run=0,size=1) coef=+1 at k=1, then EOB2: symbol 0x10
+    # (r=1 -> eobrun = 2^1-1 + ext(1)), ext bit = 1 -> eobrun = 2
+    # covering THIS block's remainder plus block 2 entirely.
+    bits = ""
+    bits += format(0x01, "08b") + "1"  # symbol (0,1), value bit 1 -> +1
+    bits += format(0x10, "08b") + "1"  # EOB2 with extension bit 1
+    payload = int(bits + "0" * (8 - len(bits) % 8), 2).to_bytes(
+        (len(bits) + 7) // 8, "big"
+    )
+    frame = (8, 16, [(1, 1, 1, 0)])  # 8x16 gray: two 8x8 blocks
+    dims = (1, 1, 2, 1)
+    coeffs = [np.zeros((1, 2, 64), dtype=np.int32)]
+    huff = {("ac", 0): lut}
+    _prog_scan(
+        payload, 0, frame, dims, [(0, 0, 0)], 1, 63, 0, 0,
+        huff, 0, coeffs,
+    )
+    assert coeffs[0][0, 0, 1] == 1  # the decoded +1
+    assert not coeffs[0][0, 0, 2:].any()  # rest of block 1: EOB
+    assert not coeffs[0][0, 1].any()  # block 2 consumed by the EOB run
+
+
+def test_jpeg_progressive_ac_refine_hand_vector():
+    """Independent spec vector for the refinement correction-bit path:
+    one block holding an already-nonzero +2 at k=1 (history 2 at Al=1 ->
+    value 4 at Al=0... stored as 4 here) receives a correction bit and a
+    newly-nonzero -1 at k=3."""
+    import numpy as np
+
+    from dbt_analytics_spark.operators.multimodal import (
+        _PROG_AC_HUFF,
+        _huff_decode_lut,
+        _prog_scan,
+    )
+
+    lut = _huff_decode_lut(*_PROG_AC_HUFF)
+    # stored state after the first scan (Al=1): coef[1] = 4 (i.e. 2<<1)
+    coeffs = [np.zeros((1, 1, 64), dtype=np.int32)]
+    coeffs[0][0, 0, 1] = 4
+    # refinement at Al=0: symbol (r=1, s=1) -> skip one zero-history
+    # coefficient (k=2), placing the new coef at k=3; sign bit 0 -> -1;
+    # while advancing, the old-nonzero at k=1 consumes a correction bit
+    # FIRST (it precedes the skipped zero): bit=1 -> 4 -> 5.
+    bits = format(0x11, "08b") + "0" + "1" + "0"
+    # ^ symbol  ^sign(-)  ^corr k=1  ^zero-run bit? none: last 0 = pad
+    payload = int(bits + "0" * ((8 - len(bits) % 8) % 8), 2).to_bytes(
+        (len(bits) + 7) // 8, "big"
+    )
+    frame = (8, 8, [(1, 1, 1, 0)])
+    dims = (1, 1, 1, 1)
+    huff = {("ac", 0): lut}
+    _prog_scan(
+        payload, 0, frame, dims, [(0, 0, 0)], 1, 63, 1, 0,
+        huff, 0, coeffs,
+    )
+    blk = coeffs[0][0, 0]
+    assert blk[1] == 5  # correction bit applied toward larger magnitude
+    assert blk[2] == 0  # the skipped zero-history position
+    assert blk[3] == -1  # newly nonzero, sign bit 0 -> -(1<<Al)
+
+
+def test_jpeg_progressive_adversarial_content_bit_for_bit():
+    """Pure noise (dense AC spectra -> every ZRL/EOBn shape),
+    checkerboards (max high-frequency energy), and flats (pure EOB
+    runs), across qualities and both subsampling modes — progressive
+    must equal baseline exactly on all of them."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        h, w = (int(x) for x in rng.integers(8, 81, 2))
+        kind = trial % 3
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif kind == 1:
+            g = (np.indices((h, w)).sum(0) % 2 * 255).astype(np.uint8)
+            img = np.stack([g, g, g], -1)
+        else:
+            img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        for q in (30, 90):
+            for sub in (False, True):
+                base = multimodal.decode_jpeg(
+                    multimodal.encode_jpeg(img, quality=q, subsample=sub)
+                )
+                prog = multimodal.decode_jpeg(
+                    multimodal.encode_jpeg_progressive(
+                        img, quality=q, subsample=sub
+                    )
+                )
+                assert prog is not None and np.array_equal(prog, base), (
+                    h, w, q, sub, kind,
+                )
