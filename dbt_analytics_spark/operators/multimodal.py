@@ -1489,6 +1489,208 @@ def encode_jpeg_progressive(
     )
 
 
+# ---------------------------------------------------------------------------
+# Container METADATA parsers for the environment-bound codecs: mp4 frame
+# DECODE needs H.264/HEVC and mp3 needs a Layer-III synthesis filterbank
+# (both stay labeled fakes), but the CONTAINERS are simple public formats
+# (ISO/IEC 14496-12 box grammar; MPEG-1/2 audio frame headers) — duration,
+# track/frame counts, and codec identity are REAL, parsed from bytes. At
+# 100 TB that is the curation signal a pipeline filters on (length caps,
+# codec allowlists) without paying a decode.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_metadata(payload: bytes) -> dict | None:
+    """Parse ISO-BMFF (mp4/mov) container metadata: movie duration from
+    ``mvhd`` (timescale + duration), track count, and per-track handler /
+    sample-entry fourcc / sample count from ``hdlr``/``stsd``/``stsz``.
+    Returns None unless the payload starts with a valid ``ftyp`` box
+    (the mp4 magic). Pure byte walking — no decode."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+    out: dict = {"container": "mp4", "tracks": []}
+    track: dict | None = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal track
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", payload, pos)[0]
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > hi:
+                    return
+                size = struct.unpack_from(">Q", payload, pos + 8)[0]
+                body = pos + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return  # malformed: stop cleanly with what we have
+            end = pos + size
+            if btype == b"trak":
+                track = {"handler": None, "codec": None, "samples": None}
+                out["tracks"].append(track)
+                walk(body, end)
+                track = None
+            elif btype in _MP4_CONTAINERS:
+                walk(body, end)
+            elif btype == b"mvhd" and end - body >= 4:
+                ver = payload[body]
+                if ver == 1 and end - body >= 28 + 4:
+                    ts = struct.unpack_from(">I", payload, body + 20)[0]
+                    dur = struct.unpack_from(">Q", payload, body + 24)[0]
+                else:
+                    ts = struct.unpack_from(">I", payload, body + 12)[0]
+                    dur = struct.unpack_from(">I", payload, body + 16)[0]
+                out["timescale"] = ts
+                out["duration_s"] = (dur / ts) if ts else 0.0
+            elif btype == b"hdlr" and track is not None and end - body >= 12:
+                track["handler"] = payload[body + 8 : body + 12].decode(
+                    "latin-1"
+                )
+            elif btype == b"stsd" and track is not None and end - body >= 16:
+                n_entries = struct.unpack_from(">I", payload, body + 4)[0]
+                if n_entries >= 1 and end - body >= 16:
+                    track["codec"] = payload[body + 12 : body + 16].decode(
+                        "latin-1"
+                    )
+            elif btype == b"stsz" and track is not None and end - body >= 12:
+                track["samples"] = struct.unpack_from(
+                    ">I", payload, body + 8
+                )[0]
+            pos = end
+
+    walk(0, len(payload))
+    if "duration_s" not in out:
+        return None  # no moov/mvhd: not a playable movie
+    return out
+
+
+#: MPEG audio frame-header tables (public MPEG-1/2 audio spec): Layer III
+#: bitrates in kbps (index 0 = free-format, rejected; 15 = invalid) and
+#: sample rates by version id (0=MPEG2.5, 2=MPEG2, 3=MPEG1).
+_MP3_BITRATES_V1 = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def mp3_metadata(payload: bytes) -> dict | None:
+    """Parse MPEG-1/2/2.5 Layer-III (mp3) framing metadata: skip an
+    ID3v2 tag if present, then walk frame headers (sync + version /
+    bitrate / samplerate / padding → frame length) counting frames and
+    samples. Requires at least two contiguous valid frames so random
+    bytes with an accidental sync word do not classify as mp3. Duration
+    is exact for CBR and the frame-sum for VBR (no Xing parsing). No
+    decode."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = 0
+        for b in payload[6:10]:  # syncsafe 7-bit bytes
+            if b & 0x80:
+                return None
+            sz = (sz << 7) | b
+        pos = 10 + sz
+    frames = 0
+    samples = 0
+    duration = 0.0
+    rate = None
+    while pos + 4 <= len(payload):
+        h = struct.unpack_from(">I", payload, pos)[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break
+        ver = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if ver == 1 or layer != 1:  # reserved version / not Layer III
+            break
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        pad = (h >> 9) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        kbps = (_MP3_BITRATES_V1 if ver == 3 else _MP3_BITRATES_V2)[br_idx]
+        rate = _MP3_RATES[ver][sr_idx]
+        spf = 1152 if ver == 3 else 576  # samples per Layer-III frame
+        flen = (spf // 8) * kbps * 1000 // rate + pad
+        if flen < 4 or pos + flen > len(payload):
+            break
+        frames += 1
+        samples += spf
+        duration += spf / rate
+        pos += flen
+    if frames < 2:
+        return None
+    return {
+        "container": "mp3",
+        "frames": frames,
+        "samples": samples,
+        "sample_rate": rate,
+        "duration_s": duration,
+    }
+
+
+def media_metadata(binary_df: DataFrame) -> DataFrame:
+    """Container-level metadata for EVERY payload the engine knows —
+    images (decoded dims), PPM streams (frame count), WAV (duration),
+    plus the REAL mp4/mp3 container parsers above — as one mapInPandas
+    pass: (media_type, duration_s, n_units, detail). The curation
+    primitive: codec allowlists and length caps without a decode. Same
+    bounded Arrow-batch contract as extract_features."""
+    schema = (
+        "doc_id string, media_type string, duration_s double, "
+        "n_units long, detail string"
+    )
+
+    def one(payload: bytes) -> tuple[str, float, int, str]:
+        frames = split_ppm_stream(payload)
+        if len(frames) > 1:
+            return "ppm_stream", 0.0, len(frames), "frames"
+        img = _decode_image(payload)
+        if img is not None:
+            pixels, codec = img
+            return codec, 0.0, 1, f"{pixels.shape[1]}x{pixels.shape[0]}"
+        wav = decode_wav(payload)
+        if wav is not None:
+            samples, rate = wav
+            return "wav", len(samples) / rate if rate else 0.0, len(
+                samples
+            ), f"{rate}Hz"
+        m4 = mp4_metadata(payload)
+        if m4 is not None:
+            codecs = ",".join(
+                t["codec"] or "?" for t in m4["tracks"]
+            ) or "none"
+            return "mp4", float(m4["duration_s"]), len(m4["tracks"]), codecs
+        m3 = mp3_metadata(payload)
+        if m3 is not None:
+            return (
+                "mp3", float(m3["duration_s"]), int(m3["frames"]),
+                f"{m3['sample_rate']}Hz",
+            )
+        return "unknown", 0.0, 0, ""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (doc_id, *one(bytes(payload)))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "duration_s", "n_units",
+                    "detail",
+                ],
+            )
+
+    return binary_df.mapInPandas(run, schema)
+
+
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:
     """Try every REAL image codec; returns (pixels, codec) or None."""
     pixels = decode_ppm(payload)

@@ -823,3 +823,113 @@ def test_jpeg_progressive_adversarial_content_bit_for_bit():
                 assert prog is not None and np.array_equal(prog, base), (
                     h, w, q, sub, kind,
                 )
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _minimal_mp4(timescale=1000, duration=7500) -> bytes:
+    """Hand-built ISO-BMFF: ftyp + moov{mvhd, trak{mdia{hdlr,
+    minf{stbl{stsd(avc1), stsz(n=120)}}}}} — public 14496-12 grammar."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        bytes(1) + bytes(3)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + bytes(80),  # rate/volume/matrix/next_track (unused here)
+    )
+    hdlr = _box(
+        b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12) + b"h\x00"
+    )
+    avc1 = _box(b"avc1", bytes(70))
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + avc1)
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, 120))
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def _minimal_mp3(n_frames=5, with_id3=False) -> bytes:
+    """Hand-built MPEG-1 Layer III CBR frames: 128 kbps, 44100 Hz,
+    no padding -> frame length 144*128000/44100 = 417 bytes."""
+    import struct
+
+    # sync=0x7FF, ver=3 (MPEG1), layer=1 (III), no-crc=1, bitrate idx 9
+    # (128k), samplerate idx 0 (44100), pad 0
+    header = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+        | (9 << 12) | (0 << 10)
+    frame = struct.pack(">I", header) + bytes(417 - 4)
+    out = frame * n_frames
+    if with_id3:
+        tag_body = bytes(20)
+        out = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, len(tag_body)]) \
+            + tag_body + out
+    return out
+
+
+def test_mp4_metadata_real_container_parse():
+    m = multimodal.mp4_metadata(_minimal_mp4())
+    assert m is not None
+    assert m["duration_s"] == 7.5
+    assert len(m["tracks"]) == 1
+    t = m["tracks"][0]
+    assert t["handler"] == "vide"
+    assert t["codec"] == "avc1"
+    assert t["samples"] == 120
+    # non-mp4 payloads refuse
+    assert multimodal.mp4_metadata(b"\x00" * 64) is None
+    assert multimodal.mp4_metadata(_minimal_mp3()) is None
+    # truncated moov: clean None (no exception, no partial duration)
+    assert multimodal.mp4_metadata(_minimal_mp4()[:24]) is None
+
+
+def test_mp3_metadata_real_frame_walk():
+    m = multimodal.mp3_metadata(_minimal_mp3(n_frames=5))
+    assert m is not None
+    assert m["frames"] == 5
+    assert m["samples"] == 5 * 1152
+    assert m["sample_rate"] == 44100
+    assert abs(m["duration_s"] - 5 * 1152 / 44100) < 1e-9
+    # ID3v2 tag skipped
+    m2 = multimodal.mp3_metadata(_minimal_mp3(n_frames=3, with_id3=True))
+    assert m2 is not None and m2["frames"] == 3
+    # a single accidental sync word is NOT an mp3 (needs 2+ frames)
+    assert multimodal.mp3_metadata(_minimal_mp3(n_frames=1)) is None
+    assert multimodal.mp3_metadata(b"\xff\xfb" + bytes(100)) is None
+    assert multimodal.mp3_metadata(_minimal_mp4()) is None
+
+
+def test_media_metadata_operator_classifies_all(spark):
+    import numpy as np
+
+    img = _smooth_image(16, 16, 2)
+    rows = [
+        ("mp4", bytearray(_minimal_mp4())),
+        ("mp3", bytearray(_minimal_mp3())),
+        ("jpeg", bytearray(multimodal.encode_jpeg(img))),
+        ("jpeg_prog", bytearray(multimodal.encode_jpeg_progressive(img))),
+        ("wav", bytearray(
+            multimodal.encode_wav(np.zeros(8000), sample_rate=8000)
+        )),
+        ("junk", bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {
+        r["doc_id"]: (r["media_type"], r["duration_s"], r["n_units"])
+        for r in multimodal.media_metadata(df).collect()
+    }
+    assert got["mp4"] == ("mp4", 7.5, 1)
+    assert got["mp3"][0] == "mp3" and got["mp3"][2] == 5
+    assert got["jpeg"] == ("jpeg", 0.0, 1)
+    assert got["jpeg_prog"] == ("jpeg", 0.0, 1)
+    assert got["wav"] == ("wav", 1.0, 8000)
+    assert got["junk"][0] == "unknown"
