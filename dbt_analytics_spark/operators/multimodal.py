@@ -957,7 +957,14 @@ def _refine_ac_block(
                         break
                     r -= 1
                 k += 1
-            if sval and k <= se:
+            if sval:
+                if k > se:
+                    # corrupt stream: the newly-nonzero coefficient has
+                    # nowhere to land. Raise (-> decode_jpeg returns
+                    # None -> labeled fake), mirroring the AC-first
+                    # scan's out-of-range check — never silently drop
+                    # the coefficient and decode subtly wrong pixels.
+                    raise ValueError("AC refinement index out of range")
                 blk[k] = sval
             k += 1
     if eobrun > 0:
@@ -1537,16 +1544,22 @@ def mp4_metadata(payload: bytes) -> dict | None:
                 track = None
             elif btype in _MP4_CONTAINERS:
                 walk(body, end)
-            elif btype == b"mvhd" and end - body >= 4:
+            elif btype == b"mvhd" and end - body >= 20:
+                # bounds per version: v0 reads through body+20, v1
+                # through body+32 — a truncated box is skipped, never
+                # unpacked past its declared end
                 ver = payload[body]
-                if ver == 1 and end - body >= 28 + 4:
-                    ts = struct.unpack_from(">I", payload, body + 20)[0]
-                    dur = struct.unpack_from(">Q", payload, body + 24)[0]
+                if ver == 1:
+                    if end - body >= 32:
+                        ts = struct.unpack_from(">I", payload, body + 20)[0]
+                        dur = struct.unpack_from(">Q", payload, body + 24)[0]
+                        out["timescale"] = ts
+                        out["duration_s"] = (dur / ts) if ts else 0.0
                 else:
                     ts = struct.unpack_from(">I", payload, body + 12)[0]
                     dur = struct.unpack_from(">I", payload, body + 16)[0]
-                out["timescale"] = ts
-                out["duration_s"] = (dur / ts) if ts else 0.0
+                    out["timescale"] = ts
+                    out["duration_s"] = (dur / ts) if ts else 0.0
             elif btype == b"hdlr" and track is not None and end - body >= 12:
                 track["handler"] = payload[body + 8 : body + 12].decode(
                     "latin-1"
@@ -1563,7 +1576,14 @@ def mp4_metadata(payload: bytes) -> dict | None:
                 )[0]
             pos = end
 
-    walk(0, len(payload))
+    try:
+        walk(0, len(payload))
+    except (struct.error, IndexError, ValueError, KeyError):
+        # malformed container: return None (-> media_metadata classifies
+        # "unknown") — a single bad payload must NEVER propagate out of
+        # the mapInPandas UDF and kill a 100 TB curation pass. Same
+        # catch-and-fall-back contract as decode_jpeg.
+        return None
     if "duration_s" not in out:
         return None  # no moov/mvhd: not a playable movie
     return out
@@ -1588,6 +1608,15 @@ def mp3_metadata(payload: bytes) -> dict | None:
     bytes with an accidental sync word do not classify as mp3. Duration
     is exact for CBR and the frame-sum for VBR (no Xing parsing). No
     decode."""
+    try:
+        return _mp3_metadata_unsafe(payload)
+    except (struct.error, IndexError, ValueError, KeyError):
+        # malformed framing: fall back to None, same contract as
+        # mp4_metadata/decode_jpeg — never kill the Spark job
+        return None
+
+
+def _mp3_metadata_unsafe(payload: bytes) -> dict | None:
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         sz = 0

@@ -162,16 +162,48 @@ def _norm_input_files(df: DataFrame) -> set[str]:
     return out
 
 
+#: Analyzed-plan nodes that cannot change the row set or values of the
+#: underlying scan: the relation leaf itself plus pure naming wrappers.
+#: Everything else (Filter, Project, Join, GlobalLimit, Sample, window,
+#: expression-rewriting nodes, ...) disqualifies the frame from
+#: substitution — refusal only costs the optimization, never rows.
+_BARE_SCAN_NODES = frozenset({"LogicalRelation", "SubqueryAlias", "View"})
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff ``df``'s analyzed logical plan is a bare relation scan —
+    no Filter/Project/Join/Limit/expression node anywhere above the
+    leaf. This is the load-bearing half of the substitution guard: a
+    frame like ``raw.filter(cond)`` keeps the raw scan's inputFiles(),
+    columns, AND schema, so the physical-identity checks alone would
+    happily swap in the UNFILTERED layout (silent wrong rows). Walking
+    the analyzed plan closes that hole; any JVM-access failure or
+    unknown node name refuses (falls back to the raw scan)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _BARE_SCAN_NODES:
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def route_source(spark: SparkSession, df: DataFrame) -> DataFrame | None:
     """The engine rule: if ``df`` is a raw scan of a relation some fresh
     layout covers, return the layout-backed equivalent (projected to the
     relation's exact columns — row- and schema-identical by the build
     contract), else None. Matching is physical AND exact: ``df``'s
     input-file set must EQUAL the layout's recorded ``covers_paths``
-    listing and its columns must be the relation's original projection —
-    however the user loaded the files, but never a pre-transformed view
-    of them. Every check is metadata-only; fallback is silent; never
-    builds."""
+    listing, its columns must be the relation's original projection, AND
+    its analyzed logical plan must be a bare relation scan
+    (``_is_bare_scan``) — however the user loaded the files, but never a
+    pre-transformed (filtered/projected/rewritten) view of them. Every
+    check is metadata-only; fallback is silent; never builds."""
     global last_route_used
     last_route_used = None
     layouts = discover_layouts(spark)
@@ -183,6 +215,11 @@ def route_source(spark: SparkSession, df: DataFrame) -> DataFrame | None:
         return None
     if not files:
         return None  # in-memory frame: nothing to match
+    if not _is_bare_scan(df):
+        # a Filter (or value-rewriting Project) keeps the raw scan's
+        # files/columns/schema but changes rows or values — only the
+        # untouched relation is substitutable
+        return None
     for tbl, spec in layouts:
         if _expand_files(spec["covers_paths"]) != files:
             continue

@@ -418,24 +418,33 @@ def ensure_star_layout(
     ):
         built = _ensure_bucketed(spark, tbl, df, col, n_buckets, spec)
         if built and spec["covers"] == "customer":
-            # Row-parity proof for the substitution contract
-            # (layout_catalog.py): custmap's snowflake hops are INNER
-            # joins, so a dangling c_nationkey/n_regionkey would drop
-            # customer rows and a routed `SELECT ... FROM custmap`
-            # would silently lose them. Machine-check count parity at
-            # build (one metadata-cheap count each; build is one-time)
-            # and refuse the layout rather than ship a lossy substitute.
-            built_n = spark.table(tbl).count()
-            src_n = load_testdata(spark, sf_dir)["customer"].count()
-            if built_n != src_n:
-                spark.sql(f"DROP TABLE {tbl}")
-                raise ValueError(
-                    f"star layout {tbl}: row-parity proof failed "
-                    f"({built_n} layout rows vs {src_n} customer rows — "
-                    "dangling FK in the snowflake); layout refused"
-                )
+            _prove_custmap_parity(spark, tbl, sf_dir)
         names.append(tbl)
     return tuple(names)
+
+
+def _prove_custmap_parity(
+    spark: SparkSession, tbl: str, sf_dir: str
+) -> None:
+    """Row-parity proof for the substitution contract
+    (layout_catalog.py): custmap's snowflake hops are INNER joins, so a
+    dangling c_nationkey/n_regionkey would drop customer rows and a
+    routed ``SELECT ... FROM custmap`` would silently lose them.
+    Machine-check count parity (one metadata-cheap count each; builds
+    are one-time) and refuse the layout — drop the table and raise —
+    rather than ship a lossy substitute. Shared by EVERY path that
+    builds custmap from scratch: ensure_star_layout AND
+    refresh_star_layout's rebuild fallback (a refresh-triggered rebuild
+    sees exactly the same dangling-FK hazard as a first build)."""
+    built_n = spark.table(tbl).count()
+    src_n = load_testdata(spark, sf_dir)["customer"].count()
+    if built_n != src_n:
+        spark.sql(f"DROP TABLE {tbl}")
+        raise ValueError(
+            f"star layout {tbl}: row-parity proof failed "
+            f"({built_n} layout rows vs {src_n} customer rows — "
+            "dangling FK in the snowflake); layout refused"
+        )
 
 
 def _append_only_delta(
@@ -576,7 +585,12 @@ def refresh_star_layout(
         build_df = rebuild_frames[
             "orders" if spec["covers"] == "orders" else "custmap"
         ]
-        _ensure_bucketed(spark, tbl, build_df, col, n_buckets, spec)
+        built = _ensure_bucketed(spark, tbl, build_df, col, n_buckets, spec)
+        if built and spec["covers"] == "customer":
+            # same contract as the first build: a rebuilt custmap with a
+            # dangling FK must refuse, not ship a row-lossy substitute
+            # with an intact (fully routable) sidecar
+            _prove_custmap_parity(spark, tbl, sf_dir)
         statuses[tbl] = "rebuilt"
     return statuses
 

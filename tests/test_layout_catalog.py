@@ -96,6 +96,60 @@ def test_route_source_refuses_pre_transformed_frame(spark, sf_copy):
     )
 
 
+def test_route_source_refuses_filtered_frame(spark, sf_copy):
+    """VERDICT r14 item 1 (the one silent-wrong-rows hazard): a filtered
+    source keeps the raw scan's inputFiles(), column list, AND schema —
+    the three physical-identity checks all pass — so only the
+    bare-scan logical-plan guard stands between it and the UNFILTERED
+    layout. The filtered frame must refuse; the bare scan (control)
+    must still route in the same warehouse state."""
+    o_tbl, _ = star_layout.ensure_star_layout(spark, sf_copy)
+    orders = spark.read.parquet(os.path.join(sf_copy, "orders.parquet"))
+    filtered = orders.filter(F.col("o_orderstatus") == "O")
+    assert list(filtered.columns) == list(orders.columns)
+    assert filtered.schema == orders.schema
+    assert layout_catalog.route_source(spark, filtered) is None
+    assert layout_catalog.last_route_used is None
+    # control: the untouched scan still routes
+    assert layout_catalog.route_source(spark, orders) is not None
+    assert layout_catalog.last_route_used == o_tbl
+
+
+def test_route_source_refuses_value_rewriting_frame(spark, sf_copy):
+    """A withColumn that rewrites VALUES but keeps names and types also
+    passes every physical check — same files, columns, schema — and is
+    caught only by the plan walk (Project node above the relation)."""
+    star_layout.ensure_star_layout(spark, sf_copy)
+    orders = spark.read.parquet(os.path.join(sf_copy, "orders.parquet"))
+    rewritten = orders.withColumn(
+        "o_orderstatus", F.upper(F.col("o_orderstatus"))
+    )
+    assert rewritten.schema == orders.schema
+    assert layout_catalog.route_source(spark, rewritten) is None
+
+
+def test_registered_filtered_source_falls_back_end_to_end(spark, sf_copy):
+    """The registry path: Project.source_table('orders', raw.filter(...))
+    with a fresh covering layout must compile downstream models from the
+    FILTERED rows (fallback), never the full layout table."""
+    star_layout.ensure_star_layout(spark, sf_copy)
+    raw = spark.read.parquet(os.path.join(sf_copy, "orders.parquet"))
+    cond = F.col("o_orderstatus") == "O"
+    p = Project(spark, name=f"user_{uuid.uuid4().hex[:6]}")
+    p.source_table("orders", raw.filter(cond))
+    for t in ("customer", "nation", "region"):
+        p.source_table(
+            t, spark.read.parquet(os.path.join(sf_copy, f"{t}.parquet"))
+        )
+    p.sql_model(USER_STAR_SQL, name="user_star", materialized="ephemeral")
+    got = p.compile_node("user_star")
+    expected_orders = raw.filter(cond).count()
+    assert got.agg(F.sum("n_orders")).collect()[0][0] == expected_orders
+    # and the bare-scan sibling sources still routed where applicable
+    customer = spark.read.parquet(os.path.join(sf_copy, "customer.parquet"))
+    assert layout_catalog.route_source(spark, customer) is not None
+
+
 def test_route_source_respects_fact_size_gate(spark, sf_copy, monkeypatch):
     star_layout.ensure_star_layout(spark, sf_copy)
     orders = spark.read.parquet(os.path.join(sf_copy, "orders.parquet"))

@@ -150,6 +150,37 @@ def test_refresh_rebuilds_custmap_when_dim_changes(spark, sf_dirs):
     assert statuses[c_tbl] == "rebuilt"
 
 
+def test_refresh_rebuild_refuses_dangling_fk_custmap(spark, sf_dirs):
+    """ADVICE r14: the refresh-triggered REBUILD path must run the same
+    custmap row-parity proof as a first build. A customer source
+    rewritten to contain a dangling c_nationkey loses that row through
+    custmap's inner snowflake hops; without the proof the rebuild would
+    ship a row-lossy table with a fully routable sidecar."""
+    d, _ = sf_dirs
+    o_tbl, c_tbl = star_layout.ensure_star_layout(spark, d)
+    cust_dir = os.path.join(d, "customer.parquet")
+    cust = spark.read.parquet(cust_dir)
+    schema, rows = cust.schema, [r.asDict() for r in cust.collect()]
+    bad = dict(rows[0])
+    bad["c_custkey"] = 99_999_999
+    bad["c_nationkey"] = 9_999  # dangling: no such nation
+    rows.append(bad)
+    # REWRITE (not append): forces the rebuild path, not a delta fold
+    tmp = cust_dir + "_rw"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+    shutil.rmtree(cust_dir)
+    os.rename(tmp, cust_dir)
+    with pytest.raises(ValueError, match="row-parity"):
+        star_layout.refresh_star_layout(spark, d)
+    # the lossy table was refused and dropped: routing cannot serve it
+    assert not spark.catalog.tableExists(c_tbl)
+    from dbt_analytics_spark.sources import readers
+
+    readers._CACHE.clear()
+    customer = spark.read.parquet(cust_dir)
+    assert layout_catalog.route_source(spark, customer) is None
+
+
 def test_pending_marker_refuses_routing_and_rebuilds(spark, sf_dirs):
     d, _ = sf_dirs
     o_tbl, c_tbl = star_layout.ensure_star_layout(spark, d)

@@ -908,6 +908,40 @@ def test_mp3_metadata_real_frame_walk():
     assert multimodal.mp3_metadata(_minimal_mp4()) is None
 
 
+def test_malformed_containers_never_raise():
+    """ADVICE r14: a truncated mvhd whose declared box size fits the
+    payload but whose BODY is shorter than the version's field layout
+    must return None, not propagate struct.error out of the
+    mapInPandas UDF (one bad payload must never kill a curation pass)."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    # 12-byte mvhd box: size/type + 4 body bytes — end-body==4, but v0
+    # needs 20 body bytes. Pre-guard this raised struct.error.
+    bad_mvhd = struct.pack(">I", 12) + b"mvhd" + bytes(4)
+    assert multimodal.mp4_metadata(ftyp + bad_mvhd) is None
+    # same, version 1 (needs 32 body bytes)
+    bad_mvhd_v1 = struct.pack(">I", 13) + b"mvhd" + bytes([1]) + bytes(4)
+    assert multimodal.mp4_metadata(ftyp + bad_mvhd_v1) is None
+    # truncated-at-every-byte fuzz over a real container: None or a
+    # parse, never an exception
+    full = _minimal_mp4()
+    for cut in range(len(full)):
+        multimodal.mp4_metadata(full[:cut])
+    full3 = _minimal_mp3(n_frames=3, with_id3=True)
+    for cut in range(len(full3)):
+        multimodal.mp3_metadata(full3[:cut])
+    # bit-flip fuzz (deterministic positions): never an exception
+    for pos in range(0, len(full), 7):
+        mut = bytearray(full)
+        mut[pos] ^= 0xFF
+        multimodal.mp4_metadata(bytes(mut))
+    for pos in range(0, len(full3), 7):
+        mut = bytearray(full3)
+        mut[pos] ^= 0xFF
+        multimodal.mp3_metadata(bytes(mut))
+
+
 def test_media_metadata_operator_classifies_all(spark):
     import numpy as np
 
