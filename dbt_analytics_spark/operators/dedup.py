@@ -18,6 +18,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import Column, DataFrame, Window
@@ -215,6 +216,38 @@ def minhash_signatures_agg(shingled: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+#: On-disk corpus bytes above which the signature path switches from the
+#: in-row ``F.aggregate`` fold (no shuffle — wins at small corpora where
+#: the extra stage/shuffle dominates) to the posexplode + codegen
+#: min-aggs (wins once the fold's interpreted per-shingle evals
+#: dominate). Measured at the crossover's two sides (BENCH_DD3_DECOMP_r15
+#: conditions, full pipeline, noop sink): 0.6 MB corpus — fold 0.95 s vs
+#: agg 1.51 s; 58 MB corpus — fold 40.8 s vs agg 38.2 s. Same
+#: metadata-only cost-model discipline as star_layout.ROUTE_MIN_FACT_BYTES.
+SIG_AGG_MIN_BYTES = 16 << 20
+
+
+def _resolve_sig_mode(df: DataFrame, sig_mode: str) -> str:
+    """``auto`` → fold/agg by the input's on-disk bytes (inputFiles() +
+    os.stat, metadata-only); explicit modes pass through. Any failure to
+    size the input (in-memory frames, non-local paths) falls back to the
+    shuffle-free fold."""
+    if sig_mode != "auto":
+        return sig_mode
+    try:
+        files = df.inputFiles()
+        total = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = "/" + f.split(":", 1)[1].lstrip("/")
+            total += os.stat(f).st_size
+    except Exception:
+        return "fold"
+    if not files:
+        return "fold"
+    return "agg" if total >= SIG_AGG_MIN_BYTES else "fold"
+
+
 def _shingle_and_band(
     df: DataFrame,
     id_col: str,
@@ -222,12 +255,13 @@ def _shingle_and_band(
     shingle_k: int,
     num_hashes: int,
     bands: int,
-    sig_mode: str = "fold",
+    sig_mode: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: persisted shingle index + skinny banded
     relation (doc, band, bucket). The LSH shuffle carries ONLY the banded
     rows — never the shingle arrays; at 100 TB that is ``bands`` skinny
     rows per document, and shingle payloads rejoin only for candidates."""
+    sig_mode = _resolve_sig_mode(df, sig_mode)
     rows_per_band = num_hashes // bands
     # The index stores HASHED shingles (array<long>), not strings — see
     # shingles_hashed: bounded per-task heap at the 5M-doc probe scale and
@@ -282,10 +316,13 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     n_salts: int | None = None,
-    sig_mode: str = "fold",
+    sig_mode: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact shingle
-    Jaccard.
+    Jaccard. ``sig_mode="auto"`` picks the signature path by corpus bytes
+    (``_resolve_sig_mode``): the shuffle-free fold below
+    ``SIG_AGG_MIN_BYTES``, the codegen min-agg above it — signatures are
+    bit-identical either way, so the pair set does not depend on the mode.
 
     Pipeline: shingle → signature → band hashes → explode bands → bucket
     self-join (candidates) → exact verify. Only the bucket join shuffles,
@@ -344,9 +381,20 @@ def minhash_lsh_pairs(
         )
         .join(shingled.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
         .withColumn(
+            "n_inter", F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        )
+        .withColumn(
+            # |A∪B| = |A|+|B|-|A∩B| — the arrays are DISTINCT by
+            # construction (array_distinct in shingles), so the
+            # arithmetic union size is exact and skips a second O(|A|+|B|)
+            # set pass per candidate pair — the verify stage was the
+            # single largest dd3 cost at 500k docs (BENCH_DD3_DECOMP_r15:
+            # +20.2 s over the candidates stage with array_union). Same
+            # division as before (integers are exact in double), and the
+            # same formula the dd3b/dd9b oracles use.
             "jaccard",
-            F.size(F.array_intersect("sh1", "sh2")).cast("double")
-            / F.size(F.array_union("sh1", "sh2")).cast("double"),
+            F.col("n_inter")
+            / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -432,9 +480,13 @@ def minhash_lsh_pairs_cross(
             "corpus_doc",
         )
         .withColumn(
+            "n_inter", F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        )
+        .withColumn(
+            # arithmetic union size — see minhash_lsh_pairs
             "jaccard",
-            F.size(F.array_intersect("sh1", "sh2")).cast("double")
-            / F.size(F.array_union("sh1", "sh2")).cast("double"),
+            F.col("n_inter")
+            / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )

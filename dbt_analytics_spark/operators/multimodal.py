@@ -1670,8 +1670,11 @@ def media_metadata(binary_df: DataFrame) -> DataFrame:
     pass: (media_type, duration_s, n_units, detail). The curation
     primitive: codec allowlists and length caps without a decode. Same
     bounded Arrow-batch contract as extract_features."""
+    # inherit the caller's doc_id type (string corpora and long
+    # testdata-derived corpora both flow through)
+    id_type = binary_df.schema["doc_id"].dataType.simpleString()
     schema = (
-        "doc_id string, media_type string, duration_s double, "
+        f"doc_id {id_type}, media_type string, duration_s double, "
         "n_units long, detail string"
     )
 
@@ -1718,6 +1721,81 @@ def media_metadata(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(run, schema)
+
+
+def _bmff_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def encode_mp4_stub(
+    timescale: int, duration: int, n_samples: int = 1, codec: bytes = b"avc1"
+) -> bytes:
+    """Spec-vector ISO-BMFF container (ftyp + moov{mvhd, trak{mdia{hdlr,
+    minf{stbl{stsd, stsz}}}}}) with REAL box grammar but no media data —
+    the encode twin of mp4_metadata, used to build oracle-checkable
+    corpora (mm5) and tests. Public 14496-12 grammar only."""
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _bmff_box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + bytes(80),  # rate/volume/matrix/next_track
+    )
+    hdlr = _bmff_box(b"hdlr", bytes(8) + b"vide" + bytes(12) + b"h\x00")
+    entry = _bmff_box(codec, bytes(70))
+    stsd = _bmff_box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stsz = _bmff_box(b"stsz", bytes(4) + struct.pack(">II", 0, n_samples))
+    stbl = _bmff_box(b"stbl", stsd + stsz)
+    moov = _bmff_box(
+        b"moov", mvhd + _bmff_box(b"trak", _bmff_box(b"mdia", hdlr + _bmff_box(b"minf", stbl)))
+    )
+    return ftyp + moov
+
+
+def encode_mp3_cbr_stub(n_frames: int) -> bytes:
+    """Spec-vector MPEG-1 Layer III CBR framing (128 kbps, 44100 Hz, no
+    padding -> 417-byte frames) with REAL headers but silent frame
+    bodies — the encode twin of mp3_metadata. Requires n_frames >= 2
+    (the parser's anti-false-positive floor)."""
+    header = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+        | (9 << 12) | (0 << 10)
+    )
+    frame = struct.pack(">I", header) + bytes(417 - 4)
+    return frame * n_frames
+
+
+def media_corpus_from_docs(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic spec-vector media corpus derived from document
+    bytes: even doc_id -> an mp4 whose mvhd duration is
+    ``500 + (octet_length(text) * 37) % 9000`` ms (timescale 1000),
+    odd doc_id -> an mp3 of ``2 + octet_length(text) % 6`` CBR frames.
+    Every parsed field downstream (media_metadata) is therefore pure
+    integer arithmetic over the source text — the mm1/mm3 oracle
+    pattern applied to the container parsers. Arrow-batched
+    mapInPandas; builder cost is O(payload) per row."""
+    skinny = docs.select(
+        F.col("doc_id"), F.octet_length(F.col(text_col)).alias("nb")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                bytearray(
+                    encode_mp4_stub(1000, 500 + (int(nb) * 37) % 9000)
+                    if int(doc_id) % 2 == 0
+                    else encode_mp3_cbr_stub(2 + int(nb) % 6)
+                )
+                for doc_id, nb in zip(pdf["doc_id"], pdf["nb"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return skinny.mapInPandas(build, "doc_id long, payload binary")
 
 
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:

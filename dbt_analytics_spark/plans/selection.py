@@ -17,6 +17,13 @@ semantics via a leading ``!``, and the method prefixes:
   ``Project.load_state`` (modified ⊇ new, matching dbt)
 - ``result:STATUS`` — nodes whose last run status was STATUS, from the
   loaded run_results or the project's in-memory last run
+- ``group:x`` / ``access:public|protected|private`` — governance metadata
+  (reference selector_methods.py GroupSelectorMethod / AccessSelectorMethod)
+- ``version:latest|old|prerelease|none`` — versioned-model state relative
+  to the base's latest pin (VersionSelectorMethod semantics)
+- ``file:GLOB`` — basename of the node's registered source path
+- ``package:NAME`` — the owning project's name (single-package projects:
+  matches everything when the name matches, dbt root-package style)
 """
 
 from __future__ import annotations
@@ -118,6 +125,50 @@ def _match_method(project: "Project", body: str) -> set[str]:
             elif have is not None and str(have) == want:
                 out.add(n)
         return out
+    if body.startswith("group:"):
+        return {
+            n for n, node in project.nodes.items() if node.group == body[6:]
+        }
+    if body.startswith("access:"):
+        return {
+            n for n, node in project.nodes.items() if node.access == body[7:]
+        }
+    if body.startswith("version:"):
+        mode = body[8:]
+        if mode not in ("latest", "old", "prerelease", "none"):
+            raise ValueError(f"unsupported version selector {mode!r}")
+        if mode == "none":
+            return {
+                n
+                for n, node in project.nodes.items()
+                if node.version is None
+            }
+        out = set()
+        for base, versions in project._versions.items():
+            latest = project._latest_pin.get(base, max(versions))
+            for v, node_name in versions.items():
+                if (
+                    (mode == "latest" and v == latest)
+                    or (mode == "old" and v < latest)
+                    or (mode == "prerelease" and v > latest)
+                ):
+                    out.add(node_name)
+        return out
+    if body.startswith("file:"):
+        import os as _os
+
+        pat = body[5:]
+        return {
+            n
+            for n, node in project.nodes.items()
+            if node.path and fnmatch.fnmatch(_os.path.basename(node.path), pat)
+        }
+    if body.startswith("package:"):
+        # single-package engine: the project IS the package (dbt's root
+        # package). A matching name selects every node, else nothing.
+        if fnmatch.fnmatch(project.name, body[8:]):
+            return set(project.nodes)
+        return set()
     if body.startswith("state:"):
         mode = body[6:]
         if mode not in ("modified", "new"):

@@ -965,6 +965,52 @@ FROM l
 
 
 # ---------------------------------------------------------------------------
+# MM5 — REAL mp4/mp3 container-metadata parse, oracle-gated end-to-end
+# (VERDICT r14 item 5: the round-14 parsers were pytest-only). The corpus
+# is spec-vector containers built FROM document bytes
+# (operators/multimodal.py:media_corpus_from_docs): even doc_id -> mp4
+# with mvhd duration 500+(nb*37)%9000 ms, odd -> mp3 of 2+nb%6 CBR
+# frames — so every parsed field is integer arithmetic over
+# octet_length(text). Durations are projected to exact integer bases
+# (ms for mp4, samples for mp3): the parser's float division/summation
+# round-trips exactly under round() at these magnitudes.
+# ---------------------------------------------------------------------------
+
+def mm5_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir)["documents"]
+    corpus = multimodal.media_corpus_from_docs(docs)
+    meta = multimodal.media_metadata(corpus)
+    return meta.select(
+        "doc_id",
+        "media_type",
+        "n_units",
+        F.when(
+            F.col("media_type") == "mp4",
+            F.round(F.col("duration_s") * 1000),
+        )
+        .otherwise(F.round(F.col("duration_s") * 44100))
+        .cast("bigint")
+        .alias("dur_units"),
+        "detail",
+    )
+
+
+MM5_SQL = """
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mp3' END AS media_type,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 + nb % 6 END AS BIGINT)
+           AS n_units,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 500 + (nb * 37) % 9000
+                 ELSE (2 + nb % 6) * 1152 END AS BIGINT) AS dur_units,
+       CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE '44100Hz' END AS detail
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # TXT5 — BPE-ish token statistics (GPT-2-style pretokenizer regex; the fast
 # token-count estimate for training-data budgeting)
 # ---------------------------------------------------------------------------
@@ -2756,6 +2802,7 @@ REGISTRY = {
     "mm2_frame_sample": (mm2_frame_sample, MM2_SQL),
     "mm3_audio_features": (mm3_audio_features, MM3_SQL),
     "mm4_video_features": (mm4_video_features, MM4_SQL),
+    "mm5_media_metadata": (mm5_media_metadata, MM5_SQL),
     "dd6_decontaminate": (dd6_decontaminate, DD6_SQL),
     "dd7_cluster_dedup": (dd7_cluster_dedup, DD7_SQL),
     "smp1_stratified_sample": (smp1_stratified_sample, SMP1_SQL),

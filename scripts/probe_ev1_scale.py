@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""ev1 (gap sessionization) data-bound octave probe (VERDICT r14 item 6:
+ev1 reads 3.32x exec at sf10 — the last headline exec ratio above 2x
+never decomposed data-bound).
+
+Scales the events table 10M -> 40M -> 160M rows (user-offset copies, the
+scan-floor construction: more users, same rows/user, so the user_id
+window partitioning is the same shape bigger) and interleaves per scale:
+
+  scan_floor   Spark events scan + count/sum  vs  DuckDB same
+  window_only  the lag-flag window -> noop (the shuffle+sort+lag cost)
+  full         shipped ev1 -> noop            vs  DuckDB EV1_SQL
+  full_count   shipped ev1 under count() (the headline count series)
+
+Done = the full/EV1 ratio trends <=2x as rows grow, or the plateau is
+decomposed naming the fixed cost. min-of-N interleaved Spark/DuckDB;
+shared load + drift gates (refuses to emit on failure).
+
+Usage: python scripts/probe_ev1_scale.py [repeats]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from dbt_analytics_spark.bench_gate import emit_gated, wait_for_quiet  # noqa: E402
+from dbt_analytics_spark.queries.core import EV1_SQL, ev1_sessionize  # noqa: E402
+from dbt_analytics_spark.session import get_spark  # noqa: E402
+
+SF10 = "/root/repo/.scratch/sf10"
+EV40 = "/root/repo/.scratch/ev40"
+EV160 = "/root/repo/.scratch/ev160"
+REPEATS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+SCALES = [
+    s
+    for s in os.environ.get("EV1_SCALES", "sf10,ev40,ev160").split(",")
+]
+_DIRS = {"sf10": SF10, "ev40": EV40, "ev160": EV160}
+
+
+def build_scaled(src_dir: str, dst_dir: str, ncopy: int) -> None:
+    """``ncopy`` user/event-offset copies of events only."""
+    out = f"{dst_dir}/events.parquet"
+    if os.path.exists(out):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    src = f"read_parquet('{src_dir}/events.parquet')"
+    maxu = con.execute(f"SELECT max(user_id) FROM {src}").fetchone()[0] + 1
+    maxe = con.execute(f"SELECT max(event_id) FROM {src}").fetchone()[0] + 1
+    copies = f"(SELECT unnest(range({ncopy})) AS i)"
+    con.execute(
+        f"""COPY (
+            SELECT event_id + i*{maxe} AS event_id, ts,
+                   user_id + i*{maxu} AS user_id,
+                   event_type, value, props
+            FROM {src}, {copies}
+        ) TO '{out}' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"# built {dst_dir}: {n} event rows", file=sys.stderr)
+    con.close()
+
+
+def main() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbt_analytics_spark.sources import load_testdata
+
+    load_gate = wait_for_quiet()
+    if "ev40" in SCALES or "ev160" in SCALES:
+        build_scaled(SF10, EV40, 4)
+    if "ev160" in SCALES:
+        build_scaled(EV40, EV160, 4)
+    spark = get_spark("ev1_scale_probe")
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict] = {}
+    for tag in SCALES:
+        sf_dir = _DIRS[tag]
+        ev = load_testdata(spark, sf_dir)["events"]
+        n_rows = ev.count()
+        print(f"# {tag}: {n_rows} event rows", file=sys.stderr)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        prev = F.lag("ts").over(w)
+        flagged = ev.withColumn(
+            "is_new_session",
+            F.when(
+                prev.isNull()
+                | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        ).select("user_id", "is_new_session")
+
+        vs = {
+            "scan_floor": lambda: noop(
+                ev.agg(F.count(F.lit(1)), F.sum("user_id"))
+            ),
+            "window_only": lambda: noop(flagged),
+            "full": lambda: noop(ev1_sessionize(spark, sf_dir)),
+            "full_count": lambda: ev1_sessionize(spark, sf_dir).count(),
+        }
+        DUCK_FLOOR = "SELECT count(*), SUM(user_id) FROM events"
+
+        for fn in vs.values():
+            fn()
+        con.execute(EV1_SQL).fetchall()
+        con.execute(DUCK_FLOOR).fetchall()
+
+        sp = {k: [] for k in vs}
+        dk: dict[str, list] = {"full": [], "scan_floor": []}
+        for _ in range(REPEATS):
+            for k, fn in vs.items():
+                t0 = time.perf_counter()
+                fn()
+                sp[k].append(round(time.perf_counter() - t0, 4))
+            t0 = time.perf_counter()
+            con.execute(EV1_SQL).fetchall()
+            dk["full"].append(round(time.perf_counter() - t0, 4))
+            t0 = time.perf_counter()
+            con.execute(DUCK_FLOOR).fetchall()
+            dk["scan_floor"].append(round(time.perf_counter() - t0, 4))
+        con.close()
+
+        band = lambda v: round((max(v) - min(v)) / min(v), 3)  # noqa: E731
+        out[tag] = {
+            "event_rows": n_rows,
+            "spark_min": {k: min(v) for k, v in sp.items()},
+            "duckdb_min": {k: min(v) for k, v in dk.items()},
+            "ratio_full_noop": round(min(sp["full"]) / min(dk["full"]), 2),
+            "ratio_full_count": round(
+                min(sp["full_count"]) / min(dk["full"]), 2
+            ),
+            "ratio_scan_floor": round(
+                min(sp["scan_floor"]) / min(dk["scan_floor"]), 2
+            ),
+            "spark_drift_band": {k: band(v) for k, v in sp.items()},
+            "duckdb_drift_band": {k: band(v) for k, v in dk.items()},
+            "spark_raw": sp,
+            "duckdb_raw": dk,
+        }
+
+    emit_gated(
+        {
+            "metric": "ev1_scale_octave",
+            "protocol": f"min-of-{REPEATS}, stages interleaved with DuckDB "
+            "EV1 per round, one warm session, noop sink",
+            "scales": out,
+        },
+        load_gate,
+        samples={
+            f"{tag}/{eng}/{k}": v
+            for tag, blk in out.items()
+            for eng, d in (("spark", blk["spark_raw"]), ("duckdb", blk["duckdb_raw"]))
+            for k, v in d.items()
+        },
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,12 +57,14 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-14 prefix so an accidental
+    # queries/__init__.py). Freeze the round-15 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-14 rotation: q1b + ev6 + dd11 +
-    # txt13 in; q8/sim4b/smp8/sem9 out with in-prefix sibling evidence —
-    # see queries/__init__.py).
+    # list in the same commit (round-15 rotation: the never-driver-rowed
+    # sem2/sem3/sem4/sem5 + f4 + txt14 + ev5b + dd6/dd7 and the new mm5
+    # in; ev6/dd11/txt13/mm4/f8/dd10/sem11/sem12/sem14/sem15 out — each
+    # with earned green rows and in-prefix sibling evidence — see
+    # queries/__init__.py).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
@@ -73,20 +75,20 @@ def test_driver_prefix_is_frozen():
         "j3b_regex_lateral_top1", "j5_explode_split", "a4_count_distinct",
         "w1_dedup_rank", "w3_pct_of_total", "u1_union_dedup",
         "t2_regex_match", "ev1_sessionize", "ev2_json_extract",
-        "ev3_asof_join", "ev4_range_join", "ev6_retention_cohorts",
-        "a6_grouping_sets",
+        "ev3_asof_join", "ev4_range_join", "ev5b_funnel_steps",
+        "a6_grouping_sets", "f4_profile",
         "dd1_exact_dedup", "dd3_minhash_lsh",
         "dd3b_minhash_lsh_exact", "sim1_cosine_topk",
         "txt1_token_stats", "txt2_quality",
-        "mm1_features", "mm3_audio_features", "mm4_video_features",
-        "smp7_leakage_split", "txt13_lm_score",
-        "sim3b_ivf_exact", "sim6_ivf_index_exact", "dd10_exact_substring",
-        "dd11_semdedup", "f8_cms_counts", "txt16b_logreg_score",
+        "mm1_features", "mm3_audio_features", "mm5_media_metadata",
+        "dd6_decontaminate", "dd7_cluster_dedup",
+        "smp7_leakage_split",
+        "sim3b_ivf_exact", "sim6_ivf_index_exact",
+        "txt14_nb_langid", "txt16b_logreg_score",
         "dd13_url_dedup", "sem1_entity_star_metrics",
-        "sem6_period_over_period",
-        "sem11_cumulative_avg_max",
-        "sem12_conversion_constant_props", "sem13_semi_additive",
-        "sem14_offset_to_grain", "sem15_distributional_aggs",
+        "sem2_cumulative_metrics", "sem3_trailing_window",
+        "sem4_conversion_rate", "sem5_saved_query",
+        "sem6_period_over_period", "sem13_semi_additive",
         "sem16_metric_filter", "sem17_rollup_routing",
     ]
     assert list(q.queries())[:50] == expected_prefix

@@ -119,6 +119,50 @@ def test_selection_dsl(project):
     assert select_nodes(project, "tag:spend,cust_spend+") == {"cust_spend", "spend_with_names"}
 
 
+def test_selection_long_tail_methods(project, spark):
+    """group:/access:/version:/file:/package: (reference
+    selector_methods.py:244-586 long tail, VERDICT r14 item 7)."""
+    import dbt_analytics_spark.plans.registry as reg
+
+    p = reg.Project(spark, name="tailproj")
+    p.source_table("orders_raw", load_testdata(spark, SF_DIR)["orders"])
+
+    @p.model(materialized="view", group="finance", access="private")
+    def fin_base(ctx):
+        return ctx.source("orders_raw")
+
+    @p.model(materialized="view", version=1, group="finance")
+    def rev(ctx):
+        return ctx.source("orders_raw")
+
+    @p.model(materialized="view", version=2, latest_version=2, group="finance")  # noqa: F811
+    def rev(ctx):  # noqa: F811
+        return ctx.source("orders_raw")
+
+    @p.model(materialized="view", version=3, group="finance")  # noqa: F811
+    def rev(ctx):  # noqa: F811
+        return ctx.source("orders_raw")
+
+    assert select_nodes(p, "group:finance") == {
+        "fin_base", "rev_v1", "rev_v2", "rev_v3"
+    }
+    assert select_nodes(p, "access:private") == {"fin_base"}
+    # version: relative to the latest_version pin (2), not max (3)
+    assert select_nodes(p, "version:latest") == {"rev_v2"}
+    assert select_nodes(p, "version:old") == {"rev_v1"}
+    assert select_nodes(p, "version:prerelease") == {"rev_v3"}
+    assert "fin_base" in select_nodes(p, "version:none")
+    # file: matches the basename of the registered source path
+    assert select_nodes(p, "file:test_engine.py") >= {"fin_base"}
+    assert select_nodes(p, "file:no_such_file.sql") == set()
+    # package: the project is the package; wildcard works
+    assert select_nodes(p, "package:tailproj") == set(p.nodes)
+    assert select_nodes(p, "package:tail*") == set(p.nodes)
+    assert select_nodes(p, "package:other") == set()
+    # composes with graph ops and intersection
+    assert select_nodes(p, "group:finance,version:latest") == {"rev_v2"}
+
+
 def test_failure_skips_descendants(spark):
     p = Project(spark, name="f")
 

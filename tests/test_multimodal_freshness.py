@@ -942,6 +942,17 @@ def test_malformed_containers_never_raise():
         multimodal.mp3_metadata(bytes(mut))
 
 
+def test_media_stub_encoders_roundtrip():
+    """encode_mp4_stub / encode_mp3_cbr_stub (the mm5 corpus builders)
+    round-trip exactly through the real container parsers."""
+    m = multimodal.mp4_metadata(multimodal.encode_mp4_stub(1000, 7500))
+    assert m is not None and m["duration_s"] == 7.5
+    assert m["tracks"][0]["codec"] == "avc1"
+    m3 = multimodal.mp3_metadata(multimodal.encode_mp3_cbr_stub(4))
+    assert m3 is not None and m3["frames"] == 4
+    assert m3["samples"] == 4 * 1152 and m3["sample_rate"] == 44100
+
+
 def test_media_metadata_operator_classifies_all(spark):
     import numpy as np
 
