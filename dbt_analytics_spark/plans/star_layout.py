@@ -420,6 +420,11 @@ def ensure_star_layout(
         if built and spec["covers"] == "customer":
             _prove_custmap_parity(spark, tbl, sf_dir)
         names.append(tbl)
+    # one provisioning pass covers the whole star family: the 25-row
+    # nation-grain rollup (j1/w3's routed target) builds beside the
+    # bucketed tables — the ensure_lineitem_layout/ensure_q1_rollup
+    # precedent. Routing itself still NEVER builds.
+    ensure_nation_rollup(spark, sf_dir)
     return tuple(names)
 
 
@@ -592,6 +597,10 @@ def refresh_star_layout(
             # with an intact (fully routable) sidecar
             _prove_custmap_parity(spark, tbl, sf_dir)
         statuses[tbl] = "rebuilt"
+    # the family's nation-grain rollup refreshes with the same pass
+    # (delta-foldable on orders-only growth, else rebuilt)
+    rollup_tbl, _ = _nation_rollup_spec(spark, sf_dir)
+    statuses[rollup_tbl] = refresh_nation_rollup(spark, sf_dir)
     return statuses
 
 
@@ -1003,6 +1012,202 @@ def refresh_q1_rollup(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             pass
     ensure_q1_rollup(spark, sf_dir)
+    return "rebuilt"
+
+
+#: Nation-grain star rollup version (rides the star layout family).
+NATION_ROLLUP_VERSION = 1
+
+
+def _nation_rollup_frame(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """The 25-row partial-aggregate frame at the j1/w3 output grain
+    (c_nationkey) over orders⋈customer — the star-join twin of
+    ``_q1_rollup_frame`` (round 15: the fact-join family j1 6.9x / w3
+    4.8x at sf10 was the last >2x count-series class; its queries
+    aggregate 15M+ fact rows to 25 nations every run). Every stored
+    column is a RE-FOLDABLE partial — count, exact-cents long sum,
+    max, min — so an orders-append refresh aggregates only the delta
+    files and merges partials, and ``guarded_cents_spend``'s count*max
+    overflow proof still holds on folded values (count and max fold
+    exactly). Nation/region NAMES are never stored: they attach live at
+    read time (25-row broadcast), so a dim edit can't stale the rollup."""
+    cust_nk = customer.select("c_custkey", "c_nationkey")
+    return (
+        _derive_orders(orders)
+        .join(F.broadcast(cust_nk), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_cents").alias("cents"),
+            F.max("o_cents").alias("mx"),
+            F.min("o_cents").alias("mn"),
+        )
+    )
+
+
+def _nation_rollup_spec(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    import hashlib
+
+    from .fingerprint import files_listing
+
+    tbl = f"star_rollup_{_tag(sf_dir)}_v{NATION_ROLLUP_VERSION}"
+    t = load_testdata(spark, sf_dir)
+    srcs = [
+        os.path.abspath(os.path.join(sf_dir, f"{s}.parquet"))
+        for s in ("orders", "customer")
+    ]
+    listing = files_listing(srcs)
+    return tbl, {
+        "table": tbl,
+        "version": NATION_ROLLUP_VERSION,
+        "codec": LAYOUT_CODEC,
+        "schema": _schema_ddl(
+            _nation_rollup_frame(
+                t["orders"].limit(0), t["customer"].limit(0)
+            )
+        ),
+        "source_fp": hashlib.md5("\n".join(listing).encode()).hexdigest(),
+        "source_listing": listing,
+        # only ORDERS growth is delta-foldable (a customer change moves
+        # rows between nations: rebuild)
+        "covers_paths": [srcs[0]],
+        "source_paths": srcs,
+        "route_gate_paths": [srcs[0]],
+        "group": f"star_{_tag(sf_dir)}",
+    }
+
+
+def ensure_nation_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the 25-row nation-grain star rollup — built by
+    the same warmup that provisions the star layout (ensure_star_layout
+    calls this), so one provisioning pass covers the whole family. The
+    routed j1/w3 become a 25-row read + live name attach instead of a
+    15M-row fact join; the bucketed layout remains for every OTHER
+    query shape over the star."""
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    tbl, spec = _nation_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    if spark.catalog.tableExists(tbl):
+        if read_sidecar(path, LAYOUT_SIDECAR) == spec:
+            return tbl
+        spark.sql(f"DROP TABLE {tbl}")
+    elif dir_is_complete(path) and read_sidecar(path, LAYOUT_SIDECAR) == spec:
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+        return tbl
+    from .materialize import _save_as_table
+
+    t = load_testdata(spark, sf_dir)
+    _save_as_table(
+        spark,
+        _nation_rollup_frame(t["orders"], t["customer"])
+        .coalesce(1)
+        .write.option("compression", LAYOUT_CODEC)
+        .mode("overwrite"),
+        tbl,
+    )
+    try:
+        write_sidecar(path, spec, LAYOUT_SIDECAR)
+    except OSError:
+        pass
+    return tbl
+
+
+def maybe_nation_rollup(spark: SparkSession, sf_dir: str) -> str | None:
+    """Routing check for the nation-grain rollup (never builds; silent
+    fallback; fact-size gated so the driver's small-SF correctness gate
+    always exercises the raw join arithmetic)."""
+    global last_route_used
+    from ..sources.readers import table_disk_bytes
+    from .fingerprint import dir_is_complete, read_sidecar
+
+    try:
+        if table_disk_bytes(sf_dir, "orders") < ROUTE_MIN_FACT_BYTES:
+            return None
+        tbl, spec = _nation_rollup_spec(spark, sf_dir)
+    except Exception:
+        return None
+    path = _warehouse_path(spark, tbl)
+    if read_sidecar(path, LAYOUT_SIDECAR) != spec:
+        return None
+    if not spark.catalog.tableExists(tbl):
+        if not dir_is_complete(path):
+            return None
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+    last_route_used = tbl
+    return tbl
+
+
+def refresh_nation_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Delta-proportional refresh: aggregate ONLY appended orders files
+    (joined to the UNCHANGED customer map — _append_only_delta refuses
+    when any non-covered source moved) and merge partials with the
+    stored 25 rows. Crash-safe via the pending marker + atomic CTAS,
+    same as refresh_q1_rollup."""
+    from ..sources import readers
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    readers._CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None
+    )
+    tbl, spec = _nation_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    old = read_sidecar(path, LAYOUT_SIDECAR)
+    if old == spec:
+        ensure_nation_rollup(spark, sf_dir)
+        return "fresh"
+    delta = (
+        _append_only_delta(old, spec, spec["covers_paths"])
+        if dir_is_complete(path)
+        else None
+    )
+    if delta is not None:
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({old['schema']}) USING parquet "
+                f"LOCATION '{path}'"
+            )
+        t = load_testdata(spark, sf_dir)
+        delta_partials = _nation_rollup_frame(
+            _read_like_engine(spark, delta), t["customer"]
+        )
+        merged = (
+            spark.table(tbl)
+            .unionByName(delta_partials)
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("cents").alias("cents"),
+                F.max("mx").alias("mx"),
+                F.min("mn").alias("mn"),
+            )
+            .collect()  # 25 rows: sever the plan from the table we rewrite
+        )
+        from .materialize import _save_as_table
+
+        try:
+            schema = spark.table(tbl).schema
+            write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
+            spark.sql(f"DROP TABLE {tbl}")
+            _save_as_table(
+                spark,
+                spark.createDataFrame(merged, schema)
+                .coalesce(1)
+                .write.option("compression", LAYOUT_CODEC)
+                .mode("overwrite"),
+                tbl,
+            )
+            write_sidecar(path, spec, LAYOUT_SIDECAR)
+            return f"refreshed (+{len(delta)} files)"
+        except OSError:
+            pass
+    ensure_nation_rollup(spark, sf_dir)
     return "rebuilt"
 
 

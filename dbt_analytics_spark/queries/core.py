@@ -474,8 +474,22 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.star_layout import maybe_star_layout, nation_names
+    from ..plans.star_layout import (
+        maybe_nation_rollup,
+        maybe_star_layout,
+        nation_names,
+    )
 
+    # Aggregate awareness (round 15): j1's whole 15M-row fact join is
+    # precomputed as 25 re-foldable nation-grain partials
+    # (star_layout.ensure_nation_rollup — the star-join twin of q1's
+    # grain rollup). When the rollup verifiably derives from the CURRENT
+    # orders+customer files, j1 is a 25-row read + live name attach; the
+    # final expressions are IDENTICAL to j1b's (same oracle, hash-checked
+    # every round). Fallback ladder: rollup → bucketed layout → raw.
+    rollup = maybe_nation_rollup(spark, sf_dir)
+    if rollup is not None:
+        return _j1_from_rollup(spark, sf_dir, spark.table(rollup))
     # Layout awareness (round 13): when the engine already owns the
     # bucketed star layout for this data — and the layout verifiably
     # derives from the CURRENT source files (sidecar fingerprint) — the
@@ -541,6 +555,33 @@ def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation_name"),
         "n_orders",
         "total_spend",
+    )
+
+
+def _j1_from_rollup(
+    spark: SparkSession, sf_dir: str, partials: DataFrame
+) -> DataFrame:
+    """j1's final select over the stored 25-row nation rollup — the
+    exact j1b tail (guarded cents spend + broadcast name attach), so the
+    routed result is bit-identical to the layout and raw paths."""
+    from ..plans.star_layout import guarded_cents_spend, nation_names
+
+    return (
+        partials.join(
+            F.broadcast(nation_names(spark, sf_dir)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "n_orders",
+            guarded_cents_spend(
+                F.col("n_orders"),
+                F.col("cents"),
+                F.col("mx"),
+                F.col("mn"),
+            ).alias("total_spend"),
+        )
     )
 
 
@@ -976,8 +1017,14 @@ FROM flagged GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def w3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.star_layout import maybe_star_layout
+    from ..plans.star_layout import maybe_nation_rollup, maybe_star_layout
 
+    # Aggregate awareness (round 15) — see j1_join_agg: the 25-row
+    # nation rollup carries exactly w3's partials; the tail below is
+    # w3b's (same oracle). Ladder: rollup → bucketed layout → raw.
+    rollup = maybe_nation_rollup(spark, sf_dir)
+    if rollup is not None:
+        return _w3_from_rollup(spark, sf_dir, spark.table(rollup))
     # Layout awareness — see j1_join_agg: route to the engine-owned
     # bucketed layout when it exists and is verifiably fresh; w3b shares
     # this query's oracle. Silent fallback, never builds.
@@ -1029,6 +1076,35 @@ def w3_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_name",
         F.col("spend_dec").cast("double").alias("nation_spend"),
         (F.col("spend_dec").cast("double") / F.sum("spend_dec").over(w).cast("double")).alias("pct_of_total"),
+    )
+
+
+def _w3_from_rollup(
+    spark: SparkSession, sf_dir: str, partials: DataFrame
+) -> DataFrame:
+    """w3's final select over the stored 25-row nation rollup — the
+    exact w3b tail: guarded cents spend per nation, decimal-accumulated
+    grand total over the 25 partial rows (bit-identical to summing the
+    per-group decimal sums, which is what the oracle does)."""
+    from ..plans.star_layout import guarded_cents_spend, nation_names
+
+    per_nation = partials.join(
+        F.broadcast(
+            nation_names(spark, sf_dir).select("n_nationkey", "n_name")
+        ),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).withColumnRenamed("n_name", "nation_name")
+    w = Window.partitionBy()
+    spend = guarded_cents_spend(
+        F.col("n_orders"), F.col("cents"), F.col("mx"), F.col("mn")
+    )
+    total = (
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w) / F.lit(100)
+    ).cast("double")
+    return per_nation.select(
+        "nation_name",
+        spend.alias("nation_spend"),
+        (spend / total).alias("pct_of_total"),
     )
 
 

@@ -71,7 +71,9 @@ def test_refresh_fresh_noop(spark, sf_dirs):
     d, _ = sf_dirs
     o_tbl, c_tbl = star_layout.ensure_star_layout(spark, d)
     statuses = star_layout.refresh_star_layout(spark, d)
-    assert statuses == {o_tbl: "fresh", c_tbl: "fresh"}
+    # three family members: both bucketed tables + the nation rollup
+    assert set(statuses.values()) == {"fresh"}
+    assert {o_tbl, c_tbl} <= set(statuses) and len(statuses) == 3
 
 
 def test_refresh_appends_delta_row_identical_to_rebuild(spark, sf_dirs):

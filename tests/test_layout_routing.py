@@ -194,6 +194,84 @@ def test_spec_cache_invalidates_on_mid_session_schema_change(spark, sf_copy):
     assert star_layout.maybe_star_layout(spark, sf_copy) is not None
 
 
+def _w3_rows(spark, sf_dir):
+    return sorted(
+        map(tuple, REGISTRY["w3_pct_of_total"][0](spark, sf_dir).collect())
+    )
+
+
+def test_nation_rollup_routes_j1_w3_and_matches_raw(spark, sf_copy):
+    """Round 15: the 25-row nation-grain rollup (the star-join twin of
+    q1's grain rollup) routes j1 AND w3, row-identical to the raw
+    fallback, and the plan reads the rollup table (no fact scan)."""
+    raw_j1, raw_w3 = _j1_rows(spark, sf_copy), _w3_rows(spark, sf_copy)
+    assert star_layout.maybe_nation_rollup(spark, sf_copy) is None
+    star_layout.ensure_star_layout(spark, sf_copy)
+    tbl = star_layout.maybe_nation_rollup(spark, sf_copy)
+    assert tbl is not None and star_layout.last_route_used == tbl
+    assert spark.table(tbl).count() == 25
+    routed_j1 = REGISTRY["j1_join_agg"][0](spark, sf_copy)
+    plan = routed_j1._jdf.queryExecution().optimizedPlan().toString()
+    assert tbl in plan and "orders.parquet" not in plan
+    assert sorted(map(tuple, routed_j1.collect())) == raw_j1
+    assert _w3_rows(spark, sf_copy) == raw_w3
+
+
+def test_nation_rollup_stale_on_customer_change(spark, sf_copy):
+    """A customer-source change (non-covered, moves rows between
+    nations) must refuse the rollup AND refuse a delta fold (rebuild
+    only)."""
+    star_layout.ensure_star_layout(spark, sf_copy)
+    assert star_layout.maybe_nation_rollup(spark, sf_copy) is not None
+    os.utime(os.path.join(sf_copy, "customer.parquet"), None)
+    assert star_layout.maybe_nation_rollup(spark, sf_copy) is None
+    _fresh_session_view()
+    assert star_layout.refresh_nation_rollup(spark, sf_copy) == "rebuilt"
+    assert star_layout.maybe_nation_rollup(spark, sf_copy) is not None
+
+
+def test_nation_rollup_refresh_folds_orders_delta(spark, tmp_path):
+    """Orders-append-only growth folds ONLY the delta into the stored
+    partials; the refreshed rollup is row-identical to a from-scratch
+    build and j1 routes to it with the full answer."""
+    import uuid
+
+    d = str(tmp_path / f"sfr_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    for t in ("customer", "nation", "region"):
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), d)
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    main = orders.filter(F.col("o_orderkey") % 10 != 0)
+    hold = orders.filter(F.col("o_orderkey") % 10 == 0)
+    main.repartition(2).write.parquet(os.path.join(d, "orders.parquet"))
+    star_layout.ensure_nation_rollup(spark, d)
+    # append new part files without touching existing ones
+    tmp = d + "_app"
+    hold.coalesce(1).write.parquet(tmp)
+    tgt = os.path.join(d, "orders.parquet")
+    for f in os.listdir(tmp):
+        if not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(tgt, f"appended_{f}")
+            )
+    shutil.rmtree(tmp)
+    _fresh_session_view()
+    assert star_layout.maybe_nation_rollup(spark, d) is None  # stale
+    status = star_layout.refresh_nation_rollup(spark, d)
+    assert status.startswith("refreshed"), status
+    tbl = star_layout.maybe_nation_rollup(spark, d)
+    assert tbl is not None
+    total = spark.table(tbl).agg(F.sum("n_orders")).collect()[0][0]
+    assert total == orders.count()
+    # row-identical to a from-scratch build over the same sources
+    refreshed = sorted(map(tuple, spark.table(tbl).collect()))
+    spark.sql(f"DROP TABLE {tbl}")
+    _fresh_session_view()
+    star_layout.ensure_nation_rollup(spark, d)
+    scratch = sorted(map(tuple, spark.table(tbl).collect()))
+    assert refreshed == scratch
+
+
 def test_q1_routes_to_lineitem_layout_and_matches_fallback(spark, sf_copy):
     """q1's routing twin of test_route_hits_after_ensure: raw answer
     first, then the layout exists and q1 inherits the stored-cents plan

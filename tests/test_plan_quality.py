@@ -516,17 +516,21 @@ def test_adhoc_star_queries_route_to_layout_exchange_free(spark, monkeypatch):
     def shuffles(plan: str) -> int:
         return plan.count("Exchange") - plan.count("BroadcastExchange")
 
+    # Round 15: j1/w3 route FIRST to the 25-row nation-grain rollup
+    # (aggregate awareness) — the fact never scans and the only
+    # exchanges are the 25-row name broadcast (j1) plus w3's single-
+    # partition window exchange over 25 rows.
     j1 = REGISTRY["j1_join_agg"][0](spark, SF)
     assert star_layout.last_route_used is not None
     plan = j1._jdf.queryExecution().executedPlan().toString()
-    assert "star_orders" in plan and "ShuffledHashJoin" in plan
-    assert shuffles(plan) == 1, plan
+    assert "star_rollup" in plan and "star_orders" not in plan
+    assert shuffles(plan) == 0, plan
 
     w3 = REGISTRY["w3_pct_of_total"][0](spark, SF)
     assert star_layout.last_route_used is not None
     plan = w3._jdf.queryExecution().executedPlan().toString()
-    assert "star_orders" in plan and "ShuffledHashJoin" in plan
-    assert shuffles(plan) == 2, plan
+    assert "star_rollup" in plan and "star_orders" not in plan
+    assert shuffles(plan) == 1, plan  # the 25-row global-window exchange
 
     q13 = REGISTRY["q13_custdist"][0](spark, SF)
     assert star_layout.last_route_used is not None
