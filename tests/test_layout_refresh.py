@@ -71,9 +71,10 @@ def test_refresh_fresh_noop(spark, sf_dirs):
     d, _ = sf_dirs
     o_tbl, c_tbl = star_layout.ensure_star_layout(spark, d)
     statuses = star_layout.refresh_star_layout(spark, d)
-    # three family members: both bucketed tables + the nation rollup
+    # four family members: both bucketed tables + nation and custdist
+    # rollups
     assert set(statuses.values()) == {"fresh"}
-    assert {o_tbl, c_tbl} <= set(statuses) and len(statuses) == 3
+    assert {o_tbl, c_tbl} <= set(statuses) and len(statuses) == 4
 
 
 def test_refresh_appends_delta_row_identical_to_rebuild(spark, sf_dirs):

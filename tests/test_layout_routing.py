@@ -272,6 +272,74 @@ def test_nation_rollup_refresh_folds_orders_delta(spark, tmp_path):
     assert refreshed == scratch
 
 
+def _q13_rows(spark, sf_dir):
+    return list(
+        map(tuple, REGISTRY["q13_custdist"][0](spark, sf_dir).collect())
+    )
+
+
+def test_custdist_rollup_routes_q13_and_matches_raw(spark, sf_copy):
+    """Round 15: q13's two-level rollup (foldable per-customer base +
+    derived histogram incl. the zero bucket) answers q13 row-identically
+    to the raw fallback — ORDER included (it's an ordered query)."""
+    raw = _q13_rows(spark, sf_copy)
+    assert star_layout.maybe_custdist_rollup(spark, sf_copy) is None
+    star_layout.ensure_star_layout(spark, sf_copy)
+    tbl = star_layout.maybe_custdist_rollup(spark, sf_copy)
+    assert tbl is not None
+    assert _q13_rows(spark, sf_copy) == raw
+    # zero-bucket invariant: histogram total == customer count (the 0
+    # row exists exactly when some customer has no orders — at sf0.001
+    # all customers order, and the oracle-shaped histogram omits it)
+    n_cust = spark.read.parquet(
+        os.path.join(sf_copy, "customer.parquet")
+    ).count()
+    assert sum(r[1] for r in raw) == n_cust
+
+
+def test_custdist_rollup_refresh_folds_orders_delta(spark, tmp_path):
+    import uuid
+
+    d = str(tmp_path / f"sfq_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    for t in ("customer", "nation", "region"):
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), d)
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    main = orders.filter(F.col("o_orderkey") % 10 != 0)
+    hold = orders.filter(F.col("o_orderkey") % 10 == 0)
+    main.repartition(2).write.parquet(os.path.join(d, "orders.parquet"))
+    star_layout.ensure_custdist_rollup(spark, d)
+    tmp = d + "_app"
+    hold.coalesce(1).write.parquet(tmp)
+    tgt = os.path.join(d, "orders.parquet")
+    for f in os.listdir(tmp):
+        if not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(tgt, f"appended_{f}")
+            )
+    shutil.rmtree(tmp)
+    _fresh_session_view()
+    assert star_layout.maybe_custdist_rollup(spark, d) is None  # stale
+    status = star_layout.refresh_custdist_rollup(spark, d)
+    assert status.startswith("refreshed"), status
+    tbl = star_layout.maybe_custdist_rollup(spark, d)
+    assert tbl is not None
+    # invariant: histogram total == customer count, and the refreshed
+    # histogram equals a from-scratch build over the same sources
+    n_cust = spark.read.parquet(os.path.join(d, "customer.parquet")).count()
+    assert (
+        spark.table(tbl).agg(F.sum("custdist")).collect()[0][0] == n_cust
+    )
+    refreshed = sorted(map(tuple, spark.table(tbl).collect()))
+    spark.sql(f"DROP TABLE {tbl}")
+    base_tbl, _, _ = star_layout._custdist_rollup_spec(spark, d)
+    spark.sql(f"DROP TABLE {base_tbl}")
+    _fresh_session_view()
+    star_layout.ensure_custdist_rollup(spark, d)
+    scratch = sorted(map(tuple, spark.table(tbl).collect()))
+    assert refreshed == scratch
+
+
 def test_q1_routes_to_lineitem_layout_and_matches_fallback(spark, sf_copy):
     """q1's routing twin of test_route_hits_after_ensure: raw answer
     first, then the layout exists and q1 inherits the stored-cents plan

@@ -532,11 +532,13 @@ def test_adhoc_star_queries_route_to_layout_exchange_free(spark, monkeypatch):
     assert "star_rollup" in plan and "star_orders" not in plan
     assert shuffles(plan) == 1, plan  # the 25-row global-window exchange
 
+    # q13 routes to the ~40-row custdist histogram: a read + sort, no
+    # fact scan, no joins
     q13 = REGISTRY["q13_custdist"][0](spark, SF)
     assert star_layout.last_route_used is not None
     plan = q13._jdf.queryExecution().executedPlan().toString()
-    assert "star_orders" in plan
-    assert plan.count("Exchange") == 2, plan
+    assert "custdist_rollup" in plan and "star_orders" not in plan
+    assert "Join" not in plan, plan
 
 
 def test_user_sql_model_star_join_routes_exchange_free(
