@@ -24,6 +24,11 @@ semantics via a leading ``!``, and the method prefixes:
 - ``file:GLOB`` — basename of the node's registered source path
 - ``package:NAME`` — the owning project's name (single-package projects:
   matches everything when the name matches, dbt root-package style)
+- ``semantic_model:NAME`` / ``saved_query:NAME`` — the MODEL nodes a
+  matching semantic-layer object is defined over (saved queries resolve
+  transitively through their metrics' measures), so
+  ``--select semantic_model:x+`` rebuilds what the semantic object
+  reads, dbt's practical use of these methods
 """
 
 from __future__ import annotations
@@ -163,6 +168,52 @@ def _match_method(project: "Project", body: str) -> set[str]:
             for n, node in project.nodes.items()
             if node.path and fnmatch.fnmatch(_os.path.basename(node.path), pat)
         }
+    if body.startswith("semantic_model:"):
+        pat = body[len("semantic_model:"):]
+        sl = getattr(project, "semantic_layer", None)
+        if sl is None:
+            return set()
+        return {
+            sm.model
+            for name, sm in sl.models.items()
+            if fnmatch.fnmatch(name, pat) and sm.model in project.nodes
+        }
+    if body.startswith("saved_query:"):
+        pat = body[len("saved_query:"):]
+        sl = getattr(project, "semantic_layer", None)
+        if sl is None:
+            return set()
+
+        def _measures(metric_name: str, seen: set[str]) -> set[str]:
+            if metric_name in seen:
+                return set()
+            seen.add(metric_name)
+            m = sl.metrics.get(metric_name)
+            if m is None:
+                return set()
+            out = {
+                x
+                for x in (m.measure, m.base_measure, m.conversion_measure)
+                if x
+            }
+            for ref in (m.numerator, m.denominator):
+                if ref:
+                    out |= _measures(ref, seen)
+            for inp in m.inputs:
+                out |= _measures(inp.name, seen)
+            return out
+
+        wanted: set[str] = set()
+        for name, sq in sl.saved_queries.items():
+            if not fnmatch.fnmatch(name, pat):
+                continue
+            measures: set[str] = set()
+            for metric in sq.metrics:
+                measures |= _measures(metric, set())
+            for sm in sl.models.values():
+                if measures & set(sm.measures) and sm.model in project.nodes:
+                    wanted.add(sm.model)
+        return wanted
     if body.startswith("package:"):
         # single-package engine: the project IS the package (dbt's root
         # package). A matching name selects every node, else nothing.

@@ -163,6 +163,50 @@ def test_selection_long_tail_methods(project, spark):
     assert select_nodes(p, "group:finance,version:latest") == {"rev_v2"}
 
 
+def test_selection_semantic_model_and_saved_query(project, spark):
+    """semantic_model:/saved_query: resolve to the MODEL nodes the
+    semantic objects are defined over (saved queries transitively
+    through their metrics' measures)."""
+    import yaml
+
+    import dbt_analytics_spark.plans.registry as reg
+    from dbt_analytics_spark.plans.semantics import SemanticLayer
+
+    p = reg.Project(spark, name="semsel")
+    p.source_table("txns_model", load_testdata(spark, SF_DIR)["orders"])
+    p.source_table("other_model", load_testdata(spark, SF_DIR)["customer"])
+    p.semantic_layer = SemanticLayer(p)
+    p.semantic_layer.load(
+        yaml.safe_load(
+            """
+semantic_models:
+  - name: txns
+    model: ref('txns_model')
+    measures:
+      - {name: total_amount, agg: sum, expr: o_totalprice}
+      - {name: n_txns, agg: count}
+metrics:
+  - {name: revenue, type: simple, measure: total_amount}
+  - {name: txn_count, type: simple, measure: n_txns}
+  - name: avg_txn_value
+    type: ratio
+    type_params: {numerator: revenue, denominator: txn_count}
+saved_queries:
+  - name: weekly_kpis
+    query_params: {metrics: [avg_txn_value]}
+"""
+        )
+    )
+    assert select_nodes(p, "semantic_model:txns") == {"txns_model"}
+    assert select_nodes(p, "semantic_model:tx*") == {"txns_model"}
+    assert select_nodes(p, "semantic_model:nope") == set()
+    # saved query resolves through the ratio metric's measure inputs
+    assert select_nodes(p, "saved_query:weekly_kpis") == {"txns_model"}
+    assert select_nodes(p, "saved_query:none") == set()
+    # a project without a semantic layer yields empty, not an error
+    assert select_nodes(project, "semantic_model:txns") == set()
+
+
 def test_failure_skips_descendants(spark):
     p = Project(spark, name="f")
 
