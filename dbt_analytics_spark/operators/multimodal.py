@@ -1776,9 +1776,22 @@ def media_corpus_from_docs(
     Every parsed field downstream (media_metadata) is therefore pure
     integer arithmetic over the source text — the mm1/mm3 oracle
     pattern applied to the container parsers. Arrow-batched
-    mapInPandas; builder cost is O(payload) per row."""
+    mapInPandas; builder cost is O(payload) per row.
+
+    Generic over the id type (the media_metadata contract): numeric ids
+    pick mp4/mp3 by value parity (oracle-able as ``doc_id % 2``);
+    non-numeric ids fall back to xxhash64 parity, computed Spark-side
+    so the UDF never coerces the id."""
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    parity = (
+        F.pmod(F.col("doc_id").cast("long"), F.lit(2))
+        if id_type in ("tinyint", "smallint", "int", "bigint")
+        else F.pmod(F.xxhash64(F.col("doc_id")), F.lit(2))
+    )
     skinny = docs.select(
-        F.col("doc_id"), F.octet_length(F.col(text_col)).alias("nb")
+        F.col("doc_id"),
+        F.octet_length(F.col(text_col)).alias("nb"),
+        parity.cast("int").alias("par"),
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1786,16 +1799,16 @@ def media_corpus_from_docs(
             payloads = [
                 bytearray(
                     encode_mp4_stub(1000, 500 + (int(nb) * 37) % 9000)
-                    if int(doc_id) % 2 == 0
+                    if int(par) == 0
                     else encode_mp3_cbr_stub(2 + int(nb) % 6)
                 )
-                for doc_id, nb in zip(pdf["doc_id"], pdf["nb"])
+                for par, nb in zip(pdf["par"], pdf["nb"])
             ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return skinny.mapInPandas(build, "doc_id long, payload binary")
+    return skinny.mapInPandas(build, f"doc_id {id_type}, payload binary")
 
 
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str] | None:

@@ -1219,6 +1219,16 @@ def refresh_nation_rollup(spark: SparkSession, sf_dir: str) -> str:
 CUSTDIST_ROLLUP_VERSION = 1
 
 
+class RollupParityRefused(ValueError):
+    """A rollup build/refresh found source rows that violate the parity
+    assumptions of the routed shape (e.g. orders custkeys dangling
+    outside customer). Unlike custmap's dangling-FK case — where the
+    SOURCE data is broken and every inner-join consumer is lossy — this
+    data is legal for the raw query, so the build drops the pair and
+    reports refusal instead of crashing provisioning; routing falls
+    back to the (correct) raw plan."""
+
+
 def _percust_frame(orders: DataFrame) -> DataFrame:
     """q13's foldable BASE: one row per ordering customer with their
     order count (sum-foldable across appends)."""
@@ -1289,12 +1299,23 @@ def _write_custdist_pair(
     spec: dict,
     base_df: DataFrame,
     n_customers: int | None,
+    customer: DataFrame,
 ) -> None:
     """Write base + derived histogram atomically enough for the routing
     contract: the sidecar (on the HIST table, the routed one) is written
     LAST, so a crash mid-pair leaves no matching sidecar and the router
     refuses. ``n_customers`` None → recovered from the old histogram's
-    invariant total (refresh path, customer fingerprint unchanged)."""
+    invariant total (refresh path, customer fingerprint unchanged).
+
+    Parity proof (the _prove_custmap_parity precedent): the base counts
+    ALL orders per o_custkey, but raw q13 and the oracle attach counts
+    via a customer LEFT JOIN — an orders row whose o_custkey is absent
+    from customer (dangling FK; the append guard only proves customer
+    UNCHANGED, not that delta orders reference it) would make the
+    routed histogram count phantom custkeys and corrupt the zero
+    bucket. Machine-check base-keys ⊆ customer-keys with one anti-join
+    (customer-cardinality; builds/refreshes are one-time) and refuse
+    the pair rather than ship a silently-divergent substitute."""
     from .fingerprint import write_sidecar
     from .materialize import _save_as_table
 
@@ -1324,6 +1345,24 @@ def _write_custdist_pair(
         base_tbl,
     )
     spark.sql(f"DROP TABLE {stg}")
+    dangling = (
+        spark.table(base_tbl)
+        .join(
+            customer.select(F.col("c_custkey").alias("custkey")),
+            "custkey",
+            "left_anti",
+        )
+        .count()
+    )
+    if dangling:
+        for t in (base_tbl, hist_tbl):
+            if spark.catalog.tableExists(t):
+                spark.sql(f"DROP TABLE {t}")
+        raise RollupParityRefused(
+            f"custdist rollup {hist_tbl}: parity proof failed "
+            f"({dangling} base custkeys dangle outside customer — "
+            "orders references unknown customers); rollup refused"
+        )
     _save_as_table(
         spark,
         _custdist_from_base(spark.table(base_tbl), int(n_customers))
@@ -1371,14 +1410,18 @@ def ensure_custdist_rollup(spark: SparkSession, sf_dir: str) -> str:
         )
         return hist_tbl
     t = load_testdata(spark, sf_dir)
-    _write_custdist_pair(
-        spark,
-        base_tbl,
-        hist_tbl,
-        spec,
-        _percust_frame(t["orders"]),
-        t["customer"].count(),
-    )
+    try:
+        _write_custdist_pair(
+            spark,
+            base_tbl,
+            hist_tbl,
+            spec,
+            _percust_frame(t["orders"]),
+            t["customer"].count(),
+            t["customer"],
+        )
+    except RollupParityRefused as e:
+        return f"refused ({e})"
     return hist_tbl
 
 
@@ -1442,13 +1485,21 @@ def refresh_custdist_rollup(spark: SparkSession, sf_dir: str) -> str:
         try:
             write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
             _write_custdist_pair(
-                spark, base_tbl, hist_tbl, spec, merged_base, None
+                spark,
+                base_tbl,
+                hist_tbl,
+                spec,
+                merged_base,
+                None,
+                load_testdata(spark, sf_dir)["customer"],
             )
             return f"refreshed (+{len(delta)} files)"
+        except RollupParityRefused as e:
+            return f"refused ({e})"
         except OSError:
             pass
-    ensure_custdist_rollup(spark, sf_dir)
-    return "rebuilt"
+    status = ensure_custdist_rollup(spark, sf_dir)
+    return status if status.startswith("refused") else "rebuilt"
 
 
 #: Z-order layout version (independent of the star tables). v2 added

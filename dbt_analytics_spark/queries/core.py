@@ -878,6 +878,9 @@ def j5_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, so no third exchange at scale). Relies on doc_id being the
     documents PK (one row per doc), which load_testdata guarantees:
     count-rows-over-per-doc-distinct-words == count(distinct doc_id).
+    The two legs join null-safely on lang: a NULL-lang document forms
+    its own group under groupBy (and under the oracle's GROUP BY), so a
+    null-rejecting equi-join would silently drop it.
     """
     docs = load_testdata(spark, sf_dir)["documents"]
     words = explode_csv_cell(
@@ -895,8 +898,16 @@ def j5_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    return occ.join(doc_freq, ["lang", "word"]).select(
-        "lang", "word", "n", "n_docs"
+    o, d = occ.alias("o"), doc_freq.alias("d")
+    return o.join(
+        d,
+        F.col("o.lang").eqNullSafe(F.col("d.lang"))
+        & (F.col("o.word") == F.col("d.word")),
+    ).select(
+        F.col("o.lang").alias("lang"),
+        F.col("o.word").alias("word"),
+        "n",
+        "n_docs",
     )
 
 

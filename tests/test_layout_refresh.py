@@ -72,9 +72,16 @@ def test_refresh_fresh_noop(spark, sf_dirs):
     o_tbl, c_tbl = star_layout.ensure_star_layout(spark, d)
     statuses = star_layout.refresh_star_layout(spark, d)
     # four family members: both bucketed tables + nation and custdist
-    # rollups
-    assert set(statuses.values()) == {"fresh"}
+    # rollups. This fixture's customer split leaves orders custkeys
+    # dangling, so the custdist member is parity-REFUSED (ADVICE r15)
+    # while the rest stay fresh.
     assert {o_tbl, c_tbl} <= set(statuses) and len(statuses) == 4
+    refused = [s for s in statuses.values() if s.startswith("refused")]
+    assert len(refused) == 1 and "parity proof failed" in refused[0]
+    assert all(
+        s == "fresh" for s in statuses.values()
+        if not s.startswith("refused")
+    )
 
 
 def test_refresh_appends_delta_row_identical_to_rebuild(spark, sf_dirs):
@@ -224,3 +231,29 @@ def test_zorder_refresh_appends_and_stays_prunable(spark, sf_dirs):
     )
     os.utime(os.path.join(tgt, part), None)
     assert star_layout.refresh_zorder_layout(spark, d) == "rebuilt"
+
+
+def test_custdist_refuses_dangling_orders_custkey(spark, sf_dirs):
+    """ADVICE r15: the custdist base counts ALL orders per o_custkey,
+    but raw q13 and the oracle attach counts via a customer LEFT JOIN —
+    an appended orders row referencing a custkey absent from customer
+    (allowed by the append guard, which only proves customer UNCHANGED)
+    would make the routed histogram count phantom custkeys and corrupt
+    the zero bucket. The build/refresh parity proof must refuse the
+    pair instead."""
+    d, _ = sf_dirs
+    # this fixture's customer split leaves orders custkeys dangling, so
+    # the from-scratch build path refuses right at provisioning
+    star_layout.ensure_star_layout(spark, d)
+    status = star_layout.ensure_custdist_rollup(spark, d)
+    assert status.startswith("refused") and "parity proof failed" in status
+    # the corrupt pair was dropped: routing cannot serve it (q13 falls
+    # back to the raw LEFT-JOIN plan, which handles dangling keys)
+    assert star_layout.maybe_custdist_rollup(spark, d) is None
+    base_tbl, hist_tbl, _ = star_layout._custdist_rollup_spec(spark, d)
+    assert not spark.catalog.tableExists(base_tbl)
+    assert not spark.catalog.tableExists(hist_tbl)
+    # the refresh path reports the same refusal, non-fatally
+    status = star_layout.refresh_custdist_rollup(spark, d)
+    assert status.startswith("refused"), status
+    assert star_layout.maybe_custdist_rollup(spark, d) is None

@@ -479,3 +479,45 @@ def test_q1_rollup_refresh_folds_delta_bit_identical(spark, tmp_path):
     finally:
         star_layout.ROUTE_MIN_FACT_BYTES = old_gate
     assert routed == raw
+
+
+def test_custdist_refresh_refuses_dangling_delta(spark, tmp_path):
+    """ADVICE r15's exact scenario: a clean build, then an APPENDED
+    orders delta whose o_custkey is absent from customer. The append
+    guard only proves customer UNCHANGED — without the parity proof the
+    delta-fold would count a phantom custkey and corrupt the zero
+    bucket, silently diverging from the raw LEFT-JOIN fallback. The
+    fold must refuse the pair and routing must fall back."""
+    import uuid
+
+    d = str(tmp_path / f"sfd_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    for t in ("customer", "nation", "region"):
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), d)
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    orders.repartition(2).write.parquet(os.path.join(d, "orders.parquet"))
+    star_layout.ensure_custdist_rollup(spark, d)
+    assert star_layout.maybe_custdist_rollup(spark, d) is not None
+    q13 = REGISTRY["q13_custdist"][0]
+    routed = sorted(map(tuple, q13(spark, d).collect()))
+
+    bad = orders.limit(1).withColumn(
+        "o_custkey", F.lit(99_999_999).cast("bigint")
+    )
+    tmp = d + "_app"
+    bad.coalesce(1).write.parquet(tmp)
+    tgt = os.path.join(d, "orders.parquet")
+    for f in os.listdir(tmp):
+        if not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(tgt, f"appended_{f}")
+            )
+    shutil.rmtree(tmp)
+    _fresh_session_view()
+
+    status = star_layout.refresh_custdist_rollup(spark, d)
+    assert status.startswith("refused") and "parity proof" in status
+    assert star_layout.maybe_custdist_rollup(spark, d) is None
+    # the raw fallback serves q13 and the dangling order is invisible
+    # to it (LEFT JOIN from customer), matching the pre-append answer
+    assert sorted(map(tuple, q13(spark, d).collect())) == routed

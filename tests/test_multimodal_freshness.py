@@ -978,3 +978,36 @@ def test_media_metadata_operator_classifies_all(spark):
     assert got["jpeg_prog"] == ("jpeg", 0.0, 1)
     assert got["wav"] == ("wav", 1.0, 8000)
     assert got["junk"][0] == "unknown"
+
+
+def test_media_corpus_generic_over_id_type(spark):
+    """ADVICE r15: media_corpus_from_docs hardcoded ``doc_id long`` and
+    ``int(doc_id) % 2`` while media_metadata had just been made generic
+    over the id type — a string-keyed corpus either failed the Arrow
+    conversion or raised inside the UDF. The builder now derives the
+    output id type from the input schema and computes parity Spark-side
+    (value parity for numeric ids, xxhash64 parity for the rest)."""
+    str_docs = spark.createDataFrame(
+        [("doc-a", "hello world"), ("doc-b", "tiny"), ("doc-c", "x" * 40)],
+        "doc_id string, text string",
+    )
+    corpus = multimodal.media_corpus_from_docs(str_docs)
+    assert corpus.schema["doc_id"].dataType.simpleString() == "string"
+    meta = {
+        r["doc_id"]: r["media_type"]
+        for r in multimodal.media_metadata(corpus).collect()
+    }
+    assert set(meta) == {"doc-a", "doc-b", "doc-c"}
+    assert set(meta.values()) <= {"mp4", "mp3"}
+
+    # numeric ids keep the oracle-able value-parity contract exactly
+    num_docs = spark.createDataFrame(
+        [(0, "even doc"), (1, "odd doc")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["media_type"]
+        for r in multimodal.media_metadata(
+            multimodal.media_corpus_from_docs(num_docs)
+        ).collect()
+    }
+    assert got == {0: "mp4", 1: "mp3"}

@@ -44,3 +44,42 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_j5_preserves_null_lang_groups(spark, tmp_path):
+    """ADVICE r15: the j5 vocabulary-bounded rewrite joins its occ and
+    doc_freq legs on [lang, word]; a null-rejecting equi-join silently
+    dropped NULL-lang documents, which form their own group under both
+    Spark's groupBy and the oracle's GROUP BY. The join is now
+    null-safe on lang — prove parity on a corpus where lang IS NULL."""
+    import os
+
+    import duckdb
+
+    from .conftest import assert_frames_match
+
+    d = str(tmp_path / "sfj5")
+    os.makedirs(d)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", None, "s", 16),
+            (2, "beta gamma", "en", "s", 10),
+            (3, "alpha", None, "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pq = os.path.join(d, "documents.parquet")
+    docs.coalesce(1).write.parquet(pq)
+
+    from dbt_analytics_spark.queries.core import J5_SQL, j5_explode_split
+
+    got = j5_explode_split(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{pq}/*.parquet')"
+    )
+    oracle = con.execute(J5_SQL).fetchdf()
+    con.close()
+    assert got["lang"].isna().any(), "NULL-lang groups missing from result"
+    assert_frames_match(got, oracle, "j5_null_lang")
