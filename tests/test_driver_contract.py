@@ -57,33 +57,35 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-15 prefix so an accidental
+    # queries/__init__.py). Freeze the round-16 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-15 rotation: the never-driver-rowed
-    # sem2/sem3/sem4/sem5 + f4 + txt14 + ev5b + dd6/dd7 and the new mm5
-    # in; ev6/dd11/txt13/mm4/f8/dd10/sem11/sem12/sem14/sem15 out — each
-    # with earned green rows and in-prefix sibling evidence — see
+    # list in the same commit (round-16 rotation: the never-driver-rowed
+    # a5/p6/u3/w6/smp1/txt12/q15/q17/f5b/ev1b in;
+    # p2/p3/w1/a4/u1/t2/txt1/ev2/ev3/ev4 out — each with many cumulative
+    # green rows since r1-r5 and in-prefix sibling evidence — see
     # queries/__init__.py).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
         "q1_pricing_summary", "q1b_pricing_summary_layout", "q13_custdist",
         "q13b_custdist_bucketed", "zo1_zorder_box_filter",
-        "p2_filter_ilike", "p3_case_classify",
+        "q15_top_supplier", "q17_small_qty_revenue",
         "j1_join_agg", "j1b_join_agg_bucketed", "w3b_pct_of_total_bucketed",
-        "j3b_regex_lateral_top1", "j5_explode_split", "a4_count_distinct",
-        "w1_dedup_rank", "w3_pct_of_total", "u1_union_dedup",
-        "t2_regex_match", "ev1_sessionize", "ev2_json_extract",
-        "ev3_asof_join", "ev4_range_join", "ev5b_funnel_steps",
-        "a6_grouping_sets", "f4_profile",
+        "j3b_regex_lateral_top1", "j5_explode_split",
+        "w3_pct_of_total",
+        "ev1_sessionize", "ev1b_sessionize_bucketed", "ev5b_funnel_steps",
+        "a5_cube", "a6_grouping_sets", "p6_pivot", "u3_except_intersect",
+        "w6_range_frame", "f4_profile",
         "dd1_exact_dedup", "dd3_minhash_lsh",
         "dd3b_minhash_lsh_exact", "sim1_cosine_topk",
-        "txt1_token_stats", "txt2_quality",
+        "txt2_quality",
         "mm1_features", "mm3_audio_features", "mm5_media_metadata",
         "dd6_decontaminate", "dd7_cluster_dedup",
-        "smp7_leakage_split",
+        "smp1_stratified_sample", "smp7_leakage_split",
+        "txt12_bm25_topk",
         "sim3b_ivf_exact", "sim6_ivf_index_exact",
+        "f5b_heavy_hitters_exact",
         "txt14_nb_langid", "txt16b_logreg_score",
         "dd13_url_dedup", "sem1_entity_star_metrics",
         "sem2_cumulative_metrics", "sem3_trailing_window",
