@@ -364,6 +364,11 @@ class Project:
         #: (dbt --state DIR; reference SP/dbt/graph/cli.py:27-166).
         self.state_nodes: dict[str, dict] | None = None
         self.state_results: dict[str, str] | None = None
+        #: Freshness artifacts for source_status: selection (dbt compares
+        #: a previous --state sources.json against the current one —
+        #: SourceStatusSelectorMethod). Both load via load_state.
+        self.state_sources: dict[str, str | None] | None = None
+        self.sources_current: dict[str, str | None] | None = None
         #: Per-batch outcomes of microbatch models (latest run).
         self.batch_results: list[RunResult] = []
         #: Versioned-model registry: base name → {version: node name}, plus
@@ -1256,7 +1261,11 @@ class Project:
         return result
 
     def load_state(
-        self, manifest_path: str, run_results_path: str | None = None
+        self,
+        manifest_path: str,
+        run_results_path: str | None = None,
+        sources_path: str | None = None,
+        sources_current_path: str | None = None,
     ) -> None:
         """Load a previous run's artifacts for state-based selection — the
         dbt --state DIR mechanism backing ``state:modified`` / ``state:new``
@@ -1268,6 +1277,11 @@ class Project:
         ``run_results_path``: a run_results.json written by
         ``write_run_results`` (statuses feed ``result:``; without it,
         ``result:`` falls back to this project's in-memory last run).
+        Optional ``sources_path`` / ``sources_current_path``: a PREVIOUS
+        and a CURRENT sources.json written by the ``source freshness``
+        command; both are required by ``source_status:fresher``
+        (reference SourceStatusSelectorMethod — dbt likewise demands
+        previous-state AND current freshness artifacts).
         """
         with open(manifest_path) as f:
             manifest = json.load(f)
@@ -1284,6 +1298,19 @@ class Project:
                 r["unique_id"]: r["status"]
                 for r in run_results.get("results", [])
             }
+
+        def _sources(path: str) -> dict[str, str | None]:
+            with open(path) as f:
+                doc = json.load(f)
+            return {
+                r["unique_id"]: r.get("max_loaded_at")
+                for r in doc.get("results", [])
+            }
+
+        if sources_path:
+            self.state_sources = _sources(sources_path)
+        if sources_current_path:
+            self.sources_current = _sources(sources_current_path)
 
     def clone(self, name: str, new_name: str) -> None:
         """Clone a materialized relation under a new name (dbt `clone`;

@@ -29,6 +29,14 @@ semantics via a leading ``!``, and the method prefixes:
   transitively through their metrics' measures), so
   ``--select semantic_model:x+`` rebuilds what the semantic object
   reads, dbt's practical use of these methods
+- ``test_name:PAT`` / ``test_type:generic|singular|unit|data|schema`` —
+  the models owning matching generic-test attachments or YAML unit
+  tests (the engine attaches tests to models instead of registering
+  test nodes; TestNameSelectorMethod / TestTypeSelectorMethod)
+- ``source_status:fresher`` — sources whose current freshness
+  max_loaded_at advanced past the previous state's (requires both
+  sources.json artifacts via ``Project.load_state``;
+  SourceStatusSelectorMethod)
 """
 
 from __future__ import annotations
@@ -220,6 +228,72 @@ def _match_method(project: "Project", body: str) -> set[str]:
         if fnmatch.fnmatch(project.name, body[8:]):
             return set(project.nodes)
         return set()
+    if body.startswith("test_name:"):
+        # dbt yields the TEST nodes themselves (TestNameSelectorMethod);
+        # the engine attaches tests to models rather than registering
+        # them as nodes, so the selection resolves to the OWNING models —
+        # build/--with-tests over that set runs exactly those tests.
+        # YAML unit tests match on the unit test's own name, dbt-style.
+        pat = body[len("test_name:"):]
+        out = {
+            model
+            for model, tname, _fn, _cfg in project.tests
+            if fnmatch.fnmatch(tname, pat) and model in project.nodes
+        }
+        for spec in getattr(project, "yaml_unit_tests", None) or []:
+            if (
+                fnmatch.fnmatch(spec["name"], pat)
+                and spec["model"] in project.nodes
+            ):
+                out.add(spec["model"])
+        return out
+    if body.startswith("test_type:"):
+        kind = body[len("test_type:"):]
+        # 'schema' and 'data' are dbt's backwards-compat aliases
+        # (TestTypeSelectorMethod). The engine has no singular test
+        # files — generic attachments and YAML unit tests only — so
+        # 'singular' is valid-but-empty and 'data' == 'generic'.
+        if kind in ("generic", "schema", "data"):
+            return {
+                model
+                for model, _t, _fn, _cfg in project.tests
+                if model in project.nodes
+            }
+        if kind == "unit":
+            return {
+                spec["model"]
+                for spec in getattr(project, "yaml_unit_tests", None) or []
+                if spec["model"] in project.nodes
+            }
+        if kind == "singular":
+            return set()
+        raise ValueError(
+            f"unsupported test_type selector {kind!r}: expected "
+            "'generic', 'singular', 'unit', or 'data'"
+        )
+    if body.startswith("source_status:"):
+        mode = body[len("source_status:"):]
+        if mode != "fresher":
+            raise ValueError(
+                f"unsupported source_status selector {mode!r}: "
+                "expected 'fresher'"
+            )
+        prev, cur = project.state_sources, project.sources_current
+        if prev is None or cur is None:
+            raise ValueError(
+                "source_status: selector requires previous AND current "
+                "freshness artifacts — call Project.load_state(..., "
+                "sources_path=..., sources_current_path=...) first"
+            )
+        fresher: set[str] = set()
+        for uid, loaded in cur.items():
+            if loaded is None:
+                continue  # runtime-error analogue: no max_loaded_at
+            if uid not in prev:
+                fresher.add(uid)
+            elif prev[uid] is not None and loaded > prev[uid]:
+                fresher.add(uid)
+        return {n for n in fresher if n in project.nodes}
     if body.startswith("state:"):
         mode = body[6:]
         if mode not in ("modified", "new"):

@@ -347,6 +347,12 @@ def _ensure_bucketed(
         # stale or different layout fails the spec compare).
         _register_bucketed(spark, table, spec, path)
         return False
+    if callable(build_df):
+        # build frames are passed lazily: constructing the derivation
+        # plans costs a measurable driver-side slice (~50 ms at sf10,
+        # BENCH_J1B_STAGES_r16) that the verified-reuse fast path above
+        # must never pay — j1b/w3b/q13b re-verify per query.
+        build_df = build_df()
     from .materialize import _save_as_table
 
     # through the engine's heal+retry CTAS path: a stale or partial
@@ -410,13 +416,20 @@ def ensure_star_layout(
     fingerprint) so a layout can never silently serve a rewritten
     source or a crashed partial write.
     """
-    frames = _star_frames(spark, sf_dir)
-    dfs = [frames["orders"], frames["custmap"]]
+    frames: dict[str, DataFrame] = {}
+
+    def _frame(key: str) -> DataFrame:
+        if not frames:
+            frames.update(_star_frames(spark, sf_dir))
+        return frames[key]
+
     names = []
-    for (tbl, col, spec), df in zip(
-        _star_specs(spark, sf_dir, n_buckets), dfs
+    for (tbl, col, spec), key in zip(
+        _star_specs(spark, sf_dir, n_buckets), ("orders", "custmap")
     ):
-        built = _ensure_bucketed(spark, tbl, df, col, n_buckets, spec)
+        built = _ensure_bucketed(
+            spark, tbl, lambda k=key: _frame(k), col, n_buckets, spec
+        )
         if built and spec["covers"] == "customer":
             _prove_custmap_parity(spark, tbl, sf_dir)
         names.append(tbl)
@@ -1049,27 +1062,46 @@ def _nation_rollup_frame(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+#: schema DDL per (appId, sf_dir), guarded by the source-listing
+#: fingerprint it was derived under — the _SPEC_STATIC pattern: deriving
+#: the rollup schema analyzes a join+agg plan (a ~100 ms driver RPC,
+#: BENCH_J1B_STAGES_r16) and j1b/w3b/q13b re-verify the family per
+#: query, so the analysis must not be paid on the verified-reuse path.
+#: A changed listing (source rewrite) drops the entry and re-derives
+#: from the CURRENT files.
+_NATION_SCHEMA_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
 def _nation_rollup_spec(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     import hashlib
 
     from .fingerprint import files_listing
 
     tbl = f"star_rollup_{_tag(sf_dir)}_v{NATION_ROLLUP_VERSION}"
-    t = load_testdata(spark, sf_dir)
     srcs = [
         os.path.abspath(os.path.join(sf_dir, f"{s}.parquet"))
         for s in ("orders", "customer")
     ]
     listing = files_listing(srcs)
+    fp = hashlib.md5("\n".join(listing).encode()).hexdigest()
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _NATION_SCHEMA_CACHE.get(key)
+    if cached is None or cached[0] != fp:
+        t = load_testdata(spark, sf_dir)
+        cached = (
+            fp,
+            _schema_ddl(
+                _nation_rollup_frame(
+                    t["orders"].limit(0), t["customer"].limit(0)
+                )
+            ),
+        )
+        _NATION_SCHEMA_CACHE[key] = cached
     return tbl, {
         "table": tbl,
         "version": NATION_ROLLUP_VERSION,
         "codec": LAYOUT_CODEC,
-        "schema": _schema_ddl(
-            _nation_rollup_frame(
-                t["orders"].limit(0), t["customer"].limit(0)
-            )
-        ),
+        "schema": cached[1],
         "source_fp": hashlib.md5("\n".join(listing).encode()).hexdigest(),
         "source_listing": listing,
         # only ORDERS growth is delta-foldable (a customer change moves
