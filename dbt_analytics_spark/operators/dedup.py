@@ -227,13 +227,10 @@ def minhash_signatures_agg(shingled: DataFrame, num_hashes: int) -> DataFrame:
 SIG_AGG_MIN_BYTES = 16 << 20
 
 
-def _resolve_sig_mode(df: DataFrame, sig_mode: str) -> str:
-    """``auto`` → fold/agg by the input's on-disk bytes (inputFiles() +
-    os.stat, metadata-only); explicit modes pass through. Any failure to
-    size the input (in-memory frames, non-local paths) falls back to the
-    shuffle-free fold."""
-    if sig_mode != "auto":
-        return sig_mode
+def _input_disk_bytes(df: DataFrame) -> int | None:
+    """On-disk bytes of a frame's source files (inputFiles() + os.stat,
+    metadata-only). None when the input cannot be sized (in-memory
+    frames, non-local paths)."""
     try:
         files = df.inputFiles()
         total = 0
@@ -242,10 +239,74 @@ def _resolve_sig_mode(df: DataFrame, sig_mode: str) -> str:
                 f = "/" + f.split(":", 1)[1].lstrip("/")
             total += os.stat(f).st_size
     except Exception:
-        return "fold"
+        return None
     if not files:
+        return None
+    return total
+
+
+def _resolve_sig_mode(df: DataFrame, sig_mode: str) -> str:
+    """``auto`` → fold/agg by the input's on-disk bytes (metadata-only);
+    explicit modes pass through. Any failure to size the input falls
+    back to the shuffle-free fold."""
+    if sig_mode != "auto":
+        return sig_mode
+    total = _input_disk_bytes(df)
+    if total is None:
         return "fold"
     return "agg" if total >= SIG_AGG_MIN_BYTES else "fold"
+
+
+#: On-disk corpus bytes above which the shingle stage switches from the
+#: Catalyst expression path (``shingles_hashed`` — interpreted HOFs, but
+#: zero Python-boundary cost, wins on tiny corpora) to the Arrow path
+#: (``operators.shingle_arrow`` — vectorized numpy XXH64 over byte
+#: windows of the normalized text, no intermediate shingle strings).
+#: Hash values are BIT-IDENTICAL either way (pinned in
+#: tests/test_shingle_arrow.py), so the pair set does not depend on the
+#: mode. Threshold measured in OPTIMIZATION_r16.md (shingle-stage A/B).
+SHINGLE_ARROW_MIN_BYTES = 4 << 20
+
+
+def _resolve_shingle_mode(df: DataFrame, shingle_mode: str) -> str:
+    """``auto`` → expr/arrow by the input's on-disk bytes; explicit modes
+    pass through. Unsizeable inputs take the expression path (no Python
+    workers needed, always safe)."""
+    if shingle_mode != "auto":
+        return shingle_mode
+    total = _input_disk_bytes(df)
+    if total is None:
+        return "expr"
+    return "arrow" if total >= SHINGLE_ARROW_MIN_BYTES else "expr"
+
+
+#: Source-corpus on-disk bytes up to which the exact-Jaccard verify
+#: broadcast-joins the shingle index instead of shuffle-joining it. The
+#: shuffle shape pays twice: candidate pairs exchange once per join AND
+#: the first join's output carries each pair's ~450 B shingle array
+#: through the second exchange (~12 GB at 500k docs / 27M candidate
+#: pairs — BENCH_DD3_DECOMP_r16). Broadcasting the index (a few hundred
+#: MB at this gate) keeps the pair stream pipelined through two
+#: BroadcastHashJoins with ZERO pair shuffles. Past the gate (an
+#: unbounded corpus at 100 TB cannot ride a broadcast) the shuffle plan
+#: stays — same true-bytes gate discipline as star_layout's
+#: DIM_BROADCAST_BUDGET. 256 MB of source text ≈ 1-1.5 GB of hashed
+#: index relation, comfortably under the executor budget that the
+#: 24 g local driver stands in for.
+VERIFY_BROADCAST_MAX_SRC_BYTES = 0  # disabled — A/B'd WORSE, see below
+
+
+def _maybe_broadcast_index(shingled: DataFrame, src_bytes: int | None) -> DataFrame:
+    """A/B'd at 500k docs (OPTIMIZATION_r16.md): broadcasting the ~260 MB
+    hashed index into the two verify joins measured 43.8 s full-dd3 vs
+    25.9 s for the shuffle plan — building/serializing two broadcast
+    relations of array rows plus the driver-side memory pressure costs
+    more than the pair-stream exchanges it removes. Gate kept at 0
+    (never broadcast) with the mechanism in place; the measured numbers
+    are the reason."""
+    if src_bytes is not None and src_bytes <= VERIFY_BROADCAST_MAX_SRC_BYTES:
+        return F.broadcast(shingled)
+    return shingled
 
 
 def _shingle_and_band(
@@ -256,25 +317,34 @@ def _shingle_and_band(
     num_hashes: int,
     bands: int,
     sig_mode: str = "auto",
+    shingle_mode: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: persisted shingle index + skinny banded
     relation (doc, band, bucket). The LSH shuffle carries ONLY the banded
     rows — never the shingle arrays; at 100 TB that is ``bands`` skinny
     rows per document, and shingle payloads rejoin only for candidates."""
     sig_mode = _resolve_sig_mode(df, sig_mode)
+    shingle_mode = _resolve_shingle_mode(df, shingle_mode)
     rows_per_band = num_hashes // bands
     # The index stores HASHED shingles (array<long>), not strings — see
     # shingles_hashed: bounded per-task heap at the 5M-doc probe scale and
     # ~6x smaller persist/shuffle bytes; signatures and the Jaccard verify
-    # are hash-set-identical.
-    shingled = (
-        _non_blank(fan_out(df), text_col)
-        .select(
+    # are hash-set-identical. Above SHINGLE_ARROW_MIN_BYTES the hashes
+    # come from the vectorized Arrow pass (bit-identical values; the
+    # expression path's 15.5 s interpreted-HOF shingle stage at 500k docs
+    # was 42% of dd3's wall — BENCH_DD3_DECOMP_r15/r16).
+    base = _non_blank(fan_out(df), text_col)
+    if shingle_mode == "arrow":
+        from .shingle_arrow import shingles_hashed_arrow
+
+        shingled = shingles_hashed_arrow(
+            base, id_col, text_col, shingle_k
+        ).persist()
+    else:
+        shingled = base.select(
             F.col(id_col).alias("doc"),
             shingles_hashed(text_col, shingle_k).alias("sh"),
-        )
-        .persist()
-    )
+        ).persist()
     with _INDEX_LOCK:
         _PERSISTED_INDEXES.append(shingled)
         while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
@@ -317,6 +387,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n_salts: int | None = None,
     sig_mode: str = "auto",
+    shingle_mode: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact shingle
     Jaccard. ``sig_mode="auto"`` picks the signature path by corpus bytes
@@ -345,7 +416,8 @@ def minhash_lsh_pairs(
     when done with all results.
     """
     shingled, banded = _shingle_and_band(
-        df, id_col, text_col, shingle_k, num_hashes, bands, sig_mode=sig_mode
+        df, id_col, text_col, shingle_k, num_hashes, bands,
+        sig_mode=sig_mode, shingle_mode=shingle_mode,
     )
 
     if n_salts:
@@ -375,11 +447,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
+    index = _maybe_broadcast_index(shingled, _input_disk_bytes(df))
     verified = (
         candidates.join(
-            shingled.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1")), "doc1"
+            index.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1")), "doc1"
         )
-        .join(shingled.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
+        .join(index.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
         .withColumn(
             "n_inter", F.size(F.array_intersect("sh1", "sh2")).cast("double")
         )
@@ -470,13 +543,23 @@ def minhash_lsh_pairs_cross(
         .select(F.col("a.doc").alias("new_doc"), F.col("r.doc").alias("corpus_doc"))
         .dropDuplicates(["new_doc", "corpus_doc"])
     )
+    # Same size-gated broadcast verify as the self-join variant: gate the
+    # batch side on the batch's source bytes, the corpus side on the
+    # corpus's (a prebuilt corpus_index is sized from its own files —
+    # unsizeable in-memory frames simply keep the shuffle join).
+    new_idx = _maybe_broadcast_index(new_sh, _input_disk_bytes(new))
+    cor_idx = _maybe_broadcast_index(
+        cor_sh,
+        _input_disk_bytes(corpus) if corpus_index is None
+        else _input_disk_bytes(cor_sh),
+    )
     verified = (
         candidates.join(
-            new_sh.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh1")),
+            new_idx.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh1")),
             "new_doc",
         )
         .join(
-            cor_sh.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh2")),
+            cor_idx.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh2")),
             "corpus_doc",
         )
         .withColumn(

@@ -1139,14 +1139,22 @@ FROM per_nation
 
 def u1_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_testdata(spark, sf_dir)["orders"]
-    branch_a = o.filter(F.col("o_orderstatus") == "F").select(
-        "o_custkey", F.col("o_orderpriority").alias("priority")
+    # PG `union` is UNION DISTINCT — duplicates across AND within branches
+    # collapse, so the two same-table branches fold into ONE scan with the
+    # disjunction pushed to the parquet reader (r16, guide §2.4): the set
+    # `distinct(σ_A(o) ⊎ σ_B(o))` equals `distinct(σ_{A∨B}(o))` — a row
+    # in either branch satisfies A∨B and vice versa (SQL three-valued OR:
+    # true∨null = true, so rows where one predicate is null and the other
+    # true are kept by both forms). Plan: 2 scans + Union + Exchange →
+    # 1 scan + Exchange (plans/r16/u1_union_dedup_{before,after}.txt);
+    # the oracle keeps the literal UNION formulation.
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 100000)
+        )
+        .select("o_custkey", F.col("o_orderpriority").alias("priority"))
+        .dropDuplicates()
     )
-    branch_b = o.filter(F.col("o_totalprice") > 100000).select(
-        "o_custkey", F.col("o_orderpriority").alias("priority")
-    )
-    # PG `union` is UNION DISTINCT — duplicates across AND within branches collapse.
-    return branch_a.union(branch_b).dropDuplicates()
 
 
 U1_SQL = """
@@ -1200,24 +1208,48 @@ GROUP BY sla_class
 
 def g1_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_testdata(spark, sf_dir)["orders"]
-    bounds = o.agg(
-        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
-        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month_start")
-    )
     monthly = o.groupBy(date_trunc_pg("month", "o_orderdate").alias("month_start")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(_money(F.col("o_totalprice"))).cast("double").alias("spend"),
     )
+    # Gap-fill the spine from the ~80-row monthly aggregate itself, not a
+    # second bounds scan of the fact (r16, guide §2.4: remove shuffles/
+    # passes outright). The spine's lo/hi are trunc(month, min/max(date))
+    # — date_trunc is monotone, so both bounds are themselves PRESENT
+    # months (rows of `monthly`), and every spine month lies between one
+    # present month and the next: each monthly row emits itself plus the
+    # absent months up to its successor (lead over the tiny aggregate),
+    # zero-filled. Same rows as spine-LEFT JOIN-monthly, with ONE fact
+    # scan instead of two and no join (plan: 2 orders scans + join → 1
+    # scan, pinned in plans/r16/g1_date_spine_after.txt). Edge behavior
+    # unchanged: empty input → 0 monthly rows → 0 out; a NULL order date
+    # forms a NULL month group that the old version's min/max ignored and
+    # its spine join dropped — here sequence(NULL, ..) explodes to zero
+    # rows for that group, dropping it identically.
+    w = Window.orderBy("month_start")
     return (
-        spine.join(monthly, "month_start", "left")
+        monthly.withColumn("nxt", F.lead("month_start").over(w))
+        .select(
+            F.col("month_start").alias("own_month"),
+            "cnt",
+            "spend",
+            F.explode(
+                F.sequence(
+                    "month_start",
+                    F.coalesce(F.add_months("nxt", -1), F.col("month_start")),
+                    F.expr("interval 1 month"),
+                )
+            ).alias("month_start"),
+        )
         .select(
             "month_start",
             F.last_day("month_start").alias("month_end"),
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
-            F.coalesce(F.col("spend"), F.lit(0.0)).alias("total_spend"),
+            F.when(F.col("month_start") == F.col("own_month"), F.col("cnt"))
+            .otherwise(F.lit(0))
+            .alias("n_orders"),
+            F.when(F.col("month_start") == F.col("own_month"), F.col("spend"))
+            .otherwise(F.lit(0.0))
+            .alias("total_spend"),
         )
     )
 

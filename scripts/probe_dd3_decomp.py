@@ -48,14 +48,39 @@ def main() -> None:
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def front(sig_mode):
+    def front(sig_mode, shingle_mode="expr"):
+        # shingle_mode pinned to "expr" for the r15-comparable stages —
+        # auto now resolves to the Arrow pass above
+        # SHINGLE_ARROW_MIN_BYTES (r16), which would silently change
+        # what the historical stage names measure.
         return dedup._shingle_and_band(
-            docs, "doc_id", "text", 3, 32, 8, sig_mode=sig_mode
+            docs, "doc_id", "text", 3, 32, 8,
+            sig_mode=sig_mode, shingle_mode=shingle_mode,
         )
 
     def shingle_only():
         shingled, _ = front("fold")
         noop(shingled)
+
+    def shingle_arrow():
+        shingled, _ = front("fold", shingle_mode="arrow")
+        noop(shingled)
+
+    def sig_arrow():
+        # arrow shingles + whatever sig mode auto resolves (agg at sf10)
+        from pyspark.sql import functions as F
+
+        shingled, _ = front("auto", shingle_mode="arrow")
+        mode = dedup._resolve_sig_mode(docs, "auto")
+        if mode == "agg":
+            noop(dedup.minhash_signatures_agg(shingled, 32))
+        else:
+            noop(
+                shingled.withColumn(
+                    "sig",
+                    dedup.minhash_signature(F.col("sh"), 32, pre_hashed=True),
+                ).select("doc", "sig")
+            )
 
     def sig_fold():
         from pyspark.sql import functions as F
@@ -96,10 +121,22 @@ def main() -> None:
         noop(cand)
 
     def full():
+        # shipped defaults: every mode auto — at sf10 that is arrow
+        # shingles + agg signatures (r16)
         noop(
             dedup.minhash_lsh_pairs(
                 docs, "doc_id", "text", shingle_k=3, num_hashes=32,
                 bands=8, threshold=0.5,
+            )
+        )
+
+    def full_expr():
+        # the r15-shipped pipeline (expression shingles, sig auto) — the
+        # cross-round "before" leg; r15's artifact called this "full"
+        noop(
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", shingle_k=3, num_hashes=32,
+                bands=8, threshold=0.5, shingle_mode="expr",
             )
         )
 
@@ -108,17 +145,21 @@ def main() -> None:
             dedup.minhash_lsh_pairs(
                 docs, "doc_id", "text", shingle_k=3, num_hashes=32,
                 bands=8, threshold=0.5, sig_mode="agg",
+                shingle_mode="expr",
             )
         )
 
     vs = {
         "scan_floor": lambda: noop(docs.select("doc_id", "text")),
         "shingle_only": shingle_only,
+        "shingle_arrow": shingle_arrow,
         "sig_fold": sig_fold,
         "sig_agg": sig_agg,
+        "sig_arrow": sig_arrow,
         "banded": banded,
         "candidates": candidates,
         "full": full,
+        "full_expr": full_expr,
         "full_agg": full_agg,
     }
 
