@@ -440,6 +440,7 @@ def ensure_star_layout(
     # still NEVER builds.
     ensure_nation_rollup(spark, sf_dir)
     ensure_custdist_rollup(spark, sf_dir)
+    ensure_monthly_rollup(spark, sf_dir)
     return tuple(names)
 
 
@@ -618,6 +619,8 @@ def refresh_star_layout(
     statuses[rollup_tbl] = refresh_nation_rollup(spark, sf_dir)
     _, hist_tbl, _ = _custdist_rollup_spec(spark, sf_dir)
     statuses[hist_tbl] = refresh_custdist_rollup(spark, sf_dir)
+    monthly_tbl, _ = _monthly_rollup_spec(spark, sf_dir)
+    statuses[monthly_tbl] = refresh_monthly_rollup(spark, sf_dir)
     return statuses
 
 
@@ -1532,6 +1535,198 @@ def refresh_custdist_rollup(spark: SparkSession, sf_dir: str) -> str:
             pass
     status = ensure_custdist_rollup(spark, sf_dir)
     return status if status.startswith("refused") else "rebuilt"
+
+
+#: Monthly-grain orders rollup version (rides the star layout family).
+MONTHLY_ROLLUP_VERSION = 1
+
+#: Literal schema (the custdist precedent: no per-call plan analysis —
+#: the r15 j1b regression's root cause). Pinned equal to
+#: _schema_ddl(_monthly_rollup_frame(...)) by test_layout_routing.
+_MONTHLY_SCHEMA = (
+    "month_start date, cnt bigint, cents bigint, mx bigint, mn bigint"
+)
+
+
+def _monthly_rollup_frame(orders: DataFrame) -> DataFrame:
+    """The ~80-row partial-aggregate frame at g1's monthly grain
+    (date_trunc('month', o_orderdate)) — the single-source twin of
+    ``_q1_rollup_frame`` (round 16: g1's remaining exec cost is the 15M-
+    row monthly aggregate, 0.79 s at sf10 vs a sub-0.1 s ~80-row read).
+    Every stored column is a RE-FOLDABLE partial — count, exact-cents
+    long sum, max, min — so an orders-append refresh aggregates only the
+    delta files and merges partials, and ``guarded_cents_spend``'s
+    count*max overflow proof holds on folded values (count and max fold
+    exactly). A NULL o_orderdate forms a NULL month row: it folds like
+    any group and the routed g1 drops it exactly as the raw plan does
+    (sequence(NULL, ..) explodes to zero rows)."""
+    from ..functions.pg import date_trunc_pg
+
+    return (
+        _derive_orders(orders)
+        .groupBy(date_trunc_pg("month", "o_orderdate").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_cents").alias("cents"),
+            F.max("o_cents").alias("mx"),
+            F.min("o_cents").alias("mn"),
+        )
+    )
+
+
+def _monthly_rollup_spec(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    import hashlib
+
+    from .fingerprint import files_listing
+
+    tag = _tag(sf_dir)
+    tbl = f"monthly_rollup_{tag}_v{MONTHLY_ROLLUP_VERSION}"
+    src = os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
+    listing = files_listing([src])
+    return tbl, {
+        "table": tbl,
+        "version": MONTHLY_ROLLUP_VERSION,
+        "codec": LAYOUT_CODEC,
+        "schema": _MONTHLY_SCHEMA,
+        "source_fp": hashlib.md5("\n".join(listing).encode()).hexdigest(),
+        "source_listing": listing,
+        "covers_paths": [src],
+        "source_paths": [src],
+        "route_gate_paths": [src],
+        "group": f"star_{tag}",
+    }
+
+
+def ensure_monthly_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the monthly-grain orders rollup — built by the
+    same provisioning pass as the rest of the star family
+    (ensure_star_layout calls this). The routed g1 becomes an ~80-row
+    read + spine gap-fill instead of a 15M-row scan+aggregate; single
+    source (orders only), so it is the simplest instance of the
+    q1/nation/custdist pattern."""
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    tbl, spec = _monthly_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    if spark.catalog.tableExists(tbl):
+        if read_sidecar(path, LAYOUT_SIDECAR) == spec:
+            return tbl
+        spark.sql(f"DROP TABLE {tbl}")
+    elif dir_is_complete(path) and read_sidecar(path, LAYOUT_SIDECAR) == spec:
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+        return tbl
+    from .materialize import _save_as_table
+
+    t = load_testdata(spark, sf_dir)
+    _save_as_table(
+        spark,
+        _monthly_rollup_frame(t["orders"])
+        .coalesce(1)
+        .write.option("compression", LAYOUT_CODEC)
+        .mode("overwrite"),
+        tbl,
+    )
+    try:
+        write_sidecar(path, spec, LAYOUT_SIDECAR)
+    except OSError:
+        pass
+    return tbl
+
+
+def maybe_monthly_rollup(spark: SparkSession, sf_dir: str) -> str | None:
+    """Routing check for the monthly rollup (never builds; silent
+    fallback; fact-size gated so the driver's small-SF correctness gate
+    always exercises the raw scan+aggregate arithmetic)."""
+    global last_route_used
+    from ..sources.readers import table_disk_bytes
+    from .fingerprint import dir_is_complete, read_sidecar
+
+    try:
+        if table_disk_bytes(sf_dir, "orders") < ROUTE_MIN_FACT_BYTES:
+            return None
+        tbl, spec = _monthly_rollup_spec(spark, sf_dir)
+    except Exception:
+        return None
+    path = _warehouse_path(spark, tbl)
+    if read_sidecar(path, LAYOUT_SIDECAR) != spec:
+        return None
+    if not spark.catalog.tableExists(tbl):
+        if not dir_is_complete(path):
+            return None
+        spark.sql(
+            f"CREATE TABLE {tbl} ({spec['schema']}) USING parquet "
+            f"LOCATION '{path}'"
+        )
+    last_route_used = tbl
+    return tbl
+
+
+def refresh_monthly_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Delta-proportional refresh: aggregate ONLY appended orders files
+    and merge partials with the stored ~80 rows (sum+sum, count+count,
+    max/max, min/min — all re-foldable by construction). Crash-safe via
+    the pending marker + atomic CTAS, same as refresh_q1_rollup."""
+    from ..sources import readers
+    from .fingerprint import dir_is_complete, read_sidecar, write_sidecar
+
+    readers._CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None
+    )
+    tbl, spec = _monthly_rollup_spec(spark, sf_dir)
+    path = _warehouse_path(spark, tbl)
+    old = read_sidecar(path, LAYOUT_SIDECAR)
+    if old == spec:
+        ensure_monthly_rollup(spark, sf_dir)
+        return "fresh"
+    delta = (
+        _append_only_delta(old, spec, spec["covers_paths"])
+        if dir_is_complete(path)
+        else None
+    )
+    if delta is not None:
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({old['schema']}) USING parquet "
+                f"LOCATION '{path}'"
+            )
+        delta_partials = _monthly_rollup_frame(
+            _read_like_engine(spark, delta)
+        )
+        merged = (
+            spark.table(tbl)
+            .unionByName(delta_partials)
+            .groupBy("month_start")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("cents").alias("cents"),
+                F.max("mx").alias("mx"),
+                F.min("mn").alias("mn"),
+            )
+            .collect()  # ~80 rows: sever the plan from the table we rewrite
+        )
+        from .materialize import _save_as_table
+
+        try:
+            schema = spark.table(tbl).schema
+            write_sidecar(path, {**old, "pending": True}, LAYOUT_SIDECAR)
+            spark.sql(f"DROP TABLE {tbl}")
+            _save_as_table(
+                spark,
+                spark.createDataFrame(merged, schema)
+                .coalesce(1)
+                .write.option("compression", LAYOUT_CODEC)
+                .mode("overwrite"),
+                tbl,
+            )
+            write_sidecar(path, spec, LAYOUT_SIDECAR)
+            return f"refreshed (+{len(delta)} files)"
+        except OSError:
+            pass
+    ensure_monthly_rollup(spark, sf_dir)
+    return "rebuilt"
 
 
 #: Z-order layout version (independent of the star tables). v2 added

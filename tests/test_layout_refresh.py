@@ -71,11 +71,11 @@ def test_refresh_fresh_noop(spark, sf_dirs):
     d, _ = sf_dirs
     o_tbl, c_tbl = star_layout.ensure_star_layout(spark, d)
     statuses = star_layout.refresh_star_layout(spark, d)
-    # four family members: both bucketed tables + nation and custdist
-    # rollups. This fixture's customer split leaves orders custkeys
-    # dangling, so the custdist member is parity-REFUSED (ADVICE r15)
-    # while the rest stay fresh.
-    assert {o_tbl, c_tbl} <= set(statuses) and len(statuses) == 4
+    # five family members: both bucketed tables + nation, custdist and
+    # monthly rollups. This fixture's customer split leaves orders
+    # custkeys dangling, so the custdist member is parity-REFUSED
+    # (ADVICE r15) while the rest stay fresh.
+    assert {o_tbl, c_tbl} <= set(statuses) and len(statuses) == 5
     refused = [s for s in statuses.values() if s.startswith("refused")]
     assert len(refused) == 1 and "parity proof failed" in refused[0]
     assert all(

@@ -340,6 +340,95 @@ def test_custdist_rollup_refresh_folds_orders_delta(spark, tmp_path):
     assert refreshed == scratch
 
 
+def _g1_rows(spark, sf_dir):
+    return sorted(
+        map(tuple, REGISTRY["g1_date_spine"][0](spark, sf_dir).collect())
+    )
+
+
+def test_monthly_rollup_routes_g1_and_matches_raw(spark, sf_copy):
+    """Round 16: the ~80-row monthly-grain orders rollup (the
+    single-source twin of q1's grain rollup) routes g1, row-identical to
+    the raw fallback, and the routed plan reads the rollup table only
+    (no orders scan)."""
+    raw = _g1_rows(spark, sf_copy)
+    assert star_layout.maybe_monthly_rollup(spark, sf_copy) is None
+    star_layout.ensure_star_layout(spark, sf_copy)
+    tbl = star_layout.maybe_monthly_rollup(spark, sf_copy)
+    assert tbl is not None and star_layout.last_route_used == tbl
+    routed = REGISTRY["g1_date_spine"][0](spark, sf_copy)
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert tbl in plan and "orders.parquet" not in plan
+    assert sorted(map(tuple, routed.collect())) == raw
+    # invariant: rollup counts cover every order (incl. any NULL-date
+    # group, which the query itself drops exactly like the raw plan)
+    n_orders = spark.read.parquet(
+        os.path.join(sf_copy, "orders.parquet")
+    ).count()
+    assert (
+        spark.table(tbl).agg(F.sum("cnt")).collect()[0][0] == n_orders
+    )
+
+
+def test_monthly_rollup_schema_literal_matches_frame(spark):
+    """_MONTHLY_SCHEMA is a literal (no per-call plan analysis — the
+    r15 j1b regression's lesson); pin it to the frame's true schema."""
+    o = spark.read.parquet(os.path.join(SF, "orders.parquet")).limit(0)
+    assert (
+        star_layout._schema_ddl(star_layout._monthly_rollup_frame(o))
+        == star_layout._MONTHLY_SCHEMA
+    )
+
+
+def test_monthly_rollup_stale_on_orders_change(spark, sf_copy):
+    star_layout.ensure_star_layout(spark, sf_copy)
+    assert star_layout.maybe_monthly_rollup(spark, sf_copy) is not None
+    os.utime(os.path.join(sf_copy, "orders.parquet"), None)
+    assert star_layout.maybe_monthly_rollup(spark, sf_copy) is None
+    # the raw fallback still answers (silent-fallback contract)
+    assert _g1_rows(spark, sf_copy)
+
+
+def test_monthly_rollup_refresh_folds_orders_delta(spark, tmp_path):
+    """Orders-append-only growth folds ONLY the delta into the stored
+    partials; the refreshed rollup is row-identical to a from-scratch
+    build and g1 routes to it with the full answer."""
+    import uuid
+
+    d = str(tmp_path / f"sfm_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    for t in ("customer", "nation", "region"):
+        shutil.copy(os.path.join(SF, f"{t}.parquet"), d)
+    orders = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    main = orders.filter(F.col("o_orderkey") % 10 != 0)
+    hold = orders.filter(F.col("o_orderkey") % 10 == 0)
+    main.repartition(2).write.parquet(os.path.join(d, "orders.parquet"))
+    star_layout.ensure_monthly_rollup(spark, d)
+    tmp = d + "_app"
+    hold.coalesce(1).write.parquet(tmp)
+    tgt = os.path.join(d, "orders.parquet")
+    for f in os.listdir(tmp):
+        if not f.startswith((".", "_")):
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(tgt, f"appended_{f}")
+            )
+    shutil.rmtree(tmp)
+    _fresh_session_view()
+    assert star_layout.maybe_monthly_rollup(spark, d) is None  # stale
+    status = star_layout.refresh_monthly_rollup(spark, d)
+    assert status.startswith("refreshed"), status
+    tbl = star_layout.maybe_monthly_rollup(spark, d)
+    assert tbl is not None
+    total = spark.table(tbl).agg(F.sum("cnt")).collect()[0][0]
+    assert total == orders.count()
+    refreshed = sorted(map(tuple, spark.table(tbl).collect()))
+    spark.sql(f"DROP TABLE {tbl}")
+    _fresh_session_view()
+    star_layout.ensure_monthly_rollup(spark, d)
+    scratch = sorted(map(tuple, spark.table(tbl).collect()))
+    assert refreshed == scratch
+
+
 def test_q1_routes_to_lineitem_layout_and_matches_fallback(spark, sf_copy):
     """q1's routing twin of test_route_hits_after_ensure: raw answer
     first, then the layout exists and q1 inherits the stored-cents plan
