@@ -118,13 +118,15 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-# Recently persisted shingle indexes (see minhash_lsh_pairs lifecycle note).
-# Bounded FIFO guarded by a lock: Project.run() executes nodes in a thread
-# pool, so concurrent minhash_lsh_pairs calls mutate this concurrently, and
-# an unbounded "pop the previous" policy would unpersist an index another
-# in-flight call still needs lazily.
+# Recently persisted shingle/banded relations (see minhash_lsh_pairs
+# lifecycle note). Bounded LRU with semantic dedup, guarded by a lock:
+# Project.run() executes nodes in a thread pool, so concurrent
+# minhash_lsh_pairs calls mutate this concurrently, and an unbounded
+# "pop the previous" policy would unpersist an index another in-flight
+# call still needs lazily. Keep = 8 holds two in-flight cross-corpus
+# calls (each tracks up to 4 relations: new/corpus x shingled/banded).
 _INDEX_LOCK = threading.Lock()
-_INDEX_CACHE_KEEP = 4
+_INDEX_CACHE_KEEP = 8
 _PERSISTED_INDEXES: list[DataFrame] = []
 
 
@@ -280,33 +282,91 @@ def _resolve_shingle_mode(df: DataFrame, shingle_mode: str) -> str:
     return "arrow" if total >= SHINGLE_ARROW_MIN_BYTES else "expr"
 
 
-#: Source-corpus on-disk bytes up to which the exact-Jaccard verify
-#: broadcast-joins the shingle index instead of shuffle-joining it. The
-#: shuffle shape pays twice: candidate pairs exchange once per join AND
-#: the first join's output carries each pair's ~450 B shingle array
-#: through the second exchange (~12 GB at 500k docs / 27M candidate
-#: pairs — BENCH_DD3_DECOMP_r16). Broadcasting the index (a few hundred
-#: MB at this gate) keeps the pair stream pipelined through two
-#: BroadcastHashJoins with ZERO pair shuffles. Past the gate (an
-#: unbounded corpus at 100 TB cannot ride a broadcast) the shuffle plan
-#: stays — same true-bytes gate discipline as star_layout's
-#: DIM_BROADCAST_BUDGET. 256 MB of source text ≈ 1-1.5 GB of hashed
-#: index relation, comfortably under the executor budget that the
-#: 24 g local driver stands in for.
-VERIFY_BROADCAST_MAX_SRC_BYTES = 0  # disabled — A/B'd WORSE, see below
+#: Source-corpus on-disk bytes ABOVE which the LSH candidate pipeline
+#: switches from broadcast-friendly joins (tiny corpora: the banded
+#: relation and the shingle index auto-broadcast under the session
+#: threshold, zero extra stages — right for the driver's small-SF bench
+#: where dd3 is scheduler-floor bound) to the cluster-true shuffle
+#: shape: SHUFFLE_HASH band self-join (a corpus-sized banded relation
+#: can never ride a broadcast at 100 TB) and a shuffle-hash first
+#: verify join. Measured at 500k docs (probe_dd3_tail2, min-of-3):
+#: shuffle shape 22.3 s vs 25.9-28.1 s for the all-broadcast plan —
+#: the 416 MiB banded broadcast plus one of the two 260 MiB index
+#: broadcasts were single-threaded driver builds the shuffle shape
+#: replaces with parallel 130-450 MB exchanges. Same metadata-only
+#: cost-model discipline as SIG_AGG_MIN_BYTES above.
+CAND_SHUFFLE_MIN_BYTES = 16 << 20
+
+#: Source-corpus on-disk bytes up to which the SECOND verify join
+#: broadcasts the shingle index explicitly. Join2 re-keys the pair
+#: stream by doc2 while each row already carries its ~450 B sh1 array —
+#: a shuffle there moves ~15 GB at 500k docs (probe_dd3_tail:
+#: autoBroadcastJoinThreshold=-1 ran 56 s vs 22-28 s), so the broadcast
+#: is kept for any corpus whose index plausibly fits an executor
+#: (256 MB of source text ≈ 1.2 GB of hashed index). Past the gate the
+#: plain join stands and the pair stream pays the exchange — at an
+#: unbounded corpus there is no broadcastable side, and the candidate
+#: volume (bounded by true near-dup density) is the honest cost.
+VERIFY_J2_BROADCAST_MAX_SRC_BYTES = 256 << 20
 
 
-def _maybe_broadcast_index(shingled: DataFrame, src_bytes: int | None) -> DataFrame:
-    """A/B'd at 500k docs (OPTIMIZATION_r16.md): broadcasting the ~260 MB
-    hashed index into the two verify joins measured 43.8 s full-dd3 vs
-    25.9 s for the shuffle plan — building/serializing two broadcast
-    relations of array rows plus the driver-side memory pressure costs
-    more than the pair-stream exchanges it removes. Gate kept at 0
-    (never broadcast) with the mechanism in place; the measured numbers
-    are the reason."""
-    if src_bytes is not None and src_bytes <= VERIFY_BROADCAST_MAX_SRC_BYTES:
-        return F.broadcast(shingled)
-    return shingled
+def _use_shuffle_cand(src_bytes: int | None) -> bool:
+    return src_bytes is not None and src_bytes >= CAND_SHUFFLE_MIN_BYTES
+
+
+def _jaccard_threshold_cond(n_inter: Column, s12: Column, threshold: float) -> Column:
+    """The verify predicate ``n/(s1+s2-n) >= threshold`` with ONE
+    array_intersect evaluation and, when possible, no double division.
+
+    When ``threshold`` is exactly a small rational p/q (0.5, 0.4, 1.0 —
+    every declared query's threshold), the double-division comparison is
+    provably equivalent to the exact integer test ``n*(p+q) >= p*(s1+s2)``:
+    J >= p/q  ⟺  n(q+p) >= p(s1+s2) in the rationals, and the rounded
+    double division cannot cross the threshold because the gap between
+    any attainable ratio and p/q is at least 1/(q*(s1+s2-n)) — with
+    q <= 64 and feasible array sizes that is >= 2^-40, orders of
+    magnitude above the 2^-53 ulp at which rounding could flip the
+    comparison. Thresholds with no small exact rational keep the
+    original double form."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(64)
+    if float(frac) == threshold:
+        p, q = frac.numerator, frac.denominator
+        return (p + q) * n_inter >= p * s12
+    nd = n_inter.cast("double")
+    return nd / (s12.cast("double") - nd) >= threshold
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist a frame and enroll it in the LRU release cache (see the
+    minhash_lsh_pairs lifecycle note).
+
+    Semantic-dedup FIRST: CacheManager dedupes persist() of
+    canonically-equal plans into ONE shared InMemoryRelation, so if a
+    semantically-equal frame is already tracked, tracking the new one
+    again would make the LRU hold N references to one cache entry —
+    and evicting ANY of them unpersists the entry every live reference
+    still needs. (Observed: bench.py's warmup + min-of-3 repeats, which
+    by protocol never release, self-evicted dd3's own shingle cache
+    from repeat 2 on once the banded persist doubled the entries per
+    call — 0.97 s cache-hit repeats became 7 s full recomputes.)
+    Instead the existing frame is refreshed to most-recently-used and
+    returned."""
+    with _INDEX_LOCK:
+        for i, cached in enumerate(_PERSISTED_INDEXES):
+            try:
+                same = df.sameSemantics(cached)
+            except Exception:
+                same = False
+            if same:
+                _PERSISTED_INDEXES.append(_PERSISTED_INDEXES.pop(i))
+                return cached
+        out = df.persist()
+        _PERSISTED_INDEXES.append(out)
+        while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
+            _PERSISTED_INDEXES.pop(0).unpersist()
+        return out
 
 
 def _shingle_and_band(
@@ -318,11 +378,22 @@ def _shingle_and_band(
     bands: int,
     sig_mode: str = "auto",
     shingle_mode: str = "auto",
+    with_vec: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: persisted shingle index + skinny banded
     relation (doc, band, bucket). The LSH shuffle carries ONLY the banded
     rows — never the shingle arrays; at 100 TB that is ``bands`` skinny
-    rows per document, and shingle payloads rejoin only for candidates."""
+    rows per document, and shingle payloads rejoin only for candidates.
+
+    ``with_vec=True`` additionally carries the full per-doc bucket
+    vector (``vec`` array<long>[bands]) on every banded row and PERSISTS
+    the banded relation. The vector feeds the first-agreeing-band filter
+    (exactly-once pair emission — see minhash_lsh_pairs), and the
+    persist is manual exchange reuse: the band self-join's two sides
+    would otherwise each recompute the whole signature pipeline, because
+    physical-plan canonicalization breaks on MapInArrow/InMemoryScan
+    subtrees and ReuseExchange never fires here (measured: both sig
+    exchanges executed in the r16 SQL-metrics attribution run)."""
     sig_mode = _resolve_sig_mode(df, sig_mode)
     shingle_mode = _resolve_shingle_mode(df, shingle_mode)
     rows_per_band = num_hashes // bands
@@ -337,43 +408,43 @@ def _shingle_and_band(
     if shingle_mode == "arrow":
         from .shingle_arrow import shingles_hashed_arrow
 
-        shingled = shingles_hashed_arrow(
-            base, id_col, text_col, shingle_k
-        ).persist()
+        shingled = _persist_tracked(
+            shingles_hashed_arrow(base, id_col, text_col, shingle_k)
+        )
     else:
-        shingled = base.select(
-            F.col(id_col).alias("doc"),
-            shingles_hashed(text_col, shingle_k).alias("sh"),
-        ).persist()
-    with _INDEX_LOCK:
-        _PERSISTED_INDEXES.append(shingled)
-        while len(_PERSISTED_INDEXES) > _INDEX_CACHE_KEEP:
-            _PERSISTED_INDEXES.pop(0).unpersist()
+        shingled = _persist_tracked(
+            base.select(
+                F.col(id_col).alias("doc"),
+                shingles_hashed(text_col, shingle_k).alias("sh"),
+            )
+        )
     if sig_mode == "agg":
         sig_df = minhash_signatures_agg(shingled, num_hashes)
     else:
         sig_df = shingled.withColumn(
             "sig", minhash_signature(F.col("sh"), num_hashes, pre_hashed=True)
-        )
-    banded = sig_df.select(
-        "doc",
-        F.explode(
-            F.array(
+        ).select("doc", "sig")
+    bucket_vec = F.array(
+        *[
+            F.xxhash64(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
                 ]
             )
-        ).alias("bd"),
-    ).select("doc", F.col("bd.band").alias("band"), F.col("bd.bucket").alias("bucket"))
+            for b in range(bands)
+        ]
+    )
+    if with_vec:
+        banded = _persist_tracked(
+            sig_df.select("doc", bucket_vec.alias("vec")).select(
+                "doc", "vec", F.posexplode("vec").alias("band", "bucket")
+            )
+        )
+    else:
+        banded = sig_df.select("doc", bucket_vec.alias("vec")).select(
+            "doc", F.posexplode("vec").alias("band", "bucket")
+        )
     return shingled, banded
 
 
@@ -406,29 +477,68 @@ def minhash_lsh_pairs(
     replicating the skinny (doc, band, bucket) relation ``n_salts``× on one
     side of the shuffle.
 
-    Lifecycle note: the shingle index is persisted (it feeds the signature
-    path and both sides of the exact verify, so an unpersisted plan runs the
-    interpreted HOF shingling three times). The result DataFrame is lazy, so
-    there is no safe in-function unpersist point; instead a lock-guarded
-    FIFO keeps the ``_INDEX_CACHE_KEEP`` most recent indexes and evicts
-    older ones, bounding storage in long-lived sessions while leaving room
-    for interleaved/concurrent calls. Call ``release_shingle_indexes()``
-    when done with all results.
+    Lifecycle note: the shingle index AND the banded relation are
+    persisted (the index feeds the signature path and both sides of the
+    exact verify; the banded relation feeds both sides of the bucket
+    self-join — without the persist each side would recompute the whole
+    signature pipeline, because exchange reuse never fires across the
+    MapInArrow/InMemoryScan subtrees here). The result DataFrame is
+    lazy, so there is no safe in-function unpersist point; instead a
+    lock-guarded FIFO keeps the ``_INDEX_CACHE_KEEP`` most recent
+    persists and evicts older ones, bounding storage in long-lived
+    sessions while leaving room for interleaved/concurrent calls. Call
+    ``release_shingle_indexes()`` when done with all results.
     """
     shingled, banded = _shingle_and_band(
         df, id_col, text_col, shingle_k, num_hashes, bands,
-        sig_mode=sig_mode, shingle_mode=shingle_mode,
+        sig_mode=sig_mode, shingle_mode=shingle_mode, with_vec=True,
+    )
+    src_bytes = _input_disk_bytes(df)
+    candidates = _lsh_candidates_once(
+        banded, bands, n_salts=n_salts, shuffle=_use_shuffle_cand(src_bytes)
+    )
+    return _verify_pairs(
+        candidates, shingled, ("doc1", "doc2"), threshold, src_bytes
     )
 
+
+def _lsh_candidates_once(
+    banded_a: DataFrame,
+    bands: int,
+    banded_r: DataFrame | None = None,
+    n_salts: int | None = None,
+    shuffle: bool = False,
+    self_join: bool = True,
+) -> DataFrame:
+    """Candidate pairs from banded relations, each DISTINCT pair emitted
+    EXACTLY ONCE — no dedup aggregate.
+
+    A pair sharing k >= 1 band buckets used to be emitted k times (6.5x
+    on the 500k-doc corpus: 176.5M pre-dedup rows for 27.3M candidates)
+    and distinct-aggregated away at 7.6 CPU-minutes (the single largest
+    dd3 tail cost in the r16 SQL-metrics attribution). Here every
+    banded row carries the doc's full bucket vector, and the join keeps
+    a pair only at its FIRST agreeing band: for the row's band b, no
+    band b' < b may also agree. That makes emission exactly-once by
+    construction — the dropDuplicates aggregate (and its hash tables
+    over the inflated pair stream) disappears. The filter is seven
+    codegen'd long comparisons per joined row.
+
+    ``shuffle=True`` plans the bucket join as SHUFFLE_HASH (the 100 TB
+    shape — see CAND_SHUFFLE_MIN_BYTES); small corpora keep the
+    broadcast-friendly auto plan.
+    """
+    if banded_r is None:
+        banded_r = banded_a
     if n_salts:
         # Left side: deterministic salt from the doc id (a hot bucket's rows
         # spread over n_salts reducers). Right side: replicated to every
         # salt, so each (d1, d2) bucket-mate pair meets exactly once — at
-        # d1's salt — preserving the unsalted pair multiset.
-        a = banded.withColumn(
+        # d1's salt — preserving the unsalted pair set.
+        a = banded_a.withColumn(
             "salt", F.pmod(F.xxhash64("doc"), F.lit(n_salts)).cast("int")
         ).alias("a")
-        b = banded.withColumn(
+        b = banded_r.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
         ).alias("r")
         join_cond = (
@@ -437,41 +547,85 @@ def minhash_lsh_pairs(
             & (F.col("a.salt") == F.col("r.salt"))
         )
     else:
-        a, b = banded.alias("a"), banded.alias("r")
+        a, b = banded_a.alias("a"), banded_r.alias("r")
         join_cond = (F.col("a.band") == F.col("r.band")) & (
             F.col("a.bucket") == F.col("r.bucket")
         )
-    candidates = (
+    if shuffle:
+        b = b.hint("shuffle_hash")
+    pair_filter = (
+        F.col("a.doc") < F.col("r.doc")
+        if self_join
+        else F.col("a.doc") != F.col("r.doc")
+    )
+    earlier = F.lit(False)
+    for band in range(bands - 1):
+        earlier = earlier | (
+            (F.col("a.band") > band)
+            & (F.col("a.vec").getItem(band) == F.col("r.vec").getItem(band))
+        )
+    return (
         a.join(b, join_cond)
-        .filter(F.col("a.doc") < F.col("r.doc"))
+        .filter(pair_filter)
+        .filter(~earlier)
         .select(F.col("a.doc").alias("doc1"), F.col("r.doc").alias("doc2"))
-        .dropDuplicates(["doc1", "doc2"])
     )
-    index = _maybe_broadcast_index(shingled, _input_disk_bytes(df))
-    verified = (
-        candidates.join(
-            index.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1")), "doc1"
+
+
+def _verify_pairs(
+    candidates: DataFrame,
+    index1: DataFrame,
+    out_cols: tuple[str, str],
+    threshold: float,
+    src_bytes: int | None,
+    index2: DataFrame | None = None,
+    src_bytes2: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard verify of a (doc1, doc2) candidate stream.
+
+    Join 1 (attach sh1, key doc1) is a SHUFFLE_HASH join above the
+    candidate shuffle gate — the pair stream is still skinny there, and
+    the per-partition hash build parallelizes what a broadcast would
+    build single-threaded on the driver. Join 2 (attach sh2, key doc2)
+    re-keys rows that already carry their ~450 B sh1 arrays, so a
+    shuffle there moves ~15 GB at 500k docs (measured 56 s vs 22-28 s
+    total with autoBroadcastJoinThreshold=-1): the index is broadcast
+    explicitly while the source corpus is under
+    VERIFY_J2_BROADCAST_MAX_SRC_BYTES.
+
+    |A∪B| = |A|+|B|-|A∩B| — the arrays are DISTINCT by construction, so
+    the arithmetic union size is exact and skips a second O(|A|+|B|) set
+    pass per pair (the r15 rewrite). The threshold filter runs as the
+    exact integer comparison where possible (_jaccard_threshold_cond);
+    the reported jaccard is the same double division as always.
+    """
+    d1, d2 = out_cols
+    if index2 is None:
+        index2, src_bytes2 = index1, src_bytes
+    i1 = index1.select(F.col("doc").alias(d1), F.col("sh").alias("sh1"))
+    if _use_shuffle_cand(src_bytes):
+        i1 = i1.hint("shuffle_hash")
+    i2 = index2.select(F.col("doc").alias(d2), F.col("sh").alias("sh2"))
+    if (
+        src_bytes2 is not None
+        and src_bytes2 <= VERIFY_J2_BROADCAST_MAX_SRC_BYTES
+    ):
+        i2 = F.broadcast(i2)
+    n_inter = F.size(F.array_intersect("sh1", "sh2"))
+    s12 = F.size("sh1") + F.size("sh2")
+    return (
+        candidates.join(i1, d1)
+        .join(i2, d2)
+        .filter(_jaccard_threshold_cond(n_inter, s12, threshold))
+        .select(
+            d1,
+            d2,
+            (
+                n_inter.cast("double")
+                / (s12.cast("double") - n_inter.cast("double"))
+            ).alias("jaccard"),
         )
-        .join(index.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
-        .withColumn(
-            "n_inter", F.size(F.array_intersect("sh1", "sh2")).cast("double")
-        )
-        .withColumn(
-            # |A∪B| = |A|+|B|-|A∩B| — the arrays are DISTINCT by
-            # construction (array_distinct in shingles), so the
-            # arithmetic union size is exact and skips a second O(|A|+|B|)
-            # set pass per candidate pair — the verify stage was the
-            # single largest dd3 cost at 500k docs (BENCH_DD3_DECOMP_r15:
-            # +20.2 s over the candidates stage with array_union). Same
-            # division as before (integers are exact in double), and the
-            # same formula the dd3b/dd9b oracles use.
-            "jaccard",
-            F.col("n_inter")
-            / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc1", "doc2", "jaccard")
 
 
 def minhash_lsh_pairs_cross(
@@ -505,7 +659,7 @@ def minhash_lsh_pairs_cross(
     verify rejoins only candidate payloads.
     """
     new_sh, new_banded = _shingle_and_band(
-        new, id_col, text_col, shingle_k, num_hashes, bands
+        new, id_col, text_col, shingle_k, num_hashes, bands, with_vec=True
     )
     if corpus_index is not None:
         # Pre-built (shingles, banded) relations — e.g. the persisted
@@ -513,67 +667,64 @@ def minhash_lsh_pairs_cross(
         # corpus entirely: the per-batch cost becomes banding the BATCH
         # plus one skinny join against the stored bands, independent of
         # corpus size. The index MUST have been built with the same
-        # shingle_k/num_hashes/bands.
+        # shingle_k/num_hashes/bands. The stored banded schema carries
+        # no bucket vector, so the exactly-once emission filter is
+        # unavailable — candidates fall back to the dedup aggregate.
         cor_sh, cor_banded = corpus_index
+        once = False
     else:
         cor_sh, cor_banded = _shingle_and_band(
-            corpus, id_col, text_col, shingle_k, num_hashes, bands
+            corpus, id_col, text_col, shingle_k, num_hashes, bands,
+            with_vec=True,
         )
+        once = True
 
-    if n_salts:
-        a = new_banded.withColumn(
-            "salt", F.pmod(F.xxhash64("doc"), F.lit(n_salts)).cast("int")
-        ).alias("a")
-        b = cor_banded.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-        ).alias("r")
-        join_cond = (
-            (F.col("a.band") == F.col("r.band"))
-            & (F.col("a.bucket") == F.col("r.bucket"))
-            & (F.col("a.salt") == F.col("r.salt"))
+    new_bytes = _input_disk_bytes(new)
+    cor_bytes = (
+        _input_disk_bytes(corpus) if corpus_index is None
+        else _input_disk_bytes(cor_sh)
+    )
+    shuffle = _use_shuffle_cand(new_bytes) or _use_shuffle_cand(cor_bytes)
+    if once:
+        candidates = _lsh_candidates_once(
+            new_banded, bands, banded_r=cor_banded, n_salts=n_salts,
+            shuffle=shuffle, self_join=False,
+        ).select(
+            F.col("doc1").alias("new_doc"), F.col("doc2").alias("corpus_doc")
         )
     else:
-        a, b = new_banded.alias("a"), cor_banded.alias("r")
-        join_cond = (F.col("a.band") == F.col("r.band")) & (
-            F.col("a.bucket") == F.col("r.bucket")
+        if n_salts:
+            a = new_banded.withColumn(
+                "salt", F.pmod(F.xxhash64("doc"), F.lit(n_salts)).cast("int")
+            ).alias("a")
+            b = cor_banded.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            ).alias("r")
+            join_cond = (
+                (F.col("a.band") == F.col("r.band"))
+                & (F.col("a.bucket") == F.col("r.bucket"))
+                & (F.col("a.salt") == F.col("r.salt"))
+            )
+        else:
+            a, b = new_banded.alias("a"), cor_banded.alias("r")
+            join_cond = (F.col("a.band") == F.col("r.band")) & (
+                F.col("a.bucket") == F.col("r.bucket")
+            )
+        if shuffle:
+            b = b.hint("shuffle_hash")
+        candidates = (
+            a.join(b, join_cond)
+            .filter(F.col("a.doc") != F.col("r.doc"))
+            .select(
+                F.col("a.doc").alias("new_doc"),
+                F.col("r.doc").alias("corpus_doc"),
+            )
+            .dropDuplicates(["new_doc", "corpus_doc"])
         )
-    candidates = (
-        a.join(b, join_cond)
-        .filter(F.col("a.doc") != F.col("r.doc"))
-        .select(F.col("a.doc").alias("new_doc"), F.col("r.doc").alias("corpus_doc"))
-        .dropDuplicates(["new_doc", "corpus_doc"])
+    return _verify_pairs(
+        candidates, new_sh, ("new_doc", "corpus_doc"), threshold, new_bytes,
+        index2=cor_sh, src_bytes2=cor_bytes,
     )
-    # Same size-gated broadcast verify as the self-join variant: gate the
-    # batch side on the batch's source bytes, the corpus side on the
-    # corpus's (a prebuilt corpus_index is sized from its own files —
-    # unsizeable in-memory frames simply keep the shuffle join).
-    new_idx = _maybe_broadcast_index(new_sh, _input_disk_bytes(new))
-    cor_idx = _maybe_broadcast_index(
-        cor_sh,
-        _input_disk_bytes(corpus) if corpus_index is None
-        else _input_disk_bytes(cor_sh),
-    )
-    verified = (
-        candidates.join(
-            new_idx.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh1")),
-            "new_doc",
-        )
-        .join(
-            cor_idx.select(F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh2")),
-            "corpus_doc",
-        )
-        .withColumn(
-            "n_inter", F.size(F.array_intersect("sh1", "sh2")).cast("double")
-        )
-        .withColumn(
-            # arithmetic union size — see minhash_lsh_pairs
-            "jaccard",
-            F.col("n_inter")
-            / (F.size("sh1") + F.size("sh2") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("new_doc", "corpus_doc", "jaccard")
 
 
 def dedup_against_corpus(
