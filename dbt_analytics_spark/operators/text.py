@@ -68,26 +68,66 @@ def stopword_ratio(col: Column | str, markers: tuple[str, ...] = STOPWORDS) -> C
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
+def _toks_column_barrier(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize the token array ONCE as a real column, behind a
+    pushdown/collapse barrier.
+
+    The metric expressions built over it reference the array many times
+    (sizes, distinct, HOF marker filters). Left as one projection over
+    ``tokens(text)``, two optimizer behaviors each multiply the whole
+    tokenize chain — plus everything BELOW it, e.g. the 10-pattern PII
+    redaction a pipeline feeds in — per consumer expression:
+
+    - predicate pushdown (``PushPredicateThroughNonJoin``) substitutes
+      alias definitions into every pushed conjunct, re-inlining the full
+      chain per conjunct across optimizer iterations until fixpoint
+      (measured on the 500k-doc corpus: quality 15.7 s -> quality +
+      ``keep_quality`` filter 107 s, plan regexp_replace node count 81);
+    - the CodegenFallback higher-order filters (stopword/marker counts)
+      evaluate their child interpreted, OUTSIDE whole-stage-codegen
+      subexpression elimination, so they re-run the chain even when the
+      codegen'd siblings share it.
+
+    The ``spark_partition_id() >= 0`` guard is value-identical (the id
+    is always >= 0, so the branch always yields the token array,
+    including NULL for NULL text) but marks the projection
+    non-deterministic, which lawfully blocks both rewrites: predicates
+    stop ABOVE this projection (pushed conjuncts then reference only the
+    cheap materialized array), and ``CollapseProject`` cannot inline it
+    into consumers. Same optimizer-duplication class as the guide's
+    "mark expensive UDFs non-deterministic" pattern, applied to a
+    built-in expression chain."""
+    return df.withColumn(
+        "__toks",
+        F.when(F.spark_partition_id() >= F.lit(0), tokens(F.col(text_col))),
+    )
+
+
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach standard quality-scoring columns: token counts, type-token
     ratio, stopword ratio, mean token length, and a boolean keep flag.
 
     The thresholds mirror common pretraining-corpus filters (Gopher-style
     length / repetition rules), kept simple and fully declarative.
+    Tokenization runs exactly once per row (see _toks_column_barrier).
     """
-    toks = tokens(F.col(text_col))
+    base = _toks_column_barrier(df, text_col)
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     n_chars = F.length(F.col(text_col))
     ttr = F.when(n_tok > 0, n_uniq.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
-    stop_r = stopword_ratio(F.col(text_col))
+    stop_hits = F.size(F.filter(toks, _in_markers(STOPWORDS)))
+    stop_r = F.when(
+        n_tok > 0, stop_hits.cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
     mean_tok_len = F.when(
         n_tok > 0,
         (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"),
     ).otherwise(F.lit(0.0))
     keep = (n_tok >= 10) & (ttr >= 0.1) & (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         n_tok.alias("n_tokens"),
         n_uniq.alias("n_uniq_tokens"),
         ttr.alias("type_token_ratio"),
@@ -102,7 +142,8 @@ def langid_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     marker-token density; argmax wins (ties broken by language code order);
     all-zero scores → 'und'.
     """
-    toks = tokens(F.col(text_col))
+    base = _toks_column_barrier(df, text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     scores = {
         lang: F.size(F.filter(toks, _in_markers(markers)))
@@ -118,8 +159,8 @@ def langid_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, s).otherwise(best_score)
     density = F.when(n > 0, best_score.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
-    return df.select(
-        "*",
+    return base.select(
+        *df.columns,
         best_lang.alias("pred_lang"),
         best_score.cast("int").alias("marker_hits"),
         density.alias("marker_density"),
