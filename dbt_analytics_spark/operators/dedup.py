@@ -611,20 +611,42 @@ def _verify_pairs(
         and src_bytes2 <= VERIFY_J2_BROADCAST_MAX_SRC_BYTES
     ):
         i2 = F.broadcast(i2)
-    n_inter = F.size(F.array_intersect("sh1", "sh2"))
-    s12 = F.size("sh1") + F.size("sh2")
-    return (
+    # Materialize the intersection size ONCE behind a value-identical
+    # non-deterministic guard (spark_partition_id() >= 0 is always
+    # true). Left as a plain expression, the threshold Filter and the
+    # jaccard Project each evaluate their own array_intersect over the
+    # ~450-element arrays (Filter and Project are separate codegen
+    # operators with no cross-operator subexpression sharing, and
+    # predicate pushdown would re-inline the alias into the filter) —
+    # and on this corpus ~100% of candidates pass the filter, so every
+    # fully-evaluated row paid the hashset intersection twice
+    # (measured: full-dd3 noop 22.2 s vs count 10.2 s warm at 500k
+    # docs). The projection also drops the shingle arrays, so the
+    # filter+output pipeline carries 4 small columns instead of two
+    # ~3.6 KB arrays per row. Same barrier pattern as
+    # text._toks_column_barrier.
+    n_inter_once = F.when(
+        F.spark_partition_id() >= F.lit(0),
+        F.size(F.array_intersect("sh1", "sh2")),
+    )
+    pre = (
         candidates.join(i1, d1)
         .join(i2, d2)
-        .filter(_jaccard_threshold_cond(n_inter, s12, threshold))
         .select(
             d1,
             d2,
-            (
-                n_inter.cast("double")
-                / (s12.cast("double") - n_inter.cast("double"))
-            ).alias("jaccard"),
+            n_inter_once.alias("__n_inter"),
+            (F.size("sh1") + F.size("sh2")).alias("__s12"),
         )
+    )
+    n_inter, s12 = F.col("__n_inter"), F.col("__s12")
+    return pre.filter(_jaccard_threshold_cond(n_inter, s12, threshold)).select(
+        d1,
+        d2,
+        (
+            n_inter.cast("double")
+            / (s12.cast("double") - n_inter.cast("double"))
+        ).alias("jaccard"),
     )
 
 
