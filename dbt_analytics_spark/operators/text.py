@@ -220,15 +220,20 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
         raise ValueError("need 0 < stride <= chunk_size")
-    toks = tokens(text_col)
+    # Materialize the token array once (see _toks_column_barrier): the
+    # generator's chunk-count bound and the window slices below both
+    # need it, and the Project and Generate operators do not share
+    # subexpressions — left inline, tokenization ran twice per document.
+    base = _toks_column_barrier(df, text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
         F.ceil((n - chunk_size).cast("double") / F.lit(float(stride))).cast("long")
         + 1
     )
-    chunked = df.select(
+    chunked = base.select(
         F.col(id_col),
-        toks.alias("__toks"),
+        toks,
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
             "chunk_idx"
         ),
