@@ -650,6 +650,44 @@ def test_persist_tracked_dedupes_repeated_calls(spark):
     release_shingle_indexes()
 
 
+def test_lsh_shuffle_and_broadcast_shapes_agree(spark):
+    """The 16 MB source-bytes gate switches the candidate/verify joins
+    between broadcast-friendly (small corpora — the driver's bench SFs)
+    and SHUFFLE_HASH (cluster-true) shapes. In-memory test frames have
+    no disk size, so the gated paths must be forced and proven
+    result-identical — the sf10 identity probe covers the real data,
+    this pins it in CI."""
+    from dbt_analytics_spark.operators.dedup import (
+        _input_disk_bytes,
+        _lsh_candidates_once,
+        _shingle_and_band,
+        _verify_pairs,
+        release_shingle_indexes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta copy{i % 4} tail{i % 7}")
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    sh, banded = _shingle_and_band(docs, "doc_id", "text", 3, 32, 8, with_vec=True)
+    assert _input_disk_bytes(docs) is None  # in-memory: gate defaults off
+    out = {}
+    for shuffle in (False, True):
+        cand = _lsh_candidates_once(banded, 8, shuffle=shuffle)
+        # src_bytes above the gate -> shuffle-hash j1; below -> plain.
+        src = (32 << 20) if shuffle else 0
+        pairs = _verify_pairs(cand, sh, ("doc1", "doc2"), 0.5, src)
+        out[shuffle] = sorted(
+            (r["doc1"], r["doc2"], round(r["jaccard"], 12)) for r in pairs.collect()
+        )
+    release_shingle_indexes()
+    assert out[False] == out[True]
+    assert len(out[False]) > 0
+
+
 def test_jaccard_threshold_cond_matches_double_form(spark):
     """The exact-integer threshold rewrite must agree with the original
     double-division filter on every (n_inter, s12) pair in a dense grid,
