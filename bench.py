@@ -395,6 +395,34 @@ def main() -> None:
     total = round(sum(times.values()), 4)
     load_after = os.getloadavg()
 
+    # Round 17 (VERDICT r16 item 2): keep the contract line SHORT. Round
+    # 15's one-line JSON failed the driver's parser and the round lost its
+    # round-over-round comparison; the bulky per-repeat arrays were the
+    # bulk of the line. They move to a sidecar file next to bench.py
+    # (path echoed in the line); min/summary fields — the numbers every
+    # consumer reads — stay inline, so nothing an existing reader used is
+    # gone, and the raw samples remain on disk for adjudication. This is
+    # a measurement-artifact robustness fix, not a methodology change:
+    # the timed actions, repeats, aggregation and query set are
+    # unchanged. Documented in OPTIMIZATION_r17.md.
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_raw_sidecar.json"
+    )
+    sidecar_err = None
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(
+                {
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "raw_times": raw,
+                    "duckdb_raw_times": raw_duck,
+                    "raw_times_exec": raw_exec,
+                },
+                f,
+            )
+    except OSError as e:  # never let the sidecar break the contract line
+        sidecar_err = str(e)
+
     def _band(samples: dict[str, list[float]]) -> dict[str, float | None]:
         # Per-query drift band: (max - min) / min over the repeats — how
         # much the host moved under this query during THIS run.
@@ -426,22 +454,37 @@ def main() -> None:
                 },
                 "spark_over_duckdb_exec": ratios_exec,
                 "exec_drift_band": _band(raw_exec),
-                "raw_times_exec": raw_exec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
                 "agg": "min",
+                # CPU/SF contract, demonstrable from the artifact alone
+                # (VERDICT r16 item 2 — the scaling checker flagged
+                # `suspect_cpus_ignored` because nothing in the OUTPUT
+                # proved the session honored $SPARK_GRAFT_CPUS): the env
+                # value, the RESOLVED master the session actually runs
+                # on, and the scheduler's defaultParallelism. At sf0.1
+                # every row sits on a ~0.25 s fixed-cost floor
+                # (BASELINE.md), so 8-vs-32-core timing ratios hover
+                # near 1 regardless — these fields are how the contract
+                # is checked instead.
+                "cpus": cpus,
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "interleaved": interleave and oracle_on,
                 # Per-query drift bands ((max-min)/min over the repeats):
                 # attribute a cross-round delta to code only when the band
                 # is small on BOTH engines.
                 "drift_band": _band(raw),
                 "duckdb_drift_band": _band(raw_duck),
-                # Co-tenant load adjudication: raw per-repeat times plus
-                # 1/5/15-min loadavg before and after the run. Timings here
-                # swing 3-10x with host load (BENCH_NOTES.md); a regression
-                # claim needs loadavg < ~4 to be believable.
-                "raw_times": raw,
-                "duckdb_raw_times": raw_duck,
+                # Co-tenant load adjudication: per-repeat raw arrays live
+                # in the sidecar (path below); 1/5/15-min loadavg before
+                # and after the run stay inline. Timings here swing 3-10x
+                # with host load (BENCH_NOTES.md); a regression claim
+                # needs loadavg < ~4 to be believable.
+                "raw_sidecar": (
+                    sidecar_path if sidecar_err is None else None
+                ),
+                "raw_sidecar_error": sidecar_err,
                 # Worst of the per-window gates: process start, the
                 # post-warmup measured window, and the exec group — an
                 # "ok" stamp now covers every window timings came from.

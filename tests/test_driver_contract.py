@@ -57,40 +57,43 @@ def test_oracle_sql_references_only_driver_views():
 
 def test_driver_prefix_is_frozen():
     # The driver verifies only the FIRST 50 registered queries (see
-    # queries/__init__.py). Freeze the round-16 prefix so an accidental
+    # queries/__init__.py). Freeze the round-17 prefix so an accidental
     # registry reorder (new import order, dict churn) can't silently eject
     # a query from driver verification. Intentional rotations update this
-    # list in the same commit (round-16 rotation: the never-driver-rowed
-    # a5/p6/u3/w6/smp1/txt12/q15/q17/f5b/ev1b in;
-    # p2/p3/w1/a4/u1/t2/txt1/ev2/ev3/ev4 out — each with many cumulative
-    # green rows since r1-r5 and in-prefix sibling evidence — see
-    # queries/__init__.py).
+    # list in the same commit (round-17 rotation: the never-driver-rowed
+    # txt6/txt7/txt8/txt9/txt11/dd8/q6/q10/q14/q18 in;
+    # mm1/a6/sim3b/txt16b/sem6/sem13/smp7/dd13/dd7/sem2 out — each with
+    # the most cumulative green rows among non-headline prefix queries
+    # and in-prefix sibling evidence — see queries/__init__.py).
     from dbt_analytics_spark import queries as q
 
     expected_prefix = [
-        "q1_pricing_summary", "q1b_pricing_summary_layout", "q13_custdist",
-        "q13b_custdist_bucketed", "zo1_zorder_box_filter",
+        "q1_pricing_summary", "q1b_pricing_summary_layout",
+        "q6_revenue_forecast", "q10_returned_items",
+        "q13_custdist", "q13b_custdist_bucketed", "zo1_zorder_box_filter",
         "q15_top_supplier", "q17_small_qty_revenue",
+        "q14_promo_revenue", "q18_large_orders",
         "j1_join_agg", "j1b_join_agg_bucketed", "w3b_pct_of_total_bucketed",
         "j3b_regex_lateral_top1", "j5_explode_split",
         "w3_pct_of_total",
         "ev1_sessionize", "ev1b_sessionize_bucketed", "ev5b_funnel_steps",
-        "a5_cube", "a6_grouping_sets", "p6_pivot", "u3_except_intersect",
+        "a5_cube", "p6_pivot", "u3_except_intersect",
         "w6_range_frame", "f4_profile",
         "dd1_exact_dedup", "dd3_minhash_lsh",
         "dd3b_minhash_lsh_exact", "sim1_cosine_topk",
         "txt2_quality",
-        "mm1_features", "mm3_audio_features", "mm5_media_metadata",
-        "dd6_decontaminate", "dd7_cluster_dedup",
-        "smp1_stratified_sample", "smp7_leakage_split",
+        "mm3_audio_features", "mm5_media_metadata",
+        "dd6_decontaminate",
+        "smp1_stratified_sample",
+        "txt6_keywords", "dd8_clean_corpus", "txt7_training_filter",
+        "txt8_pii_redact", "txt9_chunk", "txt11_vocab",
         "txt12_bm25_topk",
-        "sim3b_ivf_exact", "sim6_ivf_index_exact",
+        "sim6_ivf_index_exact",
         "f5b_heavy_hitters_exact",
-        "txt14_nb_langid", "txt16b_logreg_score",
-        "dd13_url_dedup", "sem1_entity_star_metrics",
-        "sem2_cumulative_metrics", "sem3_trailing_window",
+        "txt14_nb_langid",
+        "sem1_entity_star_metrics",
+        "sem3_trailing_window",
         "sem4_conversion_rate", "sem5_saved_query",
-        "sem6_period_over_period", "sem13_semi_additive",
         "sem16_metric_filter", "sem17_rollup_routing",
     ]
     assert list(q.queries())[:50] == expected_prefix

@@ -541,14 +541,15 @@ def test_adhoc_star_queries_route_to_layout_exchange_free(spark, monkeypatch):
     assert "Join" not in plan, plan
 
     # Round 16: g1 routes to the ~80-row monthly rollup — no orders
-    # scan, no join; the only exchange is the single-partition lead()
-    # window over the ~80-row aggregate (gap-fill)
+    # scan, no join. Round 17: the gap-fill's lead() window rides a
+    # coalesce(1) (SinglePartition satisfies AllTuples), so the routed
+    # plan has NO exchange at all.
     g1 = REGISTRY["g1_date_spine"][0](spark, SF)
     assert star_layout.last_route_used is not None
     plan = g1._jdf.queryExecution().executedPlan().toString()
     assert "monthly_rollup" in plan and "orders.parquet" not in plan
     assert "Join" not in plan, plan
-    assert shuffles(plan) == 1, plan
+    assert shuffles(plan) == 0, plan
 
 
 def test_user_sql_model_star_join_routes_exchange_free(
