@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import date_trunc_pg, extract_pg, ts_us
-from ..operators import lateral_top1_join, top1_per_group
+from ..operators import explode_csv_cell, lateral_top1_join, top1_per_group
 from ..operators.asof import asof_join
 from ..operators.rangejoin import interval_join
 from ..sources import load_testdata
@@ -883,47 +883,44 @@ def j5_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-rejecting equi-join would silently drop it.
     """
     docs = load_testdata(spark, sf_dir)["documents"]
-    # Round 17 (VERDICT r16 item 4, guide §2.4): the r15 two-leg shape —
-    # occ and doc_freq each explode the corpus, aggregate, then join on
-    # (lang, word) — scans and tokenizes `documents` TWICE and pays a
-    # join of two vocabulary-sized relations. Folded into ONE explode +
-    # ONE aggregation: sort each document's (trimmed, empty-dropped) word
-    # array locally — O(W log W) per doc, no shuffle — and posexplode it;
-    # within a sorted array an element is its document's FIRST occurrence
-    # of that word iff pos == 0 or the previous element differs, so
-    #   n      = count(*)              (same multiset as the unsorted
-    #                                   explode — sorting is a permutation)
-    #   n_docs = sum(first-occurrence) (each doc contributes exactly 1 per
-    #                                   distinct word it contains ==
-    #                                   count(DISTINCT doc_id), doc_id
-    #                                   being the documents PK)
-    # Both are plain counts partial-aggregated on (lang, word): the
-    # shuffle stays vocabulary-bounded, and the plan loses one full
-    # scan+tokenize leg, one aggregation, and the join (2 scans + join →
-    # 1 scan). NULL-lang docs form their own group under groupBy exactly
-    # as under the oracle's GROUP BY (the old shape needed a null-safe
-    # join for this; a single aggregation needs nothing). NULL text:
-    # split→transform→filter→sort all propagate NULL and posexplode of
-    # NULL yields no rows — identical to the old explode's behavior.
-    # prev-element access uses get() (0-based, NULL at -1) rather than
-    # element_at, whose index 0 raises under ANSI mode; the coalesce
-    # turns that NULL into "first occurrence" for pos == 0.
-    words = F.array_sort(
-        F.filter(
-            F.transform(F.split(F.col("text"), " "), lambda w: F.trim(w)),
-            lambda w: w != "",
-        )
+    # Round 17: the VERDICT-suggested single-aggregation fold (ONE
+    # explode of the per-doc SORTED word array with a first-occurrence
+    # flag — plan loses one scan leg, one aggregation and the join) was
+    # implemented and MEASURED, then rejected on the numbers: at sf10
+    # (500k docs) it reads 7.2-8.6 s count/exec vs 3.2-3.4 s for this
+    # two-leg shape, and at sf0.1 0.43 vs 0.33 s — the array_sort /
+    # transform / filter chain is CodegenFallback (interpreted per
+    # element), which costs ~2.5x more than the second codegen'd
+    # split+explode pass it saves; a struct-flag variant that avoids
+    # carrying the array through the Generate measures the same
+    # (7.2-8.6 s), so the HOF interpretation itself is the cost. Same
+    # conclusion as the r15 minhash fold-vs-agg probe: keep the codegen
+    # path, measure before believing a plan-shape win.
+    words = explode_csv_cell(
+        docs.select("doc_id", "lang", "text"), "text", "word", sep=" "
     )
-    e = docs.select("lang", words.alias("warr")).select(
-        "lang", F.posexplode("warr").alias("pos", "word"), "warr"
+    occ = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    doc_words = F.array_remove(
+        F.array_distinct(
+            F.transform(F.split(F.col("text"), " "), lambda w: F.trim(w))
+        ),
+        "",
     )
-    first = F.coalesce(
-        (F.get("warr", F.col("pos") - 1) != F.col("word")).cast("long"),
-        F.lit(1),
+    doc_freq = (
+        docs.select("lang", F.explode(doc_words).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    return e.groupBy("lang", "word").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(first).alias("n_docs"),
+    o, d = occ.alias("o"), doc_freq.alias("d")
+    return o.join(
+        d,
+        F.col("o.lang").eqNullSafe(F.col("d.lang"))
+        & (F.col("o.word") == F.col("d.word")),
+    ).select(
+        F.col("o.lang").alias("lang"),
+        F.col("o.word").alias("word"),
+        "n",
+        "n_docs",
     )
 
 
@@ -1223,7 +1220,11 @@ GROUP BY sla_class
 # ---------------------------------------------------------------------------
 
 def g1_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.star_layout import guarded_cents_spend, maybe_monthly_rollup
+    from ..plans.star_layout import (
+        ROUTE_MIN_FACT_BYTES,
+        guarded_cents_spend,
+        maybe_monthly_rollup,
+    )
 
     # Aggregate awareness (round 16): the whole 15M-row monthly
     # aggregate precomputed as ~80 re-foldable partials
@@ -1241,6 +1242,44 @@ def g1_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             guarded_cents_spend(
                 F.col("cnt"), F.col("cents"), F.col("mx"), F.col("mn")
             ).alias("spend"),
+        )
+    elif table_disk_bytes(sf_dir, "orders") < ROUTE_MIN_FACT_BYTES:
+        # Round 17 (VERDICT r16 item 1): below the same fact-size gate
+        # that turns the rollup route off, the r16 gap-fill's fixed cost
+        # (global window + sequence/explode) LOSES to the r15 two-scan
+        # shape on the count series — measured interleaved at sf0.1:
+        # two-scan 0.152 s vs gap-fill 0.204 s min-of-5 (the driver saw
+        # the same 0.161 -> 0.206 regression). A second scan of a
+        # <32 MB fact is noise; the spine join broadcasts a ~80-row
+        # relation. Above the gate the single-scan gap-fill stands (at
+        # sf10 it took g1 exec 1.34 -> 0.19 s — the r16 win), and the
+        # rollup route covers the provisioned-warehouse case anyway.
+        # Integer-cents sum kept identical to the branches below (the
+        # bit-exactness argument is scale-independent).
+        o = load_testdata(spark, sf_dir)["orders"]
+        bounds = o.agg(
+            F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+            F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+        )
+        spine = bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 month"))
+            ).alias("month_start")
+        )
+        cents = (_money(F.col("o_totalprice")) * 100).cast("long")
+        monthly = o.groupBy(
+            date_trunc_pg("month", "o_orderdate").alias("month_start")
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(cents).cast("decimal(38,0)") / F.lit(100))
+            .cast("double")
+            .alias("spend"),
+        )
+        return spine.join(monthly, "month_start", "left").select(
+            "month_start",
+            F.last_day("month_start").alias("month_end"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("total_spend"),
         )
     else:
         o = load_testdata(spark, sf_dir)["orders"]

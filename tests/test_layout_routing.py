@@ -610,3 +610,26 @@ def test_custdist_refresh_refuses_dangling_delta(spark, tmp_path):
     # the raw fallback serves q13 and the dangling order is invisible
     # to it (LEFT JOIN from customer), matching the pre-append answer
     assert sorted(map(tuple, q13(spark, d).collect())) == routed
+
+
+def test_g1_small_fact_shape_matches_gap_fill(spark, monkeypatch):
+    """Round 17: g1's raw path is fact-size gated — below
+    ROUTE_MIN_FACT_BYTES the two-scan spine-join shape (count-series
+    cheaper at fixed-cost scale), above it the single-scan gap-fill
+    (scan-dominated scale). Pin: the two shapes are row-identical on the
+    same data, the small shape really is the spine JOIN, and the large
+    shape really is join-free with ONE orders scan."""
+    g1 = REGISTRY["g1_date_spine"][0]
+    # the autouse fixture pins the gate OPEN (0) -> gap-fill branch
+    assert star_layout.ROUTE_MIN_FACT_BYTES == 0
+    gap = g1(spark, SF)
+    gap_plan = gap._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in gap_plan
+    assert gap_plan.count("Relation") == 1  # ONE orders scan
+    gap_rows = sorted(map(tuple, gap.collect()))
+
+    monkeypatch.setattr(star_layout, "ROUTE_MIN_FACT_BYTES", 1 << 60)
+    small = g1(spark, SF)
+    small_plan = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in small_plan
+    assert sorted(map(tuple, small.collect())) == gap_rows
