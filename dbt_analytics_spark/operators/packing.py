@@ -35,32 +35,51 @@ from .text import token_count
 
 
 def _pack_group(pdf: pd.DataFrame, max_tokens: int) -> pd.DataFrame:
-    """Greedy first-fit-decreasing within one hash group (driver-free)."""
+    """Greedy first-fit-decreasing within one hash group (driver-free).
+
+    Round 17 (guide §4.2 — hand the batch to vectorized native code):
+    first-fit's inner scan ("first open pack with capacity >= n") was a
+    pure-Python loop over open packs; FFD tends to keep early packs
+    full, so most docs scanned deep into the list — O(docs x packs)
+    interpreted iterations dominated the pipeline's pack stage (stage
+    attribution: 8.9 s of a 48.6 s wall at 697k chunks). The scan is
+    now one numpy comparison + argmax over the open-capacity array —
+    same asymptotics, C speed. Semantics are bit-identical: argmax over
+    the boolean mask returns the FIRST fitting index, exactly the loop's
+    break; assignment order, pack ids and oversize flags are unchanged
+    (pinned by tests/test_packing.py's pure-Python reference equality).
+    """
+    import numpy as np
+
     pdf = pdf.sort_values(
         ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
     )
     group_id = int(pdf["group_id"].iloc[0])
-    packs: list[int] = []  # remaining capacity per open pack
-    assign: list[int] = []
-    oversize: list[bool] = []
-    for n in pdf["n_tokens"]:
-        n = int(n)
+    sizes = pdf["n_tokens"].to_numpy()
+    caps = np.empty(len(sizes), dtype=np.int64)  # remaining cap per pack
+    n_packs = 0
+    assign = np.empty(len(sizes), dtype=np.int64)
+    oversize = np.zeros(len(sizes), dtype=bool)
+    for j in range(len(sizes)):
+        n = int(sizes[j])
         if n > max_tokens:
-            packs.append(0)  # oversize singleton: full, nothing joins it
-            assign.append(len(packs) - 1)
-            oversize.append(True)
+            caps[n_packs] = 0  # oversize singleton: full, nothing joins it
+            assign[j] = n_packs
+            oversize[j] = True
+            n_packs += 1
             continue
-        for i, cap in enumerate(packs):
-            if cap >= n:
-                packs[i] = cap - n
-                assign.append(i)
-                break
-        else:
-            packs.append(max_tokens - n)
-            assign.append(len(packs) - 1)
-        oversize.append(False)
+        if n_packs:
+            fits = caps[:n_packs] >= n
+            i = int(np.argmax(fits))  # first True, or 0 when none fit
+            if fits[i]:
+                caps[i] -= n
+                assign[j] = i
+                continue
+        caps[n_packs] = max_tokens - n
+        assign[j] = n_packs
+        n_packs += 1
     out = pdf.copy()
-    out["pack_id"] = [(group_id << 32) + a for a in assign]
+    out["pack_id"] = (group_id << 32) + assign
     out["oversize"] = oversize
     return out[["doc_id", "n_tokens", "pack_id", "oversize"]]
 

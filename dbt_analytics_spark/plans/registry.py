@@ -21,6 +21,7 @@ import hashlib
 import inspect
 import json
 import textwrap
+import threading
 import time
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
@@ -386,6 +387,23 @@ class Project:
         self._defer_favor_state: bool = False
         #: Selection of the in-flight run (read by _resolve_materialized).
         self._current_selection: set[str] = set()
+        #: Round 17 (guide §5 "caching is worth it when a frame is reused
+        #: and recomputation is expensive"): an EPHEMERAL model consumed
+        #: by 2+ materialized nodes of the in-flight run is computed once
+        #: and persisted (MEMORY_AND_DISK) instead of being recomputed
+        #: per consumer — the Spark-native upgrade of dbt's
+        #: inline-CTE-per-consumer semantics, which the measured pipeline
+        #: paid twice (stage attribution: dedup_keepers 9.7 s + corpus
+        #: 9.5 s, both dominated by the shared `cleaned` chain). Persisted
+        #: frames are unpersisted when the run ends. `reuse_ephemeral =
+        #: False` restores literal dbt semantics (e.g. when an ephemeral
+        #: is too large to be worth executor storage — at warehouse scale
+        #: such a model should be a table anyway).
+        self.reuse_ephemeral: bool = True
+        self._ephemeral_reuse: dict[str, DataFrame] = {}
+        # RLock: composing one ephemeral can resolve another (nested
+        # ctx.ref) on the same thread.
+        self._ephemeral_lock = threading.RLock()
         #: Engine-level layout awareness (plans/layout_catalog.py): when a
         #: source node's scan is covered by a fresh engine-owned layout
         #: (bucketed star tables, sidecar-verified), the resolver swaps
@@ -820,6 +838,27 @@ class Project:
         if self.database:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.database}")
 
+        try:
+            return self._run_levels(selected, tests_by_model, failed, fail_fast)
+        finally:
+            # Release ephemeral-reuse storage: the persisted frames exist
+            # only to dedupe THIS run's consumers.
+            with self._ephemeral_lock:
+                for df in self._ephemeral_reuse.values():
+                    try:
+                        df.unpersist()
+                    except Exception:  # noqa: BLE001 — session may be gone
+                        pass
+                self._ephemeral_reuse.clear()
+
+    def _run_levels(
+        self,
+        selected: set[str],
+        tests_by_model: dict[str, list],
+        failed: set[str],
+        fail_fast: bool,
+    ) -> list[RunResult]:
+
         for name, msg in self._compile_errors.items():
             if name in selected:
                 failed.add(name)
@@ -944,8 +983,31 @@ class Project:
         if local_ok:
             return self.read_relation(name)
         # Ephemeral (or not-yet-materialized) upstream: lazy composition.
-        ctx = ModelContext(self, node, self._resolve_materialized)
-        return self._maybe_route_source(node, node.fn(ctx))
+        # Ephemeral-reuse (round 17): when 2+ materialized nodes of the
+        # in-flight run read the same ephemeral, compute it ONCE and let
+        # every consumer share the persisted frame (unpersisted by run()).
+        with self._ephemeral_lock:
+            cached = self._ephemeral_reuse.get(name)
+            if cached is not None:
+                return cached
+            ctx = ModelContext(self, node, self._resolve_materialized)
+            df = self._maybe_route_source(node, node.fn(ctx))
+            if (
+                self.reuse_ephemeral
+                and node.materialized == "ephemeral"
+                and not df.isStreaming  # streaming frames can't persist
+                and self._current_selection
+                and sum(
+                    1
+                    for m in self._current_selection
+                    if name in self.nodes[m].depends_on
+                    and self.nodes[m].materialized != "ephemeral"
+                )
+                >= 2
+            ):
+                df = df.persist()  # MEMORY_AND_DISK: spills, never OOMs
+                self._ephemeral_reuse[name] = df
+            return df
 
     def _maybe_route_source(self, node: Node, df: DataFrame) -> DataFrame:
         """Layout awareness (plans/layout_catalog.py): a raw source

@@ -1620,3 +1620,62 @@ def test_selection_test_name_test_type_source_status(project, spark, tmp_path):
     }
     with pytest.raises(ValueError, match="source_status"):
         select_nodes(p, "source_status:stale")
+
+
+def test_ephemeral_reused_across_consumers_computes_once(spark):
+    """Round 17: an ephemeral consumed by 2+ materialized nodes is
+    computed ONCE per run (persisted, then unpersisted at run end) —
+    the Spark-native upgrade of dbt's inline-CTE-per-consumer semantics.
+    Counted with an accumulator inside the ephemeral's lineage: with
+    reuse the second consumer reads the persisted frame, so the UDF
+    never re-runs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    def make_project(reuse: bool):
+        p = Project(spark, name=f"eph_{int(reuse)}", run_date=dt.date(2026, 1, 1), threads=4)
+        p.reuse_ephemeral = reuse
+        base = spark.range(0, 1000).select(F.col("id").alias("k"))
+        p.source_table("src", base)
+
+        @p.model(materialized="ephemeral")
+        def expensive(ctx):
+            return ctx.source("src").mapInPandas(_counted, "k long")
+
+        @p.model(materialized="table")
+        def left_leg(ctx):
+            return ctx.ref("expensive").groupBy().agg(F.sum("k").alias("s"))
+
+        @p.model(materialized="table")
+        def right_leg(ctx):
+            return ctx.ref("expensive").groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+        return p
+
+    p = make_project(reuse=True)
+    acc.value = 0
+    statuses = {r.node: r.status for r in p.run()}
+    assert set(statuses.values()) == {"success"}, statuses
+    reused_count = acc.value
+    assert p._ephemeral_reuse == {}  # released at run end
+    assert spark.table("left_leg").collect()[0]["s"] == 499500
+    assert spark.table("right_leg").collect()[0]["n"] == 1000
+
+    p2 = make_project(reuse=False)
+    acc.value = 0
+    statuses = {r.node: r.status for r in p2.run()}
+    assert set(statuses.values()) == {"success"}, statuses
+    literal_count = acc.value
+
+    # dbt-literal semantics recompute the ephemeral per consumer; the
+    # reuse path computes it exactly once.
+    assert literal_count == 2000
+    assert reused_count == 1000
